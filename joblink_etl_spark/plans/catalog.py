@@ -1,0 +1,32 @@
+"""Registers every query plan with the registry.
+
+Grouped by SURVEY.md §2 operator family; grows as operators land.
+"""
+
+from __future__ import annotations
+
+from . import relational as R
+from .registry import register
+
+# --- relational core (SURVEY §2.2-§2.6 generalized) -------------------
+register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
+register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
+register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
+register(
+    "top_orders_per_customer",
+    R.top_orders_per_customer,
+    R.TOP_ORDERS_PER_CUSTOMER_SQL,
+)
+register(
+    "customers_without_orders",
+    R.customers_without_orders,
+    R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+)
+register(
+    "customers_with_open_orders",
+    R.customers_with_open_orders,
+    R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
+)
+register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
+register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
+register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)

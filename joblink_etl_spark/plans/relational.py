@@ -1,0 +1,310 @@
+"""Core relational query plans over the TPC-H-ish driver tables.
+
+These exercise the engine's relational operator surface — scans,
+filters, equi-joins (broadcast + shuffle), aggregations, windows,
+anti/semi joins, top-k — the generalized forms of the reference's key
+lookups and existence checks (SURVEY.md §2.3-§2.6).
+
+Scale notes (100 TB design):
+- Dimension tables (region/nation/customer/supplier/part) are
+  broadcast-joined explicitly; the fact tables (lineitem/orders)
+  shuffle only when the aggregation key demands it.
+- Aggregations are expressed as groupBy().agg() so Catalyst plans
+  partial (map-side) aggregation before the shuffle.
+- Top-k uses orderBy+limit, which Spark executes as TakeOrdered
+  (per-partition heap + driver merge) — no global sort shuffle.
+- Float aggregates are rounded in both the Spark plan and the DuckDB
+  oracle so parallel-summation order differences don't flip the
+  value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import table
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Single scan → partial agg → one shuffle on the (tiny) group key.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       round(avg(l_quantity), 4)                                            AS avg_qty,
+       round(avg(l_extendedprice), 4)                                       AS avg_price,
+       round(avg(l_discount), 4)                                            AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 orders by revenue in a market segment.
+
+    customer is broadcast (small dim); orders⋈lineitem shuffles on
+    l_orderkey; top-k via TakeOrdered, tie-broken on the unique key so
+    the result is deterministic across engines.
+    """
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: revenue rolled up to nation/region.
+
+    All four dimensions broadcast; the only shuffles are the
+    lineitem⋈orders join and the final small-key aggregation.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k: each customer's 3 highest-value orders.
+
+    One shuffle on o_custkey; rank computed per partition. At scale
+    AQE splits skewed customer partitions automatically.
+    """
+    orders = table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rank_in_customer",
+        )
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       rank_in_customer
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_customer
+  FROM orders
+)
+WHERE rank_in_customer <= 3
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — the reference's enqueue-idempotency primitive
+    (J2, reference code-LLM-intergration.js:185-188) generalized:
+    customers with no URGENT order in 1995.
+    """
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate < TIMESTAMP '1996-01-01')
+"""
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — existence check (reference J1/J2 family)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumn("c_acctbal", F.round("c_acctbal", 2))
+    )
+
+
+CUSTOMERS_WITH_OPEN_ORDERS_SQL = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+def duplicate_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's duplicate highlight (J4/A1: COUNTIFS(...)>1,
+    reference docs/setup.md:104-112) as a groupBy-having.
+
+    Key = (custkey, orderstatus, orderpriority) stands in for the
+    (canonical, company, role) identity triple.
+    """
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey", "o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+DUPLICATE_GUARD_SQL = """
+SELECT o_custkey, o_orderstatus, o_orderpriority, count(*) AS dup_count
+FROM orders
+GROUP BY o_custkey, o_orderstatus, o_orderpriority
+HAVING count(*) > 1
+"""
+
+
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (generalized §2.4): order counts by
+    status/priority with subtotals; NULL grouping cells normalized to
+    'ALL' so both engines hash identically."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORDER_PRIORITY_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)                          AS n_orders,
+       round(sum(o_totalprice), 2)       AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT, §2.6) — parts with no lineitem."""
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp")
+    )
+    part_keys = part.select("p_partkey")
+    ordered_keys = li.select(F.col("l_partkey").alias("p_partkey"))
+    return part_keys.exceptAll(ordered_keys.distinct()).join(
+        F.broadcast(part), "p_partkey"
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+PARTS_NEVER_ORDERED_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                        WHERE l_shipdate < TIMESTAMP '1995-06-01')
+"""

@@ -1,0 +1,48 @@
+"""Parquet source layer.
+
+The reference reads row-oriented sheet tabs addressed by header name
+(getHeaderMap_, reference apps-scripts/code-LLM-intergration.js:74-79).
+Here every table is a parquet dataset; column pruning and predicate
+pushdown reach the scan for free via Catalyst (verify with
+``df.explain('formatted')`` → PushedFilters / ReadSchema).
+
+``rename_map`` reproduces the reference's header-aliasing layer
+(HEADERS_PER_SHEET, code-Extractor-withoutLLM.js:14-31): a logical→
+physical column-name dict applied at read time, so downstream plans
+always see canonical names.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    rename_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read one parquet table; optionally apply a header-alias map."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if rename_map:
+        physical_to_logical = {v: k for k, v in rename_map.items()}
+        present = {c: physical_to_logical[c] for c in df.columns if c in physical_to_logical}
+        if present:
+            df = df.withColumnsRenamed(present)
+    return df

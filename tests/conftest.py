@@ -1,0 +1,19 @@
+from __future__ import annotations
+
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from joblink_etl_spark.session import get_spark
+
+    s = get_spark("tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMALL

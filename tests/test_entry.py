@@ -1,0 +1,30 @@
+"""Smoke tests for the driver contract."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_queries_and_oracles_aligned():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert qs, "no queries registered"
+    # every oracle key must have a query
+    assert set(oracles) <= set(qs)
+
+
+def test_all_queries_run_small(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        # schema must be stable and collectable
+        assert df.columns, name
+        df.limit(5).collect()
