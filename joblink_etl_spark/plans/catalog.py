@@ -6,6 +6,7 @@ Grouped by SURVEY.md §2 operator family; grows as operators land.
 from __future__ import annotations
 
 from . import relational as R
+from . import scalar as S
 from .registry import register
 
 # --- relational core (SURVEY §2.2-§2.6 generalized) -------------------
@@ -30,3 +31,8 @@ register(
 register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
 register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
 register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)
+
+# --- scalar function library (SURVEY §2.7) ----------------------------
+register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)
+register("clean_role_pipeline", S.clean_role_pipeline, S.CLEAN_ROLE_PIPELINE_SQL)
+register("provenance_tokens", S.provenance_tokens, S.PROVENANCE_TOKENS_SQL)
