@@ -36,3 +36,13 @@ register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL
 register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)
 register("clean_role_pipeline", S.clean_role_pipeline, S.CLEAN_ROLE_PIPELINE_SQL)
 register("provenance_tokens", S.provenance_tokens, S.PROVENANCE_TOKENS_SQL)
+
+# --- decision cascade (SURVEY §2.8) -----------------------------------
+from . import pipeline_q as PQ  # noqa: E402
+
+register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
+
+# --- pipeline operators (SURVEY §2.1/§2.3: enqueue, write-back, notes) -
+register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
+register("writeback_merge", PQ.writeback_merge, PQ.WRITEBACK_MERGE_SQL)
+register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
