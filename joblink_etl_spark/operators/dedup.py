@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines: exact
+(hash-groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard —
+the scale-out generalization of the reference's duplicate guard
+(J4/A1, reference docs/setup.md:104-112).
+
+Scale design (100 TB):
+- Exact dedup is one shuffle on a 128-bit fingerprint — the optimal
+  plan; AQE handles skew from boilerplate-heavy fingerprints.
+- MinHash signatures are computed scan-side (narrow, codegen'd
+  higher-order functions over the shingle array — no Python). LSH
+  banding turns the quadratic all-pairs problem into
+  groupBy(band_hash) buckets; only bucket-mates join. With b bands
+  of r rows, P(candidate) = 1-(1-J^r)^b — b=4, r=4 targets J≳0.6.
+- The exact-Jaccard verify runs only on the candidate pairs (tiny).
+- SimHash is an alternative one-shuffle near-dup sketch: 60 bit
+  positions unpivoted per token, aggregated per doc — hamming-close
+  signatures mean similar token sets.
+
+All hashes derive from md5 so results are reproducible across
+engines (the DuckDB oracles replicate them bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint, normalize_text, tokens
+
+# MinHash geometry: NUM_HASHES = BANDS * ROWS_PER_BAND
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit int
+
+
+def md5_int(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint — the portable
+    hash primitive shared with the DuckDB oracles."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = tokens(text)
+    count = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
+    """Array of num_hashes minhash values: seed i's hash of shingle s
+    is md5_int('i:s'); the signature element is the min over
+    shingles. Empty shingle set → nulls (filtered by callers)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.conv(
+                    F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), s)), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint"),
+            )
+        ),
+    )
+
+
+def band_hashes(signature: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """LSH band keys: md5 of each band's comma-joined signature
+    slice. Returns array<struct<band:int, bucket:string>>."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice(signature, b * rows + 1, rows),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    u = F.size(F.array_union(a, b))
+    return F.when(
+        u > 0, F.size(F.array_intersect(a, b)).cast("double") / u
+    ).otherwise(F.lit(0.0))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: md5 fingerprint → canonical id = min(id) within
+    the fingerprint group. One shuffle on the fingerprint."""
+    from pyspark.sql.window import Window
+
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy("fingerprint")
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verify.
+
+    scan → shingles+signature (narrow) → explode bands (×BANDS) →
+    groupBy bucket self-join → distinct candidate pairs →
+    exact Jaccard on the pair's shingle sets → threshold filter.
+    Output: id_a < id_b, jaccard.
+    """
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_ngrams(F.col(text_col), ngram).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles")))
+    )
+    banded = base.select(
+        "id", "shingles", F.explode(band_hashes(F.col("sig"))).alias("bh")
+    ).select("id", "shingles", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (the verification baseline for
+    the LSH path — quadratic, for modest partitions/samples only;
+    at scale use minhash_candidate_pairs)."""
+    base = df.select(
+        F.col(id_col).alias("id"), word_ngrams(F.col(text_col), ngram).alias("sh")
+    ).filter(F.size("sh") > 0)
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .withColumn("jaccard", F.round(jaccard(F.col("l.sh"), F.col("r.sh")), 4))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per document from md5 token hashes.
+
+    Unpivots (doc, token) × bit-position, sums ±1 votes per bit,
+    reassembles the signed-majority bits into one bigint. Two
+    shuffles on (id, bit) then (id) — both map-side combinable.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).withColumn("h", md5_int(F.col("tok")))
+    bits = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        # pyspark's shiftright/shiftleft helpers take a python int for
+        # the distance; the SQL forms accept a column
+        "vote",
+        F.expr("shiftright(h, bit) & 1") * 2 - 1,
+    )
+    votes = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )

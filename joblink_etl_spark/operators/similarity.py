@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: the correctness baseline. Dot products
+  run as codegen'd higher-order functions (zip_with + aggregate) in
+  double precision with a fixed left-fold order, so results are
+  bit-reproducible (and match the DuckDB oracle exactly).
+- IVF (inverted-file) top-k: the scale path. Centroids are a
+  deterministic sample; vectors are assigned to their nearest
+  centroid once (narrow after a broadcast of centroids), and a query
+  probes only its nprobe closest cells. At 100 TB: centroid
+  assignment is one broadcast pass, the probe join hits ~nprobe/K of
+  the data, and the per-cell top-k is a window over the probed
+  subset — no all-pairs shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def knn_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against all vectors.
+
+    The (small) query side is broadcast against the vector scan;
+    ranking is a window per query with a deterministic id tie-break.
+    Output: query_id, neighbor_id, score, rank.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast join +
+    per-vector argmax window)."""
+    c = centroids.select(
+        F.col("centroid_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    v = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "cscore", cosine(F.col("v"), F.col("cv"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(id_col, "centroid_id", "v")
+    )
+
+
+def sample_centroids(
+    vectors: DataFrame, every: int = 25, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid sample: every Nth vector by id (a
+    k-means fit would drop in here; sampling keeps the pipeline
+    reproducible for tests)."""
+    return vectors.filter(F.col(id_col) % every == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    )
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    every: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest centroid
+    cells per query. Recall < 1 by design; the pytest suite asserts
+    recall against knn_bruteforce."""
+    centroids = sample_centroids(vectors, every, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    c = centroids.select("centroid_id", as_double(F.col(vec_col)).alias("cv"))
+    qprobe = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("cscore", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        qprobe.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("score", cosine(F.col("qv"), F.col("v")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "score", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs baseline;
+    for scale, route through knn_ivf cells first)."""
+    v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    l, r = v.alias("l"), v.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .withColumn("score", cosine(F.col("l.v"), F.col("r.v")))
+        .filter(F.col("score") >= min_cosine)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            "score",
+        )
+    )

@@ -1,0 +1,137 @@
+"""Text analysis operators for large-scale training-data pipelines:
+tokenization, quality scoring, language-ID heuristic, document
+fingerprinting (generalization of the reference's text functions
+F10-F14 to the LLM-pipeline north star).
+
+All pure Column expressions — at 100 TB these run as a single
+narrow projection over the document scan, no shuffle, fully inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ASCII punctuation class — written explicitly so the Java and RE2
+# engines agree character-for-character.
+PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+# BPE-ish pre-tokenizer: word runs or single non-word-non-space chars.
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+# tiny per-language stopword sets for the n-gram/stopword language
+# heuristic; priority order breaks ties deterministically.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "就"],
+}
+LANG_PRIORITY = ["en", "es", "fr", "de", "zh"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased, trimmed text; empty text
+    → empty array (split would yield [''])."""
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate subword token count via the BPE-ish regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    n_punct = F.length(F.regexp_replace(text, "[^" + PUNCT_CLASS[1:], ""))
+    return F.when(n > 0, n_punct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    sw = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: t.isin(sw)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_hits(text, lang).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def avg_token_len(text: Column) -> Column:
+    tl = F.aggregate(
+        F.transform(tokens(text), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n = token_count(text)
+    return F.when(n > 0, tl.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic document-quality heuristic in [0,1]:
+    0.4·min(n_tokens/100, 1) + 0.3·(1 − punct_ratio) +
+    0.3·min(4·stopword_ratio, 1). Length rewards substance, low
+    punctuation penalizes markup/boilerplate, stopword presence
+    rewards natural language (cf. quality filters in C4/Gopher-style
+    pipelines)."""
+    n = token_count(text)
+    length_term = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    punct_term = 1.0 - punct_ratio(text)
+    sw_term = F.least(stopword_ratio(text, "en") * 4.0, F.lit(1.0))
+    return F.round(
+        F.least(0.4 * length_term + 0.3 * punct_term + 0.3 * sw_term, F.lit(1.0)), 4
+    )
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-profile language ID; ties break in LANG_PRIORITY
+    order via the first-match when() chain; all-zero → 'und'."""
+    hits = {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
+    expr = F.lit("und")
+    chain = None
+    conds = []
+    for lang in LANG_PRIORITY:
+        cond = hits[lang] > 0
+        for other in LANG_PRIORITY:
+            if other != lang:
+                # >= keeps first-in-priority on ties
+                cond = cond & (hits[lang] >= hits[other])
+        conds.append((cond, lang))
+    chain = F.when(conds[0][0], F.lit(conds[0][1]))
+    for cond, lang in conds[1:]:
+        chain = chain.when(cond, F.lit(lang))
+    return chain.otherwise(expr)
+
+
+def normalize_text(text: Column) -> Column:
+    """lower + collapse whitespace + trim — the dedup normal form."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint = md5 of the normal form (stable across
+    engines and runs — used as the exact-dedup key)."""
+    return F.md5(normalize_text(text))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
+            "avg_token_len": F.round(avg_token_len(t), 4),
+            "punct_ratio": F.round(punct_ratio(t), 4),
+            "stopword_ratio": F.round(stopword_ratio(t), 4),
+            "quality": quality_score(t),
+            "lang_guess": lang_guess(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -46,3 +46,14 @@ register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
 register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
 register("writeback_merge", PQ.writeback_merge, PQ.WRITEBACK_MERGE_SQL)
 register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
+
+# --- north-star extensions: text analytics, dedup, similarity ---------
+from . import ext_q as E  # noqa: E402
+
+register("text_stats", E.text_stats, E.TEXT_STATS_SQL)
+register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
+register("minhash_pairs", E.minhash_pairs, E.MINHASH_PAIRS_SQL)
+register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
+register("simhash_docs", E.simhash_docs, E.SIMHASH_DOCS_SQL)
+register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
+register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)

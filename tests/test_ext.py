@@ -1,0 +1,114 @@
+"""Tests for the north-star extensions: IVF recall vs brute force,
+planted near-dup recovery, simhash locality, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from joblink_etl_spark.operators import dedup as D
+from joblink_etl_spark.operators import multimodal as M
+from joblink_etl_spark.operators import similarity as SIM
+from joblink_etl_spark.sources import table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings").cache()
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = SIM.knn_bruteforce(emb, queries, k=5)
+    ivf = SIM.knn_ivf(emb, queries, k=5, nprobe=5, every=20)
+    b = {(r["query_id"], r["neighbor_id"]) for r in brute.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.4, f"IVF recall {recall} too low"
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    planted = docs.filter((F.col("doc_id") % 4 == 0) & (F.col("doc_id") < 100))
+    corpus = docs.filter(F.col("doc_id") < 100).select("doc_id", "text").unionAll(
+        planted.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat("text", F.lit(" zz end marker")).alias("text"),
+        )
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(corpus, min_jaccard=0.5).collect()
+    }
+    planted_ids = [r["doc_id"] for r in planted.select("doc_id").collect()]
+    found = sum((i, i + 10000) in pairs for i in planted_ids)
+    # LSH with b=4,r=4 at J≈0.9 should find nearly all planted pairs
+    assert found / len(planted_ids) >= 0.9
+
+
+def test_exact_dedup_flags_only_clones(spark, docs):
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    out = D.exact_duplicates(corpus)
+    dups = {r["doc_id"]: r["canonical_id"] for r in out.filter("is_duplicate").collect()}
+    assert set(dups) == {i + 10000 for i in range(0, 500, 50)}
+    assert all(v == k - 10000 for k, v in dups.items())
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_locality(spark, docs):
+    base = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    mutated = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" zz")).alias("text"),
+    )
+    sh = {r["id"]: r["simhash"] for r in D.simhash(base.unionAll(mutated)).collect()}
+    near = [_hamming(sh[i], sh[i + 10000]) for i in range(40) if i in sh]
+    far = [_hamming(sh[i], sh[j]) for i in range(0, 40, 7) for j in range(1, 40, 11) if i != j]
+    assert sum(near) / len(near) < sum(far) / len(far), "simhash lost locality"
+
+
+def test_multimodal_decode_and_features(spark, docs):
+    df = M.attach_fake_payload(docs.filter(F.col("doc_id") < 20).select("doc_id", "text"))
+    decoded = M.decode_images(df)
+    rows = decoded.select("doc_id", "width", "height", "channels", "format").collect()
+    assert len(rows) == 20
+    assert all(16 <= r["width"] < 80 and r["channels"] == 3 for r in rows)
+    # determinism: same payload → same decode
+    again = M.decode_images(df).select("doc_id", "width").collect()
+    assert {r["doc_id"]: r["width"] for r in rows} == {r["doc_id"]: r["width"] for r in again}
+
+    feats = df.select("doc_id", M.image_features("content").alias("f")).collect()
+    assert all(len(r["f"]) == M.N_FEATURES for r in feats)
+    assert all(0.0 <= v < 1.0 for r in feats for v in r["f"])
+
+
+def test_multimodal_real_backend_raises(spark, docs):
+    df = M.attach_fake_payload(docs.limit(2).select("doc_id", "text"))
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        M.decode_images(df, backend="real").collect()
+
+
+def test_resize_and_frame_sampling(spark, docs):
+    df = M.decode_images(
+        M.attach_fake_payload(docs.limit(10).select("doc_id", "text"))
+    )
+    resized = M.resize_meta(df, max_dim=32).collect()
+    assert all(max(r["out_width"], r["out_height"]) <= 32 for r in resized)
+
+    frames = M.sample_frames(
+        M.attach_fake_payload(docs.limit(5).select("doc_id", "text")), every_n=4
+    )
+    rows = frames.select("doc_id", "n_frames", "frame_index").collect()
+    assert all(r["frame_index"] % 4 == 0 for r in rows)
+    assert all(r["frame_index"] < r["n_frames"] for r in rows)
