@@ -57,3 +57,12 @@ register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("simhash_docs", E.simhash_docs, E.SIMHASH_DOCS_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
+
+# --- event-time windows (SURVEY §2.10 generalized) --------------------
+from . import events_q as EV  # noqa: E402
+
+register("tumbling_counts", EV.tumbling_counts, EV.TUMBLING_COUNTS_SQL)
+register("sliding_avg", EV.sliding_avg, EV.SLIDING_AVG_SQL)
+register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
+register("event_dedup", EV.event_dedup, EV.EVENT_DEDUP_SQL)
+register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)

@@ -1,0 +1,198 @@
+"""Event-time window queries over the events table — the batch
+spellings of the streaming operators (SURVEY.md §2.10 generalized):
+tumbling / sliding / session windows, keyed dedup, per-user rates.
+The streaming/ package runs the same logic incrementally with
+watermarks; these plans give the oracle-checked semantics.
+
+Scale notes: every query shuffles once on its (window-ish) key;
+window starts are computed scan-side so partition pruning on a
+date-partitioned events table would apply before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import table
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event_type (F.window)."""
+    ev = table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_COUNTS_SQL = """
+SELECT to_timestamp(floor(epoch(ts) / 600) * 600)::TIMESTAMP AS window_start,
+       to_timestamp(floor(epoch(ts) / 600) * 600 + 600)::TIMESTAMP AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes — each event lands
+    in two windows."""
+    ev = table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # divide the ROUNDED sum: parallel summation wobbles the
+            # raw sum's last ulp, and avg over power-of-two counts
+            # lands on exact .xxxx5 midpoints where that ulp flips
+            # the rounding — rounding the sum first (2-decimal
+            # inputs → sums sit safely near cent boundaries) makes
+            # the quotient bit-identical across engines.
+            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+SLIDING_AVG_SQL = """
+WITH assigned AS (
+  SELECT to_timestamp(floor(epoch(ts) / 300) * 300 - o.off)::TIMESTAMP AS window_start, value
+  FROM events, (SELECT unnest([0, 300]) AS off) o
+  WHERE epoch(ts) >= floor(epoch(ts) / 300) * 300 - o.off
+    AND epoch(ts) < floor(epoch(ts) / 300) * 300 - o.off + 600
+)
+SELECT window_start,
+       window_start + INTERVAL 10 MINUTE AS window_end,
+       count(*) AS n_events,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 5-minute inactivity gap, computed the
+    portable way (lag + gap-flag + running sum); Spark's native
+    session_window() is exercised in the streaming tests."""
+    ev = table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user) > 300,
+        1,
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_session", gap)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                by_user.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SESSION_WINDOWS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 300 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest occurrence (ST4's exactly-
+    once sink rule) over a corpus with planted duplicate event_ids."""
+    ev = table(spark, sf_dir, "events")
+    dups = ev.filter(F.col("event_id") % 9 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    corpus = ev.unionAll(dups)
+    w = Window.partitionBy("event_id").orderBy("ts")
+    return (
+        corpus.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+EVENT_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT * FROM events
+  UNION ALL
+  SELECT event_id, ts + INTERVAL 1 HOUR, user_id, event_type, value, props
+  FROM events WHERE event_id % 9 = 0
+)
+SELECT event_id, min(ts) AS ts,
+       arg_min(user_id, ts) AS user_id,
+       arg_min(event_type, ts) AS event_type
+FROM corpus GROUP BY event_id
+"""
+
+
+def user_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per user per hour plus each user's busiest hour rank —
+    the windowed-rate-control building block (ST3)."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(F.col("user_id"), hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc(), F.col("hour"))
+    return counts.withColumn("busy_rank", F.row_number().over(w)).filter(
+        F.col("busy_rank") <= 3
+    )
+
+
+USER_HOURLY_RATES_SQL = """
+WITH counts AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, hour, n_events,
+       row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC, hour) AS busy_rank
+FROM counts
+QUALIFY busy_rank <= 3
+"""

@@ -49,9 +49,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # avg as rounded-sum / count: keeps the quotient
+            # bit-identical across engines (see events_q.sliding_avg)
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.round(F.sum("l_extendedprice"), 2) / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 2) / F.count(F.lit(1)), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -64,9 +66,9 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                                       AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-       round(avg(l_quantity), 4)                                            AS avg_qty,
-       round(avg(l_extendedprice), 4)                                       AS avg_price,
-       round(avg(l_discount), 4)                                            AS avg_disc,
+       round(round(sum(l_quantity), 2) / count(*), 4)                       AS avg_qty,
+       round(round(sum(l_extendedprice), 2) / count(*), 4)                  AS avg_price,
+       round(round(sum(l_discount), 2) / count(*), 4)                       AS avg_disc,
        count(*)                                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -39,6 +39,17 @@ def table(
     rename_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Read one parquet table; optionally apply a header-alias map."""
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects; read the raw int64 nanos and
+        # rebuild a (micro-precision) timestamp column.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # integer div — a double round-trip would wobble ±1 µs at
+        # 2024-epoch nanos magnitudes (double ulp there is 256 ns)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if rename_map:
         physical_to_logical = {v: k for k, v in rename_map.items()}
