@@ -21,9 +21,9 @@ def render_token(kind: str, kv: dict[str, Column]) -> Column:
     return F.concat(F.lit(kind + ":{"), F.concat_ws(", ", *parts), F.lit("}"))
 
 
-def append_source_token(prev: Column, kind: str, kv: dict[str, Column]) -> Column:
-    """Replace-by-kind else append (reference :805-810)."""
-    tok = render_token(kind, kv)
+def append_rendered_token(prev: Column, kind: str, tok: Column) -> Column:
+    """Replace-by-kind else append, given an already-rendered token
+    Column (reference :805-810)."""
     prev = F.trim(F.coalesce(prev, F.lit("")))
     pat = _re.escape(kind) + r":\{[^}]*\}"
     # regexp_replace treats \ and $ specially in the replacement —
@@ -34,3 +34,8 @@ def append_source_token(prev: Column, kind: str, kv: dict[str, Column]) -> Colum
         .when(prev != "", F.concat(prev, F.lit(" | "), tok))
         .otherwise(tok)
     )
+
+
+def append_source_token(prev: Column, kind: str, kv: dict[str, Column]) -> Column:
+    """Render a kind:{k=v,...} token and append/replace it."""
+    return append_rendered_token(prev, kind, render_token(kind, kv))

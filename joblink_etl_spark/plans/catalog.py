@@ -46,6 +46,8 @@ register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
 register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
 register("writeback_merge", PQ.writeback_merge, PQ.WRITEBACK_MERGE_SQL)
 register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
+# rows-only: external-HTTP tiered fetch over deterministic fakes
+register("fetch_cascade", PQ.fetch_cascade, None)
 
 # --- north-star extensions: text analytics, dedup, similarity ---------
 from . import ext_q as E  # noqa: E402

@@ -270,3 +270,35 @@ SELECT row_index, company_auto, role_auto,
   END AS li_followup
 FROM gen
 """
+
+
+# ---------------------------------------------------------------------------
+# fetch_cascade — rows-only check (HTTP UDFs are not SQL-expressible):
+# the full tiered fetch + decide over fake clients on synthesized URLs.
+# ---------------------------------------------------------------------------
+
+
+def fetch_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..clients import FakeRendererClient, SyntheticSiteHttpClient
+    from ..operators.decide import decide
+    from ..operators.fetch import fetch_smart
+
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 120)
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    urls = cust.select(
+        ck.alias("id"),
+        F.when(ck % 6 == 0, F.concat(F.lit("https://boards.greenhouse.io/acme-corp/jobs/"), cks))
+        .when(ck % 6 == 1, F.concat(F.lit("https://jobs.lever.co/mega/"), cks))
+        .when(ck % 6 == 2, F.concat(F.lit("https://site1.example.com/direct/"), cks))
+        .when(ck % 6 == 3, F.concat(F.lit("https://site1.example.com/thin/"), cks))
+        .when(ck % 6 == 4, F.concat(F.lit("https://www.linkedin.com/jobs/view/"), cks))
+        .otherwise(F.concat(F.lit("https://site9.example.com/broken/"), cks))
+        .alias("url"),
+    )
+    fetched = fetch_smart(urls, SyntheticSiteHttpClient(), FakeRendererClient())
+    out = decide(fetched, html_col="html", url_col="final_url")
+    return out.select(
+        "id", "url", "provider", "status", "company", "role",
+        F.round("conf", 2).alias("conf"), "decision",
+    )
