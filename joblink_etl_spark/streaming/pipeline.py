@@ -1,0 +1,163 @@
+"""Structured Streaming re-expression of the reference's incremental
+semantics (SURVEY.md §2.10 ST1-ST7).
+
+Mapping:
+- ST1 edit-trigger      → file-source stream of link rows; each new
+  file is a batch of "edits" (a CDC feed would slot in identically).
+- ST2 drain loop        → Trigger.AvailableNow micro-batches: process
+  everything pending, then stop — the reference's drain-until-empty
+  with the time budget left to the orchestrator.
+- ST3 rate limiting     → maxFilesPerTrigger source throttling.
+- ST4 at-least-once + idempotent effects → keyed dropDuplicates
+  (exactly-once effects per key) + checkpointed sink.
+- ST5 dead-lettering    → foreachBatch try/except error side-output.
+- ST6 single-attempt    → no retry logic; tries/next_attempt_at are
+  carried but never consulted, mirroring the reference.
+- ST7 two-phase         → parse stream feeds the notes queue sink.
+
+State design for scale: dedup state is keyed by (sheet_name,
+row_index) and watermark-bounded when an event-time column exists;
+windowed aggs use update/append with watermarks so state is evicted,
+not grown forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.predicates import is_valid_url
+
+LINK_EVENT_SCHEMA = StructType(
+    [
+        StructField("sheet_name", StringType()),
+        StructField("row_index", LongType()),
+        StructField("url", StringType()),
+        StructField("edited_at", TimestampType()),
+    ]
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+def read_link_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """ST1/ST3: file-source stream of link-edit rows."""
+    reader = spark.readStream.schema(LINK_EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def streaming_enqueue(links: DataFrame, dedup_watermark: str = "1 hour") -> DataFrame:
+    """ST1+ST4: URL-validity filter then keyed dedup. The watermark
+    bounds the dedup state (keys older than the horizon are evicted);
+    within the horizon a re-pasted link is dropped exactly like the
+    reference's anti-join (J2)."""
+    return (
+        links.filter(is_valid_url(F.col("url")))
+        .withWatermark("edited_at", dedup_watermark)
+        .dropDuplicatesWithinWatermark(["sheet_name", "row_index"])
+        .select(
+            "sheet_name",
+            "row_index",
+            "url",
+            F.lit("queued").alias("status"),
+            F.lit(0).alias("tries"),
+            F.col("edited_at").alias("enqueued_at"),
+            F.lit("").alias("next_attempt_at"),
+            F.lit("").alias("last_error"),
+        )
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Streaming tumbling-window counts with late-data handling —
+    the incremental twin of plans/events_q.tumbling_counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_event_counts(events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Native session_window per user — the streaming twin of
+    plans/events_q.session_windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(df: DataFrame, sink_dir: str, checkpoint_dir: str, output_mode: str = "append") -> None:
+    """ST2: drain everything pending into a parquet sink, then stop."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def drain_with_dead_letter(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    process,
+    on_success,
+    on_error,
+) -> list[int]:
+    """ST5: foreachBatch wrapper with an error side-channel. Each
+    micro-batch runs `process(batch_df) -> DataFrame`; success rows
+    go to on_success(df), failures to on_error(batch_df, exception) —
+    the row still leaves the queue (single-attempt, ST6). Returns
+    the list of processed micro-batch ids."""
+    seen: list[int] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        try:
+            on_success(process(batch_df))
+        except Exception as e:  # noqa: BLE001 — dead-letter anything
+            on_error(batch_df, e)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return seen

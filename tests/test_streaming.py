@@ -1,0 +1,168 @@
+"""Structured Streaming tests (ST1-ST7): availableNow drain, keyed
+dedup state, watermark windows, rate limiting, dead-letter channel —
+streaming results cross-checked against their batch twins."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from joblink_etl_spark.sources import table
+from joblink_etl_spark.streaming.pipeline import (
+    LINK_EVENT_SCHEMA,
+    drain_with_dead_letter,
+    read_link_stream,
+    run_available_now,
+    session_event_counts,
+    streaming_enqueue,
+    windowed_event_counts,
+)
+
+T0 = datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _write_links(spark, path, rows, n_files=1):
+    df = spark.createDataFrame(rows, LINK_EVENT_SCHEMA)
+    df.repartition(n_files).write.mode("append").parquet(path)
+
+
+def test_streaming_enqueue_dedup_and_filter(spark, tmp_path):
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows = [
+        ("S", 2, "https://jobs.lever.co/a/1", T0),
+        ("S", 2, "https://jobs.lever.co/a/1", T0 + timedelta(minutes=1)),  # dup key
+        ("S", 3, "not a url", T0),                                        # filtered
+        ("T", 2, "https://jobs.lever.co/b/2", T0),
+    ]
+    _write_links(spark, src, rows)
+    run_available_now(streaming_enqueue(read_link_stream(spark, src)), sink, ckpt)
+    out = spark.read.parquet(sink)
+    got = {(r["sheet_name"], r["row_index"]) for r in out.collect()}
+    assert got == {("S", 2), ("T", 2)}
+    assert all(r["status"] == "queued" and r["tries"] == 0 for r in out.collect())
+
+
+def test_streaming_enqueue_incremental_restart(spark, tmp_path):
+    """New files after a drain are processed incrementally from the
+    checkpoint — the re-paste within the watermark is still deduped."""
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_links(spark, src, [("S", 2, "https://jobs.lever.co/a/1", T0)])
+    run_available_now(streaming_enqueue(read_link_stream(spark, src)), sink, ckpt)
+    _write_links(
+        spark,
+        src,
+        [
+            ("S", 2, "https://jobs.lever.co/a/1", T0 + timedelta(minutes=5)),  # re-paste
+            ("S", 9, "https://jobs.lever.co/c/9", T0 + timedelta(minutes=5)),
+        ],
+    )
+    run_available_now(streaming_enqueue(read_link_stream(spark, src)), sink, ckpt)
+    got = sorted(
+        (r["sheet_name"], r["row_index"]) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [("S", 2), ("S", 9)]
+
+
+def test_windowed_counts_match_batch(spark, tmp_path, sf_dir):
+    src, sink, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500).select(
+        "event_id", "ts", "user_id", "event_type", F.col("value").cast("string")
+    )
+    # one file → one micro-batch (nothing "late" within a batch), plus
+    # a far-future sentinel so the watermark passes every real window —
+    # append mode only emits FINALIZED windows; without the sentinel
+    # the trailing windows stay in state when the drain stops
+    sentinel = spark.createDataFrame(
+        [(99999, datetime(2030, 1, 1), 999, "sentinel", "0")], ev.schema
+    )
+    ev.unionAll(sentinel).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_available_now(windowed_event_counts(stream), sink, ckpt)
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+        if r["event_type"] != "sentinel"
+    }
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    }
+    assert got == want
+
+
+def test_session_windows_stream(spark, tmp_path, sf_dir):
+    src, sink, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id") < 5).select(
+        "event_id", "ts", "user_id", "event_type", F.col("value").cast("string")
+    )
+    sentinel = spark.createDataFrame(
+        [(99999, datetime(2030, 1, 1), 999, "sentinel", "0")], ev.schema
+    )
+    ev.unionAll(sentinel).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_available_now(session_event_counts(stream), sink, ckpt)
+    out = spark.read.parquet(sink).filter(F.col("user_id") != 999)
+    # sessions are per-user, non-overlapping, and cover every event
+    assert out.count() > 0
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+    overlaps = (
+        out.alias("a")
+        .join(out.alias("b"), "user_id")
+        .filter(
+            (F.col("a.session_start") < F.col("b.session_end"))
+            & (F.col("b.session_start") < F.col("a.session_end"))
+            & (F.col("a.session_start") != F.col("b.session_start"))
+        )
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_rate_limited_micro_batches(spark, tmp_path):
+    """ST3: maxFilesPerTrigger=1 over 3 input files → 3 micro-batches."""
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    for i in range(3):
+        _write_links(spark, src, [("S", i, f"https://jobs.lever.co/a/{i}", T0)])
+    batches = []
+
+    def process(df):
+        return df
+
+    def ok(df):
+        batches.append(df.count())
+
+    def err(df, e):
+        raise AssertionError(e)
+
+    seen = drain_with_dead_letter(
+        read_link_stream(spark, src, max_files_per_trigger=1),
+        ckpt, process, ok, err,
+    )
+    assert len(seen) >= 3
+    assert sum(batches) == 3
+
+
+def test_dead_letter_channel(spark, tmp_path):
+    """ST5: a failing batch goes to the error side-output; the drain
+    completes (single-attempt, ST6)."""
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    _write_links(spark, src, [("S", 1, "https://jobs.lever.co/a/1", T0)])
+    errors = []
+
+    def process(df):
+        raise RuntimeError("boom")
+
+    def ok(df):
+        raise AssertionError("should not succeed")
+
+    def err(df, e):
+        errors.append((df.count(), str(e)[:300]))
+
+    drain_with_dead_letter(read_link_stream(spark, src), ckpt, process, ok, err)
+    assert errors and errors[0][1] == "boom"
