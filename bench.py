@@ -32,6 +32,13 @@ HEADLINE = [
     "decide_cascade",
     "enqueue_antijoin",
     "writeback_merge",
+    "text_stats",
+    "exact_dedup",
+    "minhash_pairs",
+    "simhash_docs",
+    "knn_bruteforce",
+    "tumbling_counts",
+    "session_windows",
 ]
 
 

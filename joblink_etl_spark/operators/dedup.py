@@ -40,15 +40,27 @@ def md5_int(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text."""
-    toks = tokens(text)
-    count = F.size(toks) - (n - 1)
+def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from an ALREADY-MATERIALIZED token array
+    column. The column must be a plain reference, not an expression:
+    expressions embedded in a higher-order-function lambda are
+    re-evaluated per element (no common-subexpression elimination in
+    the interpreted path), which turns an O(tokens) pass into
+    O(tokens²) regex splits."""
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    heads = F.slice(toks, 1, count)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+        heads,
+        lambda x, i: F.concat_ws(" ", x, *[F.get(toks, i + j) for j in range(1, n)]),
     )
     return F.array_distinct(grams)
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text (for
+    one-off use; hot paths should select tokens() into a column and
+    call ngrams_from_tokens — see that docstring)."""
+    return ngrams_from_tokens(tokens(text), n)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = NUM_HASHES) -> Column:
@@ -125,20 +137,45 @@ def minhash_candidate_pairs(
     exact Jaccard on the pair's shingle sets → threshold filter.
     Output: id_a < id_b, jaccard.
     """
-    base = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_ngrams(F.col(text_col), ngram).alias("shingles"),
-        )
+    sc = df.sparkSession.sparkContext
+    shingled = (
+        # repartition spreads the hash-heavy work across all cores: a
+        # small documents parquet arrives as one partition (at
+        # cluster scale the scan is already partitioned and this is a
+        # near-no-op); partitioning by id also lets the signature
+        # groupBy below avoid a second shuffle
+        df.repartition(sc.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .localCheckpoint(eager=False)  # pin: keeps Catalyst from
+        # inlining the tokenizer back into the n-gram lambda
+        .select("id", ngrams_from_tokens(F.col("toks"), ngram).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(F.col("shingles")))
+        .cache()
     )
-    banded = base.select(
-        "id", "shingles", F.explode(band_hashes(F.col("sig"))).alias("bh")
-    ).select("id", "shingles", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
-
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Signature via explode + NUM_HASHES codegen'd md5 columns +
+    # map-side-combined min aggregation — same values as
+    # minhash_signature() (the DuckDB oracle replicates them), but
+    # ~10× faster than the nested higher-order-function form, which
+    # falls out of whole-stage codegen.
+    hashed = shingled.select("id", F.explode("shingles").alias("s")).select(
+        "id",
+        *[
+            md5_int(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ],
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)]
+    ).select("id", F.array(*[f"h{i}" for i in range(NUM_HASHES)]).alias("sig"))
+    base = shingled.join(sig, "id").cache()
+    # Band rows carry ONLY (id, band, bucket) — the shingle arrays
+    # would otherwise be duplicated ×BANDS through the explode and
+    # shuffled through the self-join (dominates runtime/network at
+    # scale). Shingles rejoin by id on the tiny candidate-pair set.
+    banded = base.select("id", F.explode(band_hashes(F.col("sig"))).alias("bh")).select(
+        "id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")
+    )
+    left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(
             right,
@@ -146,16 +183,15 @@ def minhash_candidate_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh = base.select("id", "shingles")
+    pairs = cand.join(
+        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
     return (
-        cand.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
