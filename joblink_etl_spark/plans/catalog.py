@@ -59,6 +59,11 @@ register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("simhash_docs", E.simhash_docs, E.SIMHASH_DOCS_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
+register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
+register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
+# rows-only: approximate ANN and multimodal plumbing (not SQL-expressible)
+register("knn_ivf", E.knn_ivf_q, None)
+register("multimodal_decode", E.multimodal_decode_q, None)
 
 # --- event-time windows (SURVEY §2.10 generalized) --------------------
 from . import events_q as EV  # noqa: E402

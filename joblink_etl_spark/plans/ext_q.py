@@ -288,3 +288,140 @@ WITH corpus AS (
 )
 SELECT id_a, id_b, score FROM scored WHERE score >= 0.95
 """
+
+
+# ---------------------------------------------------------------------------
+# html_signals — F3/F4/F5/F14 extractors + P5/P6 predicates vs DuckDB
+# regex, over HTML synthesized from documents.
+# ---------------------------------------------------------------------------
+
+
+def html_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import html as H
+    from ..functions import predicates as P
+
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("<html><title> Role "), ds, F.lit("  at  Acme </title>"),
+            F.lit('<h1><b>Lead</b> Engineer '), ds, F.lit("</h1>"),
+            F.lit('<meta property="og:title" content="OG Role '), ds, F.lit('">'),
+            F.lit("<script>var x=1;</script><p>Body "), ds, F.lit(" text</p></html>"),
+        ))
+        .when(d % 4 == 1, F.concat(F.lit("<html><title>Sign in</title><p>p"), ds, F.lit("</p></html>")))
+        .when(d % 4 == 2, F.concat(F.lit('<META PROPERTY="og:site_name" CONTENT="Site '), ds, F.lit('">')))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id",
+        H.get_title(html).alias("title"),
+        H.get_h1(html).alias("h1"),
+        H.get_meta(html, "og:title", "property").alias("og_title"),
+        H.get_meta(html, "og:site_name", "property").alias("og_site"),
+        H.text_preview(html, 40).alias("preview"),
+        P.is_generic_title(H.get_title(html)).alias("title_generic"),
+        H.has_useful_signal(html).alias("useful"),
+    )
+
+
+HTML_SIGNALS_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN '<html><title> Role ' || doc_id::VARCHAR || '  at  Acme </title>'
+                  || '<h1><b>Lead</b> Engineer ' || doc_id::VARCHAR || '</h1>'
+                  || '<meta property="og:title" content="OG Role ' || doc_id::VARCHAR || '">'
+                  || '<script>var x=1;</script><p>Body ' || doc_id::VARCHAR || ' text</p></html>'
+      WHEN 1 THEN '<html><title>Sign in</title><p>p' || doc_id::VARCHAR || '</p></html>'
+      WHEN 2 THEN '<META PROPERTY="og:site_name" CONTENT="Site ' || doc_id::VARCHAR || '">'
+      ELSE ''
+    END AS html
+  FROM documents
+), ext AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1), '\\s+', ' ', 'g')) AS title,
+    trim(regexp_replace(regexp_replace(regexp_extract(html, '(?is)<h1[^>]*>(.*?)</h1>', 1), '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')) AS h1,
+    trim(regexp_extract(html, '(?i)<meta[^>]+property=["'']og:title["''][^>]*content=["'']([^"'']+)["'']', 1)) AS og_title,
+    trim(regexp_extract(html, '(?i)<meta[^>]+property=["'']og:site_name["''][^>]*content=["'']([^"'']+)["'']', 1)) AS og_site,
+    substr(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        '(?is)<script.*?</script>', ' ', 'g'), '(?is)<style.*?</style>', ' ', 'g'),
+        '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g')), 1, 40) AS preview
+  FROM synth
+), pred AS (
+  SELECT *,
+    (len(lower(trim(title))) <= 2 OR regexp_matches(lower(trim(title)),
+      '(job details|job detail|careers|career portal|choose your sign in option|sign in|signin|login|log in|home|open positions|all jobs|search results|job search|apply now|opportunities|join our team)')) AS title_generic,
+    (len(lower(trim(h1))) <= 2 OR regexp_matches(lower(trim(h1)),
+      '(job details|job detail|careers|career portal|choose your sign in option|sign in|signin|login|log in|home|open positions|all jobs|search results|job search|apply now|opportunities|join our team)')) AS h1_generic,
+    (len(lower(trim(og_title))) <= 2 OR regexp_matches(lower(trim(og_title)),
+      '(job details|job detail|careers|career portal|choose your sign in option|sign in|signin|login|log in|home|open positions|all jobs|search results|job search|apply now|opportunities|join our team)')) AS og_generic
+  FROM ext
+)
+SELECT doc_id, title, h1, og_title, og_site, preview, title_generic,
+       (html <> '' AND (regexp_matches(html, '(?i)<script[^>]+application/ld\\+json')
+         OR (h1 <> '' AND NOT h1_generic)
+         OR (og_title <> '' AND NOT og_generic)
+         OR (title <> '' AND NOT title_generic))) AS useful
+FROM pred
+"""
+
+
+# ---------------------------------------------------------------------------
+# event_props_json — transient-JSON handling (reference F16 family):
+# parse the events.props JSON column and aggregate on an extracted key.
+# ---------------------------------------------------------------------------
+
+
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), StructType([StructField("k", IntegerType())]))["k"]
+    )
+    return (
+        parsed.groupBy((F.col("k") % 10).alias("k_bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENT_PROPS_JSON_SQL = """
+SELECT (json_extract(props, '$.k')::INTEGER) % 10 AS k_bucket,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       max(json_extract(props, '$.k')::INTEGER) AS max_k
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only extensions: IVF ANN and multimodal decode (not SQL-expressible).
+# ---------------------------------------------------------------------------
+
+
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.knn_ivf(emb, queries, k=10, nprobe=3, every=25).select(
+        "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
+    )
+
+
+def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = M.decode_images(M.attach_fake_payload(docs))
+    feats = decoded.withColumn("features", M.image_features(F.col("content")))
+    return M.resize_meta(feats, max_dim=32).select(
+        "doc_id", "width", "height", "channels", "format",
+        "out_width", "out_height", F.element_at("features", 1).alias("f0"),
+    )
