@@ -17,3 +17,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMALL
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for hypothesis tests (session-scoped reuse —
+    hypothesis forbids function-scoped fixtures with @given)."""
+    return spark

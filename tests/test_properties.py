@@ -1,0 +1,90 @@
+"""Property-based tests (SURVEY.md §5.5) via hypothesis:
+canonicalization idempotence, confidence bounds, clamp rules,
+truncation caps — evaluated in batches through one Spark job per
+property to keep runtime sane."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from joblink_etl_spark.functions import text as T
+from joblink_etl_spark.functions import url as U
+from joblink_etl_spark.operators.decide import decide
+
+_param = st.sampled_from(
+    U.TRACKING_PARAMS + ["keep", "page", "q", "ref", "UTM_SOURCE"]
+)
+_qpair = st.tuples(_param, st.text(string.ascii_lowercase + string.digits, max_size=5))
+
+
+@st.composite
+def urls(draw):
+    host = draw(st.sampled_from(["a.com", "jobs.lever.co", "www.x.io", "boards.greenhouse.io"]))
+    path = "/" + "/".join(draw(st.lists(st.text(string.ascii_lowercase + string.digits, min_size=1, max_size=6), max_size=3)))
+    pairs = draw(st.lists(_qpair, max_size=5))
+    qs = "&".join(f"{k}={v}" for k, v in pairs)
+    frag = draw(st.sampled_from(["", "#apply", "#x=1"]))
+    return f"https://{host}{path}" + (f"?{qs}" if qs else "") + frag
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(urls(), min_size=1, max_size=30))
+def test_canonicalization_idempotent_and_clean(spark_prop, us):
+    df = spark_prop.createDataFrame([(u,) for u in us], "u string")
+    out = df.select(
+        "u",
+        U.make_canonical(F.col("u")).alias("c1"),
+        U.make_canonical(U.make_canonical(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == r["c2"], f"not idempotent: {r['u']}"
+        q = r["c1"].split("#")[0].split("?")
+        if len(q) > 1:
+            keys = {p.split("=")[0] for p in q[1].split("&")}
+            assert not (keys & set(U.TRACKING_PARAMS)), r["c1"]
+
+
+@st.composite
+def page_shapes(draw):
+    role = draw(st.sampled_from(["Staff Analyst", "Sign in", "", "Acme — Lead Dev"]))
+    h1 = draw(st.booleans())
+    ogsite = draw(st.sampled_from(["", "Acme", "LinkedIn"]))
+    jsonld = draw(st.booleans())
+    url = draw(st.sampled_from([
+        "https://www.linkedin.com/jobs/view/1",
+        "https://boards.greenhouse.io/acme/jobs/1",
+        "https://x.example.com/p",
+        "not a url",
+    ]))
+    html = ""
+    if jsonld:
+        html += '<script type="application/ld+json">{"@type":"JobPosting","title":"LD Role","hiringOrganization":{"name":"LD Co"}}</script>'
+    if role:
+        html += f"<h1>{role}</h1>" if h1 else f"<title>{role}</title>"
+    if ogsite:
+        html += f'<meta property="og:site_name" content="{ogsite}">'
+    return (url, html)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(page_shapes(), min_size=1, max_size=25))
+def test_decide_conf_invariants(spark_prop, pages):
+    df = spark_prop.createDataFrame(pages, "final_url string, html string")
+    out = decide(df).select("company", "role", "conf").collect()
+    for r in out:
+        assert 0.0 <= r["conf"] <= 1.0
+        if not r["company"] or not r["role"]:
+            # missing-field clamp (reference :771-773)
+            assert r["conf"] <= 0.5 + 1e-9
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(max_size=400), min_size=1, max_size=25))
+def test_truncation_cap(spark_prop, texts):
+    df = spark_prop.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(F.length(T.truncate(F.col("t"), 280)).alias("n")).collect()
+    assert all((r["n"] or 0) <= 280 for r in out)
