@@ -237,3 +237,61 @@ def notes_batch(
     ).drop("_inv", "_fol", "_tok", "_matched")
     new_notes_queue = dequeue(notes_queue, batch.select(*QUEUE_KEY))
     return {"tracker": new_tracker, "notes_queue": new_notes_queue}
+
+
+def drain_all(
+    tracker: DataFrame,
+    queue: DataFrame,
+    notes_queue: DataFrame,
+    http_client,
+    renderer_client,
+    llm_client,
+    profile: dict[str, str],
+    batch_size: int = 12,
+    notes_batch_size: int = 12,
+    max_cycles: int = 50,
+) -> dict[str, DataFrame]:
+    """The drain loop (reference drainAllQueues, :264-272): alternate
+    parse and notes batches until both queues are empty. The
+    reference stops at a 285 s wall-clock budget (Apps Script cap) —
+    an orchestration concern; here max_cycles bounds work instead.
+
+    Each cycle materializes its outputs via localCheckpoint so the
+    logical plan stays O(1) in cycle count (ST2's incremental-batch
+    semantics, not one giant lazy graph).
+    """
+    from ..schemas import NOTES_QUEUE_SCHEMA
+
+    spark = tracker.sparkSession
+    notes_queue = notes_queue if notes_queue is not None else spark.createDataFrame(
+        [], NOTES_QUEUE_SCHEMA
+    )
+    for _ in range(max_cycles):
+        did_work = False
+        if not queue.filter(F.col("status") == "queued").isEmpty():
+            did_work = True
+            out = parse_batch(
+                tracker, queue, http_client, renderer_client, llm_client, batch_size
+            )
+            tracker = out["tracker"].localCheckpoint(eager=True)
+            queue = out["queue"].localCheckpoint(eager=True)
+            # two-phase hand-off (ST7): new notes work enters the
+            # notes queue idempotently (J2 anti-join on the key)
+            fresh = out["notes_candidates"].join(
+                notes_queue.filter(F.col("status").isin("queued", "processing"))
+                .select(*QUEUE_KEY),
+                QUEUE_KEY,
+                "left_anti",
+            ).select(*notes_queue.columns)
+            notes_queue = notes_queue.unionByName(fresh).localCheckpoint(eager=True)
+        if not notes_queue.filter(F.col("status") == "queued").isEmpty():
+            did_work = True
+            out = notes_batch(
+                tracker, notes_queue, http_client, renderer_client,
+                llm_client, profile, notes_batch_size,
+            )
+            tracker = out["tracker"].localCheckpoint(eager=True)
+            notes_queue = out["notes_queue"].localCheckpoint(eager=True)
+        if not did_work:
+            break
+    return {"tracker": tracker, "queue": queue, "notes_queue": notes_queue}

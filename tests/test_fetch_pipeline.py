@@ -173,3 +173,31 @@ def test_notes_batch_llm_and_fallback(spark):
     # prefilled cells never overwritten
     assert t[4]["li_invite"] == "KEEP" and t[4]["li_followup"] == "KEEP"
     assert out["notes_queue"].count() == 0
+
+
+def test_drain_all_full_lifecycle(spark):
+    """§3.1+§3.2 chained: 10 links drain through parse AND notes in
+    multiple small batches until both queues are empty."""
+    from joblink_etl_spark.operators.pipeline import drain_all
+
+    rows = [
+        ("S", i, f"https://site1.example.com/direct/{i}", "", "", "", "", "", "", "")
+        for i in range(2, 12)
+    ]
+    tracker = _tracker(spark, rows)
+    queue = _queue_from(spark, tracker)
+    out = drain_all(
+        tracker, queue, None, HTTP, RENDERER, LLM,
+        {"one-line hook": "builder"}, batch_size=4, notes_batch_size=3,
+    )
+    t = {r["row_index"]: r.asDict() for r in out["tracker"].collect()}
+    assert len(t) == 10
+    for i in range(2, 12):
+        assert t[i]["status"] == "ok"
+        assert t[i]["company_auto"] == f"Site {i}"
+        assert t[i]["role_auto"] == f"Staff Analyst {i}"
+        assert t[i]["li_invite"] != "" and t[i]["li_followup"] != ""
+        assert "parse:{provider=direct" in t[i]["source"]
+        assert "notes:{mode=llm}" in t[i]["source"]
+    assert out["queue"].count() == 0
+    assert out["notes_queue"].filter("status = 'queued'").count() == 0
