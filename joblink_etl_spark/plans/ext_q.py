@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..operators import textstats as TS
-from ..sources import table
+from ..sources import parallelize, table
 
 # ---------------------------------------------------------------------------
 # text_stats — tokenization, quality, language-ID, fingerprint.
@@ -25,7 +25,7 @@ from ..sources import table
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize(table(spark, sf_dir, "documents"))
     return TS.add_text_stats(docs.select("doc_id", "text")).drop("text")
 
 
@@ -209,7 +209,7 @@ WHERE round(len(list_intersect(l.sh, r.sh))::DOUBLE
 
 
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize(table(spark, sf_dir, "documents"))
     return D.simhash(docs).withColumnRenamed("id", "doc_id")
 
 
@@ -300,7 +300,7 @@ def html_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import html as H
     from ..functions import predicates as P
 
-    docs = table(spark, sf_dir, "documents")
+    docs = parallelize(table(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     ds = d.cast("string")
     html = (

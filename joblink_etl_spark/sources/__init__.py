@@ -1,3 +1,3 @@
-from .tables import TABLES, table
+from .tables import TABLES, parallelize, table
 
-__all__ = ["TABLES", "table"]
+__all__ = ["TABLES", "table", "parallelize"]

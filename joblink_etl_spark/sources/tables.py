@@ -32,6 +32,21 @@ TABLES = [
 ]
 
 
+def parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for compute-heavy narrow stages.
+
+    Small parquet files arrive as a single scan partition, which
+    serializes regex/UDF-heavy projections onto one core. At cluster
+    scale the scan is already split (and this is a no-op); locally a
+    one-time round-robin shuffle of a small input buys full-core
+    parallelism for the expensive map work."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def table(
     spark: SparkSession,
     sf_dir: str,
