@@ -1,3 +1,3 @@
-from .fakes import FakeLlmClient, FakeRendererClient, SyntheticSiteHttpClient
+from .fakes import FakeLlmClient, FakeRendererClient, SyntheticSiteHttpClient, ThrowingHttpClient
 
-__all__ = ["SyntheticSiteHttpClient", "FakeRendererClient", "FakeLlmClient"]
+__all__ = ["SyntheticSiteHttpClient", "FakeRendererClient", "FakeLlmClient", "ThrowingHttpClient"]

@@ -60,6 +60,17 @@ class SyntheticSiteHttpClient:
         return (404, url, "")
 
 
+class ThrowingHttpClient(SyntheticSiteHttpClient):
+    """Raises for /raise/ URLs — exercises the ST5 dead-letter path
+    (reference error catch :915-918). Defined here (not in a test
+    module) so the UDF closure unpickles on executors."""
+
+    def fetch(self, url: str) -> tuple[int, str, str]:
+        if "/raise/" in url:
+            raise RuntimeError("connection refused")
+        return super().fetch(url)
+
+
 class FakeRendererClient:
     """Fake of the Playwright renderer service (reference
     cloud-renderer/server.js:11-58 + fetchViaRenderer_ :398-414).

@@ -77,6 +77,17 @@ def clean_role(title: Column, company: Column | None = None) -> Column:
     return F.trim(F.regexp_replace(r, r"\s+", " "))
 
 
+def clean_role_mvp(title: Column) -> Column:
+    """MVP-variant role cleanup (reference F13, cleanRole_ in
+    code-Extractor-withoutLLM.js:397-404): strip tags → decode
+    entities → de-emoji → collapse whitespace only — no company-echo,
+    location, or Req/ID stripping."""
+    r = F.regexp_replace(F.coalesce(title, F.lit("")), "<[^>]*>", "")
+    r = decode_html(r)
+    r = strip_emojis(r)
+    return F.trim(F.regexp_replace(r, r"\s+", " "))
+
+
 def truncate(s: Column, n: int) -> Column:
     """reference F19 truncation guards (invite ≤280, errors ≤300)."""
     return F.substring(s, 1, n)

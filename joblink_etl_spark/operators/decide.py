@@ -163,3 +163,74 @@ def decide_company_role(df: DataFrame) -> DataFrame:
 def decide(df: DataFrame, html_col: str = "html", url_col: str = "final_url") -> DataFrame:
     """extract_signals + decide_company_role in one call."""
     return decide_company_role(extract_signals(df, html_col, url_col))
+
+
+def decide_company_role_mvp(df: DataFrame) -> DataFrame:
+    """The MVP variant's cascade (reference decideCompanyRole_ in
+    code-Extractor-withoutLLM.js:416-464): same signals and weights,
+    but NO aggregator exclusion on og:site_name (so 'LinkedIn' can
+    become the company, :452), NO title-split rescue, NO LLM branch,
+    and the simpler F13 cleanup."""
+    jc = _nz(F.col("jsonld.company"))
+    jr = _nz(F.col("jsonld.role"))
+    ats = _nz(F.col("ats_slug_company"))
+    h1 = _nz(F.col("h1"))
+    ogt = _nz(F.col("og_title"))
+    ttl = _nz(F.col("title"))
+    ogs = _nz(F.col("og_site"))
+
+    sig_jsonld_org = jc.isNotNull()
+    sig_jsonld_title = jr.isNotNull()
+    sig_ats = jc.isNull() & ats.isNotNull()
+    company_a = F.coalesce(jc, ats)
+    sig_h1 = jr.isNull() & h1.isNotNull()
+    sig_ogtitle = jr.isNull() & h1.isNull() & ogt.isNotNull()
+    sig_title = jr.isNull() & h1.isNull() & ogt.isNull() & ttl.isNotNull()
+    role_a = F.coalesce(jr, h1, ogt, ttl)
+    sig_ogsite = company_a.isNull() & ogs.isNotNull()  # no is_agg guard
+    company_b = F.when(sig_ogsite, ogs).otherwise(company_a)
+
+    conf0: Column = sum(
+        [
+            F.when(sig, F.lit(w)).otherwise(F.lit(0.0))
+            for sig, w in [
+                (sig_jsonld_org, W_JSONLD_ORG),
+                (sig_jsonld_title, W_JSONLD_TITLE),
+                (sig_ats, W_ATS_SLUG),
+                (sig_h1, W_H1),
+                (sig_ogtitle, W_OG_TITLE),
+                (sig_title, W_TITLE),
+                (sig_ogsite, W_OG_SITE),
+            ]
+        ],
+        F.lit(0.0),
+    )
+    role_b = T.clean_role_mvp(role_a)
+    conf1 = F.when(company_b.isNull(), F.least(conf0, F.lit(CLAMP_MISSING_FIELD))).otherwise(conf0)
+    conf2 = F.when(role_b == "", F.least(conf1, F.lit(CLAMP_MISSING_FIELD))).otherwise(conf1)
+    conf = F.greatest(F.least(conf2, F.lit(1.0)), F.lit(0.0))
+
+    trail = F.array_compact(
+        F.array(
+            F.when(sig_jsonld_org, F.lit("jsonld-org")),
+            F.when(sig_jsonld_title, F.lit("jsonld-title")),
+            F.when(sig_ats, F.lit("ats-slug")),
+            F.when(sig_h1, F.lit("h1")),
+            F.when(sig_ogtitle, F.lit("og:title")),
+            F.when(sig_title, F.lit("title")),
+            F.when(sig_ogsite, F.lit("og:site_name")),
+        )
+    )
+    decision = F.coalesce(_nz(F.array_join(trail, "+")), F.lit("heuristic"))
+    return df.withColumns(
+        {
+            "company": F.coalesce(company_b, F.lit("")),
+            "role": F.coalesce(role_b, F.lit("")),
+            "conf": conf,
+            "decision": decision,
+        }
+    )
+
+
+def decide_mvp(df: DataFrame, html_col: str = "html", url_col: str = "final_url") -> DataFrame:
+    return decide_company_role_mvp(extract_signals(df, html_col, url_col))

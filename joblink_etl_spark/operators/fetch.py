@@ -42,6 +42,7 @@ FETCH_SCHEMA = StructType(
         StructField("status", IntegerType()),
         StructField("final_url", StringType()),
         StructField("html", StringType()),
+        StructField("err", StringType()),
     ]
 )
 
@@ -53,10 +54,11 @@ API_SCHEMA = StructType(
         StructField("provider", StringType()),
         StructField("api_company", StringType()),
         StructField("api_role", StringType()),
+        StructField("err", StringType()),
     ]
 )
 
-RESULT_COLS = ["status", "final_url", "html", "provider", "api_company", "api_role"]
+RESULT_COLS = ["status", "final_url", "html", "provider", "api_company", "api_role", "fetch_error"]
 
 
 def _nice_case(slug: str) -> str:
@@ -96,9 +98,18 @@ def _api_fetch_one(client, url: str):
 
 
 def make_api_udf(client):
+    """Client exceptions surface in 'err' (the reference lets
+    UrlFetchApp throws propagate to the item-level catch → Status
+    error, :915-918); dead-lettering is the caller's job."""
+
     @pandas_udf(API_SCHEMA)
     def api_fetch(urls: pd.Series) -> pd.DataFrame:
-        rows = [_api_fetch_one(client, u) for u in urls]
+        rows = []
+        for u in urls:
+            try:
+                rows.append(_api_fetch_one(client, u) + (None,))
+            except Exception as e:  # noqa: BLE001
+                rows.append((0, 0, "", "", "", "", str(e)[:300]))
         return pd.DataFrame(rows, columns=[f.name for f in API_SCHEMA.fields])
 
     return api_fetch.asNondeterministic()
@@ -107,17 +118,32 @@ def make_api_udf(client):
 def make_http_udf(client):
     @pandas_udf(FETCH_SCHEMA)
     def direct_fetch(urls: pd.Series) -> pd.DataFrame:
-        rows = [client.fetch(u) for u in urls]
-        return pd.DataFrame(rows, columns=["status", "final_url", "html"])
+        rows = []
+        for u in urls:
+            try:
+                rows.append(tuple(client.fetch(u)) + (None,))
+            except Exception as e:  # noqa: BLE001
+                rows.append((0, None, None, str(e)[:300]))
+        return pd.DataFrame(rows, columns=["status", "final_url", "html", "err"])
 
     return direct_fetch.asNondeterministic()
 
 
 def make_render_udf(client):
+    """Renderer failures are ABSORBED as null results, matching the
+    reference (fetchViaRenderer_ returns null on any error,
+    :398-414) — only http/API client errors dead-letter."""
+
     @pandas_udf(FETCH_SCHEMA)
     def render_fetch(urls: pd.Series) -> pd.DataFrame:
-        rows = [client.render(u) or (0, None, None) for u in urls]
-        return pd.DataFrame(rows, columns=["status", "final_url", "html"])
+        rows = []
+        for u in urls:
+            try:
+                r = client.render(u)
+            except Exception:  # noqa: BLE001 — absorbed like the JS null
+                r = None
+            rows.append((tuple(r) if r else (0, None, None)) + (None,))
+        return pd.DataFrame(rows, columns=["status", "final_url", "html", "err"])
 
     return render_fetch.asNondeterministic()
 
@@ -131,7 +157,7 @@ def first_ats_link(html) -> F.Column:
     return F.try_element_at(ats, F.lit(1))
 
 
-def _as_result(df: DataFrame, provider, status, final_url, html, api_company=None, api_role=None) -> DataFrame:
+def _as_result(df: DataFrame, provider, status, final_url, html, api_company=None, api_role=None, fetch_error=None) -> DataFrame:
     return df.withColumns(
         {
             "status": status,
@@ -140,6 +166,7 @@ def _as_result(df: DataFrame, provider, status, final_url, html, api_company=Non
             "provider": provider,
             "api_company": F.coalesce(api_company if api_company is not None else F.lit(""), F.lit("")),
             "api_role": F.coalesce(api_role if api_role is not None else F.lit(""), F.lit("")),
+            "fetch_error": F.coalesce(fetch_error if fetch_error is not None else F.lit(""), F.lit("")),
         }
     )
 
@@ -163,6 +190,10 @@ def fetch_smart(df: DataFrame, http_client, renderer_client, url_col: str = "url
     # --- tier 1: ATS APIs on the pattern-matching subset
     is_api_shaped = url.rlike(ATS_API_SPARK_RE)
     t1 = df.filter(is_api_shaped).withColumn("_api", api_udf(url)).cache()
+    api_err_done = _as_result(
+        t1.filter(F.col("_api.err").isNotNull()),
+        F.lit("gh-api"), F.lit(0), url, F.lit(""), None, None, F.col("_api.err"),
+    ).select(*passthrough, *RESULT_COLS)
     api_done = _as_result(
         t1.filter(F.col("_api.ok") == 1),
         F.col("_api.provider"),
@@ -175,9 +206,14 @@ def fetch_smart(df: DataFrame, http_client, renderer_client, url_col: str = "url
 
     # --- tier 2: direct fetch for everyone else (incl. API misses)
     t2_in = df.filter(~is_api_shaped).unionByName(
-        t1.filter(F.col("_api.ok") == 0).drop("_api")
+        t1.filter(F.col("_api.ok") == 0).filter(F.col("_api.err").isNull()).drop("_api")
     )
-    t2 = t2_in.withColumn("_direct", http_udf(url)).cache()
+    t2_all = t2_in.withColumn("_direct", http_udf(url)).cache()
+    direct_err_done = _as_result(
+        t2_all.filter(F.col("_direct.err").isNotNull()),
+        F.lit("direct"), F.lit(0), url, F.lit(""), None, None, F.col("_direct.err"),
+    ).select(*passthrough, *RESULT_COLS)
+    t2 = t2_all.filter(F.col("_direct.err").isNull())
     direct_useful = (F.col("_direct.status") < 400) & has_useful_signal(F.col("_direct.html"))
     direct_done = _as_result(
         t2.filter(direct_useful),
@@ -259,7 +295,9 @@ def fetch_smart(df: DataFrame, http_client, renderer_client, url_col: str = "url
     ).select(*passthrough, *RESULT_COLS)
 
     out = (
-        api_done.unionByName(direct_done)
+        api_done.unionByName(api_err_done)
+        .unionByName(direct_done)
+        .unionByName(direct_err_done)
         .unionByName(render_done)
         .unionByName(unwrap_api_done)
         .unionByName(unwrap_direct_done)

@@ -79,8 +79,12 @@ def parse_batch(
     :870-926). Returns {'tracker', 'queue', 'notes_candidates',
     'parsed'} — all lazy DataFrames."""
     batch = select_batch(queue, batch_size)
-    fetched = fetch_smart(batch, http_client, renderer_client, url_col="url")
-    fetched = fetched.withColumn(
+    all_fetched = fetch_smart(batch, http_client, renderer_client, url_col="url")
+    # dead-letter rows whose fetch client THREW (ST5): Status='error',
+    # truncated message appended to Source, no parse/notes — but the
+    # row still leaves the queue (single-attempt, reference :915-918)
+    err_rows = all_fetched.filter(F.col("fetch_error") != "")
+    fetched = all_fetched.filter(F.col("fetch_error") == "").withColumn(
         "final_url", F.coalesce(F.nullif(F.col("final_url"), F.lit("")), F.col("url"))
     )
     # checkpoint between mega-stages: each of decide/escalate/rescue
@@ -100,6 +104,7 @@ def parse_batch(
         "escalated", "extract_token",
     )
     new_tracker = _writeback_with_tokens(tracker, merge_in)
+    new_tracker = _mark_error_rows(new_tracker, err_rows)
 
     notes_candidates = (
         new_tracker.join(
@@ -115,13 +120,40 @@ def parse_batch(
             F.lit("").alias("last_error"),
         )
     )
-    new_queue = dequeue(queue, parsed.select(*QUEUE_KEY))
+    new_queue = dequeue(
+        queue, parsed.select(*QUEUE_KEY).unionByName(err_rows.select(*QUEUE_KEY))
+    )
     return {
         "tracker": new_tracker,
         "queue": new_queue,
         "notes_candidates": notes_candidates,
         "parsed": parsed,
     }
+
+
+def _mark_error_rows(tracker: DataFrame, err_rows: DataFrame) -> DataFrame:
+    """ST5 dead-letter write (reference updateStatusCell_ 'error'
+    path, :915-918, :932-941): Status='error', truncated message
+    appended to Source, other columns untouched."""
+    e = err_rows.select(
+        *TRACKER_KEY,
+        F.substring(F.col("fetch_error"), 1, 300).alias("_err"),
+        F.lit(True).alias("_err_matched"),
+    ).dropDuplicates(TRACKER_KEY)
+    joined = tracker.join(F.broadcast(e), TRACKER_KEY, "left")
+    matched = F.coalesce(F.col("_err_matched"), F.lit(False))
+    prev = F.trim(F.coalesce(F.col("source"), F.lit("")))
+    appended = F.when(prev != "", F.concat(prev, F.lit(" | "), F.col("_err"))).otherwise(
+        F.col("_err")
+    )
+    return (
+        joined.withColumns(
+            {
+                "status": F.when(matched, F.lit("error")).otherwise(F.col("status")),
+                "source": F.when(matched, appended).otherwise(F.col("source")),
+            }
+        ).drop("_err", "_err_matched")
+    )
 
 
 def _writeback_with_tokens(tracker: DataFrame, parsed: DataFrame) -> DataFrame:

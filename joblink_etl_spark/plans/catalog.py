@@ -41,6 +41,7 @@ register("provenance_tokens", S.provenance_tokens, S.PROVENANCE_TOKENS_SQL)
 from . import pipeline_q as PQ  # noqa: E402
 
 register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
+register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
 
 # --- pipeline operators (SURVEY §2.1/§2.3: enqueue, write-back, notes) -
 register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)

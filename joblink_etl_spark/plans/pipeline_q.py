@@ -302,3 +302,70 @@ def fetch_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "url", "provider", "status", "company", "role",
         F.round("conf", 2).alias("conf"), "decision",
     )
+
+
+def decide_cascade_mvp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVP-variant cascade over the same 8 page shapes — the oracle
+    encodes exactly where it diverges from the final variant: the
+    aggregator page KEEPS og:site_name as company (shape 4), and the
+    'Company — Role' title is NOT split (shape 5)."""
+    from ..operators.decide import decide_mvp
+
+    docs = table(spark, sf_dir, "documents")
+    pages = _synth_pages(docs)
+    out = decide_mvp(pages)
+    return out.select(
+        "doc_id", "company", "role", "canonical",
+        F.round("conf", 2).alias("conf"), "decision",
+    )
+
+
+DECIDE_CASCADE_MVP_SQL = """
+SELECT doc_id,
+  CASE doc_id % 8
+    WHEN 0 THEN 'Org' || doc_id::VARCHAR
+    WHEN 1 THEN 'Org' || doc_id::VARCHAR
+    WHEN 2 THEN 'Acme Corp'
+    WHEN 3 THEN 'Org' || doc_id::VARCHAR
+    WHEN 4 THEN 'LinkedIn'
+    WHEN 5 THEN ''
+    WHEN 6 THEN ''
+    ELSE ''
+  END AS company,
+  CASE doc_id % 8
+    WHEN 0 THEN 'Staff Engineer'
+    WHEN 1 THEN 'Lead Engineer'
+    WHEN 2 THEN 'Platform Engineer'
+    WHEN 3 THEN 'Product Manager'
+    WHEN 4 THEN 'Senior Analyst'
+    WHEN 5 THEN 'Org' || doc_id::VARCHAR || ' — Senior Engineer'
+    WHEN 6 THEN ''
+    ELSE 'Sign in'
+  END AS role,
+  CASE doc_id % 8
+    WHEN 2 THEN 'https://boards.greenhouse.io/acme-corp/jobs/' || doc_id::VARCHAR
+    WHEN 4 THEN 'https://www.linkedin.com/jobs/view/' || doc_id::VARCHAR
+    ELSE 'https://careers.example' || doc_id::VARCHAR || '.com/job'
+  END AS canonical,
+  CASE doc_id % 8
+    WHEN 0 THEN 1.0
+    WHEN 1 THEN 0.85
+    WHEN 2 THEN 0.7
+    WHEN 3 THEN 0.5
+    WHEN 4 THEN 0.4
+    WHEN 5 THEN 0.15
+    WHEN 6 THEN 0.0
+    ELSE 0.35
+  END::DOUBLE AS conf,
+  CASE doc_id % 8
+    WHEN 0 THEN 'jsonld-org+jsonld-title'
+    WHEN 1 THEN 'jsonld-org+h1'
+    WHEN 2 THEN 'ats-slug+h1'
+    WHEN 3 THEN 'og:title+og:site_name'
+    WHEN 4 THEN 'title+og:site_name'
+    WHEN 5 THEN 'title'
+    WHEN 6 THEN 'heuristic'
+    ELSE 'h1'
+  END AS decision
+FROM documents
+"""

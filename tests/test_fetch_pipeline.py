@@ -13,6 +13,7 @@ from joblink_etl_spark.clients import (
     FakeLlmClient,
     FakeRendererClient,
     SyntheticSiteHttpClient,
+    ThrowingHttpClient,
 )
 from joblink_etl_spark.operators.enqueue import enqueue
 from joblink_etl_spark.operators.fetch import fetch_smart
@@ -201,3 +202,27 @@ def test_drain_all_full_lifecycle(spark):
         assert "notes:{mode=llm}" in t[i]["source"]
     assert out["queue"].count() == 0
     assert out["notes_queue"].filter("status = 'queued'").count() == 0
+
+
+def test_fetch_error_dead_letters_row(spark):
+    tracker = _tracker(
+        spark,
+        [
+            ("S", 2, URLS["direct"], "", "", "", "", "old:{x=1}", "", ""),
+            ("S", 3, "https://site1.example.com/raise/9", "", "", "", "", "", "", ""),
+        ],
+    )
+    queue = _queue_from(spark, tracker)
+    out = parse_batch(tracker, queue, ThrowingHttpClient(), RENDERER, llm_client=None)
+    t = {r["row_index"]: r.asDict() for r in out["tracker"].collect()}
+    # healthy row parsed normally
+    assert t[2]["status"] == "ok" and t[2]["company_auto"] == "Site 303"
+    # failing row: Status=error, message appended to Source, fields untouched
+    assert t[3]["status"] == "error"
+    assert "connection refused" in t[3]["source"]
+    assert t[3]["company_auto"] == "" and t[3]["canonical_link"] == ""
+    # both rows left the queue (single-attempt)
+    assert out["queue"].count() == 0
+    # no notes work for the errored row
+    keys = {(r["sheet_name"], r["row_index"]) for r in out["notes_candidates"].collect()}
+    assert ("S", 3) not in keys
