@@ -47,8 +47,9 @@ register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
 register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
 register("writeback_merge", PQ.writeback_merge, PQ.WRITEBACK_MERGE_SQL)
 register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
-# rows-only: external-HTTP tiered fetch over deterministic fakes
-register("fetch_cascade", PQ.fetch_cascade, None)
+# the fakes are pure functions of the URL, so the tiered fetch is
+# oracle-checkable: the SQL pins each tier's expected decode
+register("fetch_cascade", PQ.fetch_cascade, PQ.FETCH_CASCADE_SQL)
 
 # --- north-star extensions: text analytics, dedup, similarity ---------
 from . import ext_q as E  # noqa: E402
@@ -62,9 +63,8 @@ register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
 register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
 register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
-# rows-only: approximate ANN and multimodal plumbing (not SQL-expressible)
-register("knn_ivf", E.knn_ivf_q, None)
-register("multimodal_decode", E.multimodal_decode_q, None)
+register("knn_ivf", E.knn_ivf_q, E.KNN_IVF_SQL)
+register("multimodal_decode", E.multimodal_decode_q, E.MULTIMODAL_DECODE_SQL)
 
 # --- event-time windows (SURVEY §2.10 generalized) --------------------
 from . import events_q as EV  # noqa: E402

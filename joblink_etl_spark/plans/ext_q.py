@@ -403,7 +403,11 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
-# rows-only extensions: IVF ANN and multimodal decode (not SQL-expressible).
+# IVF ANN and multimodal decode. Both are deterministic end to end
+# (every-Nth centroid sampling; md5-derived fake decode), so both get
+# full DuckDB oracles: the IVF oracle replays the probe/assign/rank
+# pipeline in SQL, the decode oracle recomputes the md5-byte
+# arithmetic from hex digits.
 # ---------------------------------------------------------------------------
 
 
@@ -415,6 +419,53 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_IVF_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), c AS (
+  SELECT vec_id AS centroid_id, e AS cv FROM v WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CASE WHEN sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cv, cv)) > 0
+                           THEN list_dot_product(e, cv)
+                                / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(cv, cv)))
+                           ELSE 0.0 END DESC, c.centroid_id) AS crank
+    FROM v CROSS JOIN c)
+  WHERE crank = 1
+), q AS (
+  SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5
+), qprobe AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) > 0
+                           THEN list_dot_product(qv, cv)
+                                / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                           ELSE 0.0 END DESC, c.centroid_id) AS crank
+    FROM q CROSS JOIN c)
+  WHERE crank <= 3
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.e, a.e)) > 0
+              THEN list_dot_product(qv, a.e)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(a.e, a.e)))
+              ELSE 0.0 END AS score
+  FROM qprobe p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as M
 
@@ -423,5 +474,35 @@ def multimodal_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decoded.withColumn("features", M.image_features(F.col("content")))
     return M.resize_meta(feats, max_dim=32).select(
         "doc_id", "width", "height", "channels", "format",
-        "out_width", "out_height", F.element_at("features", 1).alias("f0"),
+        "out_width", "out_height",
+        F.element_at("features", 1).cast("double").alias("f0"),
     )
+
+
+MULTIMODAL_DECODE_SQL = """
+WITH hexed AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), bytes AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS b0,
+         (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+           + strpos('0123456789abcdef', substr(h, 4, 1)) - 1 AS b1
+  FROM hexed
+), meta AS (
+  SELECT doc_id,
+         (16 + b0 % 64)::INTEGER AS width,
+         (16 + b1 % 64)::INTEGER AS height,
+         3::INTEGER AS channels,
+         'fake/rgb' AS format,
+         b0 / 256.0 AS f0
+  FROM bytes
+), resized AS (
+  SELECT *, least(1.0, 32.0 / greatest(width, height, 1)) AS scale FROM meta
+)
+SELECT doc_id, width, height, channels, format,
+       greatest(trunc(width * scale)::INTEGER, 1) AS out_width,
+       greatest(trunc(height * scale)::INTEGER, 1) AS out_height,
+       f0::DOUBLE AS f0
+FROM resized
+"""

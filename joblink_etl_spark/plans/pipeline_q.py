@@ -273,8 +273,11 @@ FROM gen
 
 
 # ---------------------------------------------------------------------------
-# fetch_cascade — rows-only check (HTTP UDFs are not SQL-expressible):
-# the full tiered fetch + decide over fake clients on synthesized URLs.
+# fetch_cascade — the full tiered fetch + decide over the deterministic
+# fake clients on synthesized URLs. The fakes make every tier a pure
+# function of the URL, so the oracle pins the EXPECTED output of each
+# tier (which tier serves the URL, what the synthetic page decodes to)
+# as a CASE over the 6 URL shapes.
 # ---------------------------------------------------------------------------
 
 
@@ -302,6 +305,52 @@ def fetch_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "url", "provider", "status", "company", "role",
         F.round("conf", 2).alias("conf"), "decision",
     )
+
+
+FETCH_CASCADE_SQL = """
+SELECT c_custkey AS id,
+  CASE c_custkey % 6
+    WHEN 0 THEN 'https://boards.greenhouse.io/acme-corp/jobs/' || c_custkey::VARCHAR
+    WHEN 1 THEN 'https://jobs.lever.co/mega/' || c_custkey::VARCHAR
+    WHEN 2 THEN 'https://site1.example.com/direct/' || c_custkey::VARCHAR
+    WHEN 3 THEN 'https://site1.example.com/thin/' || c_custkey::VARCHAR
+    WHEN 4 THEN 'https://www.linkedin.com/jobs/view/' || c_custkey::VARCHAR
+    ELSE 'https://site9.example.com/broken/' || c_custkey::VARCHAR
+  END AS url,
+  CASE c_custkey % 6
+    WHEN 0 THEN 'gh-api'      -- tier 1: ATS API pattern match
+    WHEN 1 THEN 'lever-api'
+    WHEN 2 THEN 'direct'      -- tier 2: rich direct page
+    WHEN 3 THEN 'renderer'    -- tier 3: thin page escalates
+    WHEN 4 THEN 'gh-api'      -- tier 4: aggregator unwraps to greenhouse API
+    ELSE 'direct'             -- HTTP 500: direct result kept, no signal
+  END AS provider,
+  (CASE c_custkey % 6 WHEN 5 THEN 500 ELSE 200 END)::INTEGER AS status,
+  CASE c_custkey % 6
+    WHEN 0 THEN 'Acme Corp'   -- ats-slug from the URL (API JSON has no org)
+    WHEN 1 THEN 'Mega'
+    WHEN 2 THEN 'Site ' || c_custkey::VARCHAR
+    WHEN 3 THEN 'Thin Co ' || c_custkey::VARCHAR
+    WHEN 4 THEN 'Wrapped Co'
+    ELSE ''
+  END AS company,
+  CASE c_custkey % 6
+    WHEN 2 THEN 'Staff Analyst ' || c_custkey::VARCHAR
+    WHEN 3 THEN 'Rendered Analyst ' || c_custkey::VARCHAR
+    ELSE ''
+  END AS role,
+  (CASE c_custkey % 6
+    WHEN 2 THEN 0.6 WHEN 3 THEN 0.6 WHEN 5 THEN 0.0 ELSE 0.35
+  END)::DOUBLE AS conf,
+  CASE c_custkey % 6
+    WHEN 2 THEN 'h1+og:site_name'
+    WHEN 3 THEN 'h1+og:site_name'
+    WHEN 5 THEN 'heuristic'
+    ELSE 'ats-slug'
+  END AS decision
+FROM customer
+WHERE c_custkey < 120
+"""
 
 
 def decide_cascade_mvp(spark: SparkSession, sf_dir: str) -> DataFrame:

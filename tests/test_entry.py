@@ -18,8 +18,9 @@ def test_queries_and_oracles_aligned():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert qs, "no queries registered"
-    # every oracle key must have a query
-    assert set(oracles) <= set(qs)
+    # every oracle key must have a query — and every query an oracle
+    # (all registered ops are deterministic, incl. fakes/IVF/decode)
+    assert set(oracles) == set(qs)
 
 
 def test_all_queries_run_small(spark, sf_dir):
