@@ -39,6 +39,8 @@ HEADLINE = [
     "knn_bruteforce",
     "tumbling_counts",
     "session_windows",
+    "events_asof_join",
+    "stratified_sample",
 ]
 
 

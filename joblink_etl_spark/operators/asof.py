@@ -1,0 +1,75 @@
+"""As-of (point-in-time) join — an operator Spark's DataFrame API
+lacks natively, composed from built-ins: for every left row, attach
+the right row with the greatest timestamp <= the left timestamp
+within the same key.
+
+Implementation is the union-tag trick rather than a range join:
+tag both sides, sort within each key partition by (ts, side), and
+carry the right side's payload forward with last(ignorenulls) over
+an unbounded-preceding running window. One shuffle on the join key,
+no expansion — versus a range join's quadratic per-key blowup. At
+100 TB this is the only shape that survives: the state per key is a
+single carried row, AQE handles key skew, and the sort is the same
+one a sort-merge join would need anyway.
+
+Semantics match DuckDB/kdb ASOF JOIN (backward, inclusive): a right
+row at exactly the left row's timestamp DOES match (right rows sort
+before left rows at equal ts). Right rows must be unique per
+(key, ts) for deterministic output — pre-aggregate if they are not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward inclusive as-of join of `right` onto `left`.
+
+    Every column of `right` except the key and timestamp is appended
+    to `left` as `<right_prefix><name>`, plus `<right_prefix><ts_col>`
+    (the matched right timestamp). Unmatched left rows keep nulls.
+    """
+    payload = [c for c in right.columns if c not in (on, ts_col)]
+    out_payload = [f"{right_prefix}{c}" for c in payload] + [f"{right_prefix}{ts_col}"]
+
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+        F.col(ts_col).alias(f"{right_prefix}{ts_col}"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (on, ts_col)
+        ],
+    )
+    l = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{right_prefix}{c}") for c in payload],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias(f"{right_prefix}{ts_col}"),
+        *[F.col(c) for c in left.columns if c not in (on, ts_col)],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_c_{c}") for c in out_payload],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"_c_{c}").alias(c) for c in out_payload],
+    )

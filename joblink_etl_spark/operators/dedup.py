@@ -246,3 +246,84 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
         ).alias("simhash")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: each node repeatedly adopts the smallest
+    label among itself and its neighbors until a fixpoint. Output:
+    (node, cluster_id) where cluster_id is the component's minimum
+    node id — only nodes that appear in the edge list.
+
+    Near-duplicate candidate graphs converge in a handful of rounds
+    (components are small and dense by construction). Each round is
+    one shuffle on the edge key plus a broadcast-sized label join at
+    candidate-pair scale; lineage is cut per round with
+    localCheckpoint so plans stay flat. For graphs with giant
+    components, swap the propagation step for alternating
+    large-star/small-star rounds — the fixpoint and output contract
+    are identical.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("nbr_min"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("nbr_min")).alias("cluster_id"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_lbl"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_lbl"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def resolve_duplicates(pairs: DataFrame) -> DataFrame:
+    """Cluster near-duplicate pairs and elect one canonical doc per
+    cluster (the minimum id). Input: (id_a, id_b[, ...]) candidate
+    pairs; output: (doc_id, cluster_id, is_canonical) for every doc
+    that appears in a pair. The keep-list for a dedup pass is then
+    `is_canonical OR doc not in output` (singletons keep themselves).
+    """
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )

@@ -1,0 +1,51 @@
+"""Deterministic hash-based sampling for training-data curation.
+
+`df.sample()` is seed-dependent on partitioning and row order, so a
+rerun (or a re-partitioned rerun) yields a different sample — useless
+for reproducible dataset releases. Hashing the row id instead makes
+the sample a pure function of the data: stable across runs, engines,
+partitionings, and incremental appends (a doc either is or is not in
+the release, forever). This is the standard trick for train/eval
+splits and per-source mixing weights in large corpus pipelines.
+
+Scale: a narrow filter — no shuffle, no state; the md5 is scan-side
+work that whole-stage-codegens between the parquet reader and
+whatever follows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str = "sample") -> Column:
+    """Stable bucket in [0, BUCKETS) from a salted md5 of the id —
+    same value in any engine that can md5 a string (the DuckDB
+    oracles recompute it bit-identically)."""
+    return F.pmod(md5_int(F.concat(F.lit(salt + ":"), id_col.cast("string"))), F.lit(BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, deterministically.
+
+    fractions maps stratum value -> keep fraction in [0, 1]; strata
+    not listed use default_fraction. Row keep/drop depends only on
+    (salt, id) — independent draws across salts let disjoint splits
+    (train/eval) come from different salts without coordination.
+    """
+    frac: Column = F.lit(float(default_fraction))
+    for value, p in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(frac)
+    return df.filter(hash_bucket(F.col(id_col), salt) < frac * BUCKETS)

@@ -65,6 +65,10 @@ register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
 register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
 register("knn_ivf", E.knn_ivf_q, E.KNN_IVF_SQL)
 register("multimodal_decode", E.multimodal_decode_q, E.MULTIMODAL_DECODE_SQL)
+# curation layer: cluster resolution, point-in-time join, sampling
+register("dedup_clusters", E.dedup_clusters, E.DEDUP_CLUSTERS_SQL)
+register("events_asof_join", E.events_asof_join, E.EVENTS_ASOF_JOIN_SQL)
+register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
 
 # --- event-time windows (SURVEY §2.10 generalized) --------------------
 from . import events_q as EV  # noqa: E402

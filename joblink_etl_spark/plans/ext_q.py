@@ -506,3 +506,103 @@ SELECT doc_id, width, height, channels, format,
        f0::DOUBLE AS f0
 FROM resized
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup resolution: minhash candidate pairs → connected components →
+# one canonical doc per near-duplicate cluster. The oracle computes
+# the same transitive closure with a recursive CTE over the (nested)
+# minhash-pairs query.
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_pairs(spark, sf_dir)
+    return D.resolve_duplicates(pairs)
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({MINHASH_PAIRS_SQL}) mp
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+)
+SELECT node AS doc_id,
+       least(node, min(r)) AS cluster_id,
+       node = least(node, min(r)) AS is_canonical
+FROM reach
+GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join over events: each click picks up the most recent view by
+# the same user at-or-before its timestamp. DuckDB's native ASOF JOIN
+# is the oracle for our union-tag + running-last composition.
+# ---------------------------------------------------------------------------
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # right side unique per (key, ts): keep the max event_id
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(clicks, views, on="user_id", ts_col="ts", right_prefix="asof_")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        F.col("asof_ts").alias("view_ts"),
+    )
+
+
+EVENTS_ASOF_JOIN_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts, c.value, v.view_event_id, v.ts AS view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: per-language keep fractions as a
+# pure function of (salt, doc_id) — reproducible across engines, so
+# the oracle recomputes the identical md5 bucket.
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.25, "zh": 0.5}, id_col="doc_id", default_fraction=1.0
+    ).select("doc_id", "lang", "source")
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket,
+         CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5 ELSE 1.0 END AS frac
+  FROM documents) t
+WHERE bucket < frac * 10000
+"""

@@ -112,3 +112,75 @@ def test_resize_and_frame_sampling(spark, docs):
     rows = frames.select("doc_id", "n_frames", "frame_index").collect()
     assert all(r["frame_index"] % 4 == 0 for r in rows)
     assert all(r["frame_index"] < r["n_frames"] for r in rows)
+
+
+# --- curation layer: connected components, as-of join, sampling ------
+
+
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 plus isolated pair 10-11; edge direction mixed
+        [(2, 1), (2, 3), (4, 3), (11, 10)], ["id_a", "id_b"]
+    )
+    from joblink_etl_spark.operators.dedup import connected_components
+
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_resolve_duplicates_canonical_flag(spark):
+    edges = spark.createDataFrame([(5, 9), (9, 7)], ["id_a", "id_b"])
+    from joblink_etl_spark.operators.dedup import resolve_duplicates
+
+    rows = {r["doc_id"]: r for r in resolve_duplicates(edges).collect()}
+    assert all(rows[d]["cluster_id"] == 5 for d in (5, 7, 9))
+    assert rows[5]["is_canonical"] and not rows[7]["is_canonical"]
+
+
+def test_asof_join_backward_inclusive(spark):
+    import datetime as dt
+
+    from joblink_etl_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(10), "a"), (1, t(20), "b"), (2, t(5), "c")],
+        ["user_id", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(15), 101), (2, t(6), 102)],
+        ["user_id", "ts", "ref"],
+    )
+    out = {
+        (r["user_id"], r["tag"]): (r["asof_ref"], r["asof_ts"])
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    # equal-ts right row matches (inclusive)
+    assert out[(1, "a")] == (100, t(10))
+    # latest at-or-before wins
+    assert out[(1, "b")] == (101, t(15))
+    # right row strictly after -> no match
+    assert out[(2, "c")] == (None, None)
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    from joblink_etl_spark.operators.sampling import stratified_sample
+    from joblink_etl_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    s1 = stratified_sample(docs, "lang", {"en": 0.25}, default_fraction=0.5)
+    a = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7), "lang", {"en": 0.25}, default_fraction=0.5
+        ).select("doc_id").collect()
+    )
+    assert a == b  # partitioning-independent
+    n_en = docs.filter("lang = 'en'").count()
+    kept_en = s1.filter("lang = 'en'").count()
+    assert 0 < kept_en < n_en  # roughly a quarter, definitely a strict subset
+    # zero and one fractions are exact
+    assert stratified_sample(docs, "lang", {"en": 0.0}, default_fraction=0.0).count() == 0
