@@ -41,6 +41,8 @@ HEADLINE = [
     "session_windows",
     "events_asof_join",
     "stratified_sample",
+    "shard_packing",
+    "repetition_scores",
 ]
 
 

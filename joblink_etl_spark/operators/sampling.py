@@ -49,3 +49,36 @@ def stratified_sample(
     for value, p in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == value, F.lit(float(p))).otherwise(frac)
     return df.filter(hash_bucket(F.col(id_col), salt) < frac * BUCKETS)
+
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    budget: int = 1 << 20,
+    order_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign docs to fixed-weight-budget output shards (sequence
+    packing for training-data writes): deterministic bucket by id,
+    then a running weight sum within the bucket; a doc's shard is its
+    START offset divided by the budget, so every shard holds ~budget
+    weight (the last doc of a shard may straddle the boundary — the
+    standard streaming-packer contract).
+
+    Scale: one shuffle on the bucket key; each bucket's cumulative
+    sum is an independent window, so parallelism = n_buckets (set it
+    ~= cluster cores; shard ids stay stable for fixed n_buckets).
+    Output adds (bucket, shard_id, offset).
+    """
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.col(order_col), F.lit(n_buckets))
+    w = Window.partitionBy("bucket").orderBy(order_col)
+    return (
+        df.withColumn("bucket", bucket.cast("int"))
+        .withColumn(
+            "offset",
+            (F.sum(weight_col).over(w) - F.col(weight_col)).cast("bigint"),
+        )
+        .withColumn("shard_id", F.floor(F.col("offset") / F.lit(budget)).cast("int"))
+    )

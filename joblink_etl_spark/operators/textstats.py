@@ -135,3 +135,43 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Within-document repetition: fraction of word n-gram OCCURRENCES
+    that are repeats of an earlier n-gram in the same doc (the
+    duplicate-n-gram quality signal used by corpus-filtering
+    pipelines — high ratio = boilerplate/spam).
+
+    Pure narrow column work: tokens are materialized into a column
+    FIRST (expressions inside higher-order-function lambdas re-run
+    per element), then n-grams via indexed access, no shuffle.
+    Adds n_ngrams, n_distinct_ngrams, repetition_ratio.
+    """
+    toks_df = df.withColumn("_toks", tokens(F.col(text_col)))
+    # guard: sequence(0, -1) would be a DESCENDING two-element array,
+    # so short docs must short-circuit to an empty index list
+    idx = F.when(
+        F.size("_toks") >= n, F.sequence(F.lit(0), F.size("_toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("_toks", (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    out = (
+        toks_df.withColumn("_grams", grams)
+        .withColumn("n_ngrams", F.size("_grams"))
+        .withColumn("n_distinct_ngrams", F.size(F.array_distinct("_grams")))
+        .withColumn(
+            "repetition_ratio",
+            F.when(
+                F.col("n_ngrams") > 0,
+                F.round(
+                    1.0 - F.col("n_distinct_ngrams") / F.col("n_ngrams").cast("double"), 4
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.drop("_toks", "_grams")

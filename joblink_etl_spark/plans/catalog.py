@@ -69,6 +69,8 @@ register("multimodal_decode", E.multimodal_decode_q, E.MULTIMODAL_DECODE_SQL)
 register("dedup_clusters", E.dedup_clusters, E.DEDUP_CLUSTERS_SQL)
 register("events_asof_join", E.events_asof_join, E.EVENTS_ASOF_JOIN_SQL)
 register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
+register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
+register("repetition_scores", E.repetition_scores, E.REPETITION_SCORES_SQL)
 
 # --- event-time windows (SURVEY §2.10 generalized) --------------------
 from . import events_q as EV  # noqa: E402

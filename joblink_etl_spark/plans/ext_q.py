@@ -606,3 +606,63 @@ SELECT doc_id, lang, source FROM (
   FROM documents) t
 WHERE bucket < frac * 10000
 """
+
+
+# ---------------------------------------------------------------------------
+# Shard packing: fixed-weight-budget output shards via bucketed
+# running sums — the write-side layout step of a corpus pipeline.
+# ---------------------------------------------------------------------------
+
+
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import pack_shards
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_shards(
+        docs, weight_col="n_chars", budget=10_000, order_col="doc_id", n_buckets=8
+    ).select("doc_id", "bucket", "offset", "shard_id")
+
+
+SHARD_PACKING_SQL = """
+WITH packed AS (
+  SELECT doc_id,
+         (doc_id % 8)::INTEGER AS bucket,
+         (sum(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+          - n_chars)::BIGINT AS "offset"
+  FROM documents
+)
+SELECT doc_id, bucket, "offset",
+       floor("offset" / 10000)::INTEGER AS shard_id
+FROM packed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Within-doc repetition ratio (duplicate-n-gram quality signal).
+# ---------------------------------------------------------------------------
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return TS.repetition_stats(docs).select(
+        "doc_id", "n_ngrams", "n_distinct_ngrams", "repetition_ratio"
+    )
+
+
+REPETITION_SCORES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' ')) AS g
+  FROM tok
+)
+SELECT doc_id,
+       len(g) AS n_ngrams,
+       len(list_distinct(g)) AS n_distinct_ngrams,
+       CASE WHEN len(g) > 0
+            THEN round(1.0 - len(list_distinct(g))::DOUBLE / len(g), 4)
+            ELSE 0.0 END AS repetition_ratio
+FROM grams
+"""

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -161,3 +162,54 @@ def drain_with_dead_letter(
     )
     q.awaitTermination()
     return seen
+
+
+def throttled_links(
+    links: DataFrame,
+    per_key_limit: int = 60,
+    window_seconds: int = 60,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: admit at
+    most per_key_limit link events per sheet per wall-window, with
+    the (window_start, admitted_count) pair carried ACROSS
+    micro-batches — the reference's 60-requests-per-minute throttle
+    (REQUESTS_PER_MINUTE, code-LLM-intergration.js:873-874, 920)
+    as keyed stream state instead of an in-loop sleep.
+
+    Rows over the limit are emitted with admitted=false (a dead
+    -letter/deferral sink can route on the flag). State is two longs
+    per key — bounded, no watermark needed; at scale the operator
+    shuffles once on the key like any keyed stateful op.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        list(LINK_EVENT_SCHEMA.fields) + [StructField("admitted", BooleanType())]
+    )
+    state_schema = StructType(
+        [StructField("win_start", LongType()), StructField("n_admitted", LongType())]
+    )
+
+    def throttle(key, pdf_iter, state: GroupState):
+        win_start, n_admitted = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdf_iter)).sort_values("edited_at").copy()
+        flags = []
+        for ts in pdf["edited_at"]:
+            epoch = int(pd.Timestamp(ts).timestamp())
+            win = epoch - epoch % window_seconds
+            if win > win_start:
+                win_start, n_admitted = win, 0
+            ok = n_admitted < per_key_limit
+            n_admitted += 1 if ok else 0
+            flags.append(ok)
+        pdf["admitted"] = flags
+        state.update((win_start, n_admitted))
+        yield pdf
+
+    return (
+        links.groupBy("sheet_name")
+        .applyInPandasWithState(
+            throttle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

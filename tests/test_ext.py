@@ -184,3 +184,28 @@ def test_stratified_sample_deterministic(spark, sf_dir):
     assert 0 < kept_en < n_en  # roughly a quarter, definitely a strict subset
     # zero and one fractions are exact
     assert stratified_sample(docs, "lang", {"en": 0.0}, default_fraction=0.0).count() == 0
+
+
+def test_repetition_stats_edges(spark):
+    from joblink_etl_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "x y z x y z x y"), (3, "")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_ngrams"] == 0 and rows[1]["repetition_ratio"] == 0.0
+    # 6 trigrams, 3 distinct -> half are repeats
+    assert rows[2]["n_ngrams"] == 6 and rows[2]["n_distinct_ngrams"] == 3
+    assert rows[2]["repetition_ratio"] == 0.5
+    assert rows[3]["n_ngrams"] == 0 and rows[3]["repetition_ratio"] == 0.0
+
+
+def test_pack_shards_budget_boundaries(spark):
+    from joblink_etl_spark.operators.sampling import pack_shards
+
+    # single bucket: weights 6,6,6 with budget 10 -> start offsets
+    # 0,6,12 -> shards 0,0,1 (second doc straddles, standard contract)
+    df = spark.createDataFrame([(0, 6), (8, 6), (16, 6)], ["doc_id", "n_chars"])
+    out = {r["doc_id"]: (r["offset"], r["shard_id"])
+           for r in pack_shards(df, budget=10, n_buckets=8).collect()}
+    assert out == {0: (0, 0), 8: (6, 0), 16: (12, 1)}

@@ -166,3 +166,42 @@ def test_dead_letter_channel(spark, tmp_path):
 
     drain_with_dead_letter(read_link_stream(spark, src), ckpt, process, ok, err)
     assert errors and errors[0][1] == "boom"
+
+
+def test_stateful_throttle_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-sheet
+    admission counts persist across micro-batches via the
+    checkpointed state store, and a new wall-window resets them."""
+    from joblink_etl_spark.streaming.pipeline import throttled_links
+
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    _write_links(
+        spark,
+        src,
+        [
+            ("S", 1, "https://jobs.lever.co/a/1", T0),
+            ("S", 2, "https://jobs.lever.co/a/2", T0 + timedelta(seconds=5)),
+            ("S", 3, "https://jobs.lever.co/a/3", T0 + timedelta(seconds=10)),
+            ("T", 1, "https://jobs.lever.co/b/1", T0),
+        ],
+    )
+    stream = throttled_links(read_link_stream(spark, src), per_key_limit=2, window_seconds=60)
+    run_available_now(stream, sink, ckpt)
+    got = {(r["sheet_name"], r["row_index"]): r["admitted"] for r in spark.read.parquet(sink).collect()}
+    # first 2 per sheet-window admitted, 3rd throttled; other key unaffected
+    assert got == {("S", 1): True, ("S", 2): True, ("S", 3): False, ("T", 1): True}
+
+    # second drain, same checkpoint: state remembers the window is full
+    _write_links(
+        spark,
+        src,
+        [
+            ("S", 4, "https://jobs.lever.co/a/4", T0 + timedelta(seconds=20)),
+            ("S", 5, "https://jobs.lever.co/a/5", T0 + timedelta(seconds=70)),  # next window
+        ],
+    )
+    stream = throttled_links(read_link_stream(spark, src), per_key_limit=2, window_seconds=60)
+    run_available_now(stream, sink, ckpt)
+    got2 = {(r["sheet_name"], r["row_index"]): r["admitted"] for r in spark.read.parquet(sink).collect()}
+    assert got2[("S", 4)] is False  # same window, still over the limit
+    assert got2[("S", 5)] is True   # window rolled over -> counter reset
