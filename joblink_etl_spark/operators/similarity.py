@@ -170,3 +170,39 @@ def cosine_near_dup_pairs(
             "score",
         )
     )
+
+
+def cosine_near_dup_pairs_blocked(
+    vectors: DataFrame,
+    min_cosine: float = 0.95,
+    every: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: block the all-pairs join by
+    IVF cell. Vectors are assigned to their nearest sampled centroid
+    (one broadcast join + argmax), then pairs are scored only WITHIN
+    a cell — the O(n²) corpus join becomes Σ O(cell²) with
+    cells ≈ n/K. Near-identical vectors land in the same cell
+    (identical argmax), so recall on true near-dups ≈ 1; pairs that
+    straddle a cell boundary are the approximation cost (raise K
+    coverage with multi-probe assignment if needed).
+
+    Same output contract as cosine_near_dup_pairs (id_a < id_b,
+    score).
+    """
+    centroids = sample_centroids(vectors, every, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("id"), "centroid_id", "v"
+    )
+    l, r = assigned.alias("l"), assigned.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.centroid_id") == F.col("r.centroid_id"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn("score", cosine(F.col("l.v"), F.col("r.v")))
+        .filter(F.col("score") >= min_cosine)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "score")
+    )

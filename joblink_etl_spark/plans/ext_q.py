@@ -666,3 +666,49 @@ SELECT doc_id,
             ELSE 0.0 END AS repetition_ratio
 FROM grams
 """
+
+
+# ---------------------------------------------------------------------------
+# Blocked (IVF-cell) cosine near-dup pairs — the scale path for
+# cosine_near_dups: all-pairs only WITHIN a centroid cell. Fully
+# deterministic, so the oracle replays assignment + in-cell pairing.
+# ---------------------------------------------------------------------------
+
+
+def cosine_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return SIM.cosine_near_dup_pairs_blocked(emb.unionAll(clones), min_cosine=0.95)
+
+
+_COS = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+    "THEN list_dot_product({a}, {b}) "
+    "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+    "ELSE 0.0 END"
+)
+
+COSINE_NEAR_DUPS_BLOCKED_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 10 = 0
+), c AS (
+  SELECT vec_id AS centroid_id, e AS cv FROM corpus WHERE vec_id % 25 = 0
+), assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT corpus.vec_id, corpus.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY corpus.vec_id
+             ORDER BY {_COS.format(a="corpus.e", b="c.cv")} DESC, c.centroid_id) AS crank
+    FROM corpus CROSS JOIN c)
+  WHERE crank = 1
+)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+       {_COS.format(a="l.e", b="r.e")} AS score
+FROM assigned l
+JOIN assigned r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+WHERE {_COS.format(a="l.e", b="r.e")} >= 0.95
+"""

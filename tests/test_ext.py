@@ -209,3 +209,22 @@ def test_pack_shards_budget_boundaries(spark):
     out = {r["doc_id"]: (r["offset"], r["shard_id"])
            for r in pack_shards(df, budget=10, n_buckets=8).collect()}
     assert out == {0: (0, 0), 8: (6, 0), 16: (12, 1)}
+
+
+def test_blocked_near_dups_full_recall_on_clones(spark, sf_dir):
+    from joblink_etl_spark.operators.similarity import cosine_near_dup_pairs_blocked
+    from joblink_etl_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = cosine_near_dup_pairs_blocked(emb.unionAll(clones), min_cosine=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {
+        (r["vec_id"], r["vec_id"] + 10000)
+        for r in emb.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    # identical vectors share an argmax cell, so every planted clone
+    # pair is found despite the blocked (non-all-pairs) join
+    assert planted <= got
