@@ -1,0 +1,77 @@
+"""Test-set decontamination: flag corpus documents sharing word
+n-grams with a benchmark/eval corpus.
+
+The standard contamination check in large-scale training-data
+pipelines: any document whose text contains an n-gram that also
+appears in an evaluation set is flagged (and typically dropped or
+scrubbed) before training. Generalizes the reference's
+duplicate-guard idea (reference docs/setup.md:104-112 — key-overlap
+between a live table and a guard set) from whole-key equality to
+n-gram containment.
+
+Scale design (100 TB):
+- The benchmark side (eval sets) is tiny relative to the corpus —
+  its distinct gram-hash set is broadcast, so the corpus side never
+  shuffles: scan → explode grams → broadcast-hash-join → partial
+  count agg. One shuffle, keyed by doc id, carrying only hit counts.
+- Grams travel as 60-bit md5 ints (fixed width), not strings.
+- The per-doc gram explode is scan-side codegen (no Python); the
+  token array is materialized first so the higher-order-function
+  lambda does O(tokens) work, not O(tokens²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_int, ngrams_from_tokens
+from .textstats import tokens
+
+
+def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, grams array) with the token array materialized before the
+    n-gram lambda (HOF lambdas re-evaluate embedded expressions per
+    element — see dedup.ngrams_from_tokens)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+    return toks.select(id_col, ngrams_from_tokens(F.col("toks"), n).alias("grams"))
+
+
+def ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document contamination stats against a benchmark corpus.
+
+    Returns (id_col, n_grams, n_overlap, contaminated): the number of
+    distinct word n-grams in the doc, how many of them also occur
+    anywhere in the benchmark, and whether that count is > 0.
+    """
+    doc_grams = _doc_grams(docs, id_col, text_col, n)
+    bench_hashes = (
+        _doc_grams(benchmark, id_col, text_col, n)
+        .select(F.explode("grams").alias("gram"))
+        .select(md5_int(F.col("gram")).alias("gram_h"))
+        .distinct()
+    )
+    exploded = doc_grams.select(id_col, F.explode("grams").alias("gram")).select(
+        id_col, md5_int(F.col("gram")).alias("gram_h")
+    )
+    hits = (
+        exploded.join(F.broadcast(bench_hashes), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        doc_grams.select(id_col, F.size("grams").alias("n_grams"))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

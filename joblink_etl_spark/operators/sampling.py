@@ -51,6 +51,62 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(id_col), salt) < frac * BUCKETS)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    budgets: dict[str, int],
+    weight_col: str,
+    id_col: str = "doc_id",
+    default_budget: int | None = None,
+    salt: str = "budget",
+) -> DataFrame:
+    """Keep ~budget total weight (tokens/chars) per stratum,
+    deterministically — the domain-mixing step of a corpus pipeline
+    ("200B tokens of web, 30B of code, ...").
+
+    Docs hash into BUCKETS stable buckets per stratum; whole buckets
+    are kept in bucket order while the stratum's running weight is
+    under budget, so the kept set may overshoot by at most one
+    bucket's weight (~1/BUCKETS of the stratum — the streaming-packer
+    contract, same as pack_shards). Strata without a listed budget
+    use default_budget; None means keep everything.
+
+    Scale: the cutoff is decided on the (stratum, bucket) aggregate —
+    at most |strata| x BUCKETS rows regardless of corpus size — so
+    the corpus never sorts: one partial-agg shuffle to build the tiny
+    table, a window over it, then a broadcast semi-join back. An
+    exact per-doc running sum would instead serialize each stratum
+    through one reducer; this is the formulation that survives a
+    trillion-doc stratum.
+    """
+    from pyspark.sql import Window
+
+    bucket = hash_bucket(F.col(id_col), salt).alias("bucket")
+    with_bucket = df.withColumn("bucket", bucket)
+
+    budget_expr: Column = (
+        F.lit(None).cast("bigint")
+        if default_budget is None
+        else F.lit(int(default_budget))
+    )
+    for value, b in sorted(budgets.items()):
+        budget_expr = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(
+            budget_expr
+        )
+
+    w = Window.partitionBy(strata_col).orderBy("bucket")
+    kept_buckets = (
+        with_bucket.groupBy(strata_col, "bucket")
+        .agg(F.sum(weight_col).alias("w"))
+        .withColumn("start", F.sum("w").over(w) - F.col("w"))
+        .filter(budget_expr.isNull() | (F.col("start") < budget_expr))
+        .select(strata_col, "bucket")
+    )
+    return with_bucket.join(
+        F.broadcast(kept_buckets), [strata_col, "bucket"]
+    ).drop("bucket")
+
+
 def pack_shards(
     df: DataFrame,
     weight_col: str = "n_chars",

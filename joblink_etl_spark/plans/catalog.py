@@ -72,6 +72,10 @@ register("events_asof_join", E.events_asof_join, E.EVENTS_ASOF_JOIN_SQL)
 register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
 register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
 register("repetition_scores", E.repetition_scores, E.REPETITION_SCORES_SQL)
+# corpus scrub layer: decontamination, PII, mixture budgets
+register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
+register("pii_redaction", E.pii_redaction, E.PII_REDACTION_SQL)
+register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_SQL)
 
 # --- event-time windows (SURVEY §2.10 generalized) --------------------
 from . import events_q as EV  # noqa: E402

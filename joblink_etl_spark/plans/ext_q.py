@@ -712,3 +712,160 @@ FROM assigned l
 JOIN assigned r ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
 WHERE {_COS.format(a="l.e", b="r.e")} >= 0.95
 """
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination: n-gram overlap between the corpus and a
+# held-out benchmark slice (doc_id % 97 == 0 plays the eval set).
+# Grams travel as the portable 60-bit md5 int in BOTH engines, so the
+# overlap counts are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import ngram_overlap
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_overlap(corpus, bench, id_col="doc_id", text_col="text", n=3)
+
+
+_GRAMS3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_GRAM_H = "('0x' || substr(md5(gram), 1, 15))::BIGINT"
+
+NGRAM_DECONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, {_GRAMS3} AS g FROM tok
+), bench AS (
+  SELECT DISTINCT {_GRAM_H} AS gram_h
+  FROM (SELECT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0)
+), docg AS (
+  SELECT doc_id, {_GRAM_H} AS gram_h
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 0)
+), hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM docg JOIN bench USING (gram_h) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       len(g.g) AS n_grams,
+       coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM grams g LEFT JOIN hits h USING (doc_id)
+WHERE g.doc_id % 97 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: per-class match counts + chained redaction. PII is
+# injected deterministically (same concat in both engines) so the
+# detectors have guaranteed positives; the regexes are RE2-compatible
+# so Java and RE2 agree.
+# ---------------------------------------------------------------------------
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import pii
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com call +1 555-010"),
+            F.col("doc_id") % 10,
+            F.lit(" from 10."),
+            F.col("doc_id") % 256,
+            F.lit(".0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", injected.alias("t"))
+    counts = pii.pii_counts(F.col("t"))
+    return t.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        (counts["n_emails"] + counts["n_phones"] + counts["n_ips"] > 0).alias(
+            "has_pii"
+        ),
+        pii.redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+_PII_PHONE = "\\+\\d[\\d -]{6,14}\\d"
+
+PII_REDACTION_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || doc_id || '@example.com call +1 555-010'
+                   || (doc_id % 10) || ' from 10.' || (doc_id % 256) || '.0.1'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(t, '{_PII_IP}')) AS n_ips,
+       len(regexp_extract_all(t, '{_PII_EMAIL}'))
+         + len(regexp_extract_all(t, '{_PII_PHONE}'))
+         + len(regexp_extract_all(t, '{_PII_IP}')) > 0 AS has_pii,
+       regexp_replace(regexp_replace(regexp_replace(
+         t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g'),
+            '{_PII_IP}', '<IP>', 'g') AS redacted
+FROM injected
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling: keep ~budget chars per language via
+# the bucket-cutoff formulation (the corpus never sorts). The kept
+# set is a pure function of (salt, doc_id, per-stratum weights), so
+# the oracle replays it exactly.
+# ---------------------------------------------------------------------------
+
+
+def token_budget_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return token_budget_sample(
+        docs,
+        "lang",
+        {"en": 120_000, "zh": 30_000},
+        weight_col="n_chars",
+        id_col="doc_id",
+        default_budget=60_000,
+        salt="budget",
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5('budget:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+  FROM documents
+), agg AS (
+  SELECT lang, bucket, sum(n_chars) AS w FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT lang, bucket,
+         sum(w) OVER (PARTITION BY lang ORDER BY bucket) - w AS start
+  FROM agg
+), keep AS (
+  SELECT lang, bucket FROM cum
+  WHERE start < CASE lang WHEN 'en' THEN 120000 WHEN 'zh' THEN 30000 ELSE 60000 END
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM d JOIN keep USING (lang, bucket)
+"""

@@ -1,0 +1,101 @@
+"""Unit tests for the corpus scrub layer: decontamination, PII
+redaction, and token-budget mixture sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_ngram_overlap_flags_shared_trigrams(spark):
+    from joblink_etl_spark.operators.decontam import ngram_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "something about the quick brown fox here"),  # shares 2 trigrams
+            (2, "completely unrelated words in this doc"),
+            (3, "ab"),  # < 3 tokens → zero grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_overlap(docs, bench, n=3).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_overlap"] == 2
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_pii_counts_and_redaction(spark):
+    from joblink_etl_spark.functions import pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c%d@sub.example.org or call +44 20 7946 0958 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.2"),
+            # digits+dots inside an email local part must redact as
+            # ONE email, not leak an <IP> fragment
+            (3, "ping user10.0.0.1@example.com ok"),
+            (4, "no identifiers here"),
+        ],
+        ["id", "t"],
+    )
+    c = pii.pii_counts(F.col("t"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            c["n_emails"].alias("e"),
+            c["n_phones"].alias("p"),
+            c["n_ips"].alias("i"),
+            pii.redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 1, 0)
+    assert out[1]["red"] == "mail <EMAIL> or call <PHONE> now"
+    assert out[2]["i"] == 2 and out[2]["red"] == "server at <IP> and <IP>"
+    assert out[3]["red"] == "ping <EMAIL> ok"
+    assert "<" not in out[4]["red"]
+
+
+def test_token_budget_sample_respects_budget(spark):
+    from joblink_etl_spark.operators.sampling import token_budget_sample
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"),
+        F.lit(100).alias("n_chars"),
+    )
+    out = token_budget_sample(
+        docs, "lang", {"en": 5_000}, weight_col="n_chars", default_budget=None
+    )
+    by_lang = {
+        r["lang"]: r["w"]
+        for r in out.groupBy("lang").agg(F.sum("n_chars").alias("w")).collect()
+    }
+    # en: capped near 5k (overshoot bounded by one bucket = one doc here)
+    assert 5_000 <= by_lang["en"] <= 5_000 + 100
+    # zh has no budget listed and default is None → keep everything
+    assert by_lang["zh"] == 250 * 100
+
+
+def test_token_budget_sample_partitioning_independent(spark):
+    from joblink_etl_spark.operators.sampling import token_budget_sample
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        (F.col("id") % 37 + 1).alias("n_chars"),
+    )
+    kept1 = token_budget_sample(
+        docs, "lang", {"en": 2_000}, weight_col="n_chars"
+    )
+    kept2 = token_budget_sample(
+        docs.repartition(7), "lang", {"en": 2_000}, weight_col="n_chars"
+    )
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    ids2 = sorted(r["doc_id"] for r in kept2.collect())
+    assert ids1 == ids2 and len(ids1) > 0
