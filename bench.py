@@ -43,6 +43,11 @@ HEADLINE = [
     "stratified_sample",
     "shard_packing",
     "repetition_scores",
+    "ngram_decontam",
+    "pii_redaction",
+    "token_budget_sample",
+    "kmv_distinct_users",
+    "corpus_report",
 ]
 
 

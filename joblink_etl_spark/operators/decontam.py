@@ -50,7 +50,10 @@ def ngram_overlap(
     distinct word n-grams in the doc, how many of them also occur
     anywhere in the benchmark, and whether that count is > 0.
     """
-    doc_grams = _doc_grams(docs, id_col, text_col, n)
+    # Pin the gram arrays: both output branches (per-doc gram count
+    # and the exploded hit join) read them, and recomputing the
+    # tokenize+transform pass doubles the dominant cost.
+    doc_grams = _doc_grams(docs, id_col, text_col, n).localCheckpoint(eager=False)
     bench_hashes = (
         _doc_grams(benchmark, id_col, text_col, n)
         .select(F.explode("grams").alias("gram"))

@@ -76,6 +76,8 @@ register("repetition_scores", E.repetition_scores, E.REPETITION_SCORES_SQL)
 register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
 register("pii_redaction", E.pii_redaction, E.PII_REDACTION_SQL)
 register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_SQL)
+register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
+register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 
 # --- event-time windows (SURVEY §2.10 generalized) --------------------
 from . import events_q as EV  # noqa: E402

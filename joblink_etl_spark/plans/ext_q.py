@@ -869,3 +869,80 @@ WITH d AS (
 SELECT d.doc_id, d.lang, d.n_chars
 FROM d JOIN keep USING (lang, bucket)
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch: deterministic analogue of
+# approx_count_distinct — every byte of the sketch derives from md5,
+# so the oracle replays the estimate bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+KMV_DISTINCT_USERS_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+)
+SELECT event_type, max(rn) AS n_seen,
+       round(CASE WHEN max(rn) < 64 THEN max(rn)::DOUBLE
+             ELSE 63.0 / (max(h)::DOUBLE / 1152921504606846976.0) END,
+             4) AS est_distinct
+FROM ranked WHERE rn <= 64
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus health report: the summary a curation pipeline publishes per
+# release — volume, size, and exact-dup rate per (lang, source).
+# Integer-exact sums feed every division, so the rounded doubles
+# match across engines (no float-sum order sensitivity).
+# ---------------------------------------------------------------------------
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = TS.fingerprint(F.col("text"))
+    return (
+        docs.select("lang", "source", "n_chars", fp.alias("fp"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum((F.col("n_chars") < 200).cast("bigint")).alias("n_short"),
+            F.countDistinct("fp").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 4
+            ),
+        )
+    )
+
+
+CORPUS_REPORT_SQL = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars,
+       sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_short,
+       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_unique,
+       round(1.0 - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::DOUBLE
+               / count(*), 4) AS dup_rate
+FROM documents
+GROUP BY lang, source
+"""

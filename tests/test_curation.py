@@ -99,3 +99,26 @@ def test_token_budget_sample_partitioning_independent(spark):
     ids1 = sorted(r["doc_id"] for r in kept1.collect())
     ids2 = sorted(r["doc_id"] for r in kept2.collect())
     assert ids1 == ids2 and len(ids1) > 0
+
+
+def test_kmv_exact_below_k(spark):
+    from joblink_etl_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("grp"), (F.col("id") % 10).alias("v")
+    )
+    row = kmv_distinct(df, "grp", "v", k=64).collect()[0]
+    # 10 distinct values < k → the sketch is exact
+    assert row["n_seen"] == 10 and row["est_distinct"] == 10.0
+
+
+def test_kmv_estimate_accuracy(spark):
+    from joblink_etl_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(20_000).select(
+        F.lit("g").alias("grp"), (F.col("id") % 5_000).alias("v")
+    )
+    row = kmv_distinct(df, "grp", "v", k=256).collect()[0]
+    # KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 3 sigma
+    assert row["n_seen"] == 256
+    assert abs(row["est_distinct"] - 5_000) / 5_000 < 0.2
