@@ -48,6 +48,7 @@ HEADLINE = [
     "token_budget_sample",
     "kmv_distinct_users",
     "corpus_report",
+    "embedding_quantize",
 ]
 
 

@@ -30,11 +30,15 @@ from .textstats import tokens
 
 
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, grams array) with the token array materialized before the
-    n-gram lambda (HOF lambdas re-evaluate embedded expressions per
-    element — see dedup.ngrams_from_tokens)."""
+    """(id, grams array) with the token array PINNED (localCheckpoint)
+    before the n-gram lambda: project-collapse would otherwise inline
+    the tokenizer into the lambda, re-running the regex split per
+    element — O(tokens²) instead of O(tokens) (same trap and fix as
+    the minhash shingler, dedup.py)."""
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    return toks.select(id_col, ngrams_from_tokens(F.col("toks"), n).alias("grams"))
+    return toks.localCheckpoint(eager=False).select(
+        id_col, ngrams_from_tokens(F.col("toks"), n).alias("grams")
+    )
 
 
 def ngram_overlap(

@@ -78,6 +78,7 @@ register("pii_redaction", E.pii_redaction, E.PII_REDACTION_SQL)
 register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_SQL)
 register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
+register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
 
 # --- event-time windows (SURVEY §2.10 generalized) --------------------
 from . import events_q as EV  # noqa: E402

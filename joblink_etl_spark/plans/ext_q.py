@@ -946,3 +946,58 @@ SELECT lang, source,
 FROM documents
 GROUP BY lang, source
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization: per-vector scale + codes + loss. The
+# output projects integer-exact code stats plus the normalized MSE so
+# the cross-engine compare has no float-sum-order exposure beyond the
+# shared left-fold.
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = SIM.quantize_embeddings(emb, "embedding")
+    return q.select(
+        "vec_id",
+        F.size("q_codes").alias("n_dims"),
+        F.aggregate(
+            "q_codes", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.array_min("q_codes").alias("code_min"),
+        F.array_max("q_codes").alias("code_max"),
+        F.round("q_scale", 9).alias("q_scale"),
+        F.round(F.col("q_mse") / (F.col("q_scale") * F.col("q_scale")), 6).alias(
+            "q_nmse"
+        ),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), scaled AS (
+  SELECT vec_id, e,
+         CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0
+              THEN list_max(list_transform(e, x -> abs(x))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM base
+), coded AS (
+  SELECT vec_id, e, scale,
+         list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes
+  FROM scaled
+)
+SELECT vec_id,
+       len(e) AS n_dims,
+       list_sum(codes)::BIGINT AS code_sum,
+       list_min(codes) AS code_min,
+       list_max(codes) AS code_max,
+       round(scale, 9) AS q_scale,
+       round(CASE WHEN len(e) > 0
+             THEN (list_sum(list_transform(e, (x, i) ->
+                    (x - codes[i] * scale) * (x - codes[i] * scale))) / len(e))
+                  / (scale * scale)
+             ELSE 0.0 END, 6) AS q_nmse
+FROM coded
+"""

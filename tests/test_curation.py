@@ -122,3 +122,22 @@ def test_kmv_estimate_accuracy(spark):
     # KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 3 sigma
     assert row["n_seen"] == 256
     assert abs(row["est_distinct"] - 5_000) / 5_000 < 0.2
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from joblink_etl_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero vector → scale falls back to 1
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert out[1]["q_codes"] == [64, -127, 32, 0]  # round(x * 127 / maxabs)
+    assert abs(out[1]["q_scale"] - 1.0 / 127) < 1e-12
+    # reconstruction error bounded by (scale/2)^2
+    assert out[1]["q_mse"] <= (out[1]["q_scale"] / 2) ** 2
+    assert out[2]["q_scale"] == 1.0 and out[2]["q_codes"] == [0, 0, 0, 0]
+    assert out[2]["q_mse"] == 0.0
