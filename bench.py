@@ -49,6 +49,8 @@ HEADLINE = [
     "kmv_distinct_users",
     "corpus_report",
     "embedding_quantize",
+    "tfidf_pairs",
+    "tfidf_top_terms",
 ]
 
 

@@ -1,0 +1,158 @@
+"""Sparse lexical similarity: TF-IDF weighted cosine over an
+inverted index — the token-space complement to the dense-embedding
+near-dup path (`operators/similarity.py`) and the scale-out
+generalization of the reference's duplicate guard
+(reference docs/setup.md:104-112).
+
+Where MinHash (`operators/dedup.py`) approximates Jaccard over
+shingle *sets*, TF-IDF cosine weighs *term frequencies*, so it
+catches near-dups that differ by boilerplate (high-df terms are
+down-weighted or pruned outright) — the standard first-pass dedup
+for web-scale training corpora.
+
+Scale design (100 TB):
+- The all-pairs O(n²) problem is replaced by an inverted-index
+  self-join: only documents SHARING a surviving term are ever
+  paired. Join fan-out per term is df², so the `max_df_ratio` prune
+  (drop terms appearing in more than that fraction of the corpus —
+  stopwords and boilerplate) is the knob that bounds the shuffle:
+  with df capped at d, the candidate set is Σ O(d²) per term
+  instead of O(n²).
+- Term frequencies and document norms are plain map-side-combinable
+  groupBy sums — one shuffle each, both on keys (doc, term) with
+  near-uniform cardinality.
+- Everything is integer arithmetic until the final division: idf is
+  quantized to a bigint (`idf_q = round(IDF_SCALE * (ln((N+1)/(df+1)) + 1))`)
+  so dot products and norms are EXACT bigint sums — order-independent
+  across partitions and bit-identical in the DuckDB oracle. Doubles
+  appear only in the last `dot / (|a|·|b|)` step, a deterministic
+  single operation per pair.
+- No Python anywhere: tokenize/explode/sum/join are all codegen'd
+  JVM expressions.
+
+Overflow budget: idf_q ≤ IDF_SCALE·(ln(N+1)+1) ≈ 1e5·IDF_SCALE at
+N=1e9 docs; with tf ≤ 1e4 a weight fits in ~2e9·IDF_SCALE, and a
+per-doc sum of squares stays under 2^63 for documents up to ~1e5
+distinct terms at the default IDF_SCALE=1e4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+IDF_SCALE = 10_000
+
+
+def tfidf_postings(
+    docs: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Inverted-index postings `(id, token, w, norm_sq)` with
+    integer-quantized TF-IDF weights.
+
+    `n_docs` is passed in (not recomputed) so callers control the
+    one count() action; idf uses the smoothed form
+    ln((N+1)/(df+1)) + 1, quantized to bigint at IDF_SCALE.
+    Terms with df/N > max_df_ratio (a num/den integer pair, so the
+    cutoff compare is exact integer math in both engines) are pruned
+    (see module docstring).
+    """
+    num, den = max_df_ratio
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") * F.lit(den) <= F.lit(n_docs * num))
+        .select(
+            "token",
+            F.round(
+                F.lit(float(IDF_SCALE))
+                * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0))
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    w = tf.join(idf, "token").select(
+        "id", "token", (F.col("tf") * F.col("idf_q")).alias("w")
+    )
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("norm_sq"))
+    return w.join(norms, "id")
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    n_docs: int,
+    min_sim: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: tuple[int, int] = (1, 5),
+) -> DataFrame:
+    """Near-duplicate pairs `(id_a, id_b, shared_terms, sim)` with
+    TF-IDF cosine ≥ min_sim, via inverted-index self-join (pairs are
+    generated per shared term, then the partial dot products are
+    summed — one shuffle on the pair key)."""
+    p = tfidf_postings(docs, n_docs, id_col, text_col, max_df_ratio)
+    left = p.select(
+        F.col("id").alias("id_a"),
+        "token",
+        F.col("w").alias("w_a"),
+        F.col("norm_sq").alias("nsq_a"),
+    )
+    right = p.select(
+        F.col("id").alias("id_b"),
+        "token",
+        F.col("w").alias("w_b"),
+        F.col("norm_sq").alias("nsq_b"),
+    )
+    pairs = (
+        left.join(right, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "nsq_a", "nsq_b")
+        .agg(
+            F.sum(F.col("w_a") * F.col("w_b")).alias("dot"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    sim = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("nsq_a").cast("double")) * F.sqrt(F.col("nsq_b").cast("double"))),
+        4,
+    )
+    return (
+        pairs.select("id_a", "id_b", "shared_terms", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(min_sim))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    n_docs: int,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Keyword extraction: top-k terms per document by TF-IDF weight
+    (rank ties broken lexically — deterministic). One window over the
+    postings, partitioned by doc — no extra shuffle beyond the
+    postings build."""
+    from pyspark.sql import Window
+
+    p = tfidf_postings(docs, n_docs, id_col, text_col, max_df_ratio)
+    win = Window.partitionBy("id").orderBy(F.col("w").desc(), F.col("token"))
+    return (
+        p.select("id", "token", "w", F.row_number().over(win).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "token", "w", "rank")
+    )

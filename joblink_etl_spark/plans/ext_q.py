@@ -1001,3 +1001,94 @@ SELECT vec_id,
              ELSE 0.0 END, 6) AS q_nmse
 FROM coded
 """
+
+# ---------------------------------------------------------------------------
+# TF-IDF sparse cosine: inverted-index near-dup pairs + keyword
+# extraction. Integer-quantized idf makes every sum exact bigint
+# arithmetic, so the oracle is bit-identical (see operators/tfidf.py).
+# ---------------------------------------------------------------------------
+
+
+def tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tfidf as TI
+
+    corpus = _docs_with_neardups(table(spark, sf_dir, "documents"))
+    return TI.tfidf_cosine_pairs(corpus, n_docs=corpus.count(), min_sim=0.8)
+
+
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tfidf as TI
+
+    docs = table(spark, sf_dir, "documents")
+    # the synthetic corpus has a tiny, dense vocabulary (31 terms,
+    # df ~ 0.8N), so keyword extraction keeps ALL terms and lets idf
+    # weighting differentiate; on Zipfian real text the default
+    # prune would apply.
+    return TI.tfidf_top_terms(docs, n_docs=docs.count(), k=5, max_df_ratio=(1, 1))
+
+
+def _tfidf_sql(corpus_sql: str, max_df_num: int = 1, max_df_den: int = 2) -> str:
+    from ..operators.tfidf import IDF_SCALE
+
+    return f"""
+WITH corpus AS (
+  {corpus_sql}
+), tok AS (
+  SELECT id, {_TOKS} AS toks FROM corpus
+), tf AS (
+  SELECT id, u.token, count(*)::BIGINT AS tf
+  FROM tok, unnest(toks) AS u(token)
+  GROUP BY 1, 2
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM corpus
+), idf AS (
+  SELECT token,
+         round({IDF_SCALE}::DOUBLE
+               * (ln((n + 1)::DOUBLE / (df + 1)::DOUBLE) + 1.0))::BIGINT AS idf_q
+  FROM (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1), nn
+  WHERE df * {max_df_den} <= n * {max_df_num}
+), w AS (
+  SELECT id, tf.token, tf.tf * idf.idf_q AS w
+  FROM tf JOIN idf ON tf.token = idf.token
+), norms AS (
+  SELECT id, sum(w * w)::BIGINT AS nsq FROM w GROUP BY 1
+)"""
+
+
+TFIDF_PAIRS_SQL = (
+    _tfidf_sql(
+        """SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zz end marker' FROM documents WHERE doc_id % 4 = 0""",
+        max_df_num=1,
+        max_df_den=5,
+    )
+    + """, dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sum(a.w * b.w)::BIGINT AS dot,
+         count(*)::BIGINT AS shared_terms
+  FROM w a JOIN w b ON a.token = b.token AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_terms,
+       round(dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)), 4) AS sim
+FROM dots
+JOIN norms na ON na.id = dots.id_a
+JOIN norms nb ON nb.id = dots.id_b
+WHERE round(dot::DOUBLE / (sqrt(na.nsq::DOUBLE) * sqrt(nb.nsq::DOUBLE)), 4) >= 0.8
+"""
+)
+
+
+TFIDF_TOP_TERMS_SQL = (
+    _tfidf_sql("SELECT doc_id AS id, text FROM documents", max_df_num=1, max_df_den=1)
+    + """
+SELECT id AS doc_id, token, w, rank
+FROM (
+  SELECT id, token, w,
+         row_number() OVER (PARTITION BY id ORDER BY w DESC, token) AS rank
+  FROM w
+)
+WHERE rank <= 5
+"""
+)

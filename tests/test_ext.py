@@ -228,3 +228,58 @@ def test_blocked_near_dups_full_recall_on_clones(spark, sf_dir):
     # identical vectors share an argmax cell, so every planted clone
     # pair is found despite the blocked (non-all-pairs) join
     assert planted <= got
+
+
+# --- TF-IDF sparse cosine (operators/tfidf.py) -------------------------
+
+
+def _tfidf_corpus(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),  # exact clone of 1
+        (3, "alpha beta gamma delta zeta"),  # near clone of 1
+        (4, "omega psi chi phi upsilon"),  # disjoint
+        (5, "common common common common"),  # only the ubiquitous term
+        (6, "common alpha omega unique"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_tfidf_clone_pair_is_unit_cosine(spark):
+    from joblink_etl_spark.operators import tfidf as TI
+
+    docs = _tfidf_corpus(spark)
+    pairs = TI.tfidf_cosine_pairs(docs, n_docs=6, min_sim=0.6, max_df_ratio=(1, 1))
+    got = {(r.id_a, r.id_b): r.sim for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact clones
+    # near clones share 4/5 terms; idf up-weights the two differing
+    # rare terms, so the cosine sits well below the naive 0.8
+    assert 0.6 <= got[(1, 3)] < 0.9
+    assert not any({a, b} & {4} and {a, b} & {1, 2, 3} for a, b in got)
+
+
+def test_tfidf_df_prune_drops_ubiquitous_terms(spark):
+    from joblink_etl_spark.operators import tfidf as TI
+
+    docs = spark.createDataFrame(
+        [(i, "everywhere rare" + str(i)) for i in range(10)], ["doc_id", "text"]
+    )
+    # 'everywhere' has df=10/10; prune at df/N > 1/2 must drop it,
+    # and each rareN term survives with tf=1
+    postings = TI.tfidf_postings(docs, n_docs=10, max_df_ratio=(1, 2))
+    toks = {r.token for r in postings.collect()}
+    assert "everywhere" not in toks
+    assert len(toks) == 10
+
+
+def test_tfidf_top_terms_ranks_rare_first(spark):
+    from joblink_etl_spark.operators import tfidf as TI
+
+    docs = _tfidf_corpus(spark)
+    top = TI.tfidf_top_terms(docs, n_docs=6, k=2, max_df_ratio=(1, 1))
+    by_doc = {}
+    for r in top.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.token))
+    # doc 6: 'unique' (df=1) must outrank 'common' (df=2) and 'alpha' (df=4)
+    assert sorted(by_doc[6])[0][1] == "unique"
+    assert all(len(v) <= 2 for v in by_doc.values())
