@@ -51,6 +51,7 @@ HEADLINE = [
     "embedding_quantize",
     "tfidf_pairs",
     "tfidf_top_terms",
+    "salted_join_agg",
 ]
 
 

@@ -31,6 +31,7 @@ register(
 register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
 register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
 register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)
+register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
 
 # --- scalar function library (SURVEY §2.7) ----------------------------
 register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)

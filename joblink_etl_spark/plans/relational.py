@@ -310,3 +310,40 @@ FROM part
 WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
                         WHERE l_shipdate < TIMESTAMP '1995-06-01')
 """
+
+
+def salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact⋈dim join (operators/skew.py): lineitem
+    salted 8 ways against orders, then rolled up per priority. The
+    oracle SQL is a PLAIN join — proving salting changes the physical
+    partitioning, never the result."""
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SALTED_JOIN_AGG_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
