@@ -52,6 +52,7 @@ HEADLINE = [
     "tfidf_pairs",
     "tfidf_top_terms",
     "salted_join_agg",
+    "event_attribution",
 ]
 
 

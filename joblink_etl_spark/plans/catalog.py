@@ -91,3 +91,4 @@ register("sliding_avg", EV.sliding_avg, EV.SLIDING_AVG_SQL)
 register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
 register("event_dedup", EV.event_dedup, EV.EVENT_DEDUP_SQL)
 register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)
+register("event_attribution", EV.event_attribution, EV.EVENT_ATTRIBUTION_SQL)

@@ -196,3 +196,56 @@ SELECT user_id, hour, n_events,
 FROM counts
 QUALIFY busy_rank <= 3
 """
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: attribute each click to the views by the same
+    user in the preceding 30 minutes — the batch twin of
+    streaming/pipeline.py::stream_interval_join (same semantics, but
+    oracle-checked; the streaming variant adds watermark-bounded
+    state eviction).
+
+    The time arithmetic stays in integer microseconds end to end so
+    the boundary compares are engine-exact. Physically this is an
+    equi-join on user_id with range residuals — one shuffle, no
+    expansion beyond true matches."""
+    ev = table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("view_us"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    return (
+        v.join(
+            c,
+            (v.user_id == c.c_user)
+            & (c.click_us >= v.view_us)
+            & (c.click_us <= v.view_us + F.lit(1_800_000_000)),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (F.col("click_us") - F.col("view_us")).alias("delay_us"),
+        )
+    )
+
+
+EVENT_ATTRIBUTION_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+  FROM events WHERE event_type = 'view'
+), c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.user_id, view_id, click_id, click_us - view_us AS delay_us
+FROM v JOIN c ON v.user_id = c.user_id
+AND click_us >= view_us
+AND click_us <= view_us + 1800000000
+"""

@@ -1,0 +1,119 @@
+"""Multi-format source/sink layer: CSV, JSON-lines, ORC, and parquet
+with the same header-aliasing and schema-heal semantics as the
+parquet path (`sources/tables.py`, `schemas.py`).
+
+The reference's storage is header-addressed sheet tabs (reference
+apps-scripts/code-LLM-intergration.js:74-79); its real-world
+equivalents are CSV exports and JSON event feeds, so the engine
+accepts all of them behind one `read_table` call.
+
+Scale rules encoded here:
+- **Schemas are always explicit.** `inferSchema` (CSV) / schema
+  inference (JSON) is a full extra pass over 100 TB before the real
+  read — callers pass a StructType (or a sample-derived one from
+  `infer_once`) so the scan happens exactly once. Explicit schemas
+  also keep corrupt records visible (`_corrupt_record`) instead of
+  silently widening types.
+- **Column pruning still applies to CSV/JSON** (the text must be
+  parsed, but only requested fields are materialized); parquet/ORC
+  additionally push predicates to row-group/stripe skipping.
+- **Writers default to snappy parquet**, optionally
+  `partitionBy` (partition pruning for downstream readers) and
+  `bucketBy` (exchange-free joins — see tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ..schemas import apply_aliases, validate_or_heal
+
+_READ_OPTS = {
+    "csv": {"header": "true", "mode": "PERMISSIVE", "escape": '"'},
+    "json": {"mode": "PERMISSIVE"},
+    "parquet": {},
+    "orc": {},
+}
+
+_WRITE_OPTS = {
+    "csv": {"header": "true", "escape": '"'},
+    "json": {},
+    "parquet": {},
+    "orc": {},
+}
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    rename_map: dict[str, str] | None = None,
+    heal_to: StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """Read one logical table from any supported format.
+
+    `rename_map` applies the header-alias layer (logical→physical
+    names); `heal_to` re-validates/repairs the result against a
+    canonical schema (the reference's NotesQueue header self-heal,
+    code-LLM-intergration.js:111-119)."""
+    if fmt not in _READ_OPTS:
+        raise ValueError(f"unsupported format: {fmt!r}")
+    reader = spark.read.format(fmt).options(**{**_READ_OPTS[fmt], **options})
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    if rename_map:
+        df = apply_aliases(df, rename_map)
+    if heal_to is not None:
+        df = validate_or_heal(df, heal_to)
+    return df
+
+
+def infer_once(
+    spark: SparkSession, path: str, fmt: str, sample_rows: int = 10_000, **options: str
+) -> StructType:
+    """Derive a schema from a bounded sample so the full read is
+    single-pass: infer on `limit(sample_rows)` of one file, then pass
+    the result to `read_table`. At 100 TB, inference over the full
+    dataset is a second complete scan — never do it implicitly."""
+    sample = (
+        spark.read.format(fmt)
+        .options(**{**_READ_OPTS[fmt], **options}, inferSchema="true")
+        .load(path)
+        .limit(sample_rows)
+    )
+    return sample.schema
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    bucket_by: tuple[int, str] | None = None,
+    table_name: str | None = None,
+    **options: str,
+) -> None:
+    """Write one logical table.
+
+    `partition_by` lays out hive-style directories (downstream
+    partition pruning); `bucket_by=(n, key)` pre-shuffles on the join
+    key at write time (requires `table_name` — bucketing metadata
+    lives in the catalog) so every later join on that key is
+    exchange-free."""
+    writer = df.write.format(fmt).mode(mode).options(
+        **{**_WRITE_OPTS.get(fmt, {}), **options}
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by is not None:
+        if table_name is None:
+            raise ValueError("bucket_by requires table_name (catalog-backed)")
+        n, key = bucket_by
+        writer.bucketBy(n, key).sortBy(key).option("path", path).saveAsTable(table_name)
+        return
+    writer.save(path)

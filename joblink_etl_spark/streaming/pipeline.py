@@ -213,3 +213,45 @@ def throttled_links(
             throttle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each right event is
+    matched to left events of the same key that happened at most
+    `max_delay` BEFORE it (click→conversion attribution over the
+    events feed).
+
+    Scale/state design: both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark derives a state
+    eviction horizon for BOTH buffers — without the interval bound a
+    stream-stream join must hold every row forever. State size is
+    O(events within watermark+delay), not O(stream)."""
+    lcols = left.select(
+        F.col(key).alias("join_key"),
+        F.col("ts").alias(f"{left_prefix}_ts"),
+        F.col("event_type").alias(f"{left_prefix}_type"),
+        F.col("event_id").alias(f"{left_prefix}_event_id"),
+    ).withWatermark(f"{left_prefix}_ts", watermark)
+    rcols = right.select(
+        F.col(key).alias("r_join_key"),
+        F.col("ts").alias(f"{right_prefix}_ts"),
+        F.col("event_type").alias(f"{right_prefix}_type"),
+        F.col("event_id").alias(f"{right_prefix}_event_id"),
+    ).withWatermark(f"{right_prefix}_ts", watermark)
+    cond = (
+        (lcols["join_key"] == rcols["r_join_key"])
+        & (rcols[f"{right_prefix}_ts"] >= lcols[f"{left_prefix}_ts"])
+        & (
+            rcols[f"{right_prefix}_ts"]
+            <= lcols[f"{left_prefix}_ts"] + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lcols.join(rcols, cond, "inner").drop("r_join_key")

@@ -1,0 +1,96 @@
+"""Multi-format source/sink layer (`sources/io.py`): roundtrips per
+format, alias + heal composition on read, partitioned and bucketed
+writes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from joblink_etl_spark.sources.io import infer_once, read_table, write_table
+
+SCHEMA = StructType(
+    [
+        StructField("link", StringType()),
+        StructField("company", StringType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+ROWS = [
+    ("https://a.example/j/1", "Acme", 1),
+    ("https://b.example/j/2", "Globex", 2),
+    ("https://c.example/j/3", 'Quote"Corp', 3),
+]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_roundtrip_each_format(spark, tmp_path, fmt):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / fmt)
+    write_table(df, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt, schema=SCHEMA)
+    assert back.schema == SCHEMA
+    assert sorted(tuple(r) for r in back.collect()) == sorted(ROWS)
+
+
+def test_csv_alias_and_heal(spark, tmp_path):
+    """A CSV export with renamed headers and a missing column comes
+    back with canonical names, the blank column healed to ''."""
+    path = str(tmp_path / "aliased")
+    raw = spark.createDataFrame(
+        [("https://a.example", 7)], ["Job URL", "n"]
+    )
+    write_table(raw, path, fmt="csv", header="true")
+    got = read_table(
+        spark,
+        path,
+        fmt="csv",
+        schema=StructType(
+            [StructField("Job URL", StringType()), StructField("n", IntegerType())]
+        ),
+        rename_map={"link": "Job URL"},
+        heal_to=SCHEMA,
+    )
+    assert got.columns == ["link", "company", "n"]
+    row = got.collect()[0]
+    assert row.link == "https://a.example" and row.company == "" and row.n == 7
+
+
+def test_infer_once_then_single_pass_read(spark, tmp_path):
+    path = str(tmp_path / "inferme")
+    write_table(spark.createDataFrame(ROWS, SCHEMA), path, fmt="csv")
+    schema = infer_once(spark, path, fmt="csv")
+    assert {f.name for f in schema.fields} == {"link", "company", "n"}
+    back = read_table(spark, path, fmt="csv", schema=schema)
+    assert back.count() == 3
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import io as _io
+    from contextlib import redirect_stdout
+
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame(ROWS, SCHEMA).withColumn(
+        "bucket", F.col("n") % 2
+    )
+    write_table(df, path, partition_by=["bucket"])
+    back = read_table(spark, path).filter(F.col("bucket") == 1)
+    assert {r.n for r in back.collect()} == {1, 3}
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        back.explain(mode="formatted")
+    # hive-layout partition filter never reaches the row scan
+    assert "PartitionFilters: [isnotnull(bucket" in buf.getvalue()
+
+
+def test_bucketed_write_requires_table_name(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    with pytest.raises(ValueError, match="table_name"):
+        write_table(df, str(tmp_path / "x"), bucket_by=(4, "n"))

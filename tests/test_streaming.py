@@ -205,3 +205,45 @@ def test_stateful_throttle_across_batches(spark, tmp_path):
     got2 = {(r["sheet_name"], r["row_index"]): r["admitted"] for r in spark.read.parquet(sink).collect()}
     assert got2[("S", 4)] is False  # same window, still over the limit
     assert got2[("S", 5)] is True   # window rolled over -> counter reset
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
+    from joblink_etl_spark.streaming.pipeline import stream_interval_join
+
+    src, sink, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000).select(
+        "event_id", "ts", "user_id", "event_type", F.col("value").cast("string")
+    )
+    # future sentinels on BOTH types so the join watermark passes all
+    # real event times before the drain stops
+    sent = spark.createDataFrame(
+        [(99998, datetime(2030, 1, 1), 999, "view", "0"),
+         (99999, datetime(2030, 1, 1), 999, "click", "0")], ev.schema
+    )
+    ev.unionAll(sent).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    joined = stream_interval_join(views, clicks, key="user_id", max_delay="30 minutes")
+    run_available_now(joined, sink, ckpt)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.read.parquet(sink).collect()
+        if r["l_event_id"] < 90000 and r["r_event_id"] < 90000
+    }
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("lts"), F.col("event_id").alias("lid")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("rk"), F.col("ts").alias("rts"), F.col("event_id").alias("rid")
+    )
+    want = {
+        (r["lid"], r["rid"])
+        for r in bv.join(
+            bc,
+            (bv.k == bc.rk)
+            & (bc.rts >= bv.lts)
+            & (bc.rts <= bv.lts + F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
