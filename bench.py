@@ -53,6 +53,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "salted_join_agg",
     "event_attribution",
+    "cosine_near_dups_lsh",
 ]
 
 

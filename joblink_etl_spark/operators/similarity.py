@@ -250,3 +250,90 @@ def quantize_embeddings(
         F.size("_e") > 0, sq_err / F.size("_e").cast("double")
     ).otherwise(F.lit(0.0))
     return with_codes.withColumn("q_mse", mse).drop("_e")
+
+
+# --- random-hyperplane LSH (SimHash for dense vectors) -----------------
+
+LSH_PLANES = 16
+LSH_BANDS = 4
+LSH_ROWS_PER_BAND = 4
+_LSH_DENOM = float(1 << 59)
+
+
+def lsh_hyperplane(p: int, dims: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane p: component d is a
+    md5-derived uniform in [-1, 1). float(u) BEFORE the division
+    mirrors DuckDB's BIGINT→DOUBLE cast-then-divide, keeping the
+    literal bit-identical to the oracle's in-SQL derivation."""
+    import hashlib
+
+    comps = []
+    for d in range(dims):
+        u = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+        comps.append(float(u) / _LSH_DENOM - 1.0)
+    return comps
+
+
+def cosine_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    min_cosine: float = 0.95,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH banding —
+    the sketch-based scale path (vs the IVF-cell blocked variant).
+
+    Each vector gets LSH_PLANES sign bits (sign of the dot product
+    with a fixed pseudo-random hyperplane); the bits are grouped into
+    LSH_BANDS buckets and only bucket-mates are candidate-paired,
+    then verified with the exact cosine. P(bit match) = 1 - θ/π, so
+    at cosine 0.95 (θ≈18°) a 4-bit band matches with p≈0.65 and 4
+    bands give ≈0.99 recall while unrelated vectors (p≈0.5 per bit)
+    almost never collide in all 4 bits of any band.
+
+    Scale: signatures are one narrow scan-side pass (16 fixed-size
+    dot products per vector, no shuffle); candidates are a groupBy-
+    sized join on (band, bucket); the exact verify touches candidate
+    pairs only. The corpus is never all-pairs joined.
+    """
+    v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    # hyperplanes as a broadcast 16-row table, not 16 giant literal
+    # arrays: keeps the expression tree small (big literal trees
+    # stall Catalyst) and lets AQE reuse the bands exchange across
+    # both sides of the candidate self-join
+    spark = vectors.sparkSession
+    planes = spark.createDataFrame(
+        [(p, lsh_hyperplane(p, dims)) for p in range(LSH_PLANES)],
+        "p int, h array<double>",
+    )
+    bits = v.crossJoin(F.broadcast(planes)).select(
+        "id", "p", (dot(F.col("v"), F.col("h")) >= 0).cast("int").alias("bit")
+    )
+    banded = bits.groupBy(
+        F.col("id"), F.expr(f"p div {LSH_ROWS_PER_BAND}").alias("band")
+    ).agg(
+        F.sum(F.expr(f"shiftleft(bit, cast(p % {LSH_ROWS_PER_BAND} as int))")).alias(
+            "bucket"
+        )
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("score") >= min_cosine)
+        .select("id_a", "id_b", "score")
+    )

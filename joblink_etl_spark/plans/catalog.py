@@ -63,6 +63,7 @@ register("simhash_docs", E.simhash_docs, E.SIMHASH_DOCS_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
 register("cosine_near_dups_blocked", E.cosine_near_dups_blocked, E.COSINE_NEAR_DUPS_BLOCKED_SQL)
+register("cosine_near_dups_lsh", E.cosine_near_dups_lsh, E.COSINE_NEAR_DUPS_LSH_SQL)
 register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
 register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
 register("knn_ivf", E.knn_ivf_q, E.KNN_IVF_SQL)

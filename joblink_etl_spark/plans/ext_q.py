@@ -1092,3 +1092,63 @@ FROM (
 WHERE rank <= 5
 """
 )
+
+# ---------------------------------------------------------------------------
+# cosine_near_dups_lsh: random-hyperplane LSH banding; the oracle
+# re-derives the hyperplanes, signatures, band buckets, candidates,
+# and exact-cosine verify in SQL from the same md5 bits.
+# ---------------------------------------------------------------------------
+
+
+def cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return SIM.cosine_near_dup_pairs_lsh(emb.unionAll(clones), min_cosine=0.95)
+
+
+def _lsh_sql() -> str:
+    return f"""
+planes AS (
+  SELECT p,
+         list_transform(range(0, 64),
+           d -> ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+                / {SIM._LSH_DENOM!r} - 1.0) AS h
+  FROM (SELECT unnest(range(0, {SIM.LSH_PLANES})) AS p)
+), bits AS (
+  SELECT c.id, pl.p,
+         CASE WHEN list_dot_product(c.v, pl.h) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM corpus c CROSS JOIN planes pl
+), bands AS (
+  SELECT id, p // {SIM.LSH_ROWS_PER_BAND} AS band,
+         sum(bit << (p % {SIM.LSH_ROWS_PER_BAND}))::BIGINT AS bucket
+  FROM bits GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+)"""
+
+
+COSINE_NEAR_DUPS_LSH_SQL = (
+    """
+WITH corpus AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 10 = 0
+), """
+    + _lsh_sql()[1:]
+    + """
+SELECT id_a, id_b,
+       CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+            THEN list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            ELSE 0.0 END AS score
+FROM cand JOIN corpus a ON a.id = cand.id_a JOIN corpus b ON b.id = cand.id_b
+WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+      THEN list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      ELSE 0.0 END >= 0.95
+"""
+)

@@ -283,3 +283,22 @@ def test_tfidf_top_terms_ranks_rare_first(spark):
     # doc 6: 'unique' (df=1) must outrank 'common' (df=2) and 'alpha' (df=4)
     assert sorted(by_doc[6])[0][1] == "unique"
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_lsh_near_dups_recall_vs_allpairs(spark, emb):
+    """RHP-LSH candidates must recover nearly all true ≥0.95 pairs
+    (clone corpus: every vec_id%10==0 vector duplicated)."""
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionAll(clones)
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs(corpus, min_cosine=0.95).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.cosine_near_dup_pairs_lsh(corpus, min_cosine=0.95).collect()
+    }
+    assert got <= truth  # exact verify: no false positives, ever
+    assert len(got & truth) / len(truth) >= 0.9, (len(got), len(truth))
