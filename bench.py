@@ -54,6 +54,9 @@ HEADLINE = [
     "salted_join_agg",
     "event_attribution",
     "cosine_near_dups_lsh",
+    "lineitem_cube",
+    "value_percentiles",
+    "user_event_matrix",
 ]
 
 

@@ -32,6 +32,7 @@ register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
 register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
 register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)
 register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
+register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
 
 # --- scalar function library (SURVEY §2.7) ----------------------------
 register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)
@@ -93,3 +94,5 @@ register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
 register("event_dedup", EV.event_dedup, EV.EVENT_DEDUP_SQL)
 register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)
 register("event_attribution", EV.event_attribution, EV.EVENT_ATTRIBUTION_SQL)
+register("value_percentiles", EV.value_percentiles, EV.VALUE_PERCENTILES_SQL)
+register("user_event_matrix", EV.user_event_matrix, EV.USER_EVENT_MATRIX_SQL)

@@ -249,3 +249,98 @@ FROM v JOIN c ON v.user_id = c.user_id
 AND click_us >= view_us
 AND click_us <= view_us + 1800000000
 """
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p95) without a global sort:
+    rank within group (one shuffle), pick the two straddling ranks,
+    interpolate. The interpolation v0 + frac·(v1−v0) is spelled
+    identically in the oracle so doubles stay bit-identical — engine
+    quantile builtins differ in op order, so we don't use them.
+
+    Scale: only rank rows r0/r0+1 per group survive the rank filter;
+    everything else is a narrow pass over the grouped sort. approx:
+    `approx_percentile` is the sketch path (see tests)."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    out = []
+    for name, p in (("p50", 0.5), ("p95", 0.95)):
+        h = (F.col("n") - 1).cast("double") * F.lit(p)
+        r0 = F.floor(h)
+        picked = (
+            ranked.filter((F.col("rn") == r0) | (F.col("rn") == r0 + 1))
+            .groupBy("event_type")
+            .agg(
+                F.min(F.when(F.col("rn") == F.floor((F.col("n") - 1).cast("double") * F.lit(p)), F.col("value"))).alias("v0"),
+                F.min(F.when(F.col("rn") == F.floor((F.col("n") - 1).cast("double") * F.lit(p)) + 1, F.col("value"))).alias("v1"),
+                F.min((F.col("n") - 1).cast("double") * F.lit(p) - F.floor((F.col("n") - 1).cast("double") * F.lit(p)).cast("double")).alias("frac"),
+            )
+            .select(
+                "event_type",
+                F.round(
+                    F.col("v0")
+                    + F.col("frac") * (F.coalesce(F.col("v1"), F.col("v0")) - F.col("v0")),
+                    4,
+                ).alias(name),
+            )
+        )
+        out.append(picked)
+    return out[0].join(out[1], "event_type").orderBy("event_type")
+
+
+VALUE_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), pick AS (
+  SELECT event_type, p,
+         min(CASE WHEN rn = floor((n - 1)::DOUBLE * p) THEN value END) AS v0,
+         min(CASE WHEN rn = floor((n - 1)::DOUBLE * p) + 1 THEN value END) AS v1,
+         min((n - 1)::DOUBLE * p - floor((n - 1)::DOUBLE * p)::DOUBLE) AS frac
+  FROM ranked, (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS p) ps
+  WHERE rn = floor((n - 1)::DOUBLE * p) OR rn = floor((n - 1)::DOUBLE * p) + 1
+  GROUP BY 1, 2
+)
+SELECT a.event_type,
+       round(a.v0 + a.frac * (coalesce(a.v1, a.v0) - a.v0), 4) AS p50,
+       round(b.v0 + b.frac * (coalesce(b.v1, b.v0) - b.v0), 4) AS p95
+FROM pick a JOIN pick b ON a.event_type = b.event_type AND a.p = 0.5 AND b.p = 0.95
+ORDER BY a.event_type
+"""
+
+
+def user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns (explicit value
+    list — at scale an implicit pivot adds a distinct-values job and
+    nondeterministic column order)."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("user_id")
+    )
+    return out.select("user_id", *[F.col(t).cast("bigint").alias(t) for t in types])
+
+
+USER_EVENT_MATRIX_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

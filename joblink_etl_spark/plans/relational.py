@@ -347,3 +347,37 @@ JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate with grouping_id: all four subtotal combinations
+    of (returnflag, linestatus) in one shuffle — the generalized form
+    of the reference's duplicate-count rollup (A1). gid pins which
+    cells are aggregates so 'ALL' placeholders stay unambiguous."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+LINEITEM_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

@@ -302,3 +302,27 @@ def test_lsh_near_dups_recall_vs_allpairs(spark, emb):
     }
     assert got <= truth  # exact verify: no false positives, ever
     assert len(got & truth) / len(truth) >= 0.9, (len(got), len(truth))
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """approx_percentile is the 100 TB path (t-digest-style sketch,
+    one pass, mergeable); pin it to the exact interpolated percentile
+    within the value range tolerance."""
+    from joblink_etl_spark.plans.events_q import value_percentiles
+
+    exact = {r["event_type"]: (r["p50"], r["p95"]) for r in
+             value_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r["event_type"]: (r["a50"], r["a95"])
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 10000).alias("a50"),
+            F.percentile_approx("value", 0.95, 10000).alias("a95"),
+        )
+        .collect()
+    }
+    for et, (p50, p95) in exact.items():
+        a50, a95 = approx[et]
+        assert abs(a50 - p50) / max(abs(p50), 1e-9) < 0.05
+        assert abs(a95 - p95) / max(abs(p95), 1e-9) < 0.05
