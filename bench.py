@@ -57,6 +57,7 @@ HEADLINE = [
     "lineitem_cube",
     "value_percentiles",
     "user_event_matrix",
+    "curation_pipeline",
 ]
 
 

@@ -1,0 +1,64 @@
+"""End-to-end corpus curation: the composed pipeline a training-data
+run actually executes, built from the layer's individual operators —
+language ID + quality gate (`textstats`), exact-dedup
+canonicalization (`dedup`), benchmark decontamination (`decontam`),
+and token accounting.
+
+One call = one logical plan, so Catalyst fuses the whole thing: the
+stats/filters are a single narrow scan pass, dedup is one shuffle on
+the fingerprint, and decontamination joins the survivors (not the raw
+corpus) against the broadcast benchmark gram set. Filter order is
+cost-ordered — cheap scan-side predicates (lang, quality) run before
+the shuffle, so the fingerprint exchange and the gram explode only
+see documents that already passed.
+
+At 100 TB: stages stay independently scalable (narrow pass → one
+keyed shuffle → broadcast semi-join); nothing collects to the driver
+and no stage holds more state than the benchmark gram set
+(broadcast, bounded by the benchmark's size, not the corpus's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .decontam import ngram_overlap
+from .textstats import add_text_stats
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    langs: tuple[str, ...] = ("en", "es"),
+    min_quality: float = 0.5,
+    decontam_n: int = 3,
+) -> DataFrame:
+    """Curated corpus: documents in `langs` with quality ≥
+    `min_quality`, exact-duplicate groups collapsed to their minimum
+    doc_id, and any document sharing a word n-gram with `benchmark`
+    dropped. Output: (doc_id, lang_guess, n_tokens, quality)."""
+    stats = add_text_stats(docs).select(
+        "doc_id", "text", "lang_guess", "n_tokens", "quality", "fingerprint"
+    )
+    kept = stats.filter(
+        F.col("lang_guess").isin(*langs) & (F.col("quality") >= F.lit(min_quality))
+    )
+    w = Window.partitionBy("fingerprint")
+    # pin the survivors: both the decontam branch and the final join
+    # read canon, and recomputing the stats+window subtree doubles
+    # the scan cost (same rationale as decontam.ngram_overlap)
+    canon = (
+        kept.withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .localCheckpoint(eager=False)
+    )
+    clean_ids = (
+        ngram_overlap(canon.select("doc_id", "text"), benchmark, n=decontam_n)
+        .filter(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    return canon.join(clean_ids, "doc_id").select(
+        "doc_id", "lang_guess", "n_tokens", "quality"
+    )

@@ -81,6 +81,7 @@ register("pii_redaction", E.pii_redaction, E.PII_REDACTION_SQL)
 register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_SQL)
 register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
+register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)

@@ -1152,3 +1152,70 @@ WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.
       ELSE 0.0 END >= 0.95
 """
 )
+
+# ---------------------------------------------------------------------------
+# curation_pipeline — the composed end-to-end corpus scrub
+# (operators/curate.py): lang + quality gates → exact-dedup
+# canonicalization → benchmark decontamination → token accounting.
+# The oracle chains the already-proven per-stage SQL spellings.
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import curate
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return curate(corpus, bench, langs=("en", "es"), min_quality=0.5)
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text, {_TOKS} AS toks FROM documents WHERE doc_id % 97 <> 0
+), st AS (
+  SELECT doc_id, text, toks, len(toks) AS n_tokens,
+    CASE WHEN len(text) > 0
+         THEN len(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g'))::DOUBLE / len(text)
+         ELSE 0.0 END AS pr,
+    CASE WHEN len(toks) > 0
+         THEN {_hits("en")}::DOUBLE / len(toks) ELSE 0.0 END AS sr,
+    {_hits("en")} AS h_en, {_hits("es")} AS h_es, {_hits("fr")} AS h_fr,
+    {_hits("de")} AS h_de, {_hits("zh")} AS h_zh
+  FROM tok
+), scored AS (
+  SELECT doc_id, text, toks, n_tokens,
+    round(least(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - pr)
+                + 0.3 * least(sr * 4.0, 1.0), 1.0), 4) AS quality,
+    CASE
+      WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh THEN 'en'
+      WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh THEN 'es'
+      WHEN h_fr > 0 AND h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de AND h_fr >= h_zh THEN 'fr'
+      WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+      WHEN h_zh > 0 AND h_zh >= h_en AND h_zh >= h_es AND h_zh >= h_fr AND h_zh >= h_de THEN 'zh'
+      ELSE 'und'
+    END AS lang_guess,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM st
+), kept AS (
+  SELECT * FROM scored WHERE lang_guess IN ('en', 'es') AND quality >= 0.5
+), canon AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id FROM kept
+  ) WHERE doc_id = canonical_id
+), bench AS (
+  SELECT DISTINCT {_GRAM_H} AS gram_h
+  FROM (
+    SELECT unnest({_GRAMS3}) AS gram
+    FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id % 97 = 0)
+  )
+), docg AS (
+  SELECT doc_id, {_GRAM_H} AS gram_h
+  FROM (SELECT doc_id, unnest({_GRAMS3}) AS gram FROM canon)
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM docg JOIN bench USING (gram_h)
+)
+SELECT doc_id, lang_guess, n_tokens, quality
+FROM canon
+WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""

@@ -141,3 +141,39 @@ def test_quantize_embeddings_roundtrip(spark):
     assert out[1]["q_mse"] <= (out[1]["q_scale"] / 2) ** 2
     assert out[2]["q_scale"] == 1.0 and out[2]["q_codes"] == [0, 0, 0, 0]
     assert out[2]["q_mse"] == 0.0
+
+
+# --- composed curation pipeline (operators/curate.py) ------------------
+
+
+def test_curate_applies_every_gate(spark):
+    from joblink_etl_spark.operators.curate import curate
+
+    good = "the cat sat on the mat and the dog ran to the park in the sun"
+    rows = [
+        (1, good),                                  # kept
+        (2, good),                                  # exact dup of 1 → dropped
+        (3, "zzz qqq xxx vvv kkk mmm nnn ppp rrr"),  # lang 'und' → dropped
+        (4, "the " * 2 + "!!! ??? ... ;;; ::: @@@"),  # punct-heavy → low quality
+        (5, "the bench gram marker and more of the usual words to pass quality"),
+        (6, good + " extra tail keeps the fingerprint distinct here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(99, "the bench gram marker appears here")], ["doc_id", "text"]
+    )
+    kept = {r.doc_id for r in curate(docs, bench, langs=("en",), min_quality=0.5).collect()}
+    # 5 shares the 3-gram 'the bench gram' (and more) with the benchmark
+    assert kept == {1, 6}
+
+
+def test_curate_dup_canonical_is_min_id(spark):
+    from joblink_etl_spark.operators.curate import curate
+
+    text = "the quick brown fox jumps over the lazy dog and the cat in the hat"
+    docs = spark.createDataFrame(
+        [(7, text), (3, text), (9, text)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(99, "nothing shared at all")], ["doc_id", "text"])
+    kept = [r.doc_id for r in curate(docs, bench, langs=("en",)).collect()]
+    assert kept == [3]
