@@ -58,6 +58,8 @@ HEADLINE = [
     "value_percentiles",
     "user_event_matrix",
     "curation_pipeline",
+    "incremental_near_dups",
+    "customer_order_coverage",
 ]
 
 

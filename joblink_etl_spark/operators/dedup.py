@@ -123,19 +123,24 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def minhash_candidate_pairs(
+def minhash_base_and_bands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
-    min_jaccard: float = 0.5,
-) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs with exact-Jaccard verify.
+) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front end: returns (base, banded) where base is
+    (id, shingles, sig) and banded is (id, band, bucket).
 
-    scan → shingles+signature (narrow) → explode bands (×BANDS) →
-    groupBy bucket self-join → distinct candidate pairs →
-    exact Jaccard on the pair's shingle sets → threshold filter.
-    Output: id_a < id_b, jaccard.
+    scan → shingles+signature (narrow) → explode bands (×BANDS).
+    Band rows carry ONLY (id, band, bucket) — the shingle arrays
+    would otherwise be duplicated ×BANDS through the explode and
+    shuffled through the bucket join (dominates runtime/network at
+    scale). Shingles rejoin by id on the tiny candidate-pair set.
+
+    At 100 TB the banded/base frames of a standing corpus are
+    precomputed and STORED (bucketed by (band, bucket)); incremental
+    batches (see incremental_near_dups) only compute their own.
     """
     sc = df.sparkSession.sparkContext
     shingled = (
@@ -168,13 +173,26 @@ def minhash_candidate_pairs(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)]
     ).select("id", F.array(*[f"h{i}" for i in range(NUM_HASHES)]).alias("sig"))
     base = shingled.join(sig, "id").cache()
-    # Band rows carry ONLY (id, band, bucket) — the shingle arrays
-    # would otherwise be duplicated ×BANDS through the explode and
-    # shuffled through the self-join (dominates runtime/network at
-    # scale). Shingles rejoin by id on the tiny candidate-pair set.
     banded = base.select("id", F.explode(band_hashes(F.col("sig"))).alias("bh")).select(
         "id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")
     )
+    return base, banded
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verify.
+
+    Front end shared via minhash_base_and_bands; candidates from the
+    groupBy-bucket self-join; exact Jaccard on the pair's shingle
+    sets; threshold filter. Output: id_a < id_b, jaccard.
+    """
+    base, banded = minhash_base_and_bands(df, text_col, id_col, ngram)
     left, right = banded.alias("l"), banded.alias("r")
     cand = (
         left.join(
@@ -326,4 +344,51 @@ def resolve_duplicates(pairs: DataFrame) -> DataFrame:
         F.col("node").alias("doc_id"),
         "cluster_id",
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus without pairing
+    the corpus with itself — the daily-crawl production shape.
+
+    Candidates come from joining the new batch's band buckets against
+    the index's (not a self-join); exact Jaccard verifies. Output:
+    (new_id, index_id, jaccard).
+
+    Scale: the index side's signatures/bands are computed here for
+    self-containment, but at 100 TB they are written once (bucketed
+    by (band, bucket) — see sources/io.write_table) and each
+    incremental run computes bands only for the new batch, then does
+    an exchange-free join against the stored index. Cost per batch is
+    O(new) + O(matching buckets), never O(corpus)."""
+    new_base, new_banded = minhash_base_and_bands(new_docs, text_col, id_col, ngram)
+    idx_base, idx_banded = minhash_base_and_bands(index_docs, text_col, id_col, ngram)
+    cand = (
+        new_banded.alias("n")
+        .join(
+            idx_banded.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("i.id").alias("index_id"))
+        .dropDuplicates(["new_id", "index_id"])
+    )
+    pairs = cand.join(
+        new_base.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")),
+        "new_id",
+    ).join(
+        idx_base.select(F.col("id").alias("index_id"), F.col("shingles").alias("sh_b")),
+        "index_id",
+    )
+    return (
+        pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("new_id", "index_id", "jaccard")
     )

@@ -33,6 +33,7 @@ register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLL
 register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)
 register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
 register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
+register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)
 
 # --- scalar function library (SURVEY §2.7) ----------------------------
 register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)
@@ -59,6 +60,7 @@ from . import ext_q as E  # noqa: E402
 register("text_stats", E.text_stats, E.TEXT_STATS_SQL)
 register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
 register("minhash_pairs", E.minhash_pairs, E.MINHASH_PAIRS_SQL)
+register("incremental_near_dups", E.incremental_near_dups_q, E.INCREMENTAL_NEAR_DUPS_SQL)
 register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("simhash_docs", E.simhash_docs, E.SIMHASH_DOCS_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)

@@ -1219,3 +1219,73 @@ SELECT doc_id, lang_guess, n_tokens, quality
 FROM canon
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
+
+# ---------------------------------------------------------------------------
+# incremental_near_dups — new batch vs standing index (no index
+# self-join). Oracle replays signatures/bands for both sides from
+# the same md5 hashes.
+# ---------------------------------------------------------------------------
+
+
+def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz end marker")).alias("text"),
+    )
+    return D.incremental_near_dups(new, docs.select("doc_id", "text"), min_jaccard=0.5)
+
+
+def _mh_side(corpus_sql: str) -> str:
+    """Signature/band CTE body for one corpus (parameterized by the
+    corpus CTE name) — mirrors MINHASH_PAIRS_SQL's derivation."""
+    return f"""(
+  WITH tokx AS (
+    SELECT id, {_TOKS} AS toks FROM {corpus_sql}
+  ), shx AS (
+    SELECT id,
+           list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+    FROM tokx
+  ), sigx AS (
+    SELECT id, shingles,
+           list_transform(range(0, {D.NUM_HASHES}),
+             i -> list_aggregate(list_transform(shingles,
+                    s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT), 'min')) AS sig
+    FROM shx WHERE len(shingles) > 0
+  )
+  SELECT id, shingles, u.b AS band,
+         md5(array_to_string(list_transform(sig[u.b*{D.ROWS_PER_BAND}+1 : u.b*{D.ROWS_PER_BAND}+{D.ROWS_PER_BAND}],
+             v -> v::VARCHAR), ',')) AS bucket
+  FROM sigx, (SELECT unnest(range(0, {D.BANDS})) AS b) u
+)"""
+
+
+INCREMENTAL_NEAR_DUPS_SQL = f"""
+WITH newc AS (
+  SELECT doc_id + 10000 AS id, text || ' zz end marker' AS text
+  FROM documents WHERE doc_id % 4 = 0
+), idxc AS (
+  SELECT doc_id AS id, text FROM documents
+), nb AS {_mh_side("newc")}, ib AS {_mh_side("idxc")},
+cand AS (
+  SELECT DISTINCT n.id AS new_id, i.id AS index_id
+  FROM nb n JOIN ib i ON n.band = i.band AND n.bucket = i.bucket
+), sh_n AS (
+  SELECT DISTINCT id, shingles FROM nb
+), sh_i AS (
+  SELECT DISTINCT id, shingles FROM ib
+)
+SELECT new_id, index_id,
+       round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+             THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                  / len(list_distinct(a.shingles || b.shingles))
+             ELSE 0.0 END, 4) AS jaccard
+FROM cand
+JOIN sh_n a ON a.id = cand.new_id
+JOIN sh_i b ON b.id = cand.index_id
+WHERE round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+      THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE
+           / len(list_distinct(a.shingles || b.shingles))
+      ELSE 0.0 END, 4) >= 0.5
+"""

@@ -381,3 +381,37 @@ SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: order counts per customer vs the high-balance
+    customer roster — rows survive from either side (customers with
+    orders but low balance; high-balance customers with no orders).
+    Completes the join-type surface (inner/left/semi/anti/outer)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    a = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    b = cust.select("c_custkey", "c_name")
+    return (
+        a.join(b, a.o_custkey == b.c_custkey, "full_outer")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("c_name").isNotNull().alias("high_balance"),
+        )
+        .orderBy("custkey")
+    )
+
+
+CUSTOMER_ORDER_COVERAGE_SQL = """
+WITH a AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+), b AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000
+)
+SELECT coalesce(o_custkey, c_custkey) AS custkey,
+       coalesce(n_orders, 0) AS n_orders,
+       c_name IS NOT NULL AS high_balance
+FROM a FULL OUTER JOIN b ON o_custkey = c_custkey
+ORDER BY custkey
+"""

@@ -117,3 +117,16 @@ def write_table(
         writer.bucketBy(n, key).sortBy(key).option("path", path).saveAsTable(table_name)
         return
     writer.save(path)
+
+
+def optimize_layout(df: DataFrame, cols: list[str], n_partitions: int | None = None) -> DataFrame:
+    """Range-partition + sort the data by `cols` before writing:
+    downstream range scans and merge joins on those columns read
+    contiguous, min/max-prunable files (parquet row-group stats skip
+    whole groups when the data is clustered). The range exchange
+    samples bounds once — one shuffle now buys every later scan."""
+    if n_partitions:
+        out = df.repartitionByRange(n_partitions, *cols)
+    else:
+        out = df.repartitionByRange(*cols)
+    return out.sortWithinPartitions(*cols)

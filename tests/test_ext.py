@@ -326,3 +326,21 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
         a50, a95 = approx[et]
         assert abs(a50 - p50) / max(abs(p50), 1e-9) < 0.05
         assert abs(a95 - p95) / max(abs(p95), 1e-9) < 0.05
+
+
+def test_incremental_near_dups_finds_sources(spark, docs):
+    """Each mutated clone in the new batch must match its source doc
+    in the index, and the index is never paired with itself."""
+    base = docs.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    new = base.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" zz end marker")).alias("text"),
+    )
+    got = {
+        (r["new_id"], r["index_id"]): r["jaccard"]
+        for r in D.incremental_near_dups(new, base, min_jaccard=0.5).collect()
+    }
+    planted = [i for i in range(0, 80, 4)]
+    found = sum((i + 10000, i) in got for i in planted)
+    assert found / len(planted) >= 0.9
+    assert all(nid >= 10000 for nid, _ in got)  # new side only on the left

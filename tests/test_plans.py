@@ -97,3 +97,21 @@ def test_salted_join_left_keeps_unmatched(spark):
     dim = spark.createDataFrame([(1, "d1")], ["k", "name"])
     rows = {tuple(r) for r in salted_join(fact, dim, "k", how="left").collect()}
     assert rows == {(1, "a", "d1"), (2, "b", None)}
+
+
+def test_optimize_layout_range_partitions_and_sorts(spark):
+    from joblink_etl_spark.sources.io import optimize_layout
+
+    df = spark.createDataFrame([(i % 7, i) for i in range(100)], ["k", "v"])
+    out = optimize_layout(df, ["k"], n_partitions=4)
+    plan = plan_of(out, mode="extended")
+    assert "RepartitionByExpression" in plan or "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+    # content is unchanged
+    assert out.count() == 100
+    # within every partition, k is nondecreasing
+    def check(it):
+        ks = [r.k for r in it]
+        assert ks == sorted(ks)
+        return iter([len(ks)])
+    assert sum(out.rdd.mapPartitions(check).collect()) == 100
