@@ -60,6 +60,7 @@ HEADLINE = [
     "curation_pipeline",
     "incremental_near_dups",
     "customer_order_coverage",
+    "conversion_funnel",
 ]
 
 

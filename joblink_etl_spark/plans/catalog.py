@@ -99,3 +99,4 @@ register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)
 register("event_attribution", EV.event_attribution, EV.EVENT_ATTRIBUTION_SQL)
 register("value_percentiles", EV.value_percentiles, EV.VALUE_PERCENTILES_SQL)
 register("user_event_matrix", EV.user_event_matrix, EV.USER_EVENT_MATRIX_SQL)
+register("conversion_funnel", EV.conversion_funnel, EV.CONVERSION_FUNNEL_SQL)

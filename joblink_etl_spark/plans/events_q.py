@@ -344,3 +344,72 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user — view, then a click within an hour
+    after the first view, then a purchase within an hour after that
+    click — rolled up to users-per-stage. Timestamps compare as
+    integer microseconds (engine-exact). Three small keyed aggregates
+    + two broadcast-sized joins; the events scan is the only big
+    input."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("v_us")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("us") > F.col("v_us")) & (F.col("us") <= F.col("v_us") + F.lit(3_600_000_000)))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("us") > F.col("c_us")) & (F.col("us") <= F.col("c_us") + F.lit(3_600_000_000)))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    staged = (
+        v.join(c.select("user_id", F.lit(1).alias("clicked")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("purchased")), "user_id", "left")
+        .select(
+            F.when(F.col("purchased").isNotNull(), F.lit(3))
+            .when(F.col("clicked").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("stage")
+        )
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), v AS (
+  SELECT user_id, min(us) AS v_us FROM ev WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT ev.user_id, min(us) AS c_us
+  FROM ev JOIN v ON ev.user_id = v.user_id
+  WHERE event_type = 'click' AND us > v_us AND us <= v_us + 3600000000 GROUP BY 1
+), p AS (
+  SELECT ev.user_id, min(us) AS p_us
+  FROM ev JOIN c ON ev.user_id = c.user_id
+  WHERE event_type = 'purchase' AND us > c_us AND us <= c_us + 3600000000 GROUP BY 1
+)
+SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            ELSE 1 END AS stage,
+       count(*) AS n_users
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+GROUP BY 1
+ORDER BY 1
+"""
