@@ -61,6 +61,8 @@ HEADLINE = [
     "incremental_near_dups",
     "customer_order_coverage",
     "conversion_funnel",
+    "chunk_documents",
+    "heavy_hitters",
 ]
 
 

@@ -175,3 +175,53 @@ def repetition_stats(df: DataFrame, text_col: str = "text", n: int = 3) -> DataF
         )
     )
     return out.drop("_toks", "_grams")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the standard
+    pre-training/embedding prep step. Chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens); the last window is kept even
+    if short, and stride < chunk_tokens gives overlap.
+
+    Pure narrow scan-side work: tokens materialize once per doc (HOF
+    lambdas re-evaluate embedded expressions — see ngrams_from_tokens),
+    chunks come from slice() over the pinned array, and the explode
+    multiplies rows without any shuffle. At 100 TB this parallelizes
+    per input split with zero coordination; chunk provenance
+    (doc_id, chunk_index) keeps the mapping invertible.
+
+    Output: id_col, chunk_index, chunk_text, n_chunk_tokens.
+    """
+    toks_df = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    n = F.size("_toks")
+    # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - F.lit(chunk_tokens), F.lit(0)).cast("double") / F.lit(stride)
+        ).cast("int")
+    )
+    idx = F.when(n_chunks <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), n_chunks - 1)
+    )
+    out = toks_df.select(
+        id_col,
+        F.size("_toks").alias("_n"),
+        F.col("_toks").alias("_t"),
+        F.explode(idx).alias("chunk_index"),
+    )
+    sliced = F.slice(F.col("_t"), F.col("chunk_index") * stride + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_index",
+        F.array_join(sliced, " ").alias("chunk_text"),
+        F.size(sliced).alias("n_chunk_tokens"),
+    )

@@ -84,6 +84,8 @@ register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_S
 register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
+register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
+register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
 register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)

@@ -1289,3 +1289,71 @@ WHERE round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
            / len(list_distinct(a.shingles || b.shingles))
       ELSE 0.0 END, 4) >= 0.5
 """
+
+# ---------------------------------------------------------------------------
+# chunk_documents — overlapping token windows; heavy_hitters — top
+# tokens per language. Both pure scan-side (chunking) / one-shuffle
+# (hitters) corpus prep steps.
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import chunk_documents
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), meta AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE 1 + ceil(greatest(len(toks) - 32, 0)::DOUBLE / 24)::INT
+         END AS n_chunks
+  FROM tok
+)
+SELECT doc_id, u.chunk_index,
+       array_to_string(toks[u.chunk_index*24+1 : u.chunk_index*24+32], ' ') AS chunk_text,
+       len(toks[u.chunk_index*24+1 : u.chunk_index*24+32]) AS n_chunk_tokens
+FROM meta, unnest(range(0, n_chunks)) AS u(chunk_index)
+WHERE n_chunks > 0
+"""
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tokens per language by frequency — one shuffle on
+    (lang, token) with map-side combine, then a window over the tiny
+    per-language aggregate. At scale this is the exact form; a
+    count-min/​misra-gries sketch would replace it only if the token
+    dictionary itself didn't fit."""
+    docs = table(spark, sf_dir, "documents")
+    from ..operators.textstats import tokens as toks_fn
+    from pyspark.sql.window import Window
+
+    counts = (
+        docs.select("lang", F.explode(toks_fn(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "n", "rank")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest({_TOKS}) AS token FROM documents
+), counts AS (
+  SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2
+)
+SELECT lang, token, n, rank FROM (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+  FROM counts
+) WHERE rank <= 5
+"""

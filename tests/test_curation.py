@@ -177,3 +177,26 @@ def test_curate_dup_canonical_is_min_id(spark):
     bench = spark.createDataFrame([(99, "nothing shared at all")], ["doc_id", "text"])
     kept = [r.doc_id for r in curate(docs, bench, langs=("en",)).collect()]
     assert kept == [3]
+
+
+def test_chunk_documents_windows_and_provenance(spark):
+    from joblink_etl_spark.operators.textstats import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")], ["doc_id", "text"]
+    )
+    rows = chunk_documents(docs, chunk_tokens=40, stride=30).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 100 tokens, windows at 0/30/60 → 1+ceil(60/30)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_index)
+    assert [r.chunk_index for r in c1] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in c1] == [40, 40, 40]
+    assert c1[1].chunk_text.startswith("w30 ")  # stride offset
+    # overlap: last 10 tokens of chunk 0 == first 10 of chunk 1
+    assert c1[0].chunk_text.split()[30:] == c1[1].chunk_text.split()[:10]
+    # short doc: single (short) chunk; empty doc: no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 2
+    assert 3 not in by_doc
