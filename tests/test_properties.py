@@ -88,3 +88,50 @@ def test_truncation_cap(spark_prop, texts):
     df = spark_prop.createDataFrame([(t,) for t in texts], "t string")
     out = df.select(F.length(T.truncate(F.col("t"), 280)).alias("n")).collect()
     assert all((r["n"] or 0) <= 280 for r in out)
+
+
+_words = st.lists(
+    st.text(string.ascii_lowercase, min_size=1, max_size=6), min_size=0, max_size=120
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_words, st.integers(2, 20), st.integers(1, 20))
+def test_chunking_covers_every_token_in_order(spark_prop, words, chunk, stride):
+    """Concatenating chunks at stride offsets reconstructs the token
+    stream: chunk i's tokens are exactly tokens[i*stride : i*stride+chunk],
+    and the union covers every token."""
+    from joblink_etl_spark.operators.textstats import chunk_documents
+
+    stride = min(stride, chunk)  # stride > chunk would skip tokens
+    df = spark_prop.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, stride=stride).collect(),
+        key=lambda r: r.chunk_index,
+    )
+    toks = " ".join(words).split()
+    if not toks:
+        assert rows == []
+        return
+    seen = set()
+    for r in rows:
+        lo = r.chunk_index * stride
+        expect = toks[lo : lo + chunk]
+        assert r.chunk_text.split() == expect
+        seen.update(range(lo, min(lo + chunk, len(toks))))
+    assert seen == set(range(len(toks)))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=60),
+    st.integers(2, 9),
+)
+def test_salted_join_always_matches_plain_join(spark_prop, fact_rows, buckets):
+    from joblink_etl_spark.operators.skew import salted_join
+
+    fact = spark_prop.createDataFrame(fact_rows, ["k", "v"])
+    dim = spark_prop.createDataFrame([(i, f"d{i}") for i in range(0, 6, 2)], ["k", "name"])
+    got = sorted(map(tuple, salted_join(fact, dim, "k", salt_buckets=buckets).collect()))
+    want = sorted(map(tuple, fact.join(dim, "k").collect()))
+    assert got == want
