@@ -101,8 +101,14 @@ def tfidf_cosine_pairs(
     """Near-duplicate pairs `(id_a, id_b, shared_terms, sim)` with
     TF-IDF cosine ≥ min_sim, via inverted-index self-join (pairs are
     generated per shared term, then the partial dot products are
-    summed — one shuffle on the pair key)."""
-    p = tfidf_postings(docs, n_docs, id_col, text_col, max_df_ratio)
+    summed — one shuffle on the pair key).
+
+    The postings are pinned (localCheckpoint) — both sides of the
+    self-join read them, and recomputing the tokenize+tf+idf subtree
+    doubles the dominant cost."""
+    p = tfidf_postings(docs, n_docs, id_col, text_col, max_df_ratio).localCheckpoint(
+        eager=False
+    )
     left = p.select(
         F.col("id").alias("id_a"),
         "token",
