@@ -255,3 +255,15 @@ def stream_interval_join(
         )
     )
     return lcols.join(rcols, cond, "inner").drop("r_join_key")
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (re-read) static dimension — profile/catalog lookups on a
+    live feed, the streaming twin of the notes pipeline's profile
+    join (J3). The dim is broadcast: no shuffle enters the streaming
+    plan and state stays empty (stream-static joins are stateless,
+    unlike stream-stream)."""
+    from pyspark.sql import functions as FF
+
+    return stream.join(FF.broadcast(dim), on, how)

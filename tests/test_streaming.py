@@ -247,3 +247,24 @@ def test_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_static_enrichment(spark, tmp_path, sf_dir):
+    from joblink_etl_spark.streaming.pipeline import enrich_stream
+
+    src, sink, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 300).select(
+        "event_id", "ts", "user_id", "event_type", F.col("value").cast("string")
+    )
+    ev.coalesce(1).write.parquet(src)
+    dim = ev.select("user_id").distinct().withColumn(
+        "tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    run_available_now(enrich_stream(stream, dim, "user_id"), sink, ckpt)
+    got = spark.read.parquet(sink)
+    assert got.count() == ev.count()
+    bad = got.filter(
+        (F.col("user_id") % 2 == 0) != (F.col("tier") == "even")
+    ).count()
+    assert bad == 0
