@@ -63,6 +63,7 @@ HEADLINE = [
     "conversion_funnel",
     "chunk_documents",
     "heavy_hitters",
+    "consensus_near_dups",
 ]
 
 

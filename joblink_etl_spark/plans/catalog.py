@@ -61,6 +61,7 @@ register("text_stats", E.text_stats, E.TEXT_STATS_SQL)
 register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
 register("minhash_pairs", E.minhash_pairs, E.MINHASH_PAIRS_SQL)
 register("incremental_near_dups", E.incremental_near_dups_q, E.INCREMENTAL_NEAR_DUPS_SQL)
+register("consensus_near_dups", E.consensus_near_dups, E.CONSENSUS_NEAR_DUPS_SQL)
 register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("simhash_docs", E.simhash_docs, E.SIMHASH_DOCS_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)

@@ -1357,3 +1357,79 @@ SELECT lang, token, n, rank FROM (
   FROM counts
 ) WHERE rank <= 5
 """
+
+# ---------------------------------------------------------------------------
+# consensus_near_dups — pairs flagged by BOTH the lexical (MinHash)
+# and the embedding (RHP-LSH) near-dup paths: the high-precision
+# gate a production dedup uses before destructive collapse. The
+# oracle composes both already-proven derivations and inner-joins.
+# ---------------------------------------------------------------------------
+
+
+def consensus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    docs_c = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz end marker")).alias("text"),
+        )
+    )
+    emb_c = emb.unionAll(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+        )
+    )
+    text_pairs = D.minhash_candidate_pairs(docs_c, min_jaccard=0.5)
+    vec_pairs = SIM.cosine_near_dup_pairs_lsh(emb_c, min_cosine=0.95)
+    return text_pairs.join(vec_pairs, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "jaccard", "score"
+    )
+
+
+CONSENSUS_NEAR_DUPS_SQL = (
+    f"""
+WITH dcorpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zz end marker' FROM documents WHERE doc_id % 5 = 0
+), mh AS {_mh_side("dcorpus")},
+tcand AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM mh l JOIN mh r ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+), msh AS (
+  SELECT DISTINCT id, shingles FROM mh
+), tpairs AS (
+  SELECT id_a, id_b,
+         round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+               THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / len(list_distinct(a.shingles || b.shingles))
+               ELSE 0.0 END, 4) AS jaccard
+  FROM tcand JOIN msh a ON a.id = tcand.id_a JOIN msh b ON b.id = tcand.id_b
+  WHERE round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+        THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / len(list_distinct(a.shingles || b.shingles))
+        ELSE 0.0 END, 4) >= 0.5
+), corpus AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 5 = 0
+), """
+    + _lsh_sql()[1:].lstrip()
+    + """,
+vpairs AS (
+  SELECT id_a, id_b,
+         CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+              THEN list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+              ELSE 0.0 END AS score
+  FROM cand JOIN corpus a ON a.id = cand.id_a JOIN corpus b ON b.id = cand.id_b
+  WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)) > 0
+        THEN list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        ELSE 0.0 END >= 0.95
+)
+SELECT t.id_a, t.id_b, t.jaccard, v.score
+FROM tpairs t JOIN vpairs v ON t.id_a = v.id_a AND t.id_b = v.id_b
+"""
+)
