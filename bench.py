@@ -64,6 +64,7 @@ HEADLINE = [
     "chunk_documents",
     "heavy_hitters",
     "consensus_near_dups",
+    "user_activity_scd2",
 ]
 
 

@@ -103,3 +103,4 @@ register("event_attribution", EV.event_attribution, EV.EVENT_ATTRIBUTION_SQL)
 register("value_percentiles", EV.value_percentiles, EV.VALUE_PERCENTILES_SQL)
 register("user_event_matrix", EV.user_event_matrix, EV.USER_EVENT_MATRIX_SQL)
 register("conversion_funnel", EV.conversion_funnel, EV.CONVERSION_FUNNEL_SQL)
+register("user_activity_scd2", EV.user_activity_scd2, EV.USER_ACTIVITY_SCD2_SQL)

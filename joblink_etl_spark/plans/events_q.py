@@ -413,3 +413,34 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def user_activity_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals from an event stream: each
+    (user, event_type) observation is valid from its timestamp until
+    the user's next event — `lead()` over the per-user window, the
+    single-shuffle interval builder every warehouse dimension load
+    uses. Open intervals (latest per user) get NULL valid_to and
+    is_current=true. Integer-µs timestamps keep boundaries exact."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("valid_from_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w).alias("valid_to_us"),
+        F.lead("valid_from_us").over(w).isNull().alias("is_current"),
+    )
+
+
+USER_ACTIVITY_SCD2_SQL = """
+SELECT user_id, event_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER w AS valid_to_us,
+       lead(epoch_us(ts)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
