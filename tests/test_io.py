@@ -94,3 +94,30 @@ def test_bucketed_write_requires_table_name(spark, tmp_path):
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError, match="table_name"):
         write_table(df, str(tmp_path / "x"), bucket_by=(4, "n"))
+
+
+def test_json_corrupt_records_are_quarantined(spark, tmp_path):
+    """PERMISSIVE + explicit schema keeps malformed rows visible in
+    _corrupt_record instead of failing the 100 TB job — the source-
+    boundary twin of the pipeline's dead-letter channel."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"link": "https://a.example", "company": "Acme"}\n'
+        "{this is not json}\n"
+        '{"link": "https://b.example", "company": "Globex"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("link", StringType()),
+            StructField("company", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_table(spark, str(p), fmt="json", schema=schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert "not json" in bad.collect()[0]._corrupt_record
