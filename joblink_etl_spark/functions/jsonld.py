@@ -87,3 +87,49 @@ JOBPOSTING_SCHEMA = StructType(
 def jsonld_job_posting(html: pd.Series) -> pd.DataFrame:
     out = [extract_job_posting(h) for h in html]
     return pd.DataFrame(out, columns=["company", "role"])
+
+
+def _posting_fields(jp: dict) -> tuple[str, str]:
+    org = jp.get("hiringOrganization")
+    if isinstance(org, dict):
+        name = org.get("name") or ""
+    else:
+        name = org if isinstance(org, str) else ""
+    return (str(name or ""), str(jp.get("title") or ""))
+
+
+def all_job_postings(html: str):
+    """EVERY JobPosting across all ld+json blocks of a page (the
+    single-result extract_job_posting stops at the first) — job-board
+    listing pages embed dozens. Yields (block_index, company, role)."""
+    if not html:
+        return
+    for bi, m in enumerate(LDJSON_RE.finditer(html)):
+        raw = m.group(1).strip()
+        try:
+            tree = json.loads(raw)
+        except (ValueError, RecursionError):
+            continue
+        jp = find_job_posting(tree)
+        if jp is not None:
+            company, role = _posting_fields(jp)
+            yield (bi, company, role)
+
+
+def make_postings_udtf():
+    """Python UDTF (Spark 4): one HTML page row → one row per embedded
+    JobPosting, with block provenance. The UDTF boundary is the
+    set-returning twin of the scalar pandas-UDF extractor — register
+    and use via LATERAL:
+
+        spark.udtf.register("extract_postings", make_postings_udtf())
+        SELECT p.* FROM pages, LATERAL extract_postings(html) p
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="block_index: int, company: string, role: string")
+    class ExtractPostings:
+        def eval(self, html: str):
+            yield from all_job_postings(html or "")
+
+    return ExtractPostings

@@ -63,3 +63,30 @@ def kmv_distinct(
     return agg.select(
         group_col, "n_seen", F.round(est, 4).alias("est_distinct")
     )
+
+
+def make_geo_mean_udaf():
+    """Grouped-aggregate pandas UDF (the Spark UDAF form): geometric
+    mean — the right average for heavy-tailed per-document quality/
+    size metrics, and a builtin Spark lacks. Arrow ships each group's
+    column once; numpy reduces it vectorized. Usable in groupBy().agg
+    and as a window function.
+
+    Scale caveat (why this is the demo, not the default): grouped-agg
+    pandas UDFs have no partial aggregation — each group's values
+    ship whole to one worker, so keys must have bounded group sizes.
+    For algebraic aggregates prefer built-ins (exp(avg(ln(x))) here)
+    which combine map-side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        a = v.dropna().to_numpy(dtype="float64")
+        a = a[a > 0]
+        if a.size == 0:
+            return float("nan")
+        return float(np.exp(np.log(a).mean()))
+
+    return geo_mean

@@ -293,3 +293,42 @@ def test_jsonld_udf(spark):
     )
     got = sorted([(r["company"], r["role"]) for r in rows])
     assert got == [("", ""), ("Acme", "SWE")]
+
+
+def test_udtf_extracts_every_posting_with_provenance(spark):
+    from joblink_etl_spark.functions.jsonld import make_postings_udtf
+
+    spark.udtf.register("extract_postings_t", make_postings_udtf())
+    page = (
+        '<script type="application/ld+json">{"@type":"JobPosting","title":"Eng",'
+        '"hiringOrganization":{"name":"Acme"}}</script>'
+        '<p>noise</p>'
+        '<script type="application/ld+json">{"not":"json"'  # malformed, skipped
+        '</script>'
+        '<script type="application/ld+json">{"@graph":[{"@type":"JobPosting",'
+        '"title":"PM","hiringOrganization":"Globex"}]}</script>'
+    )
+    spark.createDataFrame(
+        [(1, page), (2, "<p>none</p>"), (3, None)], ["id", "html"]
+    ).createOrReplaceTempView("pages_t")
+    rows = sorted(
+        map(tuple, spark.sql(
+            "SELECT id, p.block_index, p.company, p.role "
+            "FROM pages_t, LATERAL extract_postings_t(html) p"
+        ).collect())
+    )
+    assert rows == [(1, 0, "Acme", "Eng"), (1, 2, "Globex", "PM")]
+
+
+def test_geo_mean_udaf_grouped(spark):
+    import math
+
+    from joblink_etl_spark.operators.sketches import make_geo_mean_udaf
+
+    geo = make_geo_mean_udaf()
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 100.0), ("b", 4.0), ("b", 0.0)], ["k", "v"]
+    )
+    got = {r.k: r.g for r in df.groupBy("k").agg(geo("v").alias("g")).collect()}
+    assert abs(got["a"] - 10.0) < 1e-9  # sqrt(1*100)
+    assert abs(got["b"] - 4.0) < 1e-9  # zeros excluded
