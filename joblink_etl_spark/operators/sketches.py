@@ -25,6 +25,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -76,9 +78,12 @@ def make_geo_mean_udaf():
     pandas UDFs have no partial aggregation — each group's values
     ship whole to one worker, so keys must have bounded group sizes.
     For algebraic aggregates prefer built-ins (exp(avg(ln(x))) here)
-    which combine map-side."""
-    import numpy as np
-    import pandas as pd
+    which combine map-side.
+
+    Note: ``pd``/``np`` must be module-level imports — with
+    ``from __future__ import annotations`` the hint strings resolve
+    against module globals, and a function-local import leaves the
+    grouped-agg signature (Series -> float) uninferable."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")

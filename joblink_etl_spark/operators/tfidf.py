@@ -48,7 +48,7 @@ IDF_SCALE = 10_000
 
 def tfidf_postings(
     docs: DataFrame,
-    n_docs: int,
+    n_docs: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df_ratio: tuple[int, int] = (1, 2),
@@ -56,8 +56,11 @@ def tfidf_postings(
     """Inverted-index postings `(id, token, w, norm_sq)` with
     integer-quantized TF-IDF weights.
 
-    `n_docs` is passed in (not recomputed) so callers control the
-    one count() action; idf uses the smoothed form
+    When ``n_docs`` is None (the default) the corpus size is derived
+    IN-PLAN: a one-row count aggregate broadcast-cross-joined into
+    the idf derivation. That keeps plan construction action-free and
+    the whole query single-pass/lazy — an explicit int is accepted
+    for callers that already know N. idf uses the smoothed form
     ln((N+1)/(df+1)) + 1, quantized to bigint at IDF_SCALE.
     Terms with df/N > max_df_ratio (a num/den integer pair, so the
     cutoff compare is exact integer math in both engines) are pruned
@@ -69,15 +72,28 @@ def tfidf_postings(
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if n_docs is None:
+        # one-row broadcast: scans only a pruned-to-nothing column
+        # set (count(1)), never materialized on the driver
+        nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_n_docs"))
+        df_tbl = df_tbl.crossJoin(F.broadcast(nn))
+        n_col = F.col("_n_docs")
+    else:
+        n_col = F.lit(n_docs).cast("bigint")
     idf = (
-        tf.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") * F.lit(den) <= F.lit(n_docs * num))
+        df_tbl.filter(F.col("df") * F.lit(den) <= n_col * F.lit(num))
         .select(
             "token",
             F.round(
                 F.lit(float(IDF_SCALE))
-                * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0))
+                * (
+                    F.log(
+                        (n_col + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
             )
             .cast("bigint")
             .alias("idf_q"),
@@ -92,7 +108,7 @@ def tfidf_postings(
 
 def tfidf_cosine_pairs(
     docs: DataFrame,
-    n_docs: int,
+    n_docs: int | None = None,
     min_sim: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -143,7 +159,7 @@ def tfidf_cosine_pairs(
 
 def tfidf_top_terms(
     docs: DataFrame,
-    n_docs: int,
+    n_docs: int | None = None,
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",

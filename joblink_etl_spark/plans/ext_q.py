@@ -915,36 +915,56 @@ GROUP BY event_type
 def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     fp = TS.fingerprint(F.col("text"))
+    # Rounded ratios are computed as integer floor-divisions
+    # (round-half-up = (2*a*10^d + b) div (2*b)) so the result is
+    # bit-identical across engines — rounding a double quotient is
+    # engine-divergent at representation boundaries (Spark HALF_UP on
+    # the decimal-ized double vs DuckDB's half-even).
     return (
         docs.select("lang", "source", "n_chars", fp.alias("fp"))
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
             F.sum((F.col("n_chars") < 200).cast("bigint")).alias("n_short"),
             F.countDistinct("fp").alias("n_unique"),
         )
-        .withColumn(
-            "dup_rate",
-            F.round(
-                F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"), 4
-            ),
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_chars",
+            (
+                F.expr("(200 * total_chars + n_docs) div (2 * n_docs)").cast("double")
+                / F.lit(100.0)
+            ).alias("avg_chars"),
+            "n_short",
+            "n_unique",
+            (
+                F.expr(
+                    "(20000 * (n_docs - n_unique) + n_docs) div (2 * n_docs)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("dup_rate"),
         )
     )
 
 
 CORPUS_REPORT_SQL = """
-SELECT lang, source,
-       count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
-       round(avg(n_chars), 2) AS avg_chars,
-       sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS n_short,
-       count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS n_unique,
-       round(1.0 - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::DOUBLE
-               / count(*), 4) AS dup_rate
-FROM documents
-GROUP BY lang, source
+WITH agg AS (
+  SELECT lang, source,
+         count(*)::BIGINT AS n_docs,
+         sum(n_chars)::BIGINT AS total_chars,
+         sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+         count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))::BIGINT AS n_unique
+  FROM documents
+  GROUP BY lang, source
+)
+SELECT lang, source, n_docs, total_chars,
+       ((200 * total_chars + n_docs) // (2 * n_docs))::DOUBLE / 100.0 AS avg_chars,
+       n_short, n_unique,
+       ((20000 * (n_docs - n_unique) + n_docs) // (2 * n_docs))::DOUBLE / 10000.0 AS dup_rate
+FROM agg
 """
 
 
@@ -1013,7 +1033,9 @@ def tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import tfidf as TI
 
     corpus = _docs_with_neardups(table(spark, sf_dir, "documents"))
-    return TI.tfidf_cosine_pairs(corpus, n_docs=corpus.count(), min_sim=0.8)
+    # n_docs=None → corpus size derived in-plan (broadcast one-row
+    # aggregate); plan construction stays action-free.
+    return TI.tfidf_cosine_pairs(corpus, n_docs=None, min_sim=0.8)
 
 
 def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1024,7 +1046,7 @@ def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df ~ 0.8N), so keyword extraction keeps ALL terms and lets idf
     # weighting differentiate; on Zipfian real text the default
     # prune would apply.
-    return TI.tfidf_top_terms(docs, n_docs=docs.count(), k=5, max_df_ratio=(1, 1))
+    return TI.tfidf_top_terms(docs, n_docs=None, k=5, max_df_ratio=(1, 1))
 
 
 def _tfidf_sql(corpus_sql: str, max_df_num: int = 1, max_df_den: int = 2) -> str:

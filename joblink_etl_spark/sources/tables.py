@@ -55,16 +55,25 @@ def table(
 ) -> DataFrame:
     """Read one parquet table; optionally apply a header-alias map."""
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's
-        # vectorized reader rejects; read the raw int64 nanos and
-        # rebuild a (micro-precision) timestamp column.
+        # events.parquet has shipped with two physical `ts` types:
+        # TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+        # read as raw int64 nanos and rebuild a micro-precision
+        # timestamp) and plain TIMESTAMP(MICROS) (read natively).
+        # Branch on the resolved dtype so both vintages load.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        # integer div — a double round-trip would wobble ±1 µs at
-        # 2024-epoch nanos magnitudes (double ulp there is 256 ns)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div — a double round-trip would wobble ±1 µs at
+            # 2024-epoch nanos magnitudes (double ulp there is 256 ns)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # session tz is pinned to UTC, so NTZ → TIMESTAMP is a
+            # pure relabel; downstream code (unix_micros, window)
+            # expects the TIMESTAMP family
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if rename_map:
         physical_to_logical = {v: k for k, v in rename_map.items()}

@@ -115,3 +115,21 @@ def test_optimize_layout_range_partitions_and_sorts(spark):
         assert ks == sorted(ks)
         return iter([len(ks)])
     assert sum(out.rdd.mapPartitions(check).collect()) == 100
+
+
+def test_tfidf_builders_run_no_action_at_construction(spark):
+    """Plan construction must be action-free: n_docs is derived
+    in-plan (broadcast one-row aggregate), not via an eager count()
+    — at scale an eager count is a full extra corpus pass per
+    query build."""
+    from joblink_etl_spark.plans import ext_q as E
+
+    sc = spark.sparkContext
+    group = "tfidf-plan-build-lazy-check"
+    sc.setJobGroup(group, "assert no Spark job during plan construction")
+    try:
+        E.tfidf_pairs(spark, "/root/testdata/sf0.001")
+        E.tfidf_top_terms_q(spark, "/root/testdata/sf0.001")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []

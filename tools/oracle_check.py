@@ -26,7 +26,9 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
-            return repr(round(v, 9))
+            # exact repr — the driver hashes raw values, so any
+            # pre-rounding here would mask real engine divergence
+            return repr(v)
         return repr(v)
 
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
