@@ -119,12 +119,15 @@ def tfidf_cosine_pairs(
     generated per shared term, then the partial dot products are
     summed — one shuffle on the pair key).
 
-    The postings are pinned (localCheckpoint) — both sides of the
-    self-join read them, and recomputing the tokenize+tf+idf subtree
-    doubles the dominant cost."""
-    p = tfidf_postings(docs, n_docs, id_col, text_col, max_df_ratio).localCheckpoint(
-        eager=False
-    )
+    The postings are pinned with a LAZY ``persist()`` — both sides of
+    the self-join read them, and recomputing the tokenize+tf+idf
+    subtree doubles the dominant cost. ``persist`` (unlike
+    ``localCheckpoint``, whose ``queryExecution.toRdd`` plans and
+    RUNS the query stages under AQE even with ``eager=False``) keeps
+    plan construction action-free: the first action populates the
+    cache and the second side reuses it; AQE additionally reuses the
+    shuffle exchange across the self-join."""
+    p = tfidf_postings(docs, n_docs, id_col, text_col, max_df_ratio).persist()
     left = p.select(
         F.col("id").alias("id_a"),
         "token",

@@ -31,6 +31,32 @@ TABLES = [
     "embeddings",
 ]
 
+# path → StructType | None. `spark.read.parquet` without a schema
+# launches a footer-read Spark job PER CALL; reading the footer once
+# driver-side via pyarrow (pure metadata, no job) and passing the
+# schema explicitly keeps plan construction fully action-free.
+_SCHEMA_CACHE: dict = {}
+
+
+def _parquet_schema(path: str):
+    """Driver-side parquet schema (memoized); None if unconvertible
+    (caller falls back to Spark's own inference)."""
+    if path not in _SCHEMA_CACHE:
+        try:
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import from_arrow_schema
+
+            _SCHEMA_CACHE[path] = from_arrow_schema(pq.read_schema(path))
+        except Exception:
+            _SCHEMA_CACHE[path] = None
+    return _SCHEMA_CACHE[path]
+
+
+def _read(spark: SparkSession, path: str) -> DataFrame:
+    schema = _parquet_schema(path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path)
+
 
 def parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Ensure enough partitions for compute-heavy narrow stages.
@@ -63,7 +89,30 @@ def table(
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        path = os.path.join(sf_dir, "events.parquet")
+        schema = _parquet_schema(path)
+        if schema is not None and dict((f.name, f) for f in schema).get("ts"):
+            # nanos physical type reads as bigint under nanosAsLong;
+            # patch the driver-inferred schema to match before handing
+            # it to the reader (from_arrow_schema has no nanos notion)
+            try:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                from pyspark.sql.types import LongType, StructField, StructType
+
+                ats = pq.read_schema(path).field("ts").type
+                if pa.types.is_timestamp(ats) and ats.unit == "ns":
+                    schema = StructType(
+                        [
+                            StructField("ts", LongType(), f.nullable)
+                            if f.name == "ts"
+                            else f
+                            for f in schema.fields
+                        ]
+                    )
+            except Exception:
+                schema = None
+        df = (spark.read.schema(schema) if schema is not None else spark.read).parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer div — a double round-trip would wobble ±1 µs at
             # 2024-epoch nanos magnitudes (double ulp there is 256 ns)
@@ -74,7 +123,7 @@ def table(
             # expects the TIMESTAMP family
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if rename_map:
         physical_to_logical = {v: k for k, v in rename_map.items()}
         present = {c: physical_to_logical[c] for c in df.columns if c in physical_to_logical}

@@ -131,5 +131,6 @@ def test_tfidf_builders_run_no_action_at_construction(spark):
         E.tfidf_pairs(spark, "/root/testdata/sf0.001")
         E.tfidf_top_terms_q(spark, "/root/testdata/sf0.001")
     finally:
-        sc.setLocalProperty("spark.jobGroup.id", None)
+        for prop in ("spark.jobGroup.id", "spark.job.description", "spark.job.interruptOnCancel"):
+            sc.setLocalProperty(prop, None)
     assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
