@@ -240,9 +240,8 @@ def fetch_smart(df: DataFrame, http_client, renderer_client, url_col: str = "url
     rest = t3.filter(~render_useful)
     best_html = F.coalesce(F.col("_rendered.html"), F.col("_direct.html"), F.lit(""))
     rest = rest.withColumn("_ats_url", first_ats_link(best_html)).cache()
-    unwrap_in = rest.filter(
-        is_aggregator_host(host_from_url(url)) & F.col("_ats_url").isNotNull()
-    )
+    unwrap_cond = is_aggregator_host(host_from_url(url)) & F.col("_ats_url").isNotNull()
+    unwrap_in = rest.filter(unwrap_cond)
 
     u1 = unwrap_in.withColumn("_api2", api_udf(F.col("_ats_url"))).cache()
     unwrap_api_done = _as_result(
@@ -281,9 +280,15 @@ def fetch_smart(df: DataFrame, http_client, renderer_client, url_col: str = "url
 
     # --- tier 5: last resort — rendered else direct (:479)
     unwrap_failed = u3.filter(~r2_useful)
-    no_unwrap = rest.join(
-        unwrap_in.select(*passthrough).distinct(), passthrough, "left_anti"
-    )
+    # no_unwrap is the exact null-safe complement of unwrap_cond over
+    # `rest` — a filter, NOT an anti-join on the passthrough columns
+    # (anti-join equality is null-unsafe: a row with any NULL
+    # passthrough value that entered the unwrap branch would survive
+    # the anti-join and be emitted twice, duplicating a
+    # side-effecting fetch; identical passthrough rows would also
+    # collapse). A NULL predicate means the row did NOT enter
+    # unwrap_in, so it belongs here.
+    no_unwrap = rest.filter(~F.coalesce(unwrap_cond, F.lit(False)))
     last_in = no_unwrap.unionByName(unwrap_failed.select(*no_unwrap.columns))
     rendered_exists = F.col("_rendered.final_url").isNotNull()
     last_done = _as_result(

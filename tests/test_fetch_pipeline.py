@@ -81,6 +81,28 @@ def test_no_rows_lost_or_duplicated(spark, fetched):
     assert len(fetched) == len(URLS)
 
 
+def test_null_passthrough_not_duplicated(spark):
+    """Regression: tier 5 used to derive `no_unwrap` via a left_anti
+    join on ALL passthrough columns; anti-join equality is null-unsafe,
+    so an unwrap-branch row with a NULL passthrough value survived the
+    anti-join and was emitted twice (plus a duplicate side-effecting
+    fetch). Now a null-safe complement filter."""
+    rows = [
+        ("S", 1, None, URLS["agg"]),     # unwrap branch, NULL passthrough
+        ("S", 2, None, URLS["broken"]),  # last-resort branch, NULL passthrough
+        ("S", 3, "n3", URLS["agg"]),     # unwrap branch, non-NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "sheet_name string, row_index long, note string, url string"
+    )
+    out = fetch_smart(df, HTTP, RENDERER).collect()
+    assert len(out) == 3
+    by_idx = {r["row_index"]: r.asDict() for r in out}
+    assert by_idx[1]["provider"] == "gh-api"  # unwrapped exactly once
+    assert by_idx[3]["provider"] == "gh-api"
+    assert by_idx[2]["provider"] == "direct"  # last resort untouched
+
+
 def _tracker(spark, rows):
     return spark.createDataFrame(
         rows,
