@@ -293,29 +293,44 @@ def cosine_near_dup_pairs_lsh(
     almost never collide in all 4 bits of any band.
 
     Scale: signatures are one narrow scan-side pass (16 fixed-size
-    dot products per vector, no shuffle); candidates are a groupBy-
-    sized join on (band, bucket); the exact verify touches candidate
-    pairs only. The corpus is never all-pairs joined.
+    dot products per vector, no shuffle): the hyperplanes ride along
+    as a broadcast ONE-ROW array-of-arrays (a 1-row crossJoin keeps
+    the 16×dims doubles out of the expression tree — big literal
+    trees stall Catalyst, see PERF.md — without paying the previous
+    implementation's explode-×16 + groupBy re-assembly, which
+    shuffled 16N rows just to compute a pure per-row function), and
+    the per-band buckets come out of a single transform/aggregate
+    projection + posexplode, all narrow. Candidates are a join on
+    (band, bucket); the exact verify touches candidate pairs only.
+    The corpus is never all-pairs joined.
     """
     v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    # hyperplanes as a broadcast 16-row table, not 16 giant literal
-    # arrays: keeps the expression tree small (big literal trees
-    # stall Catalyst) and lets AQE reuse the bands exchange across
-    # both sides of the candidate self-join
     spark = vectors.sparkSession
     planes = spark.createDataFrame(
-        [(p, lsh_hyperplane(p, dims)) for p in range(LSH_PLANES)],
-        "p int, h array<double>",
+        [([lsh_hyperplane(p, dims) for p in range(LSH_PLANES)],)],
+        "hs array<array<double>>",
     )
-    bits = v.crossJoin(F.broadcast(planes)).select(
-        "id", "p", (dot(F.col("v"), F.col("h")) >= 0).cast("int").alias("bit")
-    )
-    banded = bits.groupBy(
-        F.col("id"), F.expr(f"p div {LSH_ROWS_PER_BAND}").alias("band")
-    ).agg(
-        F.sum(F.expr(f"shiftleft(bit, cast(p % {LSH_ROWS_PER_BAND} as int))")).alias(
-            "bucket"
-        )
+    rpb = LSH_ROWS_PER_BAND
+
+    def bucket_expr(band: int) -> Column:
+        # Σ_j bit_j << j folded high-bit-first as acc*2 + bit — the
+        # 16 dot products are UNROLLED in the plan (flat expression
+        # tree, no nested HOF lambdas: higher-order functions are
+        # interpreted, and nesting them re-evaluates inner folds per
+        # outer element — measured 4× slower than this flat form)
+        e: Column = F.lit(0).cast("bigint")
+        for j in range(rpb - 1, -1, -1):
+            e = e * F.lit(2) + (
+                dot(F.col("v"), F.element_at(F.col("hs"), F.lit(band * rpb + j + 1))) >= 0
+            ).cast("bigint")
+        return e
+
+    banded = v.crossJoin(F.broadcast(planes)).select(
+        "id",
+        "v",
+        F.posexplode(F.array(*[bucket_expr(b) for b in range(LSH_BANDS)])).alias(
+            "band", "bucket"
+        ),
     )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
@@ -328,12 +343,20 @@ def cosine_near_dup_pairs_lsh(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    # per-vector norms are precomputed ONCE in the (tiny) vector scan
+    # and carried through the candidate join — the exact verify then
+    # costs one interpreted HOF fold per pair (the dot) instead of
+    # three (dot + 2 norms); bit-identical, since sqrt(dot(v,v)) is a
+    # deterministic per-vector value either way
+    vn = v.withColumn("n", norm(F.col("v")))
+    va = vn.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = vn.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    denom = F.col("na") * F.col("nb")
+    score = F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom).otherwise(F.lit(0.0))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("score", cosine(F.col("va"), F.col("vb")))
+        .withColumn("score", score)
         .filter(F.col("score") >= min_cosine)
         .select("id_a", "id_b", "score")
     )
