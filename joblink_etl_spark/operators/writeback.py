@@ -69,6 +69,55 @@ def merge_writeback(tracker: DataFrame, parsed: DataFrame) -> DataFrame:
     )
 
 
+def merge_writeback_incremental(
+    spark,
+    tracker_path: str,
+    parsed: DataFrame,
+    partition_col: str = "sheet_name",
+) -> list:
+    """Partition-scoped incremental MERGE against a parquet tracker
+    dataset partitioned by ``partition_col`` (SURVEY §4
+    "fill-blanks-only MERGE"; reference writeBack_,
+    code-LLM-intergration.js:821-853 — the reference touches only the
+    sheet rows of the batch; here the unit of rewrite is a partition).
+
+    Read-modify-write that touches ONLY the partitions containing
+    batch keys:
+
+    1. the batch's distinct partition values are collected — bounded
+       by the batch size (reference BATCH_SIZE=12), so this is a
+       small driver list, not a table scan;
+    2. the tracker read is filtered to those partitions — Catalyst
+       turns that into partition pruning, so unaffected partitions
+       are never even SCANNED (assert via PartitionFilters in the
+       plan);
+    3. the merged result is pinned (eager localCheckpoint — bounded:
+       affected partitions only) to cut lineage back to the source
+       files, then written with per-write dynamic partition
+       overwrite, which replaces ONLY the partitions present in the
+       result. Unaffected partitions' files are never rewritten.
+
+    At 100 TB: a 12-row batch touches ≤12 partitions of a
+    10k-partition tracker — the rewrite is O(batch), not O(table).
+
+    Returns the affected partition values (for audit/logging).
+    """
+    affected = [
+        r[0] for r in parsed.select(partition_col).distinct().collect()
+    ]
+    tracker = spark.read.parquet(tracker_path).filter(
+        F.col(partition_col).isin(affected)
+    )
+    merged = merge_writeback(tracker, parsed).localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(tracker_path)
+    )
+    return affected
+
+
 def fill_blanks_only(existing, new):
     """The fill-blanks-only rule (SURVEY §1.4): keep a non-blank
     existing value, else take the new one. Used for the notes columns

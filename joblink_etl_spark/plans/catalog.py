@@ -49,6 +49,7 @@ register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
 # --- pipeline operators (SURVEY §2.1/§2.3: enqueue, write-back, notes) -
 register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
 register("writeback_merge", PQ.writeback_merge, PQ.WRITEBACK_MERGE_SQL)
+register("writeback_incremental", PQ.writeback_incremental, PQ.WRITEBACK_INCREMENTAL_SQL)
 register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
 # the fakes are pure functions of the URL, so the tiered fetch is
 # oracle-checkable: the SQL pins each tier's expected decode

@@ -195,6 +195,69 @@ def writeback_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def writeback_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end partition-scoped MERGE: seed a 3-partition parquet
+    tracker, apply a batch touching only partition 'A' via
+    merge_writeback_incremental (partition-pruned read + dynamic
+    partition overwrite), read the whole tracker back. Partitions
+    B/C must come back bit-identical; only A's matched rows change."""
+    import tempfile
+
+    from ..operators.writeback import merge_writeback_incremental
+
+    cust = table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    sheet = (
+        F.when(ck % 3 == 0, F.lit("A")).when(ck % 3 == 1, F.lit("B")).otherwise(F.lit("C"))
+    )
+    tracker = cust.select(
+        sheet.alias("sheet_name"),
+        ck.alias("row_index"),
+        F.concat(F.lit("https://jobs.lever.co/co/"), cks).alias("link"),
+        F.lit("").alias("canonical_link"),
+        F.when(ck % 4 == 1, F.lit("UserCo")).otherwise(F.lit("")).alias("company_auto"),
+        F.lit("").alias("role_auto"),
+        F.lit("queued").alias("status"),
+        F.when(ck % 2 == 0, F.lit("parse:{provider=old, conf=0.10}")).otherwise(F.lit("")).alias("source"),
+    )
+    path = tempfile.mkdtemp(prefix="tracker_inc_")
+    tracker.write.mode("overwrite").partitionBy("sheet_name").parquet(path)
+    parsed = cust.filter(ck % 15 == 0).select(
+        F.lit("A").alias("sheet_name"),
+        ck.alias("row_index"),
+        F.concat(F.lit("https://jobs.lever.co/co/"), cks).alias("canonical"),
+        F.concat(F.lit("Org"), cks).alias("company"),
+        F.lit("Engineer").alias("role"),
+        F.lit(0.7).alias("conf"),
+        F.lit("ats-slug+h1").alias("decision"),
+        F.lit("direct").alias("provider"),
+    )
+    merge_writeback_incremental(spark, path, parsed)
+    return spark.read.parquet(path).select(
+        "sheet_name", "row_index", "canonical_link",
+        "company_auto", "role_auto", "status", "source",
+    )
+
+
+WRITEBACK_INCREMENTAL_SQL = """
+SELECT CASE c_custkey % 3 WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END AS sheet_name,
+       c_custkey AS row_index,
+       CASE WHEN c_custkey % 15 = 0
+            THEN 'https://jobs.lever.co/co/' || c_custkey::VARCHAR ELSE '' END AS canonical_link,
+       CASE WHEN c_custkey % 15 = 0 THEN 'Org' || c_custkey::VARCHAR
+            WHEN c_custkey % 4 = 1 THEN 'UserCo' ELSE '' END AS company_auto,
+       CASE WHEN c_custkey % 15 = 0 THEN 'Engineer' ELSE '' END AS role_auto,
+       CASE WHEN c_custkey % 15 = 0 THEN 'ok' ELSE 'queued' END AS status,
+       CASE WHEN c_custkey % 15 = 0
+              THEN 'parse:{provider=direct, signals=ats-slug+h1, conf=0.70}'
+            WHEN c_custkey % 2 = 0 THEN 'parse:{provider=old, conf=0.10}'
+            ELSE ''
+       END AS source
+FROM customer
+"""
+
+
 WRITEBACK_MERGE_SQL = """
 SELECT 'Main' AS sheet_name,
        c_custkey AS row_index,

@@ -117,6 +117,56 @@ def test_optimize_layout_range_partitions_and_sorts(spark):
     assert sum(out.rdd.mapPartitions(check).collect()) == 100
 
 
+def test_incremental_merge_touches_only_affected_partitions(spark, tmp_path):
+    """Partition-scoped MERGE: applying a batch that only touches
+    sheet A must leave sheet B's and C's parquet files byte-for-byte
+    alone (same names, sizes, mtimes) — the rewrite is O(batch
+    partitions), not O(table)."""
+    import os
+
+    from joblink_etl_spark.operators.writeback import merge_writeback_incremental
+
+    rows = [
+        (s, i, f"https://jobs.lever.co/co/{i}", "", "", "", "queued", "")
+        for s in ("A", "B", "C")
+        for i in range(10)
+    ]
+    tracker = spark.createDataFrame(
+        rows,
+        "sheet_name string, row_index long, link string, canonical_link string,"
+        "company_auto string, role_auto string, status string, source string",
+    )
+    path = str(tmp_path / "tracker")
+    tracker.write.partitionBy("sheet_name").parquet(path)
+
+    def snapshot(sheet):
+        d = os.path.join(path, f"sheet_name={sheet}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {s: snapshot(s) for s in ("A", "B", "C")}
+    parsed = spark.createDataFrame(
+        [("A", 3, "https://c.co/3", "NewCo", "Engineer", 0.7, "h1", "direct")],
+        "sheet_name string, row_index long, canonical string, company string,"
+        "role string, conf double, decision string, provider string",
+    )
+    affected = merge_writeback_incremental(spark, path, parsed)
+    assert affected == ["A"]
+    after = {s: snapshot(s) for s in ("A", "B", "C")}
+    assert after["B"] == before["B"] and after["C"] == before["C"]
+    assert after["A"] != before["A"]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 30
+    merged = back.filter("sheet_name = 'A' and row_index = 3").first()
+    assert merged["company_auto"] == "NewCo" and merged["status"] == "ok"
+    untouched = back.filter("sheet_name = 'B' and row_index = 3").first()
+    assert untouched["company_auto"] == "" and untouched["status"] == "queued"
+
+
 def test_tfidf_builders_run_no_action_at_construction(spark):
     """Plan construction must be action-free: n_docs is derived
     in-plan (broadcast one-row aggregate), not via an eager count()
