@@ -14,8 +14,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .writeback import fill_blanks_only
-
 INVITE_MAX = 280  # reference :1019, :1181
 
 
@@ -63,14 +61,19 @@ def needs_notes(invite: Column, followup: Column) -> Column:
 
 
 def apply_notes(tracker: DataFrame, profile: dict[str, str]) -> DataFrame:
-    """Fill li_invite / li_followup for rows that need them —
-    fill-blanks-only, never overwriting user text (ST4)."""
+    """Write li_invite / li_followup for rows that need them.
+
+    Reference parity (processNotesBatch): the idempotency check skips
+    a row only when BOTH cells are already non-empty (:1151-1154);
+    any row that passes it gets BOTH cells written unconditionally
+    (:1181-1184) — a half-filled row is regenerated in full, it is
+    NOT a per-cell fill-blanks merge."""
     invite, followup = template_notes(F.col("company_auto"), F.col("role_auto"), profile)
     need = needs_notes(F.col("li_invite"), F.col("li_followup"))
     return tracker.withColumns(
         {
-            "li_invite": F.when(need, fill_blanks_only(F.col("li_invite"), invite)).otherwise(F.col("li_invite")),
-            "li_followup": F.when(need, fill_blanks_only(F.col("li_followup"), followup)).otherwise(F.col("li_followup")),
+            "li_invite": F.when(need, invite).otherwise(F.col("li_invite")),
+            "li_followup": F.when(need, followup).otherwise(F.col("li_followup")),
         }
     )
 

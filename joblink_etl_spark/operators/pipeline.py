@@ -255,12 +255,12 @@ def notes_batch(
     matched = F.coalesce(F.col("_matched"), F.lit(False))
     new_tracker = joined.withColumns(
         {
-            "li_invite": F.when(
-                matched & (F.trim(F.col("li_invite")) == ""), F.col("_inv")
-            ).otherwise(F.col("li_invite")),
-            "li_followup": F.when(
-                matched & (F.trim(F.col("li_followup")) == ""), F.col("_fol")
-            ).otherwise(F.col("li_followup")),
+            # matched rows already passed needs_notes (either cell
+            # blank); the reference then writes BOTH cells
+            # unconditionally (:1181-1184) — overwrite, don't
+            # fill-blanks-merge
+            "li_invite": F.when(matched, F.col("_inv")).otherwise(F.col("li_invite")),
+            "li_followup": F.when(matched, F.col("_fol")).otherwise(F.col("li_followup")),
             "source": F.when(
                 matched,
                 append_rendered_token(F.col("source"), "notes", F.col("_tok")),

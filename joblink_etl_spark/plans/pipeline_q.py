@@ -322,11 +322,13 @@ WITH t AS (
   FROM t
 )
 SELECT row_index, company_auto, role_auto,
-  CASE WHEN li_invite <> '' THEN li_invite
+  -- skip only when BOTH cells are filled; otherwise regenerate BOTH
+  -- (reference processNotesBatch :1151-1154, :1181-1184)
+  CASE WHEN li_invite <> '' AND li_followup <> '' THEN li_invite
        ELSE substr('Hi there — I applied for ' || rle || ' at ' || comp ||
                    '. I''m a builder of data systems and would love to connect.', 1, 280)
   END AS li_invite,
-  CASE WHEN li_followup <> '' THEN li_followup
+  CASE WHEN li_invite <> '' AND li_followup <> '' THEN li_followup
        ELSE 'Thanks for connecting! I just applied for ' || rle || ' at ' || comp ||
             '. My background includes Spark, Python, SQL.' ||
             ' If there’s a chance to chat, I’d value 10–15 minutes to share how I can contribute.'

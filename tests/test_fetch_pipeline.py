@@ -176,12 +176,14 @@ def test_notes_batch_llm_and_fallback(spark):
             ("S", 2, URLS["direct"], URLS["direct"], "Acme", "Engineer", "ok", "", "", ""),
             ("S", 3, URLS["direct"], URLS["direct"], "FAIL-LLM Co", "Engineer", "ok", "", "", ""),
             ("S", 4, URLS["direct"], URLS["direct"], "Acme", "Engineer", "ok", "", "KEEP", "KEEP"),
+            ("S", 5, URLS["direct"], URLS["direct"], "Acme", "Engineer", "ok", "", "STALE-INVITE", ""),
         ],
     )
     nq = spark.createDataFrame(
         [("S", 2, "post-parse", "queued", datetime(2024, 1, 1), ""),
          ("S", 3, "post-parse", "queued", datetime(2024, 1, 1), ""),
-         ("S", 4, "post-parse", "queued", datetime(2024, 1, 1), "")],
+         ("S", 4, "post-parse", "queued", datetime(2024, 1, 1), ""),
+         ("S", 5, "post-parse", "queued", datetime(2024, 1, 1), "")],
         "sheet_name string, row_index long, phase string, status string,"
         "enqueued_at timestamp, last_error string",
     )
@@ -193,8 +195,13 @@ def test_notes_batch_llm_and_fallback(spark):
     # LLM failure → deterministic template fallback
     assert t[3]["li_invite"].startswith("Hi there — I applied for Engineer at FAIL-LLM Co.")
     assert "notes:{mode=template}" in t[3]["source"]
-    # prefilled cells never overwritten
+    # both cells prefilled → idempotency skip, nothing overwritten
     assert t[4]["li_invite"] == "KEEP" and t[4]["li_followup"] == "KEEP"
+    # half-filled row → reference regenerates BOTH cells
+    # (processNotesBatch :1151-1154 skips only if both set, then
+    # :1181-1184 writes both unconditionally)
+    assert t[5]["li_invite"] != "STALE-INVITE" and t[5]["li_invite"] != ""
+    assert t[5]["li_followup"] != ""
     assert out["notes_queue"].count() == 0
 
 
