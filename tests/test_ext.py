@@ -93,10 +93,62 @@ def test_multimodal_decode_and_features(spark, docs):
     assert all(0.0 <= v < 1.0 for r in feats for v in r["f"])
 
 
-def test_multimodal_real_backend_raises(spark, docs):
-    df = M.attach_fake_payload(docs.limit(2).select("doc_id", "text"))
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        M.decode_images(df, backend="real").collect()
+def _tiny_png(w=2, h=1):
+    """Fully valid PNG (signature, IHDR, IDAT, IEND) via stdlib zlib."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_backend_decodes(spark):
+    import struct
+
+    jpeg = (
+        b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", 9, 7) + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"  # SOF: height, width
+        + b"\xff\xd9"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 11, 5) + b"\x00" * 6
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 13, -6) + b"\x00" * 12
+    blobs = [
+        (1, bytearray(_tiny_png(3, 2)), 3, 2, 3, "png"),
+        (2, bytearray(jpeg), 7, 9, 3, "jpeg"),
+        (3, bytearray(gif), 11, 5, 3, "gif"),
+        (4, bytearray(bmp), 13, 6, 3, "bmp"),  # negative height = top-down BMP
+        (5, bytearray(b"P6 4 3 255\n" + b"\x00" * 36), 4, 3, 3, "ppm"),
+        (6, bytearray(b"P5 8 2 255\n" + b"\x00" * 16), 8, 2, 1, "pgm"),
+        (7, bytearray(b"not an image at all"), 0, 0, 0, "unknown"),
+        (8, bytearray(b""), 0, 0, 0, "empty"),
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b, *_ in blobs], "doc_id int, content binary"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in M.decode_images(df, backend="real").collect()
+    }
+    for i, _, w, h, c, fmt in blobs:
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"], r["format"]) == (w, h, c, fmt), fmt
+
+    with pytest.raises(ValueError, match="backend"):
+        M.decode_images(df, backend="bogus")
 
 
 def test_resize_and_frame_sampling(spark, docs):
