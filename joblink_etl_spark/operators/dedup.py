@@ -123,6 +123,45 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def exact_duplicates_salted(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-hardened exact dedup — same rows as exact_duplicates,
+    built for corpora where one fingerprint is pathologically hot
+    (a boilerplate page duplicated millions of times).
+
+    exact_duplicates uses a window over the fingerprint, which has no
+    partial aggregation: every row of a hot fingerprint lands on ONE
+    task. Here instead:
+
+    1. canonical ids come from groupBy(fingerprint).min(id) — hash
+       aggregation is map-side combinable, so a hot key collapses to
+       one partial row per input partition before the exchange;
+    2. the per-row canonical lookup is a salted_join (operators/
+       skew.py): the fact side's rows get a deterministic salt, the
+       canonical map is replicated ×salt_buckets, and the hot
+       fingerprint's rows spread across salt_buckets shuffle
+       partitions instead of pinning one.
+
+    Result is bit-identical to exact_duplicates (the oracle SQL is
+    the same window spelling).
+    """
+    from .skew import salted_join
+
+    fp_df = df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    canon = fp_df.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
+    out = salted_join(fp_df, canon, "fingerprint")
+    return out.select(
+        *df.columns,
+        "fingerprint",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
 def minhash_base_and_bands(
     df: DataFrame,
     text_col: str = "text",

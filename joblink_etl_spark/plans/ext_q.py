@@ -107,6 +107,39 @@ SELECT doc_id,
 FROM corpus
 """
 
+
+def exact_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened exact dedup over a corpus with a planted hot
+    fingerprint: every even doc_id contributes a clone of ONE
+    boilerplate text, so roughly a third of all rows share a single
+    fingerprint — the shape that pins a window/sort-merge task. The
+    salted path must return exactly what the plain window returns
+    (the oracle is the same window SQL)."""
+    docs = table(spark, sf_dir, "documents")
+    hot = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.lit("hot boilerplate page body repeated across the crawl").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(hot)
+    return D.exact_duplicates_salted(corpus).select(
+        "doc_id", "fingerprint", "canonical_id", "is_duplicate"
+    )
+
+
+EXACT_DEDUP_SALTED_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, 'hot boilerplate page body repeated across the crawl'
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS is_duplicate
+FROM corpus
+"""
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dup pairs — corpus with mutated clones; the oracle
 # replays signature/banding/bucketing/jaccard from the same md5 hashes.

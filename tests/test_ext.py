@@ -78,6 +78,53 @@ def test_simhash_locality(spark, docs):
     assert sum(near) / len(near) < sum(far) / len(far), "simhash lost locality"
 
 
+def test_exact_dedup_salted_matches_and_bounds_skew(spark, docs):
+    """90%-hot-key corpus: the salted path must (a) agree with the
+    plain window path bit-for-bit and (b) actually SPLIT the hot
+    fingerprint across shuffle partitions instead of pinning one."""
+    base = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    hot = (
+        docs.filter(F.col("doc_id") < 900)
+        .select((F.col("doc_id") + 50000).alias("doc_id"))
+        .withColumn("text", F.lit("the same boilerplate page"))
+    )
+    corpus = base.unionAll(hot.select("doc_id", "text"))  # ~90% one key
+
+    cols = ["doc_id", "fingerprint", "canonical_id", "is_duplicate"]
+    plain = {tuple(r) for r in D.exact_duplicates(corpus).select(*cols).collect()}
+    salted = D.exact_duplicates_salted(corpus, salt_buckets=8)
+    assert {tuple(r) for r in salted.select(*cols).collect()} == plain
+
+    # Bounded partitions: salting only matters on the SHUFFLE join
+    # path (when the canonical map is small Spark broadcasts it and
+    # there is no skew problem to solve), so force the sort-merge
+    # plan and keep AQE from re-coalescing; then no post-join
+    # partition may hold the whole hot key (900 rows) — salting must
+    # cap it near 900/8 + the long tail of cold keys.
+    forced = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in forced}
+    for k, v in forced.items():
+        spark.conf.set(k, v)
+    try:
+        per_part = (
+            D.exact_duplicates_salted(corpus, salt_buckets=8)
+            .groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert max(r["count"] for r in per_part) < 450, per_part
+
+
 def test_multimodal_decode_and_features(spark, docs):
     df = M.attach_fake_payload(docs.filter(F.col("doc_id") < 20).select("doc_id", "text"))
     decoded = M.decode_images(df)
