@@ -444,3 +444,66 @@ SELECT user_id, event_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
+
+
+def throttled_links_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence spelling of the streaming rate limiter (ST3,
+    streaming/pipeline.throttled_links): events become link edits
+    keyed by event_type, throttled to 50 admissions per key per
+    UTC day. Runs the SAME pandas admit loop as the stateful
+    streaming operator — this query is its driver-checked oracle."""
+    from ..streaming.pipeline import throttled_links_batch
+
+    ev = table(spark, sf_dir, "events")
+    links = ev.select(
+        F.col("event_type").alias("sheet_name"),
+        F.col("event_id").alias("row_index"),
+        F.concat(F.lit("https://example.com/jobs/"), F.col("event_id")).alias("url"),
+        F.col("ts").alias("edited_at"),
+    )
+    return throttled_links_batch(links, per_key_limit=50, window_seconds=86400)
+
+
+THROTTLED_LINKS_SQL = """
+WITH links AS (
+  SELECT event_type AS sheet_name,
+         event_id   AS row_index,
+         'https://example.com/jobs/' || event_id::VARCHAR AS url,
+         ts::TIMESTAMP AS edited_at,
+         floor(epoch(ts::TIMESTAMP))::BIGINT AS e
+  FROM events
+)
+SELECT sheet_name, row_index, url, edited_at,
+       row_number() OVER (
+         PARTITION BY sheet_name, e - e % 86400
+         ORDER BY edited_at, row_index
+       ) <= 50 AS admitted
+FROM links
+"""
+
+
+def stream_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence spelling of the watermarked stream-stream
+    interval join (streaming/pipeline.stream_interval_join): views
+    joined to same-user clicks that follow within 12 hours. The
+    SAME operator function runs here on batch inputs (withWatermark
+    is a no-op in batch), so the driver row checks the exact join
+    condition the streaming path uses."""
+    from ..streaming.pipeline import stream_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return stream_interval_join(views, clicks, key="user_id", max_delay="12 hours")
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT l.user_id AS join_key,
+       l.ts::TIMESTAMP AS l_ts, l.event_type AS l_type, l.event_id AS l_event_id,
+       r.ts::TIMESTAMP AS r_ts, r.event_type AS r_type, r.event_id AS r_event_id
+FROM (SELECT * FROM events WHERE event_type = 'view') l
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts::TIMESTAMP >= l.ts::TIMESTAMP
+ AND r.ts::TIMESTAMP <= l.ts::TIMESTAMP + INTERVAL 12 HOUR
+"""

@@ -164,6 +164,29 @@ def drain_with_dead_letter(
     return seen
 
 
+def _throttle_flags(
+    epochs,
+    per_key_limit: int,
+    window_seconds: int,
+    win_start: int = 0,
+    n_admitted: int = 0,
+) -> tuple[list[bool], int, int]:
+    """Core admit loop shared by the stateful stream operator and its
+    batch spelling: walk epoch-seconds in order, reset the counter
+    when the wall-window advances, admit while under the limit.
+    Returns (flags, win_start, n_admitted) so stream state can carry
+    the pair across micro-batches."""
+    flags = []
+    for epoch in epochs:
+        win = epoch - epoch % window_seconds
+        if win > win_start:
+            win_start, n_admitted = win, 0
+        ok = n_admitted < per_key_limit
+        n_admitted += 1 if ok else 0
+        flags.append(ok)
+    return flags, win_start, n_admitted
+
+
 def throttled_links(
     links: DataFrame,
     per_key_limit: int = 60,
@@ -193,16 +216,11 @@ def throttled_links(
 
     def throttle(key, pdf_iter, state: GroupState):
         win_start, n_admitted = state.get if state.exists else (0, 0)
-        pdf = pd.concat(list(pdf_iter)).sort_values("edited_at").copy()
-        flags = []
-        for ts in pdf["edited_at"]:
-            epoch = int(pd.Timestamp(ts).timestamp())
-            win = epoch - epoch % window_seconds
-            if win > win_start:
-                win_start, n_admitted = win, 0
-            ok = n_admitted < per_key_limit
-            n_admitted += 1 if ok else 0
-            flags.append(ok)
+        pdf = pd.concat(list(pdf_iter)).sort_values(["edited_at", "row_index"]).copy()
+        epochs = [int(pd.Timestamp(ts).timestamp()) for ts in pdf["edited_at"]]
+        flags, win_start, n_admitted = _throttle_flags(
+            epochs, per_key_limit, window_seconds, win_start, n_admitted
+        )
         pdf["admitted"] = flags
         state.update((win_start, n_admitted))
         yield pdf
@@ -212,6 +230,40 @@ def throttled_links(
         .applyInPandasWithState(
             throttle, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def throttled_links_batch(
+    links: DataFrame,
+    per_key_limit: int = 60,
+    window_seconds: int = 60,
+) -> DataFrame:
+    """Batch-equivalence spelling of throttled_links: the SAME admit
+    loop (_throttle_flags), run per key over the full history in one
+    applyInPandas — identical to draining the stream in a single
+    micro-batch from empty state. Driver-checkable: the oracle is
+    `row_number() OVER (key, wall-window ORDER BY time) <= limit`.
+
+    The epoch is computed scan-side (`ts.cast('long')` is
+    timezone-independent) so the admit loop never does a
+    tz-dependent timestamp conversion on the executor."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    tagged = links.withColumn("_epoch", F.col("edited_at").cast("long"))
+    out_schema = StructType(
+        tagged.schema.fields + [StructField("admitted", BooleanType())]
+    )
+
+    def throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["edited_at", "row_index"]).copy()
+        flags, _, _ = _throttle_flags(pdf["_epoch"], per_key_limit, window_seconds)
+        pdf["admitted"] = flags
+        return pdf
+
+    return (
+        tagged.groupBy("sheet_name")
+        .applyInPandas(throttle, out_schema)
+        .drop("_epoch")
     )
 
 

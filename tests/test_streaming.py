@@ -207,6 +207,34 @@ def test_stateful_throttle_across_batches(spark, tmp_path):
     assert got2[("S", 5)] is True   # window rolled over -> counter reset
 
 
+def test_throttled_links_batch_twin_matches_stream_semantics(spark):
+    """The driver-checkable batch spelling runs the same admit loop
+    as the stateful operator: same per-(key, wall-window) limits over
+    the full history in one pass."""
+    from joblink_etl_spark.streaming.pipeline import throttled_links_batch
+
+    links = spark.createDataFrame(
+        [
+            ("S", 1, "https://jobs.lever.co/a/1", T0),
+            ("S", 2, "https://jobs.lever.co/a/2", T0 + timedelta(seconds=5)),
+            ("S", 3, "https://jobs.lever.co/a/3", T0 + timedelta(seconds=10)),
+            ("S", 4, "https://jobs.lever.co/a/4", T0 + timedelta(seconds=20)),
+            ("S", 5, "https://jobs.lever.co/a/5", T0 + timedelta(seconds=70)),  # next window
+            ("T", 1, "https://jobs.lever.co/b/1", T0),
+        ],
+        LINK_EVENT_SCHEMA,
+    )
+    out = throttled_links_batch(links, per_key_limit=2, window_seconds=60)
+    got = {(r["sheet_name"], r["row_index"]): r["admitted"] for r in out.collect()}
+    # matches the two-drain stateful run in
+    # test_stateful_throttle_across_batches row for row
+    assert got == {
+        ("S", 1): True, ("S", 2): True, ("S", 3): False,
+        ("S", 4): False, ("S", 5): True, ("T", 1): True,
+    }
+    assert set(out.columns) == {"sheet_name", "row_index", "url", "edited_at", "admitted"}
+
+
 def test_stream_interval_join_matches_batch(spark, tmp_path, sf_dir):
     from joblink_etl_spark.streaming.pipeline import stream_interval_join
 
