@@ -1,6 +1,12 @@
 """Registers every query plan with the registry.
 
-Grouped by SURVEY.md §2 operator family; grows as operators land.
+ORDERING MATTERS: the driver's correctness gate checks the first 50
+registered queries. Queries that have never had a driver row (the
+events/TF-IDF set, plus anything new this round) are registered
+inside the first 50; redundant oracle spellings of operators already
+hash-green in rounds 1-2 (all-pairs baselines, MVP variants, simple
+relational rollups) cede their slots and sit past the cap — they
+remain fully checked by tools/oracle_check.py and pytest.
 """
 
 from __future__ import annotations
@@ -9,31 +15,10 @@ from . import relational as R
 from . import scalar as S
 from .registry import register
 
-# --- relational core (SURVEY §2.2-§2.6 generalized) -------------------
+# --- relational core kept in the checked window (J4, set-ops, flagship)
 register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
-register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
-register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
-register(
-    "top_orders_per_customer",
-    R.top_orders_per_customer,
-    R.TOP_ORDERS_PER_CUSTOMER_SQL,
-)
-register(
-    "customers_without_orders",
-    R.customers_without_orders,
-    R.CUSTOMERS_WITHOUT_ORDERS_SQL,
-)
-register(
-    "customers_with_open_orders",
-    R.customers_with_open_orders,
-    R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
-)
 register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
-register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
 register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)
-register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
-register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
-register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)
 
 # --- scalar function library (SURVEY §2.7) ----------------------------
 register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)
@@ -44,7 +29,6 @@ register("provenance_tokens", S.provenance_tokens, S.PROVENANCE_TOKENS_SQL)
 from . import pipeline_q as PQ  # noqa: E402
 
 register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
-register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
 
 # --- pipeline operators (SURVEY §2.1/§2.3: enqueue, write-back, notes) -
 register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
@@ -55,22 +39,33 @@ register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
 # oracle-checkable: the SQL pins each tier's expected decode
 register("fetch_cascade", PQ.fetch_cascade, PQ.FETCH_CASCADE_SQL)
 
+# --- event-time windows + streaming batch-equivalence (SURVEY §2.10) --
+from . import events_q as EV  # noqa: E402
+
+register("tumbling_counts", EV.tumbling_counts, EV.TUMBLING_COUNTS_SQL)
+register("sliding_avg", EV.sliding_avg, EV.SLIDING_AVG_SQL)
+register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
+register("event_dedup", EV.event_dedup, EV.EVENT_DEDUP_SQL)
+register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)
+register("event_attribution", EV.event_attribution, EV.EVENT_ATTRIBUTION_SQL)
+register("value_percentiles", EV.value_percentiles, EV.VALUE_PERCENTILES_SQL)
+register("user_event_matrix", EV.user_event_matrix, EV.USER_EVENT_MATRIX_SQL)
+register("conversion_funnel", EV.conversion_funnel, EV.CONVERSION_FUNNEL_SQL)
+register("user_activity_scd2", EV.user_activity_scd2, EV.USER_ACTIVITY_SCD2_SQL)
+register("throttled_links", EV.throttled_links_q, EV.THROTTLED_LINKS_SQL)
+register("stream_interval_join", EV.stream_interval_join_q, EV.STREAM_INTERVAL_JOIN_SQL)
+
 # --- north-star extensions: text analytics, dedup, similarity ---------
 from . import ext_q as E  # noqa: E402
 
 register("text_stats", E.text_stats, E.TEXT_STATS_SQL)
-register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
+register("exact_dedup_salted", E.exact_dedup_salted, E.EXACT_DEDUP_SALTED_SQL)
 register("minhash_pairs", E.minhash_pairs, E.MINHASH_PAIRS_SQL)
 register("incremental_near_dups", E.incremental_near_dups_q, E.INCREMENTAL_NEAR_DUPS_SQL)
 register("consensus_near_dups", E.consensus_near_dups, E.CONSENSUS_NEAR_DUPS_SQL)
-register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("simhash_docs", E.simhash_docs, E.SIMHASH_DOCS_SQL)
-register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
-register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
-register("cosine_near_dups_blocked", E.cosine_near_dups_blocked, E.COSINE_NEAR_DUPS_BLOCKED_SQL)
 register("cosine_near_dups_lsh", E.cosine_near_dups_lsh, E.COSINE_NEAR_DUPS_LSH_SQL)
 register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
-register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
 register("knn_ivf", E.knn_ivf_q, E.KNN_IVF_SQL)
 register("multimodal_decode", E.multimodal_decode_q, E.MULTIMODAL_DECODE_SQL)
 # curation layer: cluster resolution, point-in-time join, sampling
@@ -91,17 +86,39 @@ register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
 register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
+# ---- 50-query driver window ends here --------------------------------
 
-# --- event-time windows (SURVEY §2.10 generalized) --------------------
-from . import events_q as EV  # noqa: E402
-
-register("tumbling_counts", EV.tumbling_counts, EV.TUMBLING_COUNTS_SQL)
-register("sliding_avg", EV.sliding_avg, EV.SLIDING_AVG_SQL)
-register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
-register("event_dedup", EV.event_dedup, EV.EVENT_DEDUP_SQL)
-register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)
-register("event_attribution", EV.event_attribution, EV.EVENT_ATTRIBUTION_SQL)
-register("value_percentiles", EV.value_percentiles, EV.VALUE_PERCENTILES_SQL)
-register("user_event_matrix", EV.user_event_matrix, EV.USER_EVENT_MATRIX_SQL)
-register("conversion_funnel", EV.conversion_funnel, EV.CONVERSION_FUNNEL_SQL)
-register("user_activity_scd2", EV.user_activity_scd2, EV.USER_ACTIVITY_SCD2_SQL)
+# --- past the driver cap: baselines / redundant oracle spellings ------
+# Every query below was driver-hash-green in rounds 1-2 and duplicates
+# an operator still checked above (all-pairs baselines of the LSH
+# paths, the MVP cascade variant, plain-window exact dedup vs the
+# salted spelling, and simple relational rollups). They stay
+# registered — bench, pytest, and tools/oracle_check.py cover them.
+register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
+register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
+register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
+register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
+register("cosine_near_dups_blocked", E.cosine_near_dups_blocked, E.COSINE_NEAR_DUPS_BLOCKED_SQL)
+register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
+register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
+register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
+register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
+register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
+register(
+    "top_orders_per_customer",
+    R.top_orders_per_customer,
+    R.TOP_ORDERS_PER_CUSTOMER_SQL,
+)
+register(
+    "customers_without_orders",
+    R.customers_without_orders,
+    R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+)
+register(
+    "customers_with_open_orders",
+    R.customers_with_open_orders,
+    R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
+)
+register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
+register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
+register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)
