@@ -952,7 +952,10 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (round-half-up = (2*a*10^d + b) div (2*b)) so the result is
     # bit-identical across engines — rounding a double quotient is
     # engine-divergent at representation boundaries (Spark HALF_UP on
-    # the decimal-ized double vs DuckDB's half-even).
+    # the decimal-ized double vs DuckDB's half-even). The identity
+    # assumes non-negative numerators: Spark's `div` truncates toward
+    # zero while DuckDB's `//` floors, and total_chars ≥ 0,
+    # n_docs - n_unique ≥ 0 hold by construction.
     return (
         docs.select("lang", "source", "n_chars", fp.alias("fp"))
         .groupBy("lang", "source")

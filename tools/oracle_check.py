@@ -17,9 +17,9 @@ sys.path.insert(0, ".")
 
 
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, then rows; stringify floats to tolerate
-    representation differences the same way a value-hash would not —
-    so this check is STRICTER unless we see exact equality."""
+    """Sort columns by name, then rows; floats are compared by exact
+    repr() to mirror the driver's raw-value hash — any representation
+    difference between engines fails here just like it would there."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm_cell(v):
