@@ -65,6 +65,9 @@ HEADLINE = [
     "heavy_hitters",
     "consensus_near_dups",
     "user_activity_scd2",
+    "exact_dedup_salted",
+    "throttled_links",
+    "stream_interval_join",
 ]
 
 
