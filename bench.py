@@ -68,6 +68,7 @@ HEADLINE = [
     "exact_dedup_salted",
     "throttled_links",
     "stream_interval_join",
+    "repeated_spans",
 ]
 
 

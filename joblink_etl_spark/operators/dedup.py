@@ -123,6 +123,95 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection: the n-gram-granular
+    form of exact substring deduplication (the pass suffix-array
+    engines run single-node — Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022 — re-expressed as
+    distributed relational algebra).
+
+    A position's n-gram is "repeated" when the same n tokens appear
+    in ≥ min_docs distinct documents; maximal runs of repeated
+    positions merge into spans, which a scrubbing pass can cut or
+    down-weight per doc.
+
+    Plan shape (scale: corpus-linear, no suffix array):
+    1. scan-side (id, pos, gram-md5) for every overlapping n-gram —
+       narrow, codegen'd;
+    2. one shuffle on the gram hash: distinct-doc counts (md5 keys
+       are uniform — no hot keys);
+    3. surviving grams semi-join back to their positions (same key,
+       AQE reuses the exchange);
+    4. per-doc gap-merge into maximal spans — lag + running-sum over
+       the (id, pos) window, the session_windows shape: one shuffle
+       on the doc id.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_grams),
+    token coordinates, span_end inclusive.
+    """
+    from pyspark.sql.window import Window
+
+    sc = df.sparkSession.sparkContext
+    toks = (
+        df.repartition(sc.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+        .localCheckpoint(eager=False)  # pin: keep Catalyst from
+        # inlining the tokenizer into the per-position gram lambda
+    )
+    count = F.greatest(F.size("toks") - (ngram - 1), F.lit(0))
+    gram_structs = F.transform(
+        F.slice(F.col("toks"), 1, count),
+        lambda x, i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    " ", x, *[F.get(F.col("toks"), i + j) for j in range(1, ngram)]
+                )
+            ).alias("g"),
+        ),
+    )
+    grams = toks.select("id", F.explode(gram_structs).alias("pg")).select(
+        "id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    hits = grams.join(shared, "g")
+    w = Window.partitionBy("id").orderBy("pos")
+    new_span = F.coalesce(
+        (F.col("pos") - F.lag("pos").over(w) > ngram).cast("int"), F.lit(0)
+    )
+    return (
+        hits.withColumn("new_span", new_span)
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "span_id")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + (ngram - 1)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_grams",
+        )
+    )
+
+
 def exact_duplicates_salted(
     df: DataFrame,
     text_col: str = "text",

@@ -60,6 +60,7 @@ from . import ext_q as E  # noqa: E402
 
 register("text_stats", E.text_stats, E.TEXT_STATS_SQL)
 register("exact_dedup_salted", E.exact_dedup_salted, E.EXACT_DEDUP_SALTED_SQL)
+register("repeated_spans", E.repeated_spans_q, E.REPEATED_SPANS_SQL)
 register("minhash_pairs", E.minhash_pairs, E.MINHASH_PAIRS_SQL)
 register("incremental_near_dups", E.incremental_near_dups_q, E.INCREMENTAL_NEAR_DUPS_SQL)
 register("consensus_near_dups", E.consensus_near_dups, E.CONSENSUS_NEAR_DUPS_SQL)
@@ -83,7 +84,6 @@ register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
 register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
-register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
 # ---- 50-query driver window ends here --------------------------------
@@ -95,6 +95,7 @@ register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
 # salted spelling, and simple relational rollups). They stay
 # registered — bench, pytest, and tools/oracle_check.py cover them.
 register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
+register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
 register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)

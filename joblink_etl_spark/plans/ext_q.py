@@ -108,6 +108,45 @@ FROM corpus
 """
 
 
+def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated 8-gram spans over the documents corpus —
+    the distributed stand-in for suffix-array exact-substring dedup
+    (operators/dedup.py::repeated_spans)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.repeated_spans(docs, ngram=8, min_docs=2)
+
+
+REPEATED_SPANS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT id, i - 1 AS pos,
+         md5(array_to_string(toks[i:i+7], ' ')) AS g
+  FROM tok, unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS t(i)
+), shared AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT id) >= 2
+), hits AS (
+  SELECT grams.id, grams.pos FROM grams JOIN shared USING (g)
+), flagged AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+), sess AS (
+  SELECT id, pos,
+         sum(new_span) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+)
+SELECT id AS doc_id,
+       min(pos) AS span_start,
+       max(pos) + 7 AS span_end,
+       max(pos) + 7 - min(pos) + 1 AS span_tokens,
+       count(*) AS n_grams
+FROM sess
+GROUP BY id, span_id
+"""
+
+
 def exact_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-hardened exact dedup over a corpus with a planted hot
     fingerprint: every even doc_id contributes a clone of ONE

@@ -78,6 +78,25 @@ def test_simhash_locality(spark, docs):
     assert sum(near) / len(near) < sum(far) / len(far), "simhash lost locality"
 
 
+def test_repeated_spans_finds_planted_boilerplate(spark):
+    """A 10-token paragraph shared by two docs yields one maximal
+    span per doc at exactly the planted token coordinates; the
+    third doc (no shared 8-gram) contributes nothing."""
+    boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "unique one two three " + boiler),  # boiler at pos 4..13
+        (2, boiler + " tail words here only"),  # boiler at pos 0..9
+        (3, "totally different words nothing shared at all here friend"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.repeated_spans(df, ngram=8, min_docs=2).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["span_start"], out[1]["span_end"], out[1]["span_tokens"]) == (4, 13, 10)
+    assert (out[2]["span_start"], out[2]["span_end"], out[2]["span_tokens"]) == (0, 9, 10)
+    # 10-token run of 8-grams = 3 overlapping grams, merged into one span
+    assert out[1]["n_grams"] == 3 and out[2]["n_grams"] == 3
+
+
 def test_exact_dedup_salted_matches_and_bounds_skew(spark, docs):
     """90%-hot-key corpus: the salted path must (a) agree with the
     plain window path bit-for-bit and (b) actually SPLIT the hot
