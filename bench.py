@@ -69,6 +69,7 @@ HEADLINE = [
     "throttled_links",
     "stream_interval_join",
     "repeated_spans",
+    "upsample_epochs",
 ]
 
 

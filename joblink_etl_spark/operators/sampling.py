@@ -107,6 +107,48 @@ def token_budget_sample(
     ).drop("bucket")
 
 
+def upsample_to_budget(
+    df: DataFrame,
+    budget: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "epoch",
+) -> DataFrame:
+    """Repeat a (small, high-quality) corpus until it carries ~budget
+    total weight — the epoch-upsampling step of a mixture recipe
+    ("books ×4 epochs"): every doc appears floor(budget/total) times,
+    and the fractional remainder epoch keeps a deterministic
+    hash-selected subset so reruns and engines agree doc-for-doc.
+
+    Output: input rows × their copy count, with an `epoch` column
+    (0-based copy index); docs outside the partial epoch simply stop
+    one copy earlier. budget ≤ total degenerates to a plain
+    deterministic subsample (epoch 0 only).
+
+    Scale: the corpus total rides in as a broadcast one-row aggregate
+    (no driver action, same pattern as the TF-IDF n_docs join); the
+    copy explode is scan-side and the output is ~budget/total × input
+    rows — no shuffle at all.
+    """
+    total = df.select(F.sum(weight_col).cast("bigint").alias("_total"))
+    tagged = df.join(F.broadcast(total))
+    # integer div/mod keep the epoch count exact (a double quotient
+    # can land one ulp under an exact multiple and floor() off by one)
+    n_full = F.expr(f"cast({int(budget)} as bigint) div _total").cast("int")
+    rem = F.lit(int(budget)).cast("bigint") % F.col("_total")
+    # cross-multiplied comparison stays in exact bigints; bounds:
+    # bucket < 10^4 and rem < total, so both products stay < 2^63
+    # for corpus totals up to ~9e14 weight units
+    in_partial = hash_bucket(F.col(id_col), salt) * F.col("_total") < rem * F.lit(BUCKETS)
+    n_copies = n_full + in_partial.cast("int")
+    return (
+        tagged.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_total", "_n")
+    )
+
+
 def pack_shards(
     df: DataFrame,
     weight_col: str = "n_chars",

@@ -73,12 +73,12 @@ register("multimodal_decode", E.multimodal_decode_q, E.MULTIMODAL_DECODE_SQL)
 register("dedup_clusters", E.dedup_clusters, E.DEDUP_CLUSTERS_SQL)
 register("events_asof_join", E.events_asof_join, E.EVENTS_ASOF_JOIN_SQL)
 register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
-register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
 register("repetition_scores", E.repetition_scores, E.REPETITION_SCORES_SQL)
 # corpus scrub layer: decontamination, PII, mixture budgets
 register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
 register("pii_redaction", E.pii_redaction, E.PII_REDACTION_SQL)
 register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_SQL)
+register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
 register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
@@ -96,6 +96,7 @@ register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
 # registered — bench, pytest, and tools/oracle_check.py cover them.
 register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
 register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
+register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
 register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)

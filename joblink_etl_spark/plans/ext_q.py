@@ -944,6 +944,46 @@ FROM d JOIN keep USING (lang, bucket)
 
 
 # ---------------------------------------------------------------------------
+# Epoch upsampling: repeat a small high-quality slice to a target
+# weight budget (mixture recipes like "books ×4 epochs"). Copy counts
+# are pure integer arithmetic on (budget, corpus total, md5 bucket),
+# so the oracle replays them exactly.
+# ---------------------------------------------------------------------------
+
+
+def upsample_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import upsample_to_budget
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1", "src2"))
+        .select("doc_id", "source", "n_chars")
+    )
+    return upsample_to_budget(docs, budget=260_000, weight_col="n_chars")
+
+
+UPSAMPLE_EPOCHS_SQL = """
+WITH src AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+), tot AS (
+  SELECT sum(n_chars)::BIGINT AS total FROM src
+), d AS (
+  SELECT doc_id, source, n_chars, total,
+         ('0x' || substr(md5('epoch:' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+  FROM src, tot
+), c AS (
+  SELECT doc_id, source, n_chars,
+         ((260000 // total) + CASE WHEN bucket * total < (260000 % total) * 10000
+                                   THEN 1 ELSE 0 END)::INT AS n
+  FROM d
+)
+SELECT doc_id, source, n_chars, u.e::INT AS epoch
+FROM c, unnest(range(0, n)) AS u(e)
+"""
+
+
+# ---------------------------------------------------------------------------
 # KMV distinct-count sketch: deterministic analogue of
 # approx_count_distinct — every byte of the sketch derives from md5,
 # so the oracle replays the estimate bit-for-bit.

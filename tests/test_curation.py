@@ -82,6 +82,36 @@ def test_token_budget_sample_respects_budget(spark):
     assert by_lang["zh"] == 250 * 100
 
 
+def test_upsample_to_budget_epoch_counts(spark):
+    from joblink_etl_spark.operators.sampling import upsample_to_budget
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_chars")
+    )  # total weight 1000
+    out = upsample_to_budget(docs, budget=2_600, weight_col="n_chars")
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(
+            F.count("*").alias("n"), F.max("epoch").alias("mx"), F.min("epoch").alias("mn")
+        ).collect()
+    }
+    # 2600/1000 → every doc 2 or 3 copies; ~60% of docs get the third
+    assert set(counts.values()) <= {2, 3}
+    n3 = sum(1 for v in counts.values() if v == 3)
+    assert 40 <= n3 <= 80, n3
+    # epochs are contiguous from 0 per doc
+    rows = {r["doc_id"]: (r["mn"], r["mx"]) for r in out.groupBy("doc_id").agg(
+        F.min("epoch").alias("mn"), F.max("epoch").alias("mx")).collect()}
+    assert all(mn == 0 and mx == counts[d] - 1 for d, (mn, mx) in rows.items())
+    # deterministic: a repartitioned rerun produces the identical multiset
+    again = upsample_to_budget(docs.repartition(7), budget=2_600, weight_col="n_chars")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # budget below total → pure epoch-0 subsample
+    small = upsample_to_budget(docs, budget=400, weight_col="n_chars")
+    got = small.agg(F.max("epoch"), F.count("*")).first()
+    assert got[0] == 0 and 20 <= got[1] <= 60
+
+
 def test_token_budget_sample_partitioning_independent(spark):
     from joblink_etl_spark.operators.sampling import token_budget_sample
 
