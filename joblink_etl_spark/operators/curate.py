@@ -46,13 +46,15 @@ def curate(
         F.col("lang_guess").isin(*langs) & (F.col("quality") >= F.lit(min_quality))
     )
     w = Window.partitionBy("fingerprint")
-    # pin the survivors: both the decontam branch and the final join
-    # read canon, and recomputing the stats+window subtree doubles
-    # the scan cost (same rationale as decontam.ngram_overlap)
-    canon = (
-        kept.withColumn("canonical_id", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("canonical_id"))
-        .localCheckpoint(eager=False)
+    # both the decontam branch and the final join read canon; the two
+    # consumers share the identical subtree up through the
+    # fingerprint Exchange, which Spark's ReuseExchange deduplicates
+    # at runtime — the narrow stats scan and the shuffle write happen
+    # once, each consumer replays only the cheap post-shuffle
+    # window+filter. No pin needed (persist paid a columnar-encode
+    # tax on the text column; localCheckpoint ran at construction).
+    canon = kept.withColumn("canonical_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("canonical_id")
     )
     clean_ids = (
         ngram_overlap(canon.select("doc_id", "text"), benchmark, n=decontam_n)

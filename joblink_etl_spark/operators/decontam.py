@@ -16,8 +16,8 @@ Scale design (100 TB):
   count agg. One shuffle, keyed by doc id, carrying only hit counts.
 - Grams travel as 60-bit md5 ints (fixed width), not strings.
 - The per-doc gram explode is scan-side codegen (no Python); the
-  token array is materialized first so the higher-order-function
-  lambda does O(tokens) work, not O(tokens²).
+  token array is bound as a lambda variable (with_tokens) so the
+  higher-order-function lambda does O(tokens) work, not O(tokens²).
 """
 
 from __future__ import annotations
@@ -25,20 +25,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import md5_int, ngrams_from_tokens
-from .textstats import tokens
+from .dedup import _bound_ngrams, md5_int
 
 
 def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, grams array) with the token array PINNED (localCheckpoint)
-    before the n-gram lambda: project-collapse would otherwise inline
-    the tokenizer into the lambda, re-running the regex split per
-    element — O(tokens²) instead of O(tokens) (same trap and fix as
-    the minhash shingler, dedup.py)."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
-    return toks.localCheckpoint(eager=False).select(
-        id_col, ngrams_from_tokens(F.col("toks"), n).alias("grams")
-    )
+    """(id, grams array) with the token array BOUND as a lambda
+    variable (dedup._bound_ngrams): project-collapse cannot inline
+    the tokenizer into the n-gram lambda, so it runs once per row —
+    same O(tokens) guarantee the old materialization pin gave, with
+    nothing persisted and nothing run at construction time."""
+    return df.select(F.col(id_col), _bound_ngrams(F.col(text_col), n).alias("grams"))
 
 
 def ngram_overlap(
@@ -54,10 +50,14 @@ def ngram_overlap(
     distinct word n-grams in the doc, how many of them also occur
     anywhere in the benchmark, and whether that count is > 0.
     """
-    # Pin the gram arrays: both output branches (per-doc gram count
-    # and the exploded hit join) read them, and recomputing the
-    # tokenize+transform pass doubles the dominant cost.
-    doc_grams = _doc_grams(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    # Both output branches (per-doc gram count and the exploded hit
+    # join) read the gram arrays. They are NOT pinned: with the
+    # tokenizer bound as a lambda variable the recompute is one extra
+    # narrow scan-side pass per consumer, while caching would hold
+    # O(corpus) gram arrays (larger than the text itself) — at scale
+    # the recompute wins, and measured locally the two are within
+    # run variance.
+    doc_grams = _doc_grams(docs, id_col, text_col, n)
     bench_hashes = (
         _doc_grams(benchmark, id_col, text_col, n)
         .select(F.explode("grams").alias("gram"))

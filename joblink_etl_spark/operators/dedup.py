@@ -56,10 +56,18 @@ def ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _bound_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams with the token array bound as a lambda
+    variable (textstats.with_tokens) — the tokenizer evaluates once
+    per row regardless of what Catalyst collapses around it."""
+    from .textstats import with_tokens
+
+    return with_tokens(text, lambda t: ngrams_from_tokens(t, n))
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (for
-    one-off use; hot paths should select tokens() into a column and
-    call ngrams_from_tokens — see that docstring)."""
+    one-off use; hot paths use _bound_ngrams / with_tokens)."""
     return ngrams_from_tokens(tokens(text), n)
 
 
@@ -157,27 +165,32 @@ def repeated_spans(
     """
     from pyspark.sql.window import Window
 
+    from .textstats import with_tokens
+
     sc = df.sparkSession.sparkContext
-    toks = (
+
+    def build(t: Column) -> Column:
+        count = F.greatest(F.size(t) - (ngram - 1), F.lit(0))
+        return F.transform(
+            F.slice(t, 1, count),
+            lambda x, i: F.struct(
+                i.alias("pos"),
+                F.md5(
+                    F.concat_ws(" ", x, *[F.get(t, i + j) for j in range(1, ngram)])
+                ).alias("g"),
+            ),
+        )
+
+    grams = (
         df.repartition(sc.defaultParallelism, F.col(id_col))
-        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        .localCheckpoint(eager=False)  # pin: keep Catalyst from
-        # inlining the tokenizer into the per-position gram lambda
-    )
-    count = F.greatest(F.size("toks") - (ngram - 1), F.lit(0))
-    gram_structs = F.transform(
-        F.slice(F.col("toks"), 1, count),
-        lambda x, i: F.struct(
-            i.alias("pos"),
-            F.md5(
-                F.concat_ws(
-                    " ", x, *[F.get(F.col("toks"), i + j) for j in range(1, ngram)]
-                )
-            ).alias("g"),
-        ),
-    )
-    grams = toks.select("id", F.explode(gram_structs).alias("pg")).select(
-        "id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g")
+        .select(
+            F.col(id_col).alias("id"),
+            # with_tokens binds the token array as a lambda variable:
+            # the tokenizer runs once per doc and cannot be inlined
+            # per-position — no pin/materialization needed
+            F.explode(with_tokens(F.col(text_col), build)).alias("pg"),
+        )
+        .select("id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
     )
     shared = (
         grams.groupBy("g")
@@ -278,10 +291,14 @@ def minhash_base_and_bands(
         # near-no-op); partitioning by id also lets the signature
         # groupBy below avoid a second shuffle
         df.repartition(sc.defaultParallelism, F.col(id_col))
-        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-        .localCheckpoint(eager=False)  # pin: keeps Catalyst from
-        # inlining the tokenizer back into the n-gram lambda
-        .select("id", ngrams_from_tokens(F.col("toks"), ngram).alias("shingles"))
+        .select(
+            F.col(id_col).alias("id"),
+            # with_tokens binds the token array as a lambda variable,
+            # so the tokenizer can't be inlined back into the n-gram
+            # lambda (O(tokens²)) — replaces the old materialization
+            # pin with a pure expression (action-free construction)
+            _bound_ngrams(F.col(text_col), ngram).alias("shingles"),
+        )
         .filter(F.size("shingles") > 0)
         .cache()
     )

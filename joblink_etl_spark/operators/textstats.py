@@ -39,6 +39,23 @@ def tokens(text: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
+def with_tokens(text: Column, build) -> Column:
+    """Evaluate tokens(text) ONCE per row and hand it to `build`
+    (Column -> Column) as a higher-order-function lambda variable.
+
+    Catalyst's project-collapse substitutes column references into
+    downstream expressions — including into HOF lambdas, where the
+    substituted tokenizer then re-evaluates PER ELEMENT (no CSE in
+    the interpreted path), turning O(tokens) passes into O(tokens²).
+    A lambda binding is substitution-proof: `transform` over a
+    single-element array evaluates the tokenizer once and every
+    reference inside `build` sees the bound value. Unlike the
+    persist/localCheckpoint pins this replaces, it materializes
+    nothing, runs nothing at plan-construction time, and stays
+    inside whole-stage codegen."""
+    return F.get(F.transform(F.array(tokens(text)), build), 0)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -189,39 +206,47 @@ def chunk_documents(
     [i·stride, i·stride + chunk_tokens); the last window is kept even
     if short, and stride < chunk_tokens gives overlap.
 
-    Pure narrow scan-side work: tokens materialize once per doc (HOF
-    lambdas re-evaluate embedded expressions — see ngrams_from_tokens),
-    chunks come from slice() over the pinned array, and the explode
-    multiplies rows without any shuffle. At 100 TB this parallelizes
-    per input split with zero coordination; chunk provenance
-    (doc_id, chunk_index) keeps the mapping invertible.
+    Pure narrow scan-side work: the whole chunk list is ONE bound
+    expression (with_tokens — the tokenizer evaluates once per doc,
+    never per chunk), and the explode multiplies rows without any
+    shuffle. At 100 TB this parallelizes per input split with zero
+    coordination; chunk provenance (doc_id, chunk_index) keeps the
+    mapping invertible.
 
     Output: id_col, chunk_index, chunk_text, n_chunk_tokens.
     """
-    toks_df = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).localCheckpoint(eager=False)
-    n = F.size("_toks")
-    # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.lit(1)
-        + F.ceil(
-            F.greatest(n - F.lit(chunk_tokens), F.lit(0)).cast("double") / F.lit(stride)
-        ).cast("int")
-    )
-    idx = F.when(n_chunks <= 0, F.array().cast("array<int>")).otherwise(
-        F.sequence(F.lit(0), n_chunks - 1)
-    )
-    out = toks_df.select(
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        # number of windows: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.lit(1)
+            + F.ceil(
+                F.greatest(n - F.lit(chunk_tokens), F.lit(0)).cast("double")
+                / F.lit(stride)
+            ).cast("int")
+        )
+        idx = F.when(n_chunks <= 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(0), n_chunks - 1)
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("chunk_index"),
+                F.array_join(
+                    F.slice(t, i * stride + 1, chunk_tokens), " "
+                ).alias("chunk_text"),
+                F.size(F.slice(t, i * stride + 1, chunk_tokens)).alias(
+                    "n_chunk_tokens"
+                ),
+            ),
+        )
+
+    return df.select(
+        F.col(id_col), F.explode(with_tokens(F.col(text_col), build)).alias("_c")
+    ).select(
         id_col,
-        F.size("_toks").alias("_n"),
-        F.col("_toks").alias("_t"),
-        F.explode(idx).alias("chunk_index"),
-    )
-    sliced = F.slice(F.col("_t"), F.col("chunk_index") * stride + 1, chunk_tokens)
-    return out.select(
-        id_col,
-        "chunk_index",
-        F.array_join(sliced, " ").alias("chunk_text"),
-        F.size(sliced).alias("n_chunk_tokens"),
+        F.col("_c.chunk_index").alias("chunk_index"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
     )

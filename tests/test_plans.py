@@ -167,19 +167,26 @@ def test_incremental_merge_touches_only_affected_partitions(spark, tmp_path):
     assert untouched["company_auto"] == "" and untouched["status"] == "queued"
 
 
-def test_tfidf_builders_run_no_action_at_construction(spark):
-    """Plan construction must be action-free: n_docs is derived
-    in-plan (broadcast one-row aggregate), not via an eager count()
-    — at scale an eager count is a full extra corpus pass per
-    query build."""
+def test_builders_run_no_action_at_construction(spark):
+    """Plan construction must be action-free — no eager count(), no
+    localCheckpoint (eager under AQE even with eager=False): at scale
+    a construction-time action is an unrequested full corpus pass per
+    query build. Covers every builder that pins a subtree."""
     from joblink_etl_spark.plans import ext_q as E
 
     sc = spark.sparkContext
-    group = "tfidf-plan-build-lazy-check"
+    group = "plan-build-lazy-check"
     sc.setJobGroup(group, "assert no Spark job during plan construction")
     try:
-        E.tfidf_pairs(spark, "/root/testdata/sf0.001")
-        E.tfidf_top_terms_q(spark, "/root/testdata/sf0.001")
+        sf = "/root/testdata/sf0.001"
+        E.tfidf_pairs(spark, sf)
+        E.tfidf_top_terms_q(spark, sf)
+        E.minhash_pairs(spark, sf)
+        E.repeated_spans_q(spark, sf)
+        E.ngram_decontam(spark, sf)
+        E.chunk_documents_q(spark, sf)
+        E.curation_pipeline(spark, sf)
+        E.upsample_epochs_q(spark, sf)
     finally:
         for prop in ("spark.jobGroup.id", "spark.job.description", "spark.job.interruptOnCancel"):
             sc.setLocalProperty(prop, None)
