@@ -46,21 +46,23 @@ def curate(
         F.col("lang_guess").isin(*langs) & (F.col("quality") >= F.lit(min_quality))
     )
     w = Window.partitionBy("fingerprint")
-    # both the decontam branch and the final join read canon; the two
-    # consumers share the identical subtree up through the
-    # fingerprint Exchange, which Spark's ReuseExchange deduplicates
-    # at runtime — the narrow stats scan and the shuffle write happen
-    # once, each consumer replays only the cheap post-shuffle
-    # window+filter. No pin needed (persist paid a columnar-encode
-    # tax on the text column; localCheckpoint ran at construction).
     canon = kept.withColumn("canonical_id", F.min("doc_id").over(w)).filter(
         F.col("doc_id") == F.col("canonical_id")
     )
-    clean_ids = (
-        ngram_overlap(canon.select("doc_id", "text"), benchmark, n=decontam_n)
+    # canon has exactly ONE consumer: the decontam stage carries the
+    # stats columns through its aggregation as group keys, so there
+    # is no join-back and no second pass over the corpus. (The
+    # earlier two-consumer spelling needed a pin — persist paid a
+    # columnar-encode tax on text, localCheckpoint ran jobs at
+    # construction, and ReuseExchange can't kick in because column
+    # pruning gives each consumer a different subtree.)
+    return (
+        ngram_overlap(
+            canon,
+            benchmark,
+            n=decontam_n,
+            carry=("lang_guess", "n_tokens", "quality"),
+        )
         .filter(~F.col("contaminated"))
-        .select("doc_id")
-    )
-    return canon.join(clean_ids, "doc_id").select(
-        "doc_id", "lang_guess", "n_tokens", "quality"
+        .select("doc_id", "lang_guess", "n_tokens", "quality")
     )

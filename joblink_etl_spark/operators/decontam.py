@@ -12,8 +12,9 @@ n-gram containment.
 Scale design (100 TB):
 - The benchmark side (eval sets) is tiny relative to the corpus —
   its distinct gram-hash set is broadcast, so the corpus side never
-  shuffles: scan → explode grams → broadcast-hash-join → partial
-  count agg. One shuffle, keyed by doc id, carrying only hit counts.
+  shuffles: scan → explode grams → LEFT broadcast-hash-join →
+  partial count agg. One shuffle, keyed by doc id, carrying one
+  combined row per doc (map-side combine collapses the gram rows).
 - Grams travel as 60-bit md5 ints (fixed width), not strings.
 - The per-doc gram explode is scan-side codegen (no Python); the
   token array is bound as a lambda variable (with_tokens) so the
@@ -28,13 +29,17 @@ from pyspark.sql import functions as F
 from .dedup import _bound_ngrams, md5_int
 
 
-def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, grams array) with the token array BOUND as a lambda
-    variable (dedup._bound_ngrams): project-collapse cannot inline
-    the tokenizer into the n-gram lambda, so it runs once per row —
-    same O(tokens) guarantee the old materialization pin gave, with
-    nothing persisted and nothing run at construction time."""
-    return df.select(F.col(id_col), _bound_ngrams(F.col(text_col), n).alias("grams"))
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *carry, grams array) with the token array BOUND as a
+    lambda variable (dedup._bound_ngrams): project-collapse cannot
+    inline the tokenizer into the n-gram lambda, so it runs once per
+    row — same O(tokens) guarantee the old materialization pin gave,
+    with nothing persisted and nothing run at construction time."""
+    return df.select(
+        F.col(id_col), *carry, _bound_ngrams(F.col(text_col), n).alias("grams")
+    )
 
 
 def ngram_overlap(
@@ -43,42 +48,46 @@ def ngram_overlap(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document contamination stats against a benchmark corpus.
 
-    Returns (id_col, n_grams, n_overlap, contaminated): the number of
-    distinct word n-grams in the doc, how many of them also occur
-    anywhere in the benchmark, and whether that count is > 0.
-    """
-    # Both output branches (per-doc gram count and the exploded hit
-    # join) read the gram arrays. They are NOT pinned: with the
-    # tokenizer bound as a lambda variable the recompute is one extra
-    # narrow scan-side pass per consumer, while caching would hold
-    # O(corpus) gram arrays (larger than the text itself) — at scale
-    # the recompute wins, and measured locally the two are within
-    # run variance.
-    doc_grams = _doc_grams(docs, id_col, text_col, n)
+    Returns (id_col, *carry, n_grams, n_overlap, contaminated): the
+    number of distinct word n-grams in the doc, how many of them also
+    occur anywhere in the benchmark, and whether that count is > 0.
+
+    Single-pass shape: explode_outer(grams) → LEFT broadcast-join the
+    benchmark hash set → one groupBy(doc). The corpus is read ONCE
+    (no per-doc-count branch rejoined later), and `carry` columns
+    ride through the codegen pipeline as extra group keys — they are
+    duplicated only in the streamed explode rows, never shuffled wide
+    (partial aggregation collapses to one row per doc before the
+    exchange). That makes the operator safely composable as the last
+    stage of a fused pipeline (see curate.py) with zero extra plan
+    consumers."""
+    doc_grams = _doc_grams(docs, id_col, text_col, n, carry=carry)
     bench_hashes = (
         _doc_grams(benchmark, id_col, text_col, n)
         .select(F.explode("grams").alias("gram"))
         .select(md5_int(F.col("gram")).alias("gram_h"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    exploded = doc_grams.select(id_col, F.explode("grams").alias("gram")).select(
-        id_col, md5_int(F.col("gram")).alias("gram_h")
-    )
-    hits = (
-        exploded.join(F.broadcast(bench_hashes), "gram_h")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_overlap"))
-    )
+    exploded = doc_grams.select(
+        id_col,
+        *carry,
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    ).select(id_col, *carry, "n_grams", md5_int(F.col("gram")).alias("gram_h"))
     return (
-        doc_grams.select(id_col, F.size("grams").alias("n_grams"))
-        .join(hits, id_col, "left")
+        exploded.join(F.broadcast(bench_hashes), "gram_h", "left")
+        .groupBy(id_col, *carry, "n_grams")
+        .agg(F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"))
         .select(
             id_col,
+            *carry,
             "n_grams",
-            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
         )
     )
