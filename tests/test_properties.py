@@ -135,3 +135,63 @@ def test_salted_join_always_matches_plain_join(spark_prop, fact_rows, buckets):
     got = sorted(map(tuple, salted_join(fact, dim, "k", salt_buckets=buckets).collect()))
     want = sorted(map(tuple, fact.join(dim, "k").collect()))
     assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=30),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_repeated_spans_match_pure_python_oracle(spark_prop, docs, ngram):
+    """repeated_spans vs an independent pure-Python reimplementation
+    on tiny random corpora (4-letter alphabet forces collisions):
+    identical span sets, and per-doc spans are disjoint with
+    span_tokens >= ngram."""
+    from collections import defaultdict
+
+    from joblink_etl_spark.operators.dedup import repeated_spans
+
+    texts = [" ".join(t) for t in docs]
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_grams"])
+        for r in repeated_spans(df, ngram=ngram, min_docs=2).collect()
+    }
+
+    # independent oracle
+    gram_docs = defaultdict(set)
+    positions = defaultdict(list)
+    for i, toks in enumerate(docs):
+        for p in range(max(len(toks) - ngram + 1, 0)):
+            g = " ".join(toks[p : p + ngram])
+            gram_docs[g].add(i)
+            positions[i].append((p, g))
+    want = set()
+    for i, pgs in positions.items():
+        run: list[int] = []
+        for p, g in pgs:  # pgs already in pos order
+            if len(gram_docs[g]) < 2:
+                continue
+            if run and p - run[-1] > ngram:
+                want.add((i, run[0], run[-1] + ngram - 1, run[-1] + ngram - run[0], len(run)))
+                run = []
+            run.append(p)
+        if run:
+            want.add((i, run[0], run[-1] + ngram - 1, run[-1] + ngram - run[0], len(run)))
+    assert got == want
+
+    # disjointness + minimum width per doc
+    by_doc = defaultdict(list)
+    for d, s, e, w, n in got:
+        assert w == e - s + 1 >= ngram
+        by_doc[d].append((s, e))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 < s2
