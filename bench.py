@@ -70,6 +70,7 @@ HEADLINE = [
     "stream_interval_join",
     "repeated_spans",
     "upsample_epochs",
+    "zorder_key",
 ]
 
 

@@ -415,3 +415,51 @@ SELECT coalesce(o_custkey, c_custkey) AS custkey,
 FROM a FULL OUTER JOIN b ON o_custkey = c_custkey
 ORDER BY custkey
 """
+
+
+def zorder_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order key over (l_quantity, l_extendedprice) — the
+    multi-column clustering key sources/io.zorder_layout sorts by.
+    The key arithmetic (double binning + bit interleave) is
+    engine-neutral, so the oracle replays it bit-for-bit."""
+    from ..sources.io import zorder_key
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return zorder_key(li, ["l_quantity", "l_extendedprice"], bits=10).select(
+        "l_orderkey", "l_linenumber", "z_key"
+    )
+
+
+def _zorder_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of sources/io.zorder_key: identical double binning
+    and the same (j*n_cols + k) bit-interleave."""
+    lo = {c: f"(SELECT min({c}::DOUBLE) FROM lineitem)" for c in cols}
+    hi = {c: f"(SELECT max({c}::DOUBLE) FROM lineitem)" for c in cols}
+    n_bins = 1 << bits
+    bins = ",\n         ".join(
+        f"CASE WHEN {c} IS NULL OR hi_{c} <= lo_{c} THEN 0 "
+        f"ELSE least(floor(({c}::DOUBLE - lo_{c}) / (hi_{c} - lo_{c}) * {n_bins}.0), {n_bins - 1}) "
+        f"END::BIGINT AS bin_{c}" for c in cols
+    )
+    bounds = ", ".join(
+        f"{lo[c]} AS lo_{c}, {hi[c]} AS hi_{c}" for c in cols
+    )
+    terms = " | ".join(
+        f"(((bin_{c} >> {j}) & 1) << {j * len(cols) + k})"
+        for j in range(bits)
+        for k, c in enumerate(cols)
+    )
+    return f"""
+WITH b AS (
+  SELECT l_orderkey, l_linenumber,
+         {bins}
+  FROM lineitem, (SELECT {bounds}) bounds
+)
+SELECT l_orderkey, l_linenumber, ({terms})::BIGINT AS z_key
+FROM b
+"""
+
+
+ZORDER_KEY_SQL = _zorder_sql(["l_quantity", "l_extendedprice"], 10)

@@ -25,6 +25,7 @@ Scale rules encoded here:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..schemas import apply_aliases, validate_or_heal
@@ -124,9 +125,74 @@ def optimize_layout(df: DataFrame, cols: list[str], n_partitions: int | None = N
     downstream range scans and merge joins on those columns read
     contiguous, min/max-prunable files (parquet row-group stats skip
     whole groups when the data is clustered). The range exchange
-    samples bounds once — one shuffle now buys every later scan."""
+    samples bounds once — one shuffle now buys every later scan.
+    Clusters on the LEADING column first — for balanced multi-column
+    pruning use zorder_layout."""
     if n_partitions:
         out = df.repartitionByRange(n_partitions, *cols)
     else:
         out = df.repartitionByRange(*cols)
     return out.sortWithinPartitions(*cols)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 10) -> DataFrame:
+    """Append a Morton (Z-order) key interleaving `cols`: each column
+    is binned into 2^bits buckets between its in-plan min/max (one
+    broadcast one-row aggregate — no driver action), and the bucket
+    bits interleave into a single bigint `z_key`. Rows close in ALL
+    dimensions get close keys, so clustering by z_key makes parquet
+    row-group min/max stats prunable on EVERY interleaved column at
+    once — the multi-column counterpart of optimize_layout's
+    lexicographic clustering (the same trick behind Delta/Iceberg
+    Z-ORDER). bits × len(cols) must fit a signed 64-bit key
+    (≤ 63 interleaved bits).
+
+    The bin arithmetic is plain double math on (value, min, max), so
+    an engine-neutral oracle can replay the key exactly; NULLs and
+    degenerate (min == max) columns bin to 0.
+    """
+    if bits * len(cols) > 63:
+        raise ValueError(f"{bits} bits x {len(cols)} cols exceeds a 63-bit key")
+    n_bins = 1 << bits
+    bounds = df.select(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    )
+    t = df.join(F.broadcast(bounds))
+    bin_cols = {}
+    for c in cols:
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        scaled = F.floor(
+            (F.col(c).cast("double") - lo) / (hi - lo) * F.lit(float(n_bins))
+        )
+        bin_cols[f"_bin_{c}"] = (
+            F.when(F.col(c).isNull() | (hi <= lo), F.lit(0))
+            .otherwise(F.least(scaled, F.lit(n_bins - 1)))
+            .cast("bigint")
+        )
+    t = t.withColumns(bin_cols)
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for k, c in enumerate(cols):
+            bit = F.shiftright(F.col(f"_bin_{c}"), j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * len(cols) + k))
+    return t.withColumn("z_key", z).drop(
+        *[f"_lo_{c}" for c in cols],
+        *[f"_hi_{c}" for c in cols],
+        *bin_cols.keys(),
+    )
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 10, n_partitions: int | None = None
+) -> DataFrame:
+    """Z-order clustering for writes: compute z_key, then
+    range-partition + sort by it so every interleaved column is
+    row-group-prunable. One shuffle (the range exchange), same cost
+    shape as optimize_layout."""
+    keyed = zorder_key(df, cols, bits)
+    if n_partitions:
+        out = keyed.repartitionByRange(n_partitions, "z_key")
+    else:
+        out = keyed.repartitionByRange("z_key")
+    return out.sortWithinPartitions("z_key")

@@ -167,6 +167,60 @@ def test_incremental_merge_touches_only_affected_partitions(spark, tmp_path):
     assert untouched["company_auto"] == "" and untouched["status"] == "queued"
 
 
+def test_zorder_layout_clusters_both_dims(spark):
+    """Z-order clustering must bound BOTH interleaved columns within
+    each output partition (lexicographic clustering only bounds the
+    leading one) — that per-partition bounding box is exactly what
+    parquet row-group min/max pruning exploits."""
+    import pytest as _pytest
+
+    from joblink_etl_spark.sources.io import zorder_key, zorder_layout
+
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).cast("double").alias("x"),
+        F.floor(F.col("id") / 64).cast("double").alias("y"),  # independent of x
+    )
+    out = zorder_layout(df, ["x", "y"], bits=6, n_partitions=16)
+    plan = plan_of(out, mode="extended")
+    assert "RepartitionByExpression" in plan or "rangepartitioning" in plan.lower()
+    assert "Sort" in plan
+
+    rows = out.select(
+        F.spark_partition_id().alias("pid"), "x", "y", "z_key"
+    ).collect()
+    assert all(0 <= r["z_key"] < (1 << 12) for r in rows)
+    from collections import defaultdict
+
+    box = defaultdict(lambda: [1e9, -1e9, 1e9, -1e9])
+    for r in rows:
+        b = box[r["pid"]]
+        b[0], b[1] = min(b[0], r["x"]), max(b[1], r["x"])
+        b[2], b[3] = min(b[2], r["y"]), max(b[3], r["y"])
+    spans_x = [b[1] - b[0] for b in box.values()]
+    spans_y = [b[3] - b[2] for b in box.values()]
+    # global range is 63 in both dims; z-ordered partitions must
+    # average well under half of it in BOTH dimensions at once
+    assert sum(spans_x) / len(spans_x) < 32, spans_x
+    assert sum(spans_y) / len(spans_y) < 32, spans_y
+
+    with _pytest.raises(ValueError, match="63-bit"):
+        zorder_key(df, ["x", "y"], bits=32)
+
+
+def test_curation_pipeline_scans_corpus_once(spark):
+    """The fused curate() must read the corpus parquet exactly once
+    (plus one benchmark scan): the old two-consumer survivor set
+    produced two full corpus subtrees that ReuseExchange could not
+    deduplicate (column pruning differentiates them)."""
+    from joblink_etl_spark.plans import ext_q as E
+
+    df = E.curation_pipeline(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+
+
 def test_builders_run_no_action_at_construction(spark):
     """Plan construction must be action-free — no eager count(), no
     localCheckpoint (eager under AQE even with eager=False): at scale
