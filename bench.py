@@ -71,6 +71,7 @@ HEADLINE = [
     "repeated_spans",
     "upsample_epochs",
     "zorder_key",
+    "kmeans_clusters",
 ]
 
 

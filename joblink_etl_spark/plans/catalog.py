@@ -79,11 +79,11 @@ register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
 register("pii_redaction", E.pii_redaction, E.PII_REDACTION_SQL)
 register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_SQL)
 register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
-register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
 register("zorder_key", R.zorder_key_q, R.ZORDER_KEY_SQL)
+register("kmeans_clusters", E.kmeans_clusters_q, E.KMEANS_CLUSTERS_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
 # ---- 50-query driver window ends here --------------------------------
@@ -98,6 +98,7 @@ register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
 register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
 register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
 register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
+register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
 register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)

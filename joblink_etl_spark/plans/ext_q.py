@@ -1570,3 +1570,80 @@ SELECT t.id_a, t.id_b, t.jaccard, v.score
 FROM tpairs t JOIN vpairs v ON t.id_a = v.id_a AND t.id_b = v.id_b
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Bit-exact k-means over int8 codes: Lloyd's with deterministic seeds,
+# exact integer distances, floor(sum/count) centroid updates. The
+# oracle unrolls the fixed iteration count into a CTE chain and
+# replays every assignment bit-for-bit — float k-means could never be
+# cross-engine-checked like this.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_codes, quantize_embeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings(emb).select("vec_id", "q_codes")
+    return kmeans_codes(codes, k_every=50, iters=2)
+
+
+def _kmeans_sql(k_every: int, iters: int) -> str:
+    def dist(c_alias: str) -> str:
+        return (
+            "(list_sum(list_transform(range(1, len(v.codes) + 1), "
+            f"i -> (v.codes[i] - {c_alias}.codes[i])::BIGINT * "
+            f"(v.codes[i] - {c_alias}.codes[i])::BIGINT)))::BIGINT"
+        )
+
+    ctes = [
+        "base AS (\n  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings\n)",
+        (
+            "scaled AS (\n"
+            "  SELECT vec_id, e,\n"
+            "         CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0\n"
+            "              THEN list_max(list_transform(e, x -> abs(x))) / 127.0\n"
+            "              ELSE 1.0 END AS scale\n  FROM base\n)"
+        ),
+        (
+            "v AS (\n"
+            "  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes\n"
+            "  FROM scaled\n)"
+        ),
+        f"c0 AS (\n  SELECT vec_id AS cid, codes FROM v WHERE vec_id % {k_every} = 0\n)",
+    ]
+    for i in range(1, iters + 1):
+        ctes += [
+            (
+                f"a{i}d AS (\n"
+                f"  SELECT v.vec_id, v.codes, c.cid, {dist('c')} AS d2\n"
+                f"  FROM v, c{i - 1} c\n)"
+            ),
+            (
+                f"s{i} AS (\n"
+                f"  SELECT vec_id, codes, cid FROM (\n"
+                f"    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn\n"
+                f"    FROM a{i}d\n  ) WHERE rn = 1\n)"
+            ),
+            (
+                f"m{i} AS (\n"
+                f"  SELECT cid, u.i - 1 AS pos,\n"
+                f"         floor(sum(codes[u.i])::DOUBLE / count(*))::INT AS m\n"
+                f"  FROM s{i}, unnest(range(1, len(codes) + 1)) AS u(i)\n"
+                f"  GROUP BY cid, u.i\n)"
+            ),
+            f"c{i} AS (\n  SELECT cid, list(m ORDER BY pos) AS codes FROM m{i} GROUP BY cid\n)",
+        ]
+    ctes.append(
+        f"fd AS (\n  SELECT v.vec_id, c.cid, {dist('c')} AS d2\n  FROM v, c{iters} c\n)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT vec_id, cid AS cluster_id, d2 AS sq_dist FROM (\n"
+        "  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM fd\n"
+        ") WHERE rn = 1\n"
+    )
+
+
+KMEANS_CLUSTERS_SQL = _kmeans_sql(50, 2)

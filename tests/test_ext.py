@@ -78,6 +78,29 @@ def test_simhash_locality(spark, docs):
     assert sum(near) / len(near) < sum(far) / len(far), "simhash lost locality"
 
 
+def test_kmeans_codes_recovers_planted_clusters(spark):
+    """Three well-separated integer-code blobs; deterministic seeds
+    (ids 0/20/40, one per blob) must converge to one cluster per
+    blob, invariant to partitioning."""
+    from joblink_etl_spark.operators.similarity import kmeans_codes
+
+    rows = [
+        (i, [100 * (i // 20) + (i % 7) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, q_codes array<int>")
+    out = {r["vec_id"]: r["cluster_id"] for r in kmeans_codes(df, k_every=20, iters=2).collect()}
+    assert len(out) == 60
+    for i in range(60):
+        assert out[i] == out[(i // 20) * 20], i  # same blob → same cluster
+    assert len({out[0], out[20], out[40]}) == 3  # blobs stay separate
+
+    again = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_codes(df.repartition(7), k_every=20, iters=2).collect()
+    }
+    assert again == out
+
+
 def test_repeated_spans_finds_planted_boilerplate(spark):
     """A 10-token paragraph shared by two docs yields one maximal
     span per doc at exactly the planted token coordinates; the
