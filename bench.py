@@ -93,6 +93,13 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # each query's cached intermediates (minhash shingles etc.)
+        # are query-private; dropping them between queries keeps one
+        # query's cache from evicting the next one's mid-flight
+        # (observed: a 3x swing on the minhash family late in a long
+        # run). The drop is outside the timed window — the cache
+        # WRITE cost stays inside each query's own time.
+        spark.catalog.clearCache()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
