@@ -72,6 +72,7 @@ HEADLINE = [
     "upsample_epochs",
     "zorder_key",
     "kmeans_clusters",
+    "training_corpus",
 ]
 
 

@@ -66,7 +66,6 @@ register("incremental_near_dups", E.incremental_near_dups_q, E.INCREMENTAL_NEAR_
 register("consensus_near_dups", E.consensus_near_dups, E.CONSENSUS_NEAR_DUPS_SQL)
 register("simhash_docs", E.simhash_docs, E.SIMHASH_DOCS_SQL)
 register("cosine_near_dups_lsh", E.cosine_near_dups_lsh, E.COSINE_NEAR_DUPS_LSH_SQL)
-register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
 register("knn_ivf", E.knn_ivf_q, E.KNN_IVF_SQL)
 register("multimodal_decode", E.multimodal_decode_q, E.MULTIMODAL_DECODE_SQL)
 # curation layer: cluster resolution, point-in-time join, sampling
@@ -81,6 +80,7 @@ register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_S
 register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
+register("training_corpus", E.training_corpus_q, E.TRAINING_CORPUS_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
 register("zorder_key", R.zorder_key_q, R.ZORDER_KEY_SQL)
 register("kmeans_clusters", E.kmeans_clusters_q, E.KMEANS_CLUSTERS_SQL)
@@ -99,6 +99,7 @@ register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
 register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
 register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
 register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
+register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
 register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
 register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)

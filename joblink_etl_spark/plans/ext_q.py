@@ -1357,6 +1357,97 @@ FROM canon
 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
 
+
+# ---------------------------------------------------------------------------
+# training_corpus — the end-to-end prep pipeline as ONE plan:
+# curate (lang/quality gates → exact-dedup canonical → benchmark
+# decontam) → chunk survivors into token windows → pack chunks into
+# fixed-token-budget shards. The oracle extends the proven curation
+# CTE chain with the chunk/pack spellings.
+# ---------------------------------------------------------------------------
+
+
+def training_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full training-data prep in one Catalyst plan; each stage is the
+    already-verified operator (add_text_stats / ngram_overlap with
+    carry / chunk_documents / pack_shards), composed so the corpus is
+    scanned once end-to-end. Output: one row per packed chunk with
+    its (bucket, shard_id, offset) coordinates."""
+    from pyspark.sql.window import Window
+
+    from ..operators.decontam import ngram_overlap
+    from ..operators.sampling import pack_shards
+    from ..operators.textstats import add_text_stats, chunk_documents
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    stats = add_text_stats(corpus).select(
+        "doc_id", "text", "lang_guess", "quality", "fingerprint"
+    )
+    kept = stats.filter(
+        F.col("lang_guess").isin("en", "es") & (F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("fingerprint")
+    canon = kept.withColumn("canonical_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    clean = (
+        ngram_overlap(canon, bench, n=3, carry=("text",))
+        .filter(~F.col("contaminated"))
+        .select("doc_id", "text")
+    )
+    chunks = chunk_documents(clean, chunk_tokens=32, stride=24)
+    packed = pack_shards(
+        chunks.withColumn(
+            "chunk_uid", F.col("doc_id") * 10000 + F.col("chunk_index")
+        ),
+        weight_col="n_chunk_tokens",
+        budget=2048,
+        order_col="chunk_uid",
+        n_buckets=8,
+    )
+    return packed.select(
+        "doc_id", "chunk_index", "n_chunk_tokens", "bucket", "offset", "shard_id"
+    )
+
+
+_CURATION_CTES = CURATION_PIPELINE_SQL.split("SELECT doc_id, lang_guess")[0].rstrip()
+
+TRAINING_CORPUS_SQL = (
+    _CURATION_CTES
+    + """, clean AS (
+  SELECT doc_id, text FROM canon
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), ctok AS (
+  SELECT doc_id, """
+    + _TOKS
+    + """ AS toks FROM clean
+), meta AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE 1 + ceil(greatest(len(toks) - 32, 0)::DOUBLE / 24)::INT
+         END AS n_chunks
+  FROM ctok
+), chunks AS (
+  SELECT doc_id, u.chunk_index,
+         len(toks[u.chunk_index*24+1 : u.chunk_index*24+32]) AS n_chunk_tokens,
+         doc_id * 10000 + u.chunk_index AS chunk_uid
+  FROM meta, unnest(range(0, n_chunks)) AS u(chunk_index)
+  WHERE n_chunks > 0
+), packed AS (
+  SELECT doc_id, chunk_index, n_chunk_tokens,
+         (chunk_uid % 8)::INTEGER AS bucket,
+         (sum(n_chunk_tokens) OVER (PARTITION BY chunk_uid % 8 ORDER BY chunk_uid)
+          - n_chunk_tokens)::BIGINT AS "offset"
+  FROM chunks
+)
+SELECT doc_id, chunk_index, n_chunk_tokens, bucket, "offset",
+       floor("offset" / 2048)::INTEGER AS shard_id
+FROM packed
+"""
+)
+
 # ---------------------------------------------------------------------------
 # incremental_near_dups — new batch vs standing index (no index
 # self-join). Oracle replays signatures/bands for both sides from
