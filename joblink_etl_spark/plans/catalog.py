@@ -127,3 +127,7 @@ register(
 register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
 register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
 register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)
+
+# --- round-3 additions (past the driver's 50-query window; checked by
+# tools/oracle_check.py + pytest like the rest of the tail) ------------
+register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)

@@ -1738,3 +1738,58 @@ def _kmeans_sql(k_every: int, iters: int) -> str:
 
 
 KMEANS_CLUSTERS_SQL = _kmeans_sql(50, 2)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: WAV-style decode metadata + fixed-length analysis
+# windows. The fake backend derives every field from the payload's
+# md5 bytes, so the oracle replays the decode bit-for-bit from hex
+# digits; the real RIFF/WAVE parser is covered by pytest
+# (tests/test_operators.py) against synthesized containers.
+# ---------------------------------------------------------------------------
+
+
+def audio_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = M.decode_audio(M.attach_fake_payload(docs))
+    win = M.sample_audio_windows(decoded, window_ms=1000)
+    return win.groupBy(
+        "doc_id",
+        "sample_rate",
+        "audio_channels",
+        "bits_per_sample",
+        "n_samples",
+        "duration_ms",
+        "rms_q",
+        "audio_format",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"))
+
+
+AUDIO_DECODE_SQL = """
+WITH hexed AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), bytes AS (
+  SELECT doc_id,
+         ('0x' || substr(h, 1, 2))::INTEGER AS b0,
+         ('0x' || substr(h, 3, 2))::INTEGER AS b1,
+         ('0x' || substr(h, 5, 2))::INTEGER AS b2,
+         ('0x' || substr(h, 7, 2))::INTEGER AS b3
+  FROM hexed
+), meta AS (
+  SELECT doc_id,
+         (8000 * (1 + b0 % 3))::INTEGER AS sample_rate,
+         (1 + b1 % 2)::INTEGER AS audio_channels,
+         16::INTEGER AS bits_per_sample,
+         (1000 + b2 * 256 + b3)::BIGINT AS n_samples,
+         ((1000 + b2 * 256 + b3) * 1000 // (8000 * (1 + b0 % 3)))::BIGINT AS duration_ms,
+         (b0 * 256 + b1)::BIGINT AS rms_q,
+         'fake/pcm16' AS audio_format
+  FROM bytes
+)
+SELECT doc_id, sample_rate, audio_channels, bits_per_sample,
+       n_samples, duration_ms, rms_q, audio_format,
+       greatest((duration_ms + 999) // 1000, 1)::BIGINT AS n_windows
+FROM meta
+"""

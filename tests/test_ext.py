@@ -255,6 +255,72 @@ def test_resize_and_frame_sampling(spark, docs):
     assert all(r["frame_index"] < r["n_frames"] for r in rows)
 
 
+def _tiny_wav(samples, rate=8000, channels=1, extra_chunk=False):
+    """Fully valid RIFF/WAVE container around 16-bit PCM samples."""
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = b""
+    if extra_chunk:  # chunk-walk must skip unrelated chunks (word-aligned)
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_audio_real_backend_decodes(spark):
+    import math
+
+    tone = [1000, -1000] * 800  # 1600 samples, constant magnitude
+    quiet = [0] * 400
+    blobs = [
+        (1, _tiny_wav(tone), 8000, 1, 1600, 200, 1000, "wav"),
+        (2, _tiny_wav(quiet, rate=16000, extra_chunk=True), 16000, 1, 400, 25, 0, "wav"),
+        (3, b"not audio", 0, 0, 0, 0, 0, "unknown"),
+        (4, b"", 0, 0, 0, 0, 0, "empty"),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, *_ in blobs], "doc_id int, content binary"
+    )
+    got = {r["doc_id"]: r for r in M.decode_audio(df, backend="real").collect()}
+    for i, _, sr, ch, n, dur, rms, fmt in blobs:
+        r = got[i]
+        assert (
+            r["sample_rate"], r["audio_channels"], r["n_samples"],
+            r["duration_ms"], r["rms_q"], r["audio_format"],
+        ) == (sr, ch, n, dur, rms, fmt), fmt
+    # integer-exact RMS: mixed magnitudes, verified against isqrt
+    mixed = [300, -400, 500, 0]
+    want = math.isqrt(sum(s * s for s in mixed) // len(mixed))
+    one = spark.createDataFrame(
+        [(9, bytearray(_tiny_wav(mixed)))], "doc_id int, content binary"
+    )
+    assert M.decode_audio(one, backend="real").first()["rms_q"] == want
+
+    with pytest.raises(ValueError, match="backend"):
+        M.decode_audio(df, backend="bogus")
+
+
+def test_audio_fake_backend_and_windows(spark, docs):
+    df = M.decode_audio(
+        M.attach_fake_payload(docs.limit(20).select("doc_id", "text"))
+    )
+    rows = df.collect()
+    assert all(r["sample_rate"] in (8000, 16000, 24000) for r in rows)
+    assert all(r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"] for r in rows)
+
+    win = M.sample_audio_windows(df, window_ms=100).collect()
+    by_doc = {}
+    for r in win:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rs in by_doc.values():
+        dur = rs[0]["duration_ms"]
+        assert len(rs) == max(-(-dur // 100), 1)
+        assert all(r["win_end_ms"] <= dur or dur == 0 for r in rs)
+        assert sorted(r["window_index"] for r in rs) == list(range(len(rs)))
+
+
 # --- curation layer: connected components, as-of join, sampling ------
 
 
