@@ -23,10 +23,18 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _bound_ngrams, md5_int
+
+# Bloom geometry: m bits (m/64 bigint words) and k hash seeds. At the
+# defaults the bitmap is 8 KiB — FIXED size however large the
+# benchmark set is, which is the whole point (see bloom_decontam).
+BLOOM_BITS = 1 << 16
+BLOOM_SEEDS = 3
 
 
 def _doc_grams(
@@ -39,6 +47,125 @@ def _doc_grams(
     with nothing persisted and nothing run at construction time."""
     return df.select(
         F.col(id_col), *carry, _bound_ngrams(F.col(text_col), n).alias("grams")
+    )
+
+
+def _bloom_pos(gram: Column, seed: int, m: int) -> Column:
+    """Bit position of `gram` under hash seed `seed`: the portable
+    60-bit md5 int of 'bloom<seed>:<gram>' mod m. Non-negative on
+    both engines, so % agrees with DuckDB."""
+    return md5_int(F.concat(F.lit(f"bloom{seed}:"), gram)) % m
+
+
+def build_bloom(
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_SEEDS,
+) -> DataFrame:
+    """ONE-ROW DataFrame holding the benchmark's n-gram Bloom bitmap
+    as `map<int, bigint>` (word index → 64-bit word; absent words are
+    all-zero). Built fully distributed: explode grams → k positions
+    each → groupBy(word) with a map-side-combinable bit_or → collapse
+    to one row. The collect_list is bounded by m/64 entries (1024 at
+    the default), not by benchmark size."""
+    grams = _doc_grams(benchmark, id_col, text_col, n).select(
+        F.explode("grams").alias("gram")
+    )
+    pos = grams.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("gram"), i, m) for i in range(k)])
+        ).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.floor(F.col("pos") / 64).cast("int").alias("widx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("widx", "word")))
+        ).alias("bloom")
+    )
+
+
+def bloom_decontam(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_SEEDS,
+) -> DataFrame:
+    """Decontamination with a Bloom prefilter: per-document
+    (n_grams, n_candidates, n_overlap, contaminated), where
+    n_candidates counts grams the bitmap admits and n_overlap the
+    exactly-verified subset (Bloom has no false negatives, so
+    n_overlap equals ngram_overlap's count bit-for-bit).
+
+    Why this exists next to ngram_overlap: the broadcast there is the
+    benchmark's FULL distinct gram-hash set — linear in benchmark
+    size, which stops working when the eval suite is itself large
+    (multi-benchmark contamination sweeps). Here the broadcast is the
+    FIXED-size bitmap (8 KiB at defaults, vs ~8 bytes/gram), the
+    membership test is pure scan-side bitwise math, and the exact
+    verify is an ordinary shuffle join that only the bloom-admitted
+    grams ever enter — expected FP rate (1 - e^(-kn/m))^k of the
+    clean grams. Corpus side stays single-scan: explode → bitmap
+    probe → null-key left join (non-candidates carry a NULL join key,
+    which never matches — they ride through the join unprobed) → one
+    groupBy(doc)."""
+    bloom = build_bloom(benchmark, id_col, text_col, n, m, k)
+    bench_hashes = (
+        _doc_grams(benchmark, id_col, text_col, n)
+        .select(F.explode("grams").alias("gram"))
+        .select(md5_int(F.col("gram")).alias("_jk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    exploded = (
+        _doc_grams(docs, id_col, text_col, n)
+        .select(
+            id_col,
+            F.size("grams").alias("n_grams"),
+            F.explode_outer("grams").alias("gram"),
+        )
+        .crossJoin(F.broadcast(bloom))
+        .withColumns({f"_p{i}": _bloom_pos(F.col("gram"), i, m) for i in range(k)})
+    )
+    bits_set = [
+        F.coalesce(
+            F.element_at(F.col("bloom"), F.floor(F.col(f"_p{i}") / 64).cast("int")),
+            F.lit(0).cast("bigint"),
+        ).bitwiseAND(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))")
+        )
+        != 0
+        for i in range(k)
+    ]
+    flagged = exploded.withColumn("_maybe", reduce(lambda a, b: a & b, bits_set)).withColumn(
+        "_jk", F.when(F.col("_maybe"), md5_int(F.col("gram")))
+    )
+    return (
+        flagged.join(bench_hashes, "_jk", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(
+            F.sum(F.when(F.col("_maybe"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_candidates",
+            "n_overlap",
+            (F.col("n_overlap") > 0).alias("contaminated"),
+        )
     )
 
 

@@ -131,3 +131,4 @@ register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_
 # --- round-3 additions (past the driver's 50-query window; checked by
 # tools/oracle_check.py + pytest like the rest of the tail) ------------
 register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
+register("bloom_decontam", E.bloom_decontam_q, E.BLOOM_DECONTAM_SQL)

@@ -1793,3 +1793,66 @@ SELECT doc_id, sample_rate, audio_channels, bits_per_sample,
        greatest((duration_ms + 999) // 1000, 1)::BIGINT AS n_windows
 FROM meta
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination: same benchmark split as
+# ngram_decontam, but membership goes through the fixed-size bitmap
+# first and only admitted grams are exactly verified. The oracle
+# replays the bloom math exactly — a bit is set iff its position is
+# in the benchmark's position set, so bitmap membership == "all k
+# seed positions appear in that set".
+# ---------------------------------------------------------------------------
+
+
+def bloom_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import bloom_decontam
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return bloom_decontam(corpus, bench, id_col="doc_id", text_col="text", n=3)
+
+
+def _bloom_pos_sql(gram_expr: str, seed: int, m: int = 65536) -> str:
+    return f"('0x' || substr(md5('bloom{seed}:' || {gram_expr}), 1, 15))::BIGINT % {m}"
+
+
+BLOOM_DECONTAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id, {_GRAMS3} AS g FROM tok
+), bg AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest(g) AS gram FROM grams WHERE doc_id % 97 = 0)
+), bpos AS (
+  SELECT {_bloom_pos_sql("gram", 0)} AS p FROM bg
+  UNION SELECT {_bloom_pos_sql("gram", 1)} FROM bg
+  UNION SELECT {_bloom_pos_sql("gram", 2)} FROM bg
+), bh AS (
+  SELECT DISTINCT {_GRAM_H} AS gram_h FROM bg
+), docg AS (
+  SELECT doc_id, gram
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 97 <> 0)
+), flag AS (
+  SELECT doc_id, gram
+  FROM docg
+  WHERE {_bloom_pos_sql("gram", 0)} IN (SELECT p FROM bpos)
+    AND {_bloom_pos_sql("gram", 1)} IN (SELECT p FROM bpos)
+    AND {_bloom_pos_sql("gram", 2)} IN (SELECT p FROM bpos)
+), agg AS (
+  SELECT f.doc_id,
+         count(*) AS n_candidates,
+         count(b.gram_h) AS n_overlap
+  FROM flag f LEFT JOIN bh b ON {_GRAM_H.replace("gram", "f.gram")} = b.gram_h
+  GROUP BY f.doc_id
+)
+SELECT g.doc_id,
+       len(g.g) AS n_grams,
+       coalesce(a.n_candidates, 0)::BIGINT AS n_candidates,
+       coalesce(a.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(a.n_overlap, 0) > 0 AS contaminated
+FROM grams g LEFT JOIN agg a USING (doc_id)
+WHERE g.doc_id % 97 <> 0
+"""

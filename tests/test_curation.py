@@ -29,6 +29,60 @@ def test_ngram_overlap_flags_shared_trigrams(spark):
     assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
 
 
+def test_bloom_decontam_matches_exact_overlap(spark):
+    from joblink_etl_spark.operators.decontam import bloom_decontam, ngram_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps"), (101, "lorem ipsum dolor sit amet")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "something about the quick brown fox here"),
+            (2, "completely unrelated words in this doc"),
+            (3, "ab"),  # < 3 tokens → zero grams
+            (4, "lorem ipsum dolor sit amet exactly"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {r["doc_id"]: r for r in ngram_overlap(docs, bench, n=3).collect()}
+    bloomed = {r["doc_id"]: r for r in bloom_decontam(docs, bench, n=3).collect()}
+    assert set(exact) == set(bloomed)
+    for i in exact:
+        # no false negatives: the verified overlap equals the exact one
+        assert bloomed[i]["n_overlap"] == exact[i]["n_overlap"], i
+        assert bloomed[i]["contaminated"] == exact[i]["contaminated"], i
+        assert bloomed[i]["n_grams"] == exact[i]["n_grams"], i
+        # the prefilter can only over-admit, never under-admit
+        assert bloomed[i]["n_candidates"] >= bloomed[i]["n_overlap"], i
+
+
+def test_build_bloom_bitmap_membership(spark):
+    from joblink_etl_spark.operators.decontam import (
+        BLOOM_BITS,
+        _bloom_pos,
+        build_bloom,
+    )
+
+    bench = spark.createDataFrame([(1, "alpha beta gamma delta")], ["doc_id", "text"])
+    bitmap = build_bloom(bench, n=3).first()["bloom"]
+    assert bitmap and all(isinstance(w, int) for w in bitmap.values())
+    # every seed position of a known benchmark gram must have its bit set
+    pos = (
+        spark.range(1)
+        .select(
+            *[
+                _bloom_pos(F.lit("alpha beta gamma"), i, BLOOM_BITS).alias(f"p{i}")
+                for i in range(3)
+            ]
+        )
+        .first()
+    )
+    for i in range(3):
+        p = pos[f"p{i}"]
+        assert bitmap.get(p // 64, 0) & (1 << (p % 64)), f"seed {i} bit unset"
+
+
 def test_pii_counts_and_redaction(spark):
     from joblink_etl_spark.functions import pii
 
