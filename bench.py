@@ -73,6 +73,10 @@ HEADLINE = [
     "zorder_key",
     "kmeans_clusters",
     "training_corpus",
+    "audio_decode",
+    "bloom_decontam",
+    "pq_codes",
+    "knn_pq",
 ]
 
 

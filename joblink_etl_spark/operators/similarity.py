@@ -393,6 +393,7 @@ def kmeans_codes(
     iters: int = 2,
     id_col: str = "vec_id",
     codes_col: str = "q_codes",
+    k_cap: int | None = None,
 ) -> DataFrame:
     """BIT-EXACT distributed k-means (Lloyd's) over integer-quantized
     vectors — the topic/semantic-balancing clustering step of a
@@ -412,9 +413,19 @@ def kmeans_codes(
     (cid, dim) — the corpus never shuffles its vectors. iters is fixed
     (not convergence-tested) so plan construction stays action-free.
 
+    `k_cap` bounds the codebook: seeds come only from ids below
+    k_every * k_cap, so K stays ≤ k_cap however large the corpus
+    grows. Without it K = N / k_every — linear in corpus size, which
+    turns the broadcast-assign into O(N²/k_every) work at 100 TB.
+    Every production entry point passes a cap; None is the
+    small-corpus/backwards-compatible default.
+
     Returns (id_col, cluster_id, sq_dist).
     """
-    cents = vectors.filter(F.col(id_col) % k_every == 0).select(
+    seed = F.col(id_col) % k_every == 0
+    if k_cap is not None:
+        seed = seed & (F.col(id_col) < k_every * k_cap)
+    cents = vectors.filter(seed).select(
         F.col(id_col).alias("_cid"), F.col(codes_col).alias("_cv")
     )
     for _ in range(iters):
@@ -438,4 +449,174 @@ def kmeans_codes(
         id_col,
         F.col("_cid").alias("cluster_id"),
         F.col("_d2").alias("sq_dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): per-subspace codebooks + asymmetric
+# distance computation — the compressed-index ANN layout (IVF-PQ
+# minus the IVF list, which composes from knn_ivf's cells).
+# ---------------------------------------------------------------------------
+
+
+def _pq_subspaces(
+    df: DataFrame, n_sub: int, id_col: str, codes_col: str, out_col: str = "_sc"
+) -> DataFrame:
+    """(id, sub, subvector) — slice each vector into n_sub contiguous
+    subspaces. Width is derived in-plan from size(codes)/n_sub (no
+    driver action); callers must feed vectors whose dim divides
+    n_sub. Narrow scan-side explode of n_sub short arrays."""
+    w = (F.size(F.col(codes_col)) / n_sub).cast("int")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.slice(F.col(codes_col), F.lit(s) * w + 1, w).alias("sc"),
+            )
+            for s in range(n_sub)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(entries).alias("_e")).select(
+        id_col, F.col("_e.sub").alias("sub"), F.col("_e.sc").alias(out_col)
+    )
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest codebook entry per (vector, subspace): broadcast the
+    per-subspace centroids, join on sub, exact integer squared
+    distance, deterministic smallest-cid tie-break."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_sc"), F.col("_cv"),
+            lambda a, b: ((a - b).cast("bigint") * (a - b).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("_d2", "_cid")
+    return (
+        subs.join(F.broadcast(cents), "sub")
+        .withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cv")
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    n_sub: int = 4,
+    k_every: int = 50,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "q_codes",
+    k_cap: int | None = None,
+) -> DataFrame:
+    """Per-subspace codebooks (sub, _cid, _cv) trained with the same
+    BIT-EXACT integer Lloyd's as kmeans_codes (see its docstring for
+    why integer arithmetic is what makes a cross-engine oracle
+    possible), run over all subspaces IN ONE PLAN: the subspace index
+    rides every key, so one broadcast + one (sub, cid, pos) shuffle
+    per iteration covers all n_sub codebooks — not n_sub separate
+    jobs. Deterministic init: every k_every-th vector seeds each
+    subspace's codebook; `k_cap` bounds codebook size independently
+    of corpus size (see kmeans_codes)."""
+    subs = _pq_subspaces(vectors, n_sub, id_col, codes_col)
+    seed = F.col(id_col) % k_every == 0
+    if k_cap is not None:
+        seed = seed & (F.col(id_col) < k_every * k_cap)
+    cents = subs.filter(seed).select(
+        "sub", F.col(id_col).alias("_cid"), F.col("_sc").alias("_cv")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, cents, id_col)
+        by_dim = assigned.select(
+            "sub", "_cid", F.posexplode(F.col("_sc")).alias("_pos", "_v")
+        )
+        means = by_dim.groupBy("sub", "_cid", "_pos").agg(
+            F.floor(F.sum("_v").cast("double") / F.count(F.lit(1))).cast("int").alias("_m")
+        )
+        cents = means.groupBy("sub", "_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+            ).alias("_cv")
+        )
+    return cents
+
+
+def pq_codes(
+    vectors: DataFrame,
+    n_sub: int = 4,
+    k_every: int = 50,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "q_codes",
+    k_cap: int | None = None,
+) -> DataFrame:
+    """PQ-encode the corpus: (id, sub, code_id, sq_dist) — each vector
+    compresses to n_sub codebook ids (the 100 TB index layout:
+    n_sub × ~1 byte per vector instead of dim × 4). One broadcast
+    assign over the trained codebooks."""
+    cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap)
+    return _pq_assign(
+        _pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col
+    ).select(id_col, "sub", F.col("_cid").alias("code_id"), F.col("_d2").alias("sq_dist"))
+
+
+def knn_pq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 4,
+    k_every: int = 50,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    codes_col: str = "q_codes",
+    k_cap: int | None = None,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation (ADC) over the PQ
+    index: each query precomputes a distance table (its exact sq
+    distance to every codebook entry, Q × n_sub × K rows — tiny,
+    broadcast), and a corpus vector's approximate distance is the SUM
+    OF TABLE LOOKUPS for its n_sub stored codes. The corpus side
+    never touches a query vector or a float: it joins its (sub,
+    code_id) pairs against the broadcast table and partial-aggregates
+    the n_sub lookups per (query, vector) — one map-side-combinable
+    shuffle, then a per-query top-k window. Exact bigint arithmetic
+    end to end, so rank order is engine-reproducible.
+
+    Returns (query_id, neighbor_id, adist, rank)."""
+    cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap)
+    corpus = _pq_assign(_pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col)
+    qsubs = _pq_subspaces(
+        queries.select(F.col(id_col).alias("query_id"), codes_col),
+        n_sub,
+        "query_id",
+        codes_col,
+    )
+    qd2 = F.aggregate(
+        F.zip_with(
+            F.col("_sc"), F.col("_cv"),
+            lambda a, b: ((a - b).cast("bigint") * (a - b).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    dtable = (
+        qsubs.join(F.broadcast(cents), "sub")
+        .withColumn("_qd2", qd2)
+        .select("query_id", "sub", F.col("_cid").alias("code_id"), "_qd2")
+    )
+    adist = (
+        corpus.select(id_col, "sub", F.col("_cid").alias("code_id"))
+        .join(F.broadcast(dtable), ["sub", "code_id"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_qd2").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", id_col)
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adist", "rank")
     )

@@ -132,3 +132,5 @@ register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_
 # tools/oracle_check.py + pytest like the rest of the tail) ------------
 register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
 register("bloom_decontam", E.bloom_decontam_q, E.BLOOM_DECONTAM_SQL)
+register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
+register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)

@@ -1677,10 +1677,10 @@ def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     codes = quantize_embeddings(emb).select("vec_id", "q_codes")
-    return kmeans_codes(codes, k_every=50, iters=2)
+    return kmeans_codes(codes, k_every=50, iters=2, k_cap=100)
 
 
-def _kmeans_sql(k_every: int, iters: int) -> str:
+def _kmeans_sql(k_every: int, iters: int, k_cap: int | None = None) -> str:
     def dist(c_alias: str) -> str:
         return (
             "(list_sum(list_transform(range(1, len(v.codes) + 1), "
@@ -1702,7 +1702,11 @@ def _kmeans_sql(k_every: int, iters: int) -> str:
             "  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes\n"
             "  FROM scaled\n)"
         ),
-        f"c0 AS (\n  SELECT vec_id AS cid, codes FROM v WHERE vec_id % {k_every} = 0\n)",
+        (
+            f"c0 AS (\n  SELECT vec_id AS cid, codes FROM v WHERE vec_id % {k_every} = 0"
+            + (f" AND vec_id < {k_every * k_cap}" if k_cap is not None else "")
+            + "\n)"
+        ),
     ]
     for i in range(1, iters + 1):
         ctes += [
@@ -1737,7 +1741,7 @@ def _kmeans_sql(k_every: int, iters: int) -> str:
     )
 
 
-KMEANS_CLUSTERS_SQL = _kmeans_sql(50, 2)
+KMEANS_CLUSTERS_SQL = _kmeans_sql(50, 2, k_cap=100)
 
 
 # ---------------------------------------------------------------------------
@@ -1856,3 +1860,140 @@ SELECT g.doc_id,
 FROM grams g LEFT JOIN agg a USING (doc_id)
 WHERE g.doc_id % 97 <> 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace bit-exact Lloyd's (the subspace
+# index rides every CTE as a column, mirroring the one-plan Spark
+# build) and ADC top-k as table-lookup sums. Fully integer, so both
+# the codes and the neighbor ranking replay bit-for-bit in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_codes, quantize_embeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings(emb).select("vec_id", "q_codes")
+    return pq_codes(codes, n_sub=4, k_every=50, iters=2, k_cap=100)
+
+
+def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_pq, quantize_embeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings(emb).select("vec_id", "q_codes")
+    queries = codes.filter(F.col("vec_id") < 5)
+    return knn_pq(codes, queries, k=10, n_sub=4, k_every=50, iters=2, k_cap=100)
+
+
+def _pq_sql(
+    k_every: int, iters: int, n_sub: int, mode: str, k: int = 10, k_cap: int | None = None
+) -> str:
+    def dist(x: str, c: str) -> str:
+        return (
+            f"(list_sum(list_transform(range(1, len({x}.sc) + 1), "
+            f"i -> ({x}.sc[i] - {c}.cv[i])::BIGINT * "
+            f"({x}.sc[i] - {c}.cv[i])::BIGINT)))::BIGINT"
+        )
+
+    w = f"(len(codes) // {n_sub})"
+    ctes = [
+        "base AS (\n  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings\n)",
+        (
+            "scaled AS (\n"
+            "  SELECT vec_id, e,\n"
+            "         CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0\n"
+            "              THEN list_max(list_transform(e, x -> abs(x))) / 127.0\n"
+            "              ELSE 1.0 END AS scale\n  FROM base\n)"
+        ),
+        (
+            "v AS (\n"
+            "  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes\n"
+            "  FROM scaled\n)"
+        ),
+        (
+            "subs AS (\n"
+            f"  SELECT vec_id, s.sub,\n"
+            f"         codes[s.sub * {w} + 1 : (s.sub + 1) * {w}] AS sc\n"
+            f"  FROM v, (SELECT unnest(range(0, {n_sub})) AS sub) s\n)"
+        ),
+        (
+            f"c0 AS (\n  SELECT sub, vec_id AS cid, sc AS cv FROM subs"
+            f" WHERE vec_id % {k_every} = 0"
+            + (f" AND vec_id < {k_every * k_cap}" if k_cap is not None else "")
+            + "\n)"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        ctes += [
+            (
+                f"a{i} AS (\n"
+                f"  SELECT x.vec_id, x.sub, x.sc, c.cid, {dist('x', 'c')} AS d2\n"
+                f"  FROM subs x JOIN c{i - 1} c USING (sub)\n)"
+            ),
+            (
+                f"s{i} AS (\n"
+                f"  SELECT vec_id, sub, sc, cid FROM (\n"
+                f"    SELECT *, row_number() OVER ("
+                f"PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn\n"
+                f"    FROM a{i}\n  ) WHERE rn = 1\n)"
+            ),
+            (
+                f"m{i} AS (\n"
+                f"  SELECT sub, cid, u.i - 1 AS pos,\n"
+                f"         floor(sum(sc[u.i])::DOUBLE / count(*))::INT AS m\n"
+                f"  FROM s{i}, unnest(range(1, len(sc) + 1)) AS u(i)\n"
+                f"  GROUP BY sub, cid, u.i\n)"
+            ),
+            (
+                f"c{i} AS (\n  SELECT sub, cid, list(m ORDER BY pos) AS cv"
+                f" FROM m{i} GROUP BY sub, cid\n)"
+            ),
+        ]
+    ctes += [
+        (
+            f"fd AS (\n"
+            f"  SELECT x.vec_id, x.sub, x.sc, c.cid, {dist('x', 'c')} AS d2\n"
+            f"  FROM subs x JOIN c{iters} c USING (sub)\n)"
+        ),
+        (
+            "fa AS (\n"
+            "  SELECT vec_id, sub, cid, d2 FROM (\n"
+            "    SELECT *, row_number() OVER ("
+            "PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn\n"
+            "    FROM fd\n  ) WHERE rn = 1\n)"
+        ),
+    ]
+    if mode == "codes":
+        final = (
+            "SELECT vec_id, sub::INTEGER AS sub, cid AS code_id, d2 AS sq_dist FROM fa"
+        )
+    else:
+        ctes += [
+            "qsubs AS (\n  SELECT vec_id AS query_id, sub, sc FROM subs WHERE vec_id < 5\n)",
+            (
+                f"dtab AS (\n"
+                f"  SELECT x.query_id, x.sub, c.cid, {dist('x', 'c')} AS qd2\n"
+                f"  FROM (SELECT query_id, sub, sc FROM qsubs) x"
+                f" JOIN c{iters} c USING (sub)\n)"
+            ),
+            (
+                "adist AS (\n"
+                "  SELECT d.query_id, f.vec_id, sum(d.qd2)::BIGINT AS adist\n"
+                "  FROM fa f JOIN dtab d ON f.sub = d.sub AND f.cid = d.cid\n"
+                "  WHERE d.query_id <> f.vec_id\n"
+                "  GROUP BY d.query_id, f.vec_id\n)"
+            ),
+        ]
+        final = (
+            "SELECT query_id, vec_id AS neighbor_id, adist, rank FROM (\n"
+            "  SELECT *, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY adist, vec_id) AS rank FROM adist\n"
+            f") WHERE rank <= {k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+PQ_CODES_SQL = _pq_sql(50, 2, 4, "codes", k_cap=100)
+KNN_PQ_SQL = _pq_sql(50, 2, 4, "knn", k=10, k_cap=100)

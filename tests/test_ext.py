@@ -101,6 +101,38 @@ def test_kmeans_codes_recovers_planted_clusters(spark):
     assert again == out
 
 
+def test_pq_codes_and_adc_search(spark):
+    """Two well-separated planted blobs (ids 0-29 vs 30-59): PQ codes
+    must map blob-mates to the same codebook entry per subspace, ADC
+    must rank same-blob vectors strictly ahead of cross-blob ones,
+    and the whole pipeline must be partitioning-invariant."""
+    from joblink_etl_spark.operators.similarity import knn_pq, pq_codes
+
+    rows = [
+        (i, [100 * (i // 30) + (i % 5) for _ in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, q_codes array<int>")
+    codes = pq_codes(df, n_sub=4, k_every=30, iters=2).collect()
+    assert len(codes) == 60 * 4  # one code per (vector, subspace)
+    by_vec: dict[int, dict[int, int]] = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], {})[r["sub"]] = r["code_id"]
+    for i in range(60):
+        assert by_vec[i] == by_vec[(i // 30) * 30], i  # blob-mates share codes
+    assert by_vec[0] != by_vec[30]  # blobs get distinct codebook entries
+
+    queries = df.filter(F.col("vec_id").isin(0, 30))
+    nn = knn_pq(df, queries, k=5, n_sub=4, k_every=30, iters=2).collect()
+    assert len(nn) == 10
+    for r in nn:
+        same_blob = (r["query_id"] // 30) == (r["neighbor_id"] // 30)
+        assert same_blob, r  # top-5 of 29 blob-mates never crosses blobs
+        assert r["neighbor_id"] != r["query_id"]
+
+    again = knn_pq(df.repartition(7), queries, k=5, n_sub=4, k_every=30, iters=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, nn))
+
+
 def test_repeated_spans_finds_planted_boilerplate(spark):
     """A 10-token paragraph shared by two docs yields one maximal
     span per doc at exactly the planted token coordinates; the
