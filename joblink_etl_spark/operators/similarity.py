@@ -362,28 +362,46 @@ def cosine_near_dup_pairs_lsh(
     )
 
 
-def _kmeans_assign(vectors: DataFrame, cents: DataFrame, id_col: str, codes_col: str) -> DataFrame:
-    """Nearest centroid per vector by exact integer squared distance.
-    Broadcast centroids, scan-side distance fold, row_number pick
-    (ties broken by smallest cid — fully deterministic). (A statically
-    unrolled 64-term distance tree was measured SLOWER than this HOF
-    fold at both sf0.01 and sf0.1 — codegen compile time swamps the
-    interpreted-fold overhead at these widths.)"""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(codes_col), F.col("_cv"),
-            lambda a, b: ((a - b).cast("bigint") * (a - b).cast("bigint")),
-        ),
+def _sq_dist(codes: Column, cv: Column) -> Column:
+    """Exact bigint squared distance between two int-code arrays."""
+    return F.aggregate(
+        F.zip_with(codes, cv, lambda a, b: ((a - b).cast("bigint") * (a - b).cast("bigint"))),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    w = Window.partitionBy(id_col).orderBy("_d2", "_cid")
+
+
+def _kmeans_assign(vectors: DataFrame, cents: DataFrame, id_col: str, codes_col: str) -> DataFrame:
+    """Nearest centroid per vector by exact integer squared distance,
+    as a PURE SCAN-SIDE PROJECTION: the K centroids collapse into ONE
+    broadcast row (sorted array of (cid, cv) structs), and the winner
+    is array_min over (d2, cid) structs — struct ordering gives the
+    same smallest-distance-then-smallest-cid tie-break a row_number
+    window would, with NO ×K row explosion, NO per-vector shuffle,
+    and NO sort. (The previous crossJoin-per-centroid + window
+    spelling cost ~4 tiny AQE stages per Lloyd iteration; at local
+    scale the query was stage-latency-bound — 22 jobs for 2000 rows.
+    Same fix as the LSH plane rewrite, see PERF.md. A statically
+    unrolled distance tree was measured SLOWER than the HOF fold —
+    codegen compile time swamps interpreted-fold overhead.)"""
+    cents_row = cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("_cid", "_cv"))).alias("_cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _sq_dist(F.col(codes_col), c["_cv"]).alias("_d2"),
+                c["_cid"].alias("_cid"),
+            ),
+        )
+    )
     return (
-        vectors.crossJoin(F.broadcast(cents))
-        .withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cv")
+        vectors.crossJoin(F.broadcast(cents_row))
+        .withColumn("_best", best)
+        .withColumn("_d2", F.col("_best._d2"))
+        .withColumn("_cid", F.col("_best._cid"))
+        .drop("_best", "_cents")
     )
 
 
@@ -482,24 +500,31 @@ def _pq_subspaces(
 
 
 def _pq_assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
-    """Nearest codebook entry per (vector, subspace): broadcast the
-    per-subspace centroids, join on sub, exact integer squared
-    distance, deterministic smallest-cid tie-break."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("_sc"), F.col("_cv"),
-            lambda a, b: ((a - b).cast("bigint") * (a - b).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    """Nearest codebook entry per (vector, subspace): the per-subspace
+    codebooks collapse into n_sub broadcast rows (sorted (cid, cv)
+    struct arrays), the join on sub is a broadcast hash join, and the
+    winner is a scan-side array_min over (d2, cid) structs — same
+    smallest-distance-then-smallest-cid semantics as a row_number
+    window with no ×K explosion and no per-(vector, sub) sort (see
+    _kmeans_assign)."""
+    cents_by_sub = cents.groupBy("sub").agg(
+        F.sort_array(F.collect_list(F.struct("_cid", "_cv"))).alias("_cents")
     )
-    w = Window.partitionBy(id_col, "sub").orderBy("_d2", "_cid")
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _sq_dist(F.col("_sc"), c["_cv"]).alias("_d2"),
+                c["_cid"].alias("_cid"),
+            ),
+        )
+    )
     return (
-        subs.join(F.broadcast(cents), "sub")
-        .withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_cv")
+        subs.join(F.broadcast(cents_by_sub), "sub")
+        .withColumn("_best", best)
+        .withColumn("_d2", F.col("_best._d2"))
+        .withColumn("_cid", F.col("_best._cid"))
+        .drop("_best", "_cents")
     )
 
 
