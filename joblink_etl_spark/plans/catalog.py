@@ -71,10 +71,17 @@ register("multimodal_decode", E.multimodal_decode_q, E.MULTIMODAL_DECODE_SQL)
 # curation layer: cluster resolution, point-in-time join, sampling
 register("dedup_clusters", E.dedup_clusters, E.DEDUP_CLUSTERS_SQL)
 register("events_asof_join", E.events_asof_join, E.EVENTS_ASOF_JOIN_SQL)
-register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
+# pq_codes takes stratified_sample's checked-window slot (r3): the PQ
+# codebook/encode path is the new first-class operator; stratified
+# sampling stays fully checked by tools/oracle_check.py + 2 rounds of
+# green driver rows.
+register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
 register("repetition_scores", E.repetition_scores, E.REPETITION_SCORES_SQL)
-# corpus scrub layer: decontamination, PII, mixture budgets
-register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
+# corpus scrub layer: decontamination, PII, mixture budgets.
+# bloom_decontam supersedes ngram_decontam in the checked window: its
+# n_grams/n_overlap/contaminated columns are the identical exact
+# result, plus the bloom-prefilter candidate count.
+register("bloom_decontam", E.bloom_decontam_q, E.BLOOM_DECONTAM_SQL)
 register("pii_redaction", E.pii_redaction, E.PII_REDACTION_SQL)
 register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_SQL)
 register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
@@ -131,6 +138,6 @@ register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_
 # --- round-3 additions (past the driver's 50-query window; checked by
 # tools/oracle_check.py + pytest like the rest of the tail) ------------
 register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
-register("bloom_decontam", E.bloom_decontam_q, E.BLOOM_DECONTAM_SQL)
-register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
 register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)
+register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
+register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
