@@ -95,3 +95,152 @@ def make_geo_mean_udaf():
         return float(np.exp(np.log(a).mean()))
 
     return geo_mean
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation. Like KMV, the
+# whole sketch is a pure md5-derived function of the data, so a
+# DuckDB oracle replays estimates bit-for-bit (Spark's built-in
+# count_min_sketch aggregate uses engine-internal hashing and can't
+# be cross-checked).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_pos(key: Column, seed: Column, width: int) -> Column:
+    """Bucket of `key` under `seed`: md5_int('cms<seed>:<key>') % width."""
+    return (
+        md5_int(F.concat(F.lit("cms"), seed.cast("string"), F.lit(":"), key)) % width
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Build a count-min sketch over `key_col` as (seed, pos, cnt)
+    rows — depth × width counters estimating any key's frequency as
+    min over seeds of its bucket count (Cormode & Muthukrishnan 2005).
+
+    Scale design: the explode is scan-side (×depth narrow rows); the
+    groupBy is map-side combinable, so the shuffle carries AT MOST
+    depth × width rows per map task regardless of input size — the
+    sketch is a fixed-size, mergeable summary, the streaming/
+    multi-tenant complement to an exact groupBy count."""
+    rows = df.select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed"),
+        F.col(key_col).cast("string").alias("_k"),
+    )
+    return (
+        rows.select("seed", _cms_pos(F.col("_k"), F.col("seed"), width).alias("pos"))
+        .groupBy("seed", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Estimated frequency for each distinct key in `keys`: probe the
+    key's depth buckets, take the min. The sketch (≤ depth × width
+    rows) broadcasts; estimates only ever OVER-count (collisions add,
+    never subtract), with error ≤ 2N/width at ≥ 1-(1/2)^depth
+    probability. Returns (key, est)."""
+    ks = keys.select(F.col(key_col).cast("string").alias("key")).distinct()
+    probes = ks.select(
+        "key",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed"),
+    ).withColumn("pos", _cms_pos(F.col("key"), F.col("seed"), width))
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "pos"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles: the mergeable/streaming counterpart
+# of the exact rank-interpolation percentiles (plans/events_q.py).
+# Spark's percentile_approx (KLL-ish) is engine-internal; a fixed
+# equi-width histogram between the in-plan min/max is the classic
+# deterministic alternative.
+# ---------------------------------------------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = 256,
+) -> DataFrame:
+    """Approximate quantiles from a fixed-width histogram: bin the
+    values between min/max (both derived IN-PLAN as a broadcast
+    one-row aggregate — no driver action), accumulate a cumulative
+    histogram (≤ `bins` rows — the window sort is over the sketch,
+    never the data), and report each quantile as the UPPER EDGE of
+    the first bin whose cumulative count reaches ceil(q·n). Error is
+    bounded by one bin width; every arithmetic step is plain IEEE
+    double math, so the oracle replays it exactly.
+
+    Scale design: one scan + one map-side-combinable groupBy whose
+    shuffle carries ≤ bins rows per map task; histograms from
+    different partitions/days/streams merge by addition.
+
+    Returns (q, bin, est)."""
+    bounds = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+    binned = (
+        df.select(F.col(value_col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("_hi") <= F.col("_lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("_v") - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo"))
+                        * bins
+                    ),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("int")
+            .alias("bin")
+        )
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql.window import Window
+
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+    )
+    total = hist.agg(F.sum("cnt").alias("_n"))
+    qrows = bounds.select(
+        "_lo",
+        "_hi",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).crossJoin(F.broadcast(total))
+    picked = (
+        qrows.join(
+            F.broadcast(cum),
+            F.col("cum") >= F.ceil(F.col("q") * F.col("_n")).cast("bigint"),
+        )
+        .groupBy("q", "_lo", "_hi", "_n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = F.when(F.col("_hi") <= F.col("_lo"), F.col("_hi")).otherwise(
+        F.least(
+            F.col("_lo")
+            + (F.col("bin") + 1).cast("double") / bins * (F.col("_hi") - F.col("_lo")),
+            F.col("_hi"),
+        )
+    )
+    return picked.select("q", "bin", est.alias("est")).orderBy("q")

@@ -141,3 +141,5 @@ register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
 register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)
 register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
 register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
+register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
+register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)

@@ -1997,3 +1997,94 @@ def _pq_sql(
 
 PQ_CODES_SQL = _pq_sql(50, 2, 4, "codes", k_cap=100)
 KNN_PQ_SQL = _pq_sql(50, 2, 4, "knn", k=10, k_cap=100)
+
+
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch and fixed-bin histogram quantiles: both
+# sketches are pure functions of the data (md5 buckets / IEEE bin
+# math), so the oracles replay estimate-for-estimate.
+# ---------------------------------------------------------------------------
+
+
+def cms_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_estimate
+
+    ev = table(spark, sf_dir, "events").select("user_id")
+    sketch = cms_build(ev, "user_id")
+    probes = ev.filter(F.col("user_id") < 50)
+    est = cms_estimate(sketch, probes, "user_id")
+    exact = probes.groupBy(F.col("user_id").cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    return est.join(exact, "key").select(
+        "key",
+        "est",
+        "exact_cnt",
+        (F.col("est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+CMS_USER_COUNTS_SQL = """
+WITH seeds AS (
+  SELECT unnest(range(0, 4)) AS seed
+), keyed AS (
+  SELECT user_id::VARCHAR AS k FROM events
+), cms AS (
+  SELECT seed,
+         ('0x' || substr(md5('cms' || seed || ':' || k), 1, 15))::BIGINT % 1024 AS pos,
+         count(*) AS cnt
+  FROM keyed, seeds GROUP BY seed, pos
+), probes AS (
+  SELECT DISTINCT user_id::VARCHAR AS key FROM events WHERE user_id < 50
+), pp AS (
+  SELECT key, seed,
+         ('0x' || substr(md5('cms' || seed || ':' || key), 1, 15))::BIGINT % 1024 AS pos
+  FROM probes, seeds
+), est AS (
+  SELECT key, min(coalesce(cnt, 0))::BIGINT AS est
+  FROM pp LEFT JOIN cms USING (seed, pos) GROUP BY key
+), exact AS (
+  SELECT user_id::VARCHAR AS key, count(*)::BIGINT AS exact_cnt
+  FROM events WHERE user_id < 50 GROUP BY 1
+)
+SELECT key, est, exact_cnt, (est - exact_cnt)::BIGINT AS overcount
+FROM est JOIN exact USING (key)
+"""
+
+
+def histogram_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import histogram_quantiles
+
+    ev = table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "value", qs=(0.5, 0.9, 0.99), bins=256)
+
+
+HISTOGRAM_QUANTILES_SQL = """
+WITH b AS (
+  SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi FROM events
+), v AS (
+  SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL
+), binned AS (
+  SELECT CASE WHEN hi <= lo THEN 0
+              ELSE least(floor((v - lo) / (hi - lo) * 256), 255)::INTEGER END AS bin
+  FROM v, b
+), hist AS (
+  SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM hist
+), tot AS (
+  SELECT sum(cnt) AS n FROM hist
+), qs AS (
+  SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q
+), picked AS (
+  SELECT q, min(bin) AS bin
+  FROM qs, tot, cum
+  WHERE cum >= ceil(q * n)::BIGINT
+  GROUP BY q
+)
+SELECT q, bin,
+       CASE WHEN hi <= lo THEN hi
+            ELSE least(lo + (bin + 1)::DOUBLE / 256 * (hi - lo), hi) END AS est
+FROM picked, b
+ORDER BY q
+"""

@@ -208,6 +208,53 @@ def test_kmv_estimate_accuracy(spark):
     assert abs(row["est_distinct"] - 5_000) / 5_000 < 0.2
 
 
+def test_cms_never_undercounts_and_is_exact_when_sparse(spark):
+    from joblink_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    rows = [(i % 7,) for i in range(700)] + [(999,)] * 3
+    df = spark.createDataFrame(rows, "k long")
+    sketch = cms_build(df, "k")
+    est = {r["key"]: r["est"] for r in cms_estimate(sketch, df, "k").collect()}
+    true = {"999": 3, **{str(i): 100 for i in range(7)}}
+    for k, t in true.items():
+        assert est[k] >= t, k  # CMS can only over-count
+        # 8 keys in 4x1024 counters: collisions are impossible here
+        assert est[k] == t, k
+
+    # merge property: sketch(a ∪ b) == sketch(a) + sketch(b) per cell
+    a, b = df.filter(F.col("k") < 3), df.filter(F.col("k") >= 3)
+    merged = (
+        cms_build(a, "k")
+        .unionAll(cms_build(b, "k"))
+        .groupBy("seed", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["seed"], r["pos"]): r["cnt"] for r in sketch.collect()}
+    assert {(r["seed"], r["pos"]): r["cnt"] for r in merged.collect()} == whole
+
+
+def test_histogram_quantiles_within_one_bin(spark):
+    from joblink_etl_spark.operators.sketches import histogram_quantiles
+
+    vals = [(float(i),) for i in range(1000)]
+    df = spark.createDataFrame(vals, "v double")
+    out = {r["q"]: r for r in histogram_quantiles(df, "v", qs=(0.5, 0.9), bins=100).collect()}
+    bin_w = 999.0 / 100
+    # upper-edge estimate: within one bin width above the true quantile
+    for q, true in [(0.5, 499.5), (0.9, 899.1)]:
+        assert true - bin_w <= out[q]["est"] <= true + bin_w, (q, out[q]["est"])
+
+    again = histogram_quantiles(df.repartition(7), "v", qs=(0.5, 0.9), bins=100).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        tuple(out[q]) for q in sorted(out)
+    )
+
+    # constant column: every quantile is the constant
+    const = spark.createDataFrame([(5.0,)] * 20, "v double")
+    for r in histogram_quantiles(const, "v", qs=(0.5, 0.99), bins=8).collect():
+        assert r["est"] == 5.0
+
+
 def test_quantize_embeddings_roundtrip(spark):
     from joblink_etl_spark.operators.similarity import quantize_embeddings
 
