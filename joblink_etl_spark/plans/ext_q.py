@@ -2088,3 +2088,53 @@ SELECT q, bin,
 FROM picked, b
 ORDER BY q
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup gate, batch spelling: the LSH band registry with
+# min-per-bucket canonicals. Exact clones are planted so every band
+# of a clone collides with its source deterministically; the oracle
+# replays shingles/signature/banding from the same md5 math as
+# MINHASH_PAIRS_SQL, then the min window.
+# ---------------------------------------------------------------------------
+
+
+def band_registry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import band_registry_batch
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"), "text"
+    )
+    return band_registry_batch(docs.unionAll(clones))
+
+
+BAND_REGISTRY_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000, text FROM documents WHERE doc_id % 10 = 0
+), tok AS (
+  SELECT id, {_TOKS} AS toks FROM corpus
+), sh AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM tok
+), sig AS (
+  SELECT id,
+         list_transform(range(0, {D.NUM_HASHES}),
+           i -> list_aggregate(list_transform(shingles,
+                  s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT), 'min')) AS sig
+  FROM sh WHERE len(shingles) > 0
+), bands AS (
+  SELECT id, u.b AS band,
+         md5(array_to_string(list_transform(sig[u.b*{D.ROWS_PER_BAND}+1 : u.b*{D.ROWS_PER_BAND}+{D.ROWS_PER_BAND}],
+             v -> v::VARCHAR), ',')) AS bucket
+  FROM sig, (SELECT unnest(range(0, {D.BANDS})) AS b) u
+)
+SELECT id AS doc_id, band::INTEGER AS band, bucket,
+       min(id) OVER (PARTITION BY band, bucket) AS canonical_id,
+       id = min(id) OVER (PARTITION BY band, bucket) AS is_first
+FROM bands
+"""

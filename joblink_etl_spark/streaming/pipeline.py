@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -319,3 +320,106 @@ def enrich_stream(stream: DataFrame, dim: DataFrame, on: str | list[str], how: s
     from pyspark.sql import functions as FF
 
     return stream.join(FF.broadcast(dim), on, how)
+
+
+def _doc_bands(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows, computed fully SCAN-SIDE
+    (the pure-expression minhash_signature HOF, not the exploded
+    groupBy spelling — a streaming plan can't cache/re-aggregate, and
+    per-row HOF cost is the right trade for unbounded input)."""
+    from ..operators.dedup import _bound_ngrams, band_hashes, minhash_signature
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _bound_ngrams(F.col(text_col), ngram).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .select("doc_id", minhash_signature(F.col("_sh")).alias("_sig"))
+        .select("doc_id", F.explode(band_hashes(F.col("_sig"))).alias("_bh"))
+        .select(
+            "doc_id",
+            F.col("_bh.band").alias("band"),
+            F.col("_bh.bucket").alias("bucket"),
+        )
+    )
+
+
+def streaming_band_registry(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """Custom stateful operator: a STREAMING near-duplicate gate. Each
+    incoming document explodes into its LSH band buckets; per-bucket
+    state remembers the FIRST document that ever claimed the bucket
+    (one long per bucket, carried across micro-batches via the
+    checkpointed state store). Output rows (doc_id, band, bucket,
+    canonical_id, is_first) let a consumer drop any document sharing
+    a bucket with an earlier one — the streaming twin of
+    incremental_near_dups' batch-vs-standing-index join, with the
+    index AS state instead of a stored table.
+
+    Scale/state design: keyed by (band, bucket) like any stateful op
+    (one shuffle); state is 8 bytes per DISTINCT bucket — the same
+    cardinality the stored-index design pays on disk. Production
+    would bound it with a TTL (GroupStateTimeout.ProcessingTimeTimeout)
+    matching the dedup horizon; the default here keeps the registry
+    complete. Within a micro-batch, rows resolve in doc_id order, so
+    a full-history single batch replays exactly like the batch twin
+    (band_registry_batch) — that equivalence is pinned in tests."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("band", IntegerType()),
+            StructField("bucket", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("canonical_id", LongType()),
+            StructField("is_first", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("first_id", LongType())])
+
+    def register(key, pdf_iter, state: GroupState):
+        first = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdf_iter)).sort_values("doc_id").copy()
+        canon, flags = [], []
+        for d in pdf["doc_id"]:
+            if first is None:
+                first = int(d)
+                flags.append(True)
+            else:
+                flags.append(bool(int(d) == first))
+            canon.append(first)
+        pdf["canonical_id"] = canon
+        pdf["is_first"] = flags
+        state.update((first,))
+        yield pdf[["band", "bucket", "doc_id", "canonical_id", "is_first"]]
+
+    return (
+        _doc_bands(docs, id_col, text_col, ngram)
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            register, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def band_registry_batch(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+) -> DataFrame:
+    """Driver-checkable batch spelling of streaming_band_registry:
+    over a full history in one pass, the first claimant of a bucket
+    is simply min(doc_id) over the bucket — a plain window, exactly
+    what the stateful loop computes when every row arrives in one
+    micro-batch from empty state."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        _doc_bands(docs, id_col, text_col, ngram)
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_first", F.col("doc_id") == F.col("canonical_id"))
+    )

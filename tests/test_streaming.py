@@ -296,3 +296,61 @@ def test_stream_static_enrichment(spark, tmp_path, sf_dir):
         (F.col("user_id") % 2 == 0) != (F.col("tier") == "even")
     ).count()
     assert bad == 0
+
+
+def test_streaming_band_registry_state_across_batches(spark, tmp_path):
+    """Streaming near-dup gate: a clone arriving in a LATER
+    micro-batch is flagged against the original via the checkpointed
+    per-bucket state, and the full-history batch twin agrees with a
+    single-batch stream drain."""
+    from joblink_etl_spark.streaming.pipeline import (
+        band_registry_batch,
+        streaming_band_registry,
+    )
+
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "totally different words live in this document body",
+    }
+    spark.createDataFrame([(1, texts[1]), (2, texts[2])], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        stream = streaming_band_registry(
+            spark.readStream.schema(schema).parquet(src)
+        )
+        run_available_now(stream, sink, ckpt)
+        return spark.read.parquet(sink).collect()
+
+    first = drain()
+    assert all(r["is_first"] and r["canonical_id"] == r["doc_id"] for r in first)
+
+    # batch 2: an exact clone of doc 1 plus a fresh doc
+    spark.createDataFrame(
+        [(11, texts[1]), (12, "yet another unrelated fresh document text")], schema
+    ).write.mode("append").parquet(src)
+    rows = drain()
+    clone = [r for r in rows if r["doc_id"] == 11]
+    assert len(clone) == 4  # one row per band
+    assert all(not r["is_first"] and r["canonical_id"] == 1 for r in clone)
+    fresh = [r for r in rows if r["doc_id"] == 12]
+    assert all(r["is_first"] for r in fresh)
+
+    # batch-twin equivalence: full history in one batch == the
+    # stream's cumulative output
+    hist = spark.createDataFrame(
+        [(1, texts[1]), (2, texts[2]), (11, texts[1]),
+         (12, "yet another unrelated fresh document text")], schema
+    )
+    twin = {
+        (r["doc_id"], r["band"]): (r["bucket"], r["canonical_id"], r["is_first"])
+        for r in band_registry_batch(hist).collect()
+    }
+    got = {
+        (r["doc_id"], r["band"]): (r["bucket"], r["canonical_id"], r["is_first"])
+        for r in rows
+    }
+    assert twin == got
