@@ -77,6 +77,10 @@ HEADLINE = [
     "bloom_decontam",
     "pq_codes",
     "knn_pq",
+    "cms_user_counts",
+    "histogram_quantiles",
+    "band_registry",
+    "hard_negatives",
 ]
 
 

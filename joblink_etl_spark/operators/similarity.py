@@ -645,3 +645,46 @@ def knn_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "adist", "rank")
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the top-k most cosine-similar vectors whose label DIFFERS — the
+    negatives closest to the decision boundary, which is what a
+    contrastive/triplet objective wants in its batch. Same broadcast
+    shape as knn_bruteforce (queries broadcast against the vector
+    scan), with the different-label predicate applied scan-side
+    BEFORE the ranking window so same-class pairs never enter the
+    top-k sort. For corpora past brute-force reach, swap the scored
+    source for the IVF cells or PQ ADC distances — the mining
+    filter/rank composes unchanged.
+
+    Output: query_id, neighbor_id, neighbor_label, score, rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("nv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("_qlabel") != F.col("neighbor_label"))
+        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "score", "rank")
+    )

@@ -144,3 +144,4 @@ register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
 register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
 register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
 register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
+register("hard_negatives", E.hard_negatives_q, E.HARD_NEGATIVES_SQL)

@@ -2138,3 +2138,37 @@ SELECT id AS doc_id, band::INTEGER AS band, bucket,
        id = min(id) OVER (PARTITION BY band, bucket) AS is_first
 FROM bands
 """
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: nearest different-label vectors per query.
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import hard_negatives
+
+    emb = table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+HARD_NEGATIVES_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, e AS qv, label AS qlabel FROM v WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS neighbor_label,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e)) > 0
+              THEN list_dot_product(qv, e)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e)))
+              ELSE 0.0 END AS score
+  FROM v CROSS JOIN q
+  WHERE q.qlabel <> v.label
+), ranked AS (
+  SELECT query_id, neighbor_id, neighbor_label, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, neighbor_label, score, rank FROM ranked WHERE rank <= 10
+"""

@@ -241,6 +241,14 @@ def test_builders_run_no_action_at_construction(spark):
         E.chunk_documents_q(spark, sf)
         E.curation_pipeline(spark, sf)
         E.upsample_epochs_q(spark, sf)
+        E.audio_decode_q(spark, sf)
+        E.bloom_decontam_q(spark, sf)
+        E.pq_codes_q(spark, sf)
+        E.knn_pq_q(spark, sf)
+        E.kmeans_clusters_q(spark, sf)
+        E.cms_user_counts_q(spark, sf)
+        E.histogram_quantiles_q(spark, sf)
+        E.band_registry_q(spark, sf)
     finally:
         for prop in ("spark.jobGroup.id", "spark.job.description", "spark.job.interruptOnCancel"):
             sc.setLocalProperty(prop, None)
