@@ -611,7 +611,11 @@ def knn_pq(
     end to end, so rank order is engine-reproducible.
 
     Returns (query_id, neighbor_id, adist, rank)."""
-    cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap)
+    # the trained codebooks feed TWO consumers (corpus assign + the
+    # query distance table); a LAZY persist keeps the iterative Lloyd
+    # chain from executing twice while construction stays action-free
+    # (same pattern as tfidf_cosine_pairs' postings pin)
+    cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap).persist()
     corpus = _pq_assign(_pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col)
     qsubs = _pq_subspaces(
         queries.select(F.col(id_col).alias("query_id"), codes_col),
