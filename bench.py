@@ -119,6 +119,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
             }
         )
