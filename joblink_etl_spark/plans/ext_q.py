@@ -2172,3 +2172,64 @@ WITH v AS (
 )
 SELECT query_id, neighbor_id, neighbor_label, score, rank FROM ranked WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental MV maintenance: the merged (state ∪ delta) partial
+# aggregates must equal a from-scratch aggregation over everything —
+# the oracle IS the from-scratch spelling, so the driver hash-checks
+# the algebraic-merge property itself.
+# ---------------------------------------------------------------------------
+
+
+def mv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.incremental import finalize_view, merge_partial_aggs, partial_aggs
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    state = partial_aggs(ev.filter(F.col("event_id") % 5 != 0), ["event_type"], "value")
+    delta = partial_aggs(ev.filter(F.col("event_id") % 5 == 0), ["event_type"], "value")
+    return finalize_view(merge_partial_aggs(state, delta, ["event_type"]), ["event_type"])
+
+
+MV_INCREMENTAL_SQL = """
+SELECT event_type,
+       count(value) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(round(sum(value), 2) / count(value), 4) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence construction: per-user ordered event-type
+# sequences (the "conversation packing" step of a behavioral-model
+# pipeline), capped at a fixed length.
+# ---------------------------------------------------------------------------
+
+
+def user_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = F.transform(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            1,
+            50,
+        ),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.concat_ws(">", seq).alias("seq"),
+    )
+
+
+USER_SEQUENCES_SQL = """
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       array_to_string(list(event_type ORDER BY ts, event_id)[1:50], '>') AS seq
+FROM events
+GROUP BY user_id
+"""

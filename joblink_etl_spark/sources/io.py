@@ -196,3 +196,35 @@ def zorder_layout(
     else:
         out = keyed.repartitionByRange("z_key")
     return out.sortWithinPartitions("z_key")
+
+
+def compact_dir(
+    spark,
+    src: str,
+    dst: str,
+    fmt: str = "parquet",
+    target_files: int | None = None,
+    sort_cols: list[str] | None = None,
+    **options: str,
+) -> None:
+    """Small-file compaction (the maintenance job every long-running
+    ingest needs): rewrite a directory of many small files into
+    `target_files` larger ones, optionally range-clustered by
+    `sort_cols` so the compacted files are also min/max-prunable.
+
+    Shape: coalesce (no shuffle) when only merging files;
+    repartitionByRange (one shuffle that buys every later scan) when
+    clustering. Writes to `dst` — compaction is a rewrite-and-swap
+    protocol, and the swap (atomic dir rename / metastore pointer
+    flip) belongs to the table format layer, so this function never
+    overwrites its own input."""
+    if src == dst:
+        raise ValueError("compact_dir writes a NEW directory; swap is the caller's job")
+    df = spark.read.format(fmt).options(**options).load(src)
+    if sort_cols:
+        out = optimize_layout(df, sort_cols, n_partitions=target_files)
+    elif target_files:
+        out = df.coalesce(target_files)
+    else:
+        out = df
+    out.write.format(fmt).mode("overwrite").save(dst)

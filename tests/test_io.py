@@ -4,6 +4,8 @@ writes."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -121,3 +123,46 @@ def test_json_corrupt_records_are_quarantined(spark, tmp_path):
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     assert good.count() == 2 and bad.count() == 1
     assert "not json" in bad.collect()[0]._corrupt_record
+
+
+def test_compact_dir_merges_files_and_preserves_rows(spark, tmp_path):
+    from joblink_etl_spark.sources.io import compact_dir
+
+    src, dst = str(tmp_path / "many"), str(tmp_path / "few")
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 7)
+    df.repartition(32).write.parquet(src)
+    assert len([p for p in os.listdir(src) if p.endswith(".parquet")]) == 32
+
+    compact_dir(spark, src, dst, target_files=4, sort_cols=["k"])
+    files = [p for p in os.listdir(dst) if p.endswith(".parquet")]
+    assert len(files) <= 4
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).first()[0] == 499500
+
+    with pytest.raises(ValueError, match="NEW directory"):
+        compact_dir(spark, src, src)
+
+
+def test_merge_partial_aggs_is_order_independent(spark):
+    from joblink_etl_spark.operators.incremental import (
+        finalize_view,
+        merge_partial_aggs,
+        partial_aggs,
+    )
+
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        (F.col("id") * 0.25).alias("v"),
+    )
+    parts = [
+        partial_aggs(df.filter(F.col("id") % 3 == i), ["k"], "v") for i in range(3)
+    ]
+    ab_c = merge_partial_aggs(merge_partial_aggs(parts[0], parts[1], ["k"]), parts[2], ["k"])
+    a_bc = merge_partial_aggs(parts[0], merge_partial_aggs(parts[1], parts[2], ["k"]), ["k"])
+    direct = partial_aggs(df, ["k"], "v")
+
+    def rows(d):
+        return sorted(map(tuple, finalize_view(d, ["k"]).collect()))
+
+    assert rows(ab_c) == rows(a_bc) == rows(direct)
