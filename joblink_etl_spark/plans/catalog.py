@@ -145,5 +145,7 @@ register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
 register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
 register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
 register("hard_negatives", E.hard_negatives_q, E.HARD_NEGATIVES_SQL)
+# mv_incremental's oracle is the from-scratch aggregation: the driver
+# hash-checks the algebraic merge property itself
 register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
 register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
