@@ -195,3 +195,69 @@ def test_repeated_spans_match_pure_python_oracle(spark_prop, docs, ngram):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 < s2
+
+
+def _synth_wav(samples: list[int], rate: int, channels: int) -> bytes:
+    import struct
+
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=200),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(1, 2),
+)
+def test_wav_parse_roundtrip_and_exact_rms(samples, rate, channels):
+    """Pure-Python fuzz of the real audio decoder: any synthesized
+    PCM16 container parses back to its exact parameters, and rms_q
+    equals the isqrt formula over the raw samples."""
+    import math
+
+    from joblink_etl_spark.operators.multimodal import (
+        _real_audio_meta,
+        parse_wav_header,
+    )
+
+    data = _synth_wav(samples, rate, channels)
+    sr, ch, bits, n, pcm = parse_wav_header(data)
+    assert (sr, ch, bits) == (rate, channels, 16)
+    assert n == len(samples) // channels
+    meta = _real_audio_meta(data)
+    want_rms = math.isqrt(sum(s * s for s in samples) // len(samples))
+    assert meta == (rate, channels, 16, n, n * 1000 // rate, want_rms, "wav")
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+        min_size=2,
+        max_size=60,
+    ),
+    st.sampled_from([4, 16]),
+)
+def test_histogram_quantile_upper_edge_bounds(spark_prop, vals, bins):
+    """For any data: the histogram estimate is ≥ the true rank
+    quantile and within one bin width above it (upper-edge rule)."""
+    import math
+
+    from joblink_etl_spark.operators.sketches import histogram_quantiles
+
+    df = spark_prop.createDataFrame([(float(v),) for v in vals], "v double")
+    out = {r["q"]: r["est"] for r in histogram_quantiles(df, "v", qs=(0.5,), bins=bins).collect()}
+    lo, hi = min(vals), max(vals)
+    n = len(vals)
+    true = sorted(vals)[math.ceil(0.5 * n) - 1]
+    est = out[0.5]
+    width = (hi - lo) / bins
+    eps = 1e-9 * max(abs(hi), abs(lo), 1.0)
+    assert true - eps <= est <= true + width + eps, (true, est, width)
+    assert lo - eps <= est <= hi + eps
