@@ -81,6 +81,9 @@ HEADLINE = [
     "histogram_quantiles",
     "band_registry",
     "hard_negatives",
+    "knn_ivfpq",
+    "mv_incremental",
+    "user_sequences",
 ]
 
 

@@ -692,3 +692,110 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "score", "rank")
     )
+
+
+def knn_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    coarse_every: int = 25,
+    n_sub: int = 4,
+    k_every: int = 50,
+    iters: int = 2,
+    k_cap: int | None = None,
+    id_col: str = "vec_id",
+    codes_col: str = "q_codes",
+) -> DataFrame:
+    """IVF-PQ: the production ANN composition — a coarse inverted
+    file gates WHICH vectors are scored, product quantization decides
+    HOW CHEAPLY. The corpus is assigned once to deterministic coarse
+    cells (every coarse_every-th id; exact integer distance) and
+    PQ-encoded once; a query probes only its nprobe nearest cells and
+    scores candidates by ADC table lookups — total per-query work is
+    O(K_coarse + nprobe/K_coarse · N · n_sub lookups) instead of
+    O(N · dim) floats.
+
+    Codebooks are trained on raw vectors (FAISS's by_residual=false
+    flavor) rather than cell residuals: every stage stays a replayable
+    pure function, which is what lets the DuckDB oracle check the
+    whole index bit-for-bit; residual encoding slots in by swapping
+    the pq_codebooks/_pq_assign input for (codes - cell centroid).
+
+    Plan shape: the scan-side cell assign and the probe-cell pick are
+    both array_min/array_sort over ONE broadcast centroid row (no ×K
+    explosion — see _kmeans_assign); the only corpus shuffles are the
+    id-keyed codes⋈cells join and the final (query, vec) partial
+    aggregation. Returns (query_id, neighbor_id, adist, rank)."""
+    cap = (F.col(id_col) % coarse_every == 0)
+    if k_cap is not None:
+        cap = cap & (F.col(id_col) < coarse_every * k_cap)
+    coarse = vectors.filter(cap).select(
+        F.col(id_col).alias("_cid"), F.col(codes_col).alias("_cv")
+    )
+    cells = _kmeans_assign(vectors, coarse, id_col, codes_col).select(
+        id_col, F.col("_cid").alias("cell")
+    )
+    cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap).persist()
+    corpus = (
+        _pq_assign(_pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col)
+        .select(id_col, "sub", F.col("_cid").alias("code_id"))
+        .join(cells, id_col)
+    )
+
+    coarse_row = coarse.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("_cid", "_cv"))).alias("_cents")
+    )
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    _sq_dist(F.col(codes_col), c["_cv"]).alias("_d2"),
+                    c["_cid"].alias("_cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    qprobe = (
+        queries.select(F.col(id_col).alias("query_id"), codes_col)
+        .crossJoin(F.broadcast(coarse_row))
+        .select("query_id", F.explode(ranked_cells).alias("_pc"))
+        .select("query_id", F.col("_pc._cid").alias("cell"))
+    )
+    qsubs = _pq_subspaces(
+        queries.select(F.col(id_col).alias("query_id"), codes_col),
+        n_sub,
+        "query_id",
+        codes_col,
+    )
+    dtable = (
+        qsubs.join(F.broadcast(cents), "sub")
+        .withColumn(
+            "_qd2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_sc"), F.col("_cv"),
+                    lambda a, b: ((a - b).cast("bigint") * (a - b).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("query_id", "sub", F.col("_cid").alias("code_id"), "_qd2")
+    )
+    probe_table = qprobe.join(dtable, "query_id")
+    adist = (
+        corpus.join(F.broadcast(probe_table), ["cell", "sub", "code_id"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_qd2").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", id_col)
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "adist", "rank")
+    )

@@ -1888,13 +1888,27 @@ def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_sql(
-    k_every: int, iters: int, n_sub: int, mode: str, k: int = 10, k_cap: int | None = None
+    k_every: int,
+    iters: int,
+    n_sub: int,
+    mode: str,
+    k: int = 10,
+    k_cap: int | None = None,
+    nprobe: int = 3,
+    coarse_every: int = 25,
 ) -> str:
     def dist(x: str, c: str) -> str:
         return (
             f"(list_sum(list_transform(range(1, len({x}.sc) + 1), "
             f"i -> ({x}.sc[i] - {c}.cv[i])::BIGINT * "
             f"({x}.sc[i] - {c}.cv[i])::BIGINT)))::BIGINT"
+        )
+
+    def dist_full(x: str, c: str) -> str:
+        return (
+            f"(list_sum(list_transform(range(1, len({x}.codes) + 1), "
+            f"i -> ({x}.codes[i] - {c}.ccv[i])::BIGINT * "
+            f"({x}.codes[i] - {c}.ccv[i])::BIGINT)))::BIGINT"
         )
 
     w = f"(len(codes) // {n_sub})"
@@ -1978,14 +1992,54 @@ def _pq_sql(
                 f"  FROM (SELECT query_id, sub, sc FROM qsubs) x"
                 f" JOIN c{iters} c USING (sub)\n)"
             ),
-            (
-                "adist AS (\n"
-                "  SELECT d.query_id, f.vec_id, sum(d.qd2)::BIGINT AS adist\n"
-                "  FROM fa f JOIN dtab d ON f.sub = d.sub AND f.cid = d.cid\n"
-                "  WHERE d.query_id <> f.vec_id\n"
-                "  GROUP BY d.query_id, f.vec_id\n)"
-            ),
         ]
+        if mode == "ivfpq":
+            coarse_cap = (
+                f" AND vec_id < {coarse_every * k_cap}" if k_cap is not None else ""
+            )
+            ctes += [
+                (
+                    f"cc AS (\n  SELECT vec_id AS ccid, codes AS ccv FROM v"
+                    f" WHERE vec_id % {coarse_every} = 0{coarse_cap}\n)"
+                ),
+                (
+                    f"cellassign AS (\n"
+                    f"  SELECT vec_id, ccid AS cell FROM (\n"
+                    f"    SELECT x.vec_id, cc.ccid, {dist_full('x', 'cc')} AS d2,\n"
+                    f"           row_number() OVER ("
+                    f"PARTITION BY x.vec_id ORDER BY {dist_full('x', 'cc')}, cc.ccid) AS rn\n"
+                    f"    FROM v x, cc\n  ) WHERE rn = 1\n)"
+                ),
+                (
+                    f"qcells AS (\n"
+                    f"  SELECT query_id, ccid AS cell FROM (\n"
+                    f"    SELECT x.vec_id AS query_id, cc.ccid, {dist_full('x', 'cc')} AS d2,\n"
+                    f"           row_number() OVER ("
+                    f"PARTITION BY x.vec_id ORDER BY {dist_full('x', 'cc')}, cc.ccid) AS rn\n"
+                    f"    FROM v x, cc WHERE x.vec_id < 5\n  ) WHERE rn <= {nprobe}\n)"
+                ),
+                (
+                    "adist AS (\n"
+                    "  SELECT d.query_id, f.vec_id, sum(d.qd2)::BIGINT AS adist\n"
+                    "  FROM fa f\n"
+                    "  JOIN cellassign ca ON ca.vec_id = f.vec_id\n"
+                    "  JOIN qcells qc ON qc.cell = ca.cell\n"
+                    "  JOIN dtab d ON d.query_id = qc.query_id"
+                    " AND d.sub = f.sub AND d.cid = f.cid\n"
+                    "  WHERE d.query_id <> f.vec_id\n"
+                    "  GROUP BY d.query_id, f.vec_id\n)"
+                ),
+            ]
+        else:
+            ctes += [
+                (
+                    "adist AS (\n"
+                    "  SELECT d.query_id, f.vec_id, sum(d.qd2)::BIGINT AS adist\n"
+                    "  FROM fa f JOIN dtab d ON f.sub = d.sub AND f.cid = d.cid\n"
+                    "  WHERE d.query_id <> f.vec_id\n"
+                    "  GROUP BY d.query_id, f.vec_id\n)"
+                ),
+            ]
         final = (
             "SELECT query_id, vec_id AS neighbor_id, adist, rank FROM (\n"
             "  SELECT *, row_number() OVER ("
@@ -2233,3 +2287,18 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_ivfpq, quantize_embeddings
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings(emb).select("vec_id", "q_codes")
+    queries = codes.filter(F.col("vec_id") < 5)
+    return knn_ivfpq(
+        codes, queries, k=10, nprobe=3, coarse_every=25,
+        n_sub=4, k_every=50, iters=2, k_cap=100,
+    )
+
+
+KNN_IVFPQ_SQL = _pq_sql(50, 2, 4, "ivfpq", k=10, k_cap=100, nprobe=3, coarse_every=25)

@@ -133,6 +133,32 @@ def test_pq_codes_and_adc_search(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, nn))
 
 
+def test_knn_ivfpq_planted_blobs(spark):
+    """IVF-PQ with one coarse cell per planted blob: probing nprobe=1
+    must keep every neighbor inside the query's own blob, and the
+    whole index must be partitioning-invariant."""
+    from joblink_etl_spark.operators.similarity import knn_ivfpq
+
+    rows = [
+        (i, [100 * (i // 30) + (i % 5) for _ in range(16)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, q_codes array<int>")
+    queries = df.filter(F.col("vec_id").isin(0, 30))
+    nn = knn_ivfpq(
+        df, queries, k=5, nprobe=1, coarse_every=30, n_sub=4, k_every=30, iters=1
+    ).collect()
+    assert len(nn) == 10
+    for r in nn:
+        assert (r["query_id"] // 30) == (r["neighbor_id"] // 30), r
+        assert r["neighbor_id"] != r["query_id"]
+
+    again = knn_ivfpq(
+        df.repartition(7), queries, k=5, nprobe=1, coarse_every=30, n_sub=4,
+        k_every=30, iters=1,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, nn))
+
+
 def test_repeated_spans_finds_planted_boilerplate(spark):
     """A 10-token paragraph shared by two docs yields one maximal
     span per doc at exactly the planted token coordinates; the

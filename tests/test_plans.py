@@ -249,6 +249,10 @@ def test_builders_run_no_action_at_construction(spark):
         E.cms_user_counts_q(spark, sf)
         E.histogram_quantiles_q(spark, sf)
         E.band_registry_q(spark, sf)
+        E.knn_ivfpq_q(spark, sf)
+        E.mv_incremental_q(spark, sf)
+        E.user_sequences_q(spark, sf)
+        E.hard_negatives_q(spark, sf)
     finally:
         for prop in ("spark.jobGroup.id", "spark.job.description", "spark.job.interruptOnCancel"):
             sc.setLocalProperty(prop, None)
