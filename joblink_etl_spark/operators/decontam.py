@@ -74,6 +74,13 @@ def build_bloom(
     grams = _doc_grams(benchmark, id_col, text_col, n).select(
         F.explode("grams").alias("gram")
     )
+    return _bloom_from_grams(grams, m, k)
+
+
+def _bloom_from_grams(grams: DataFrame, m: int, k: int) -> DataFrame:
+    """Bitmap build over an already-derived `gram` column (shared by
+    build_bloom and bloom_decontam's fused single-benchmark-pass
+    plan)."""
     pos = grams.select(
         F.explode(
             F.array(*[_bloom_pos(F.col("gram"), i, m) for i in range(k)])
@@ -121,13 +128,18 @@ def bloom_decontam(
     probe → null-key left join (non-candidates carry a NULL join key,
     which never matches — they ride through the join unprobed) → one
     groupBy(doc)."""
-    bloom = build_bloom(benchmark, id_col, text_col, n, m, k)
-    bench_hashes = (
+    # ONE benchmark pass feeds both derivations: the distinct gram set
+    # is pinned lazily (benchmark-sized — small by assumption) and the
+    # bitmap + exact hash set read the cache instead of re-tokenizing
+    bg = (
         _doc_grams(benchmark, id_col, text_col, n)
         .select(F.explode("grams").alias("gram"))
-        .select(md5_int(F.col("gram")).alias("_jk"))
         .distinct()
-        .withColumn("_hit", F.lit(1))
+        .persist()
+    )
+    bloom = _bloom_from_grams(bg, m, k)
+    bench_hashes = bg.select(md5_int(F.col("gram")).alias("_jk")).withColumn(
+        "_hit", F.lit(1)
     )
     exploded = (
         _doc_grams(docs, id_col, text_col, n)
