@@ -84,6 +84,7 @@ HEADLINE = [
     "knn_ivfpq",
     "mv_incremental",
     "user_sequences",
+    "temperature_mixture",
 ]
 
 

@@ -180,3 +180,44 @@ def pack_shards(
         )
         .withColumn("shard_id", F.floor(F.col("offset") / F.lit(budget)).cast("int"))
     )
+
+
+def temperature_mixture(
+    df, group_col: str, budget: int, id_col: str = "doc_id"
+):
+    """Temperature-based mixture reweighting — the standard recipe
+    for balancing a multi-source/multilingual corpus: sampling weight
+    ∝ count^α flattens the natural distribution so small groups are
+    up-weighted (α=1 keeps natural proportions, α→0 approaches
+    uniform). This implementation fixes α = 1/2 because sqrt is an
+    IEEE-correctly-rounded operation — pow(x, α) is not, and a
+    last-ulp libm difference would flip floor() boundaries between
+    engines; a general-α variant slots in where cross-engine
+    reproducibility isn't required.
+
+    Returns per group: (group_col, n_docs, weight, target_rows) where
+    weight = round(sqrt(n)/Σ sqrt(n), 8) (the rounding absorbs
+    summation-order ulps before they can reach the floor boundary)
+    and target_rows = min(floor(budget·weight), n_docs).
+
+    Scale: one map-side-combinable count per group, a one-row
+    broadcast total, pure column math after — the corpus is scanned
+    once and only |groups| rows ever move. Compose with
+    stratified_sample's per-group hash threshold to materialize the
+    actual draw."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum(F.sqrt(F.col("n_docs"))).alias("_tw"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("weight", F.round(F.sqrt(F.col("n_docs")) / F.col("_tw"), 8))
+        .withColumn(
+            "target_rows",
+            F.least(
+                F.floor(F.lit(float(budget)) * F.col("weight")).cast("bigint"),
+                F.col("n_docs"),
+            ),
+        )
+        .drop("_tw")
+    )

@@ -2302,3 +2302,30 @@ def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_IVFPQ_SQL = _pq_sql(50, 2, 4, "ivfpq", k=10, k_cap=100, nprobe=3, coarse_every=25)
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture weights (α = 1/2): sqrt keeps the math
+# IEEE-exact across engines; round(…, 8) absorbs summation-order
+# ulps before the floor boundary.
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mixture
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_mixture(docs, "lang", budget=1000)
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(sqrt(n_docs)) AS tw FROM counts
+)
+SELECT lang, n_docs,
+       round(sqrt(n_docs) / tw, 8) AS weight,
+       least(floor(1000.0 * round(sqrt(n_docs) / tw, 8))::BIGINT, n_docs) AS target_rows
+FROM counts, tot
+"""

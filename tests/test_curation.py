@@ -331,3 +331,20 @@ def test_chunk_documents_windows_and_provenance(spark):
     # short doc: single (short) chunk; empty doc: no chunks
     assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 2
     assert 3 not in by_doc
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    from joblink_etl_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = {r["lang"]: r for r in temperature_mixture(df, "lang", budget=500).collect()}
+    assert out["big"]["n_docs"] == 900 and out["small"]["n_docs"] == 100
+    # weights sum to ~1 and sqrt flattens: 9:1 counts -> 3:1 weights
+    wsum = out["big"]["weight"] + out["small"]["weight"]
+    assert abs(wsum - 1.0) < 1e-6
+    ratio = out["big"]["weight"] / out["small"]["weight"]
+    assert abs(ratio - 3.0) < 1e-6
+    # targets respect the budget and the group sizes
+    assert sum(r["target_rows"] for r in out.values()) <= 500
+    assert all(r["target_rows"] <= r["n_docs"] for r in out.values())

@@ -231,7 +231,12 @@ def test_wav_parse_roundtrip_and_exact_rms(samples, rate, channels):
     assert (sr, ch, bits) == (rate, channels, 16)
     assert n == len(samples) // channels
     meta = _real_audio_meta(data)
-    want_rms = math.isqrt(sum(s * s for s in samples) // len(samples))
+    # a trailing half-frame (odd word count at 2 channels) yields zero
+    # COMPLETE frames — the decoder reports silence rather than
+    # averaging a torn frame
+    want_rms = (
+        math.isqrt(sum(s * s for s in samples) // len(samples)) if n > 0 else 0
+    )
     assert meta == (rate, channels, 16, n, n * 1000 // rate, want_rms, "wav")
 
 
