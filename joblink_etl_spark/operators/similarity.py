@@ -425,6 +425,12 @@ def kmeans_codes(
     on the smallest centroid id — every iteration is a pure function
     of the input on any engine, partitioning, or rerun.
 
+    Input codes: pass quantize_embeddings_global's shared-scale codes
+    when clusters must reflect true inter-vector geometry; the
+    per-vector-scale codes (quantize_embeddings) cluster direction
+    patterns irrespective of magnitude — both are meaningful, pick
+    per use case.
+
     Deterministic init: every k_every-th id seeds a centroid. Each
     iteration broadcasts the K centroids (≤ K·dims ints), assigns
     scan-side, and updates via one map-side-combinable shuffle on
@@ -798,4 +804,39 @@ def knn_ivfpq(
         adist.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "adist", "rank")
+    )
+
+
+def quantize_embeddings_global(
+    df: DataFrame, vec_col: str = "embedding", max_code: int = 127
+) -> DataFrame:
+    """int8 quantization with ONE corpus-wide scale (max |x| over all
+    vectors, derived in-plan as a broadcast one-row aggregate — no
+    driver action). Per-vector scaling (quantize_embeddings) is the
+    right STORAGE layout (each vector uses its full code range), but
+    integer distances between codes of differently-scaled vectors are
+    not comparable — any index that ranks ACROSS vectors (PQ, ADC,
+    integer k-means) needs this shared-scale variant. max is
+    order-independent, so the codes are engine- and
+    partitioning-reproducible.
+
+    Adds q_codes; keeps id/other columns."""
+    e = as_double(F.col(vec_col))
+    with_e = df.withColumn("_e", e)
+    gmax = with_e.agg(
+        F.max(F.array_max(F.transform(F.col("_e"), F.abs))).alias("_gmax")
+    )
+    scale = F.when(F.col("_gmax") > 0, F.col("_gmax") / F.lit(float(max_code))).otherwise(
+        F.lit(1.0)
+    )
+    return (
+        with_e.crossJoin(F.broadcast(gmax))
+        .withColumn("_scale", scale)
+        .withColumn(
+            "q_codes",
+            F.transform(
+                F.col("_e"), lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("int")
+            ),
+        )
+        .drop("_e", "_gmax", "_scale")
     )

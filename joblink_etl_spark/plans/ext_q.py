@@ -1871,18 +1871,18 @@ WHERE g.doc_id % 97 <> 0
 
 
 def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import pq_codes, quantize_embeddings
+    from ..operators.similarity import pq_codes, quantize_embeddings_global
 
     emb = table(spark, sf_dir, "embeddings")
-    codes = quantize_embeddings(emb).select("vec_id", "q_codes")
+    codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
     return pq_codes(codes, n_sub=4, k_every=50, iters=2, k_cap=100)
 
 
 def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import knn_pq, quantize_embeddings
+    from ..operators.similarity import knn_pq, quantize_embeddings_global
 
     emb = table(spark, sf_dir, "embeddings")
-    codes = quantize_embeddings(emb).select("vec_id", "q_codes")
+    codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
     queries = codes.filter(F.col("vec_id") < 5)
     return knn_pq(codes, queries, k=10, n_sub=4, k_every=50, iters=2, k_cap=100)
 
@@ -1912,19 +1912,20 @@ def _pq_sql(
         )
 
     w = f"(len(codes) // {n_sub})"
+    # GLOBAL scale (one corpus-wide max |x|): codes must be comparable
+    # ACROSS vectors for PQ/ADC ranking — see quantize_embeddings_global
     ctes = [
         "base AS (\n  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings\n)",
         (
-            "scaled AS (\n"
-            "  SELECT vec_id, e,\n"
-            "         CASE WHEN list_max(list_transform(e, x -> abs(x))) > 0\n"
-            "              THEN list_max(list_transform(e, x -> abs(x))) / 127.0\n"
+            "g AS (\n"
+            "  SELECT CASE WHEN max(list_max(list_transform(e, x -> abs(x)))) > 0\n"
+            "              THEN max(list_max(list_transform(e, x -> abs(x)))) / 127.0\n"
             "              ELSE 1.0 END AS scale\n  FROM base\n)"
         ),
         (
             "v AS (\n"
             "  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes\n"
-            "  FROM scaled\n)"
+            "  FROM base, g\n)"
         ),
         (
             "subs AS (\n"
@@ -2290,10 +2291,10 @@ GROUP BY user_id
 
 
 def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import knn_ivfpq, quantize_embeddings
+    from ..operators.similarity import knn_ivfpq, quantize_embeddings_global
 
     emb = table(spark, sf_dir, "embeddings")
-    codes = quantize_embeddings(emb).select("vec_id", "q_codes")
+    codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
     queries = codes.filter(F.col("vec_id") < 5)
     return knn_ivfpq(
         codes, queries, k=10, nprobe=3, coarse_every=25,

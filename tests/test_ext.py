@@ -133,6 +133,42 @@ def test_pq_codes_and_adc_search(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, nn))
 
 
+def test_pq_recall_beats_chance_on_real_embeddings(spark, emb):
+    """PQ/ADC and IVF-PQ against exact brute-force cosine on the
+    synthetic embeddings: with a 4×~10-entry codebook on near-random
+    64-dim data the theoretical ceiling is low, but the ranking must
+    still be clearly better than chance (random recall@10 over 500
+    vectors ≈ 0.02; the measured deterministic values are 0.11 and
+    0.125 — floors set at half that). Everything is integer-exact, so
+    these are fixed numbers, not statistics."""
+    from joblink_etl_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivfpq,
+        knn_pq,
+        quantize_embeddings_global,
+    )
+
+    codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
+    q = emb.filter(F.col("vec_id") < 20)
+    qc = codes.filter(F.col("vec_id") < 20)
+
+    def tops(df):
+        d: dict[int, set[int]] = {}
+        for r in df.collect():
+            d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return d
+
+    brute = tops(knn_bruteforce(emb, q, k=10))
+    pq = tops(knn_pq(codes, qc, k=10, n_sub=4, k_every=50, iters=2, k_cap=100))
+    ivfpq = tops(
+        knn_ivfpq(codes, qc, k=10, nprobe=3, coarse_every=25, n_sub=4,
+                  k_every=50, iters=2, k_cap=100)
+    )
+    n = 10 * len(brute)
+    assert sum(len(pq[i] & brute[i]) for i in brute) / n >= 0.055
+    assert sum(len(ivfpq[i] & brute[i]) for i in brute) / n >= 0.055
+
+
 def test_knn_ivfpq_planted_blobs(spark):
     """IVF-PQ with one coarse cell per planted blob: probing nprobe=1
     must keep every neighbor inside the query's own blob, and the
