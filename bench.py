@@ -85,6 +85,7 @@ HEADLINE = [
     "mv_incremental",
     "user_sequences",
     "temperature_mixture",
+    "retention_cohorts",
 ]
 
 

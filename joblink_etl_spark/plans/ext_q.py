@@ -2330,3 +2330,51 @@ SELECT lang, n_docs,
        least(floor(1000.0 * round(sqrt(n_docs) / tw, 8))::BIGINT, n_docs) AS target_rows
 FROM counts, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week, activity
+# matrix by week offset. Weeks are integer-µs epochs (div/// agree —
+# non-negative), so the cohort keys are engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    acts = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 604800000000").alias("wk")
+    ).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    ret = (
+        acts.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_users")
+    )
+    return ret.join(sizes, "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_users",
+        "cohort_users",
+        F.round(F.col("n_users") / F.col("cohort_users"), 4).alias("retention"),
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH acts AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+), coh AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM acts GROUP BY user_id
+), ret AS (
+  SELECT cohort_wk, wk - cohort_wk AS week_offset,
+         count(DISTINCT user_id)::BIGINT AS n_users
+  FROM acts JOIN coh USING (user_id) GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_wk, count(*)::BIGINT AS cohort_users FROM coh GROUP BY 1
+)
+SELECT r.cohort_wk, r.week_offset, r.n_users, s.cohort_users,
+       round(r.n_users / s.cohort_users, 4) AS retention
+FROM ret r JOIN sizes s USING (cohort_wk)
+"""
