@@ -86,6 +86,7 @@ HEADLINE = [
     "user_sequences",
     "temperature_mixture",
     "retention_cohorts",
+    "feature_bins",
 ]
 
 

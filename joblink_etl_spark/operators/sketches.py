@@ -244,3 +244,37 @@ def histogram_quantiles(
         )
     )
     return picked.select("q", "bin", est.alias("est")).orderBy("q")
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins_out: int = 10,
+    bins: int = 256,
+) -> DataFrame:
+    """Equal-frequency binning (ML feature prep) the scale-correct
+    way: a global-sort ntile would funnel the corpus through one
+    partition, so instead the (n_bins_out - 1) cutpoints come from
+    the mergeable histogram sketch, ride back as ONE broadcast row,
+    and each row's bucket is a scan-side count of cutpoints ≤ value —
+    one corpus scan for the sketch, one for the assignment, no global
+    sort, equal-frequency up to the sketch's one-bin error.
+
+    Appends `bucket` (1-based)."""
+    qs = tuple(i / n_bins_out for i in range(1, n_bins_out))
+    cuts = (
+        histogram_quantiles(df, value_col, qs=qs, bins=bins)
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("est")).alias("_cuts"))
+    )
+    bucket = F.lit(1) + F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col(value_col).cast("double") > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .drop("_cuts")
+    )

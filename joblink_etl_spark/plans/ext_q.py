@@ -2378,3 +2378,63 @@ SELECT r.cohort_wk, r.week_offset, r.n_users, s.cohort_users,
        round(r.n_users / s.cohort_users, 4) AS retention
 FROM ret r JOIN sizes s USING (cohort_wk)
 """
+
+
+# ---------------------------------------------------------------------------
+# Equal-frequency feature binning: sketch-derived decile cutpoints
+# broadcast back over the corpus — no global sort. The oracle replays
+# the full histogram → cutpoint → count-of-cuts-below chain.
+# ---------------------------------------------------------------------------
+
+
+def feature_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import quantile_bins
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    binned = quantile_bins(ev, "value", n_bins_out=10, bins=256)
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_FB_QS = ", ".join(str(i / 10) for i in range(1, 10))
+
+FEATURE_BINS_SQL = f"""
+WITH b AS (
+  SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi FROM events
+), v AS (
+  SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL
+), binned AS (
+  SELECT CASE WHEN hi <= lo THEN 0
+              ELSE least(floor((v - lo) / (hi - lo) * 256), 255)::INTEGER END AS bin
+  FROM v, b
+), hist AS (
+  SELECT bin, count(*) AS cnt FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum FROM hist
+), tot AS (
+  SELECT sum(cnt) AS n FROM hist
+), qs AS (
+  SELECT unnest([{_FB_QS}]::DOUBLE[]) AS q
+), picked AS (
+  SELECT q, min(bin) AS bin
+  FROM qs, tot, cum
+  WHERE cum >= ceil(q * n)::BIGINT
+  GROUP BY q
+), cuts AS (
+  SELECT list_sort(list(
+    CASE WHEN hi <= lo THEN hi
+         ELSE least(lo + (bin + 1)::DOUBLE / 256 * (hi - lo), hi) END)) AS cl
+  FROM picked, b
+)
+SELECT bucket, count(*)::BIGINT AS n, min(value) AS min_value, max(value) AS max_value
+FROM (
+  SELECT e.value,
+         (1 + list_sum(list_transform(c.cl,
+            x -> CASE WHEN e.value::DOUBLE > x THEN 1 ELSE 0 END)))::INTEGER AS bucket
+  FROM events e, cuts c
+)
+GROUP BY bucket
+"""

@@ -348,3 +348,19 @@ def test_temperature_mixture_flattens_distribution(spark):
     # targets respect the budget and the group sizes
     assert sum(r["target_rows"] for r in out.values()) <= 500
     assert all(r["target_rows"] <= r["n_docs"] for r in out.values())
+
+
+def test_quantile_bins_near_equal_frequency(spark):
+    from joblink_etl_spark.operators.sketches import quantile_bins
+
+    df = spark.range(1000).select(F.col("id").alias("event_id"), (F.col("id") * 1.0).alias("v"))
+    out = quantile_bins(df, "v", n_bins_out=10, bins=100)
+    counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(1, 11))
+    # equal-frequency up to one sketch-bin error (1000/100 = 10 rows)
+    assert all(80 <= c <= 120 for c in counts.values()), counts
+    # buckets are ordered: every value in bucket b is <= every value in b+1
+    maxes = {r["bucket"]: r["mx"] for r in out.groupBy("bucket").agg(F.max("v").alias("mx")).collect()}
+    mins = {r["bucket"]: r["mn"] for r in out.groupBy("bucket").agg(F.min("v").alias("mn")).collect()}
+    for b in range(1, 10):
+        assert maxes[b] <= mins[b + 1]
