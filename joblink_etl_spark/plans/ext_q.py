@@ -2266,17 +2266,28 @@ GROUP BY event_type
 
 
 def user_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    # cap BEFORE collecting: row_number prunes each user to the first
+    # 50 events, so the per-group array is bounded however active the
+    # user — a bare collect_list-then-slice holds the user's whole
+    # history in one aggregation buffer. n_events (the uncapped count)
+    # rides the same window partitioning, and the groupBy reuses that
+    # exchange (same key) — one shuffle total.
+    w = Window.partitionBy("user_id")
+    ranked = ev.withColumns(
+        {
+            "_rn": F.row_number().over(w.orderBy("ts", "event_id")),
+            "_total": F.count(F.lit(1)).over(w),
+        }
+    ).filter(F.col("_rn") <= 50)
     seq = F.transform(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            1,
-            50,
-        ),
+        F.array_sort(F.collect_list(F.struct("_rn", "event_type"))),
         lambda s: s["event_type"],
     )
-    return ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    return ranked.groupBy("user_id").agg(
+        F.max("_total").cast("bigint").alias("n_events"),
         F.concat_ws(">", seq).alias("seq"),
     )
 
