@@ -87,6 +87,7 @@ HEADLINE = [
     "temperature_mixture",
     "retention_cohorts",
     "feature_bins",
+    "temperature_sample",
 ]
 
 

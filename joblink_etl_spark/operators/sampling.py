@@ -221,3 +221,30 @@ def temperature_mixture(
         )
         .drop("_tw")
     )
+
+
+def temperature_sample(
+    df, group_col: str, budget: int, id_col: str = "doc_id", salt: str = "temp"
+):
+    """Materialize temperature_mixture's targets as an actual draw:
+    per group, keep rows whose salted hash bucket clears the group's
+    target ratio. The keep test cross-multiplies integers
+    (bucket · n_docs < target_rows · BUCKETS) so no rational ever
+    becomes a float — the kept set is bit-stable across engines and
+    partitionings. Draw size is target_rows ± O(n/BUCKETS) per group
+    (hash granularity), the same contract as stratified_sample.
+
+    One corpus scan + a broadcast of |groups| target rows."""
+    from pyspark.sql import functions as F
+
+    targets = temperature_mixture(df, group_col, budget, id_col).select(
+        group_col, "n_docs", "target_rows"
+    )
+    return (
+        df.join(F.broadcast(targets), group_col)
+        .filter(
+            hash_bucket(F.col(id_col), salt) * F.col("n_docs")
+            < F.col("target_rows") * F.lit(BUCKETS)
+        )
+        .drop("n_docs", "target_rows")
+    )

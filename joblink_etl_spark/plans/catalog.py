@@ -153,3 +153,4 @@ register("knn_ivfpq", E.knn_ivfpq_q, E.KNN_IVFPQ_SQL)
 register("temperature_mixture", E.temperature_mixture_q, E.TEMPERATURE_MIXTURE_SQL)
 register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
 register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
+register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)

@@ -2449,3 +2449,27 @@ FROM (
 )
 GROUP BY bucket
 """
+
+
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, "lang", budget=1000)
+
+
+TEMPERATURE_SAMPLE_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(sqrt(n_docs)) AS tw FROM counts
+), targets AS (
+  SELECT lang, n_docs,
+         least(floor(1000.0 * round(sqrt(n_docs) / tw, 8))::BIGINT, n_docs) AS target_rows
+  FROM counts, tot
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN targets t USING (lang)
+WHERE ('0x' || substr(md5('temp:' || d.doc_id), 1, 15))::BIGINT % 10000 * t.n_docs
+      < t.target_rows * 10000
+"""

@@ -364,3 +364,27 @@ def test_quantile_bins_near_equal_frequency(spark):
     mins = {r["bucket"]: r["mn"] for r in out.groupBy("bucket").agg(F.min("v").alias("mn")).collect()}
     for b in range(1, 10):
         assert maxes[b] <= mins[b + 1]
+
+
+def test_temperature_sample_hits_targets(spark):
+    from joblink_etl_spark.operators.sampling import temperature_mixture, temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(i + 1000, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    targets = {
+        r["lang"]: r["target_rows"]
+        for r in temperature_mixture(df, "lang", budget=500).collect()
+    }
+    got = {
+        r["lang"]: r["n"]
+        for r in temperature_sample(df, "lang", budget=500)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, tgt in targets.items():
+        # hash granularity: within ~10% of the integer target
+        assert abs(got.get(lang, 0) - tgt) <= max(5, tgt * 0.15), (lang, got, tgt)
+    # deterministic under repartitioning
+    again = sorted(
+        r["doc_id"] for r in temperature_sample(df.repartition(7), "lang", budget=500).collect()
+    )
+    assert again == sorted(r["doc_id"] for r in temperature_sample(df, "lang", budget=500).collect())
