@@ -88,6 +88,7 @@ HEADLINE = [
     "retention_cohorts",
     "feature_bins",
     "temperature_sample",
+    "bm25_rank",
 ]
 
 

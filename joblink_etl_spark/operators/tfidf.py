@@ -181,3 +181,98 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "token", "w", "rank")
     )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_ratio: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """BM25 ranked retrieval over the inverted index: for each query
+    document, the top-k corpus documents by
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) over shared
+    terms (binary query-term weights — the standard simplification).
+
+    Determinism: each per-(doc, term) contribution is quantized to a
+    bigint (floor of the double formula — a fixed chain of IEEE ops
+    both engines spell identically), so the per-pair SUM is
+    order-independent and the ranking replays bit-for-bit in DuckDB.
+    `score` divides the integer sum back by IDF_SCALE for reading.
+
+    Scale shape: identical to tfidf_cosine_pairs — the query side is
+    tiny, so the join streams corpus postings past broadcast query
+    terms; df-ratio pruning bounds fan-out; one (query, doc) shuffle.
+    avgdl/n arrive as broadcast one-row aggregates (action-free)."""
+    tf = (
+        docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+    )
+    num, den = max_df_ratio
+    nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_n_docs"))
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("df") * F.lit(den) <= F.col("_n_docs") * F.lit(num))
+        .select(
+            "token",
+            F.round(
+                F.lit(float(IDF_SCALE))
+                * (
+                    F.log(
+                        (F.col("_n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+            )
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    cq = F.floor(
+        F.col("idf_q").cast("double") * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
+    ).cast("bigint")
+    contrib = (
+        tf.join(idf, "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select("id", "token", cq.alias("cq"))
+    )
+    qterms = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    ).distinct()
+    scored = (
+        qterms.join(contrib, "token")
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("cq").alias("score_q"), F.count(F.lit(1)).alias("shared_terms"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("score_q").desc(), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            "shared_terms",
+            "score_q",
+            F.round(F.col("score_q") / F.lit(float(IDF_SCALE)), 4).alias("score"),
+            "rank",
+        )
+    )

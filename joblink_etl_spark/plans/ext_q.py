@@ -2473,3 +2473,69 @@ FROM documents d JOIN targets t USING (lang)
 WHERE ('0x' || substr(md5('temp:' || d.doc_id), 1, 15))::BIGINT % 10000 * t.n_docs
       < t.target_rows * 10000
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval: per-(doc, term) contributions quantized to
+# bigints so the per-pair sum is order-independent; the oracle spells
+# the identical IEEE chain.
+# ---------------------------------------------------------------------------
+
+
+def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import bm25_rank
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    queries = docs.filter(F.col("doc_id") < 3)
+    # the synthetic corpus has a ~31-token vocabulary with df ≈ 0.8n,
+    # so the df prune is disabled here (BM25's idf already
+    # down-weights common terms); real corpora keep the default prune
+    return bm25_rank(docs, queries, k=10, max_df_ratio=(1, 1))
+
+
+BM25_RANK_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+), tok AS (
+  SELECT id, {_TOKS} AS toks FROM corpus
+), tf AS (
+  SELECT id, u.token, count(*)::BIGINT AS tf
+  FROM tok, unnest(toks) AS u(token)
+  GROUP BY 1, 2
+), dl AS (
+  SELECT id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM corpus
+), idf AS (
+  SELECT token,
+         round(10000::DOUBLE
+               * (ln((n + 1)::DOUBLE / (df + 1)::DOUBLE) + 1.0))::BIGINT AS idf_q
+  FROM (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1), nn
+  WHERE df * 1 <= n * 1
+), contrib AS (
+  SELECT tf.id, tf.token,
+         floor(idf.idf_q::DOUBLE * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / s.avgdl))))::BIGINT AS cq
+  FROM tf
+  JOIN idf ON tf.token = idf.token
+  JOIN dl ON dl.id = tf.id, stats s
+), qterms AS (
+  SELECT DISTINCT id AS query_id, u.token
+  FROM tok, unnest(toks) AS u(token)
+  WHERE id < 3
+), scored AS (
+  SELECT q.query_id, c.id, sum(c.cq)::BIGINT AS score_q, count(*)::BIGINT AS shared_terms
+  FROM qterms q JOIN contrib c ON q.token = c.token
+  WHERE q.query_id <> c.id
+  GROUP BY 1, 2
+)
+SELECT query_id, id AS doc_id, shared_terms, score_q,
+       round(score_q / 10000.0, 4) AS score, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, id) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""

@@ -645,3 +645,28 @@ def test_incremental_near_dups_finds_sources(spark, docs):
     found = sum((i + 10000, i) in got for i in planted)
     assert found / len(planted) >= 0.9
     assert all(nid >= 10000 for nid, _ in got)  # new side only on the left
+
+
+def test_bm25_ranks_relevant_and_normalizes_length(spark):
+    from joblink_etl_spark.operators.tfidf import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum flux capacitor design notes"),
+            (2, "quantum flux capacitor design notes with many extra words "
+                "padding padding padding padding padding padding padding"),
+            (3, "unrelated cooking recipe with garlic and butter"),
+            (4, "slightly related design notes"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(100, "quantum flux capacitor")], "doc_id long, text string")
+    out = bm25_rank(docs, q, k=4, max_df_ratio=(1, 1)).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # both quantum docs beat the others; the SHORTER one wins (length
+    # normalization: same tf, smaller dl)
+    assert ranked[0] == 1 and ranked[1] == 2, ranked
+    assert 3 not in ranked[:2]
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["score_q"] > by_id[2]["score_q"]
+    assert by_id[1]["shared_terms"] == 3
