@@ -89,6 +89,7 @@ HEADLINE = [
     "feature_bins",
     "temperature_sample",
     "bm25_rank",
+    "hybrid_retrieval",
 ]
 
 

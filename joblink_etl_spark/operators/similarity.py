@@ -840,3 +840,48 @@ def quantize_embeddings_global(
         )
         .drop("_e", "_gmax", "_scale")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion for hybrid retrieval: each system's
+    contribution is 1/(c + rank) and a candidate's score is the sum
+    over systems (Cormack et al. 2009's robust rank combiner — no
+    score calibration needed between BM25 and cosine). The inputs are
+    ranked frames (query_col, id_col, rank); systems combine via
+    full-outer joins IN LIST ORDER and a fixed chain of coalesce
+    additions — never a SUM aggregate — so the double arithmetic has
+    one deterministic association order on any engine or
+    partitioning.
+
+    Scale: ranked lists are per-query top-N (tiny relative to the
+    corpus); the joins are on (query, id) keys of those lists only."""
+    from functools import reduce
+
+    contribs = [
+        r.select(
+            query_col,
+            id_col,
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double"))).alias(
+                f"_s{i}"
+            ),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    fused = reduce(lambda a, b: a.join(b, [query_col, id_col], "outer"), contribs)
+    score = reduce(
+        lambda x, y: x + y,
+        [F.coalesce(F.col(f"_s{i}"), F.lit(0.0)) for i in range(len(rankings))],
+    )
+    w = Window.partitionBy(query_col).orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rrf_score", F.round(score, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, id_col, "rrf_score", "rank")
+    )

@@ -155,3 +155,4 @@ register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
 register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
 register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
 register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
+register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)

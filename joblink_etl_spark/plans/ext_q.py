@@ -2539,3 +2539,105 @@ FROM (
 )
 WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + brute cosine (dense) fused by
+# reciprocal rank. The contributions combine through a FIXED chain of
+# coalesce additions (never a SUM agg), so the fused doubles are
+# association-order-identical in both engines.
+# ---------------------------------------------------------------------------
+
+
+def hybrid_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_bruteforce, rrf_fuse
+    from ..operators.tfidf import bm25_rank
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    qdocs = docs.filter(F.col("doc_id") < 3)
+    lex = bm25_rank(docs, qdocs, k=20, max_df_ratio=(1, 1)).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    dense = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=20).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], k=10)
+
+
+HYBRID_RETRIEVAL_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+), tok AS (
+  SELECT id, {_TOKS} AS toks FROM corpus
+), tf AS (
+  SELECT id, u.token, count(*)::BIGINT AS tf
+  FROM tok, unnest(toks) AS u(token)
+  GROUP BY 1, 2
+), dl AS (
+  SELECT id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl
+), nn AS (
+  SELECT count(*)::BIGINT AS n FROM corpus
+), idf AS (
+  SELECT token,
+         round(10000::DOUBLE
+               * (ln((n + 1)::DOUBLE / (df + 1)::DOUBLE) + 1.0))::BIGINT AS idf_q
+  FROM (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1), nn
+  WHERE df * 1 <= n * 1
+), contrib AS (
+  SELECT tf.id, tf.token,
+         floor(idf.idf_q::DOUBLE * (tf.tf::DOUBLE * 2.2)
+               / (tf.tf::DOUBLE + 1.2 * (0.25 + 0.75 * (dl.dl::DOUBLE / s.avgdl))))::BIGINT AS cq
+  FROM tf
+  JOIN idf ON tf.token = idf.token
+  JOIN dl ON dl.id = tf.id, stats s
+), qterms AS (
+  SELECT DISTINCT id AS query_id, u.token
+  FROM tok, unnest(toks) AS u(token)
+  WHERE id < 3
+), bscored AS (
+  SELECT q.query_id, c.id, sum(c.cq)::BIGINT AS score_q
+  FROM qterms q JOIN contrib c ON q.token = c.token
+  WHERE q.query_id <> c.id
+  GROUP BY 1, 2
+), lex AS (
+  SELECT query_id, id AS doc_id, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, id) AS rank
+    FROM bscored
+  ) WHERE rank <= 20
+), dv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), dq AS (
+  SELECT vec_id AS query_id, e AS qv FROM dv WHERE vec_id < 3
+), dscored AS (
+  SELECT dq.query_id, dv.vec_id AS doc_id,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e)) > 0
+              THEN list_dot_product(qv, e)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e)))
+              ELSE 0.0 END AS score
+  FROM dv CROSS JOIN dq
+  WHERE dq.query_id <> dv.vec_id
+), dense AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM dscored
+  ) WHERE rank <= 20
+), fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + l.rank), 0.0)
+               + coalesce(1.0 / (60 + d.rank), 0.0), 6) AS rrf_score
+  FROM lex l FULL JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, rrf_score, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+WHERE rank <= 10
+"""

@@ -670,3 +670,25 @@ def test_bm25_ranks_relevant_and_normalizes_length(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[1]["score_q"] > by_id[2]["score_q"]
     assert by_id[1]["shared_terms"] == 3
+
+
+def test_rrf_fusion_prefers_cross_system_agreement(spark):
+    from joblink_etl_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, dense], k=4).collect()}
+    # doc 11 appears in BOTH lists -> beats each system's solo #1
+    assert out[11]["rank"] == 1
+    assert set(out) == {10, 11, 12, 13}
+    # doc 10 (lex #1 only) beats doc 13 (dense #2 only)
+    assert out[10]["rrf_score"] > out[13]["rrf_score"]
+    # deterministic under input repartitioning
+    again = rrf_fuse([lex.repartition(3), dense.repartition(2)], k=4).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        tuple(out[d]) for d in sorted(out)
+    )
