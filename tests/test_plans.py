@@ -257,3 +257,30 @@ def test_builders_run_no_action_at_construction(spark):
         for prop in ("spark.jobGroup.id", "spark.job.description", "spark.job.interruptOnCancel"):
             sc.setLocalProperty(prop, None)
     assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """A partitioned fact joined to a dim filtered on a NON-partition
+    column must prune fact partitions at RUNTIME from the dim's
+    values (DPP subquery in PartitionFilters) — at 100 TB this is the
+    difference between scanning one day and scanning the table. A
+    constant dim filter is deliberately not used here: Catalyst folds
+    that statically, which is the cheaper path but proves nothing
+    about runtime pruning."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    fact = (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select("l_orderkey", "l_quantity", "o_orderpriority")
+    )
+    fact.write.partitionBy("o_orderpriority").mode("overwrite").parquet(str(tmp_path / "fact"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dim = orders.filter(F.col("o_orderkey") % 777 == 0).select("o_orderpriority").distinct()
+    j = f.join(dim, "o_orderpriority").groupBy("o_orderpriority").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    plan = plan_of(j)
+    assert "dynamicpruningexpression" in plan.lower(), plan
+    assert j.count() > 0
