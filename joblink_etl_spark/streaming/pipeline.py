@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -431,4 +432,97 @@ def band_registry_batch(
         banded.select(F.col("id").alias("doc_id"), "band", "bucket")
         .withColumn("canonical_id", F.min("doc_id").over(w))
         .withColumn("is_first", F.col("doc_id") == F.col("canonical_id"))
+    )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState with
+    EVENT-TIME TIMEOUT — the third stateful pattern next to the
+    throttle (processing-order state) and the band registry
+    (set-membership state): per user, an open session (start, end,
+    count, sum) lives in state across micro-batches; an event beyond
+    `gap_seconds` closes and emits the previous session, and a
+    session with NO successor is flushed by the state timeout when
+    the watermark passes session_end + gap — so trailing sessions
+    are emitted exactly once without a poison-pill event.
+
+    Semantics match the batch spelling (plans/events_q.session_windows:
+    lag + gap-flag + running sum, strict `> gap` splits) — pinned by
+    the stream-vs-batch equivalence test. State is 4 scalars per
+    ACTIVE user and the watermark bounds how long a user can stay
+    active, so state size is O(users active within the horizon)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+            StructField("sv", DoubleType()),
+        ]
+    )
+
+    def _row(uid, start_us, end_us, n, sv):
+        return {
+            "user_id": uid,
+            "session_start": pd.Timestamp(start_us, unit="us"),
+            "session_end": pd.Timestamp(end_us, unit="us"),
+            "n_events": n,
+            "sum_value": sv,
+        }
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        uid = key[0]
+        closed = []
+        if state.hasTimedOut:
+            start_us, end_us, n, sv = state.get
+            closed.append(_row(uid, start_us, end_us, n, sv))
+            state.remove()
+            yield pd.DataFrame(closed)
+            return
+        pdf = pd.concat(list(pdf_iter))
+        if pdf.empty:
+            yield pd.DataFrame(columns=out_schema.fieldNames())
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        cur = state.get if state.exists else None
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            v = float(value) if value is not None else 0.0
+            if cur is None:
+                cur = (t_us, t_us, 1, v)
+            elif t_us // 1_000_000 - cur[1] // 1_000_000 > gap_seconds:
+                # truncated-SECOND diff, matching the batch twin's
+                # `ts.cast(long) - lag(...) > gap` exactly
+                closed.append(_row(uid, *cur))
+                cur = (t_us, t_us, 1, v)
+            else:
+                cur = (cur[0], t_us, cur[2] + 1, cur[3] + v)
+        state.update(cur)
+        # flush the trailing session once the watermark clears end+gap
+        state.setTimeoutTimestamp((cur[1] // 1000) + gap_seconds * 1000)
+        yield pd.DataFrame(closed) if closed else pd.DataFrame(
+            columns=out_schema.fieldNames()
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
     )

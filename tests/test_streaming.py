@@ -354,3 +354,106 @@ def test_streaming_band_registry_state_across_batches(spark, tmp_path):
         for r in rows
     }
     assert twin == got
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_sessions_state_and_timeout_flush(spark, tmp_path):
+    """Custom stateful sessionization: (a) a later event closes the
+    previous session arrival-driven, across micro-batches; (b) a
+    TRAILING session with no successor flushes via the event-time
+    state timeout once the watermark passes session_end + gap."""
+    from joblink_etl_spark.streaming.pipeline import streaming_sessions
+
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def drain():
+        stream = streaming_sessions(
+            spark.readStream.schema(schema).parquet(src),
+            gap_seconds=300,
+            watermark="1 seconds",
+        )
+        run_available_now(stream, sink, ckpt)
+        return sorted(
+            (
+                (r["user_id"], r["session_start"], r["session_end"],
+                 r["n_events"], r["sum_value"])
+            )
+            for r in spark.read.parquet(sink).collect()
+        )
+
+    # batch 1: user 1 has a 2-event session then a session-opening event
+    _write_events(
+        spark, src,
+        [
+            (1, T0, 1, "view", 1.0),
+            (2, T0 + timedelta(seconds=60), 1, "click", 2.0),
+            (3, T0 + timedelta(seconds=1000), 1, "view", 4.0),
+        ],
+    )
+    got1 = drain()
+    assert got1 == [(1, T0, T0 + timedelta(seconds=60), 2, 3.0)]
+
+    # batch 2: an event 301+s later closes session 2 ACROSS batches
+    _write_events(spark, src, [(4, T0 + timedelta(seconds=1400), 1, "buy", 8.0)])
+    got2 = drain()
+    assert (1, T0 + timedelta(seconds=1000), T0 + timedelta(seconds=1000), 1, 4.0) in got2
+
+    # batches 3+4: a far-future event from ANOTHER user pushes the
+    # watermark; the next batch fires user 1's state timeout and
+    # flushes the trailing session without any user-1 event
+    _write_events(spark, src, [(5, T0 + timedelta(seconds=100000), 99, "view", 0.0)])
+    drain()
+    _write_events(spark, src, [(6, T0 + timedelta(seconds=100001), 99, "view", 0.0)])
+    got4 = drain()
+    assert (1, T0 + timedelta(seconds=1400), T0 + timedelta(seconds=1400), 1, 8.0) in got4
+
+
+def test_streaming_sessions_match_batch_twin(spark, tmp_path, sf_dir):
+    """Full-history drain (plus a watermark-advancing sentinel) must
+    reproduce the batch session_windows oracle query for every
+    CLOSED session."""
+    from joblink_etl_spark.plans.events_q import session_windows
+    from joblink_etl_spark.streaming.pipeline import streaming_sessions
+
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = streaming_sessions(
+            spark.readStream.schema(ev.schema).parquet(src),
+            gap_seconds=300,
+            watermark="1 seconds",
+        )
+        run_available_now(stream, sink, ckpt)
+
+    drain()
+    # sentinel far past every real event, then one more batch so the
+    # timeout fires and trailing sessions flush
+    far = ev.agg(F.max("ts")).first()[0] + timedelta(days=30)
+    _write_events(spark, src, [(10**9, far, 10**6, "x", 0.0)])
+    drain()
+    _write_events(spark, src, [(10**9 + 1, far + timedelta(seconds=1), 10**6, "x", 0.0)])
+    drain()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["sum_value"], 2))
+        for r in spark.read.parquet(sink).collect()
+        if r["user_id"] != 10**6
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         float(r["sum_value"]))
+        for r in session_windows(spark, sf_dir).collect()
+    }
+    assert got == want
