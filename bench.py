@@ -90,6 +90,7 @@ HEADLINE = [
     "temperature_sample",
     "bm25_rank",
     "hybrid_retrieval",
+    "robust_outliers",
 ]
 
 

@@ -156,3 +156,4 @@ register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
 register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
 register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
 register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
+register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)

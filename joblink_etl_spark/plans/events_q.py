@@ -507,3 +507,105 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') r
  AND r.ts::TIMESTAMP >= l.ts::TIMESTAMP
  AND r.ts::TIMESTAMP <= l.ts::TIMESTAMP + INTERVAL 12 HOUR
 """
+
+
+def robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median
+    absolute deviation), the breakdown-resistant alternative to
+    mean/stddev z-scores — one extreme value cannot move either
+    statistic. Both medians use the exact rank+interpolate machinery
+    (see value_percentiles: no global sort, only straddling ranks
+    survive), and the flag compares |x − med| > 3 · 1.4826 · MAD
+    (the Gaussian-consistency constant) with every double op spelled
+    identically in the oracle."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def exact_median(df: DataFrame, val_col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val_col, "event_id")
+        ranked = df.select(
+            "event_type",
+            F.col(val_col).alias("_v"),
+            (F.row_number().over(w) - 1).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        )
+        h = (F.col("n") - 1).cast("double") * F.lit(0.5)
+        r0 = F.floor(h)
+        return (
+            ranked.filter((F.col("rn") == r0) | (F.col("rn") == r0 + 1))
+            .groupBy("event_type")
+            .agg(
+                F.min(F.when(F.col("rn") == F.floor((F.col("n") - 1).cast("double") * F.lit(0.5)), F.col("_v"))).alias("v0"),
+                F.min(F.when(F.col("rn") == F.floor((F.col("n") - 1).cast("double") * F.lit(0.5)) + 1, F.col("_v"))).alias("v1"),
+                F.min((F.col("n") - 1).cast("double") * F.lit(0.5) - F.floor((F.col("n") - 1).cast("double") * F.lit(0.5)).cast("double")).alias("frac"),
+            )
+            .select(
+                "event_type",
+                (F.col("v0") + F.col("frac") * (F.coalesce(F.col("v1"), F.col("v0")) - F.col("v0"))).alias("_m"),
+            )
+        )
+
+    med = exact_median(ev, "value").withColumnRenamed("_m", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_median(
+        dev.select("event_type", "event_id", F.col("adev").alias("value")), "value"
+    ).withColumnRenamed("_m", "mad")
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn(
+            "is_outlier",
+            F.col("adev") > F.lit(3.0) * (F.col("mad") * F.lit(1.4826)),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("med"), 4).alias("median"),
+            F.round(F.min("mad"), 4).alias("mad"),
+            F.sum(F.when(F.col("is_outlier"), 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MED_SQL = """
+  SELECT event_type,
+         min(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN _v END)
+           + min((n - 1)::DOUBLE * 0.5 - floor((n - 1)::DOUBLE * 0.5)::DOUBLE)
+             * (coalesce(min(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) + 1 THEN _v END),
+                         min(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN _v END))
+                - min(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5) THEN _v END)) AS _m
+  FROM {src}
+  WHERE rn = floor((n - 1)::DOUBLE * 0.5) OR rn = floor((n - 1)::DOUBLE * 0.5) + 1
+  GROUP BY event_type
+"""
+
+ROBUST_OUTLIERS_SQL = f"""
+WITH ranked1 AS (
+  SELECT event_type, value AS _v,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+{_MED_SQL.format(src="ranked1")}
+), dev AS (
+  SELECT e.event_type, e.event_id, abs(e.value - m._m) AS adev, m._m AS med
+  FROM events e JOIN med m USING (event_type)
+), ranked2 AS (
+  SELECT event_type, adev AS _v,
+         row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+{_MED_SQL.format(src="ranked2")}
+)
+SELECT d.event_type,
+       count(*)::BIGINT AS n,
+       round(min(d.med), 4) AS median,
+       round(min(md._m), 4) AS mad,
+       sum(CASE WHEN d.adev > 3.0 * (md._m * 1.4826) THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+FROM dev d JOIN mad md USING (event_type)
+GROUP BY d.event_type
+"""

@@ -692,3 +692,22 @@ def test_rrf_fusion_prefers_cross_system_agreement(spark):
     assert sorted(map(tuple, again)) == sorted(
         tuple(out[d]) for d in sorted(out)
     )
+
+
+def test_robust_outliers_resist_extremes(spark, tmp_path):
+    """MAD-based flags: one planted extreme value is flagged without
+    dragging the median/MAD the way a mean/stddev gate would."""
+    from joblink_etl_spark.plans.events_q import robust_outliers
+
+    rows = [(i, "2024-01-01 12:00:00", 1, "t", float(v)) for i, v in enumerate(
+        [10, 11, 12, 13, 14, 15, 16, 17, 18, 1000])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "events.parquet")
+    df.write.parquet(src)
+    out = robust_outliers(spark, str(tmp_path)).collect()
+    r = out[0]
+    assert r["n"] == 10 and r["n_outliers"] == 1
+    assert 13 <= r["median"] <= 15  # the 1000 didn't move it
+    assert r["mad"] <= 5
