@@ -91,6 +91,7 @@ HEADLINE = [
     "bm25_rank",
     "hybrid_retrieval",
     "robust_outliers",
+    "video_decode",
 ]
 
 

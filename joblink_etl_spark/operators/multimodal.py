@@ -348,3 +348,145 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", every_n: int = 10) -> D
         lambda i: i % every_n == 0,
     )
     return with_frames.withColumn("frame_index", F.explode(idx))
+
+
+def audio_window_rms(
+    df: DataFrame, content_col: str = "content", window_ms: int = 1000
+) -> DataFrame:
+    """Audio feature extraction: per-window integer-exact RMS series
+    over the REAL PCM16 samples (the loudness envelope a VAD/silence
+    trimmer consumes). mapInPandas like decode_audio; each window's
+    RMS is isqrt(sum_sq // n) over exact integer sums, so the series
+    is bit-stable however the blobs are batched. Non-WAV payloads
+    yield an empty series (dead-letter via size(rms_series)=0).
+
+    Appends rms_series (array<bigint>)."""
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    out_schema = StructType(
+        df.schema.fields + [StructField("rms_series", ArrayType(LongType()))]
+    )
+
+    def series(payload: bytes) -> list[int]:
+        parsed = parse_wav_header(payload) if payload else None
+        if parsed is None:
+            return []
+        sr, ch, bits, n_samples, pcm = parsed
+        if not pcm or bits != 16 or sr <= 0:
+            return []
+        a = np.frombuffer(pcm[: (len(pcm) // 2) * 2], dtype="<i2").astype(np.int64)
+        win_words = max((sr * window_ms // 1000) * ch, 1)
+        out = []
+        for i in range(0, a.size, win_words):
+            seg = a[i : i + win_words]
+            out.append(math.isqrt(int((seg * seg).sum()) // seg.size))
+        return out
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["rms_series"] = [
+                series(bytes(b) if b is not None else b"") for b in pdf[content_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def parse_mp4_header(data: bytes) -> tuple[str, int, int, int] | None:
+    """(brand, timescale, duration_units, duration_ms) from a real
+    ISO-BMFF (MP4/MOV) container, stdlib-only: walk the top-level box
+    list to `moov`, then its children to `mvhd` (version 0 or 1).
+    Header-parse only — no track/codec/sample decode — O(header)
+    regardless of payload size. Returns None for non-MP4 payloads."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    brand = data[8:12].decode("ascii", "replace")
+
+    def walk(buf: bytes, targets: set[bytes]):
+        i = 0
+        while i + 8 <= len(buf):
+            size = int.from_bytes(buf[i : i + 4], "big")
+            tag = buf[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > len(buf):
+                    return None
+                size = int.from_bytes(buf[i + 8 : i + 16], "big")
+                body_off = 16
+            elif size == 0:  # box extends to EOF
+                size = len(buf) - i
+                body_off = 8
+            else:
+                body_off = 8
+            if size < 8:
+                return None
+            if tag in targets:
+                return buf[i + body_off : i + size]
+            i += size
+        return None
+
+    moov = walk(data, {b"moov"})
+    if moov is None:
+        return None
+    mvhd = walk(moov, {b"mvhd"})
+    if mvhd is None or len(mvhd) < 20:
+        return None
+    version = mvhd[0]
+    if version == 1:
+        if len(mvhd) < 28:
+            return None
+        timescale = int.from_bytes(mvhd[20:24], "big")
+        duration = int.from_bytes(mvhd[24:32], "big")
+    else:
+        timescale = int.from_bytes(mvhd[12:16], "big")
+        duration = int.from_bytes(mvhd[16:20], "big")
+    if timescale <= 0:
+        return None
+    return (brand, timescale, duration, duration * 1000 // timescale)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("video_brand", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_units", LongType()),
+        StructField("video_duration_ms", LongType()),
+    ]
+)
+
+
+def decode_video(df: DataFrame, content_col: str = "content", backend: str = "fake") -> DataFrame:
+    """Video metadata decode over mapInPandas: appends video_brand /
+    timescale / duration_units / video_duration_ms. backend='fake'
+    derives fields from the payload bytes (deterministic oracle);
+    backend='real' walks actual ISO-BMFF boxes (parse_mp4_header).
+    Frame sampling then explodes AFTER this cheap probe
+    (sample_frames), so a real decoder touches only sampled frames."""
+    if backend not in ("fake", "real"):
+        raise ValueError(f"backend must be 'fake' or 'real', got {backend!r}")
+    out_schema = StructType(df.schema.fields + list(VIDEO_META_SCHEMA.fields))
+
+    def fake(payload: bytes):
+        if len(payload) < 2:
+            return ("empty", 0, 0, 0)
+        ts = 1000 * (1 + payload[0] % 2)
+        dur = 10_000 + payload[1] * 100
+        return ("fake", ts, dur, dur * 1000 // ts)
+
+    def real(payload: bytes):
+        parsed = parse_mp4_header(payload) if payload else None
+        return parsed if parsed is not None else ("unknown", 0, 0, 0)
+
+    probe = fake if backend == "fake" else real
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [probe(bytes(b) if b is not None else b"") for b in pdf[content_col]]
+            pdf = pdf.copy()
+            for j, name in enumerate(VIDEO_META_SCHEMA.fieldNames()):
+                pdf[name] = [m[j] for m in meta]
+            yield pdf
+
+    return df.mapInPandas(gen, out_schema)

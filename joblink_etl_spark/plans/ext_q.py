@@ -2641,3 +2641,45 @@ FROM (
 )
 WHERE rank <= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Video modality (fake backend oracle): metadata decode + frame
+# sampling counts, all replayable from md5 hex bytes. The real
+# ISO-BMFF box walk is covered by pytest on synthesized containers.
+# ---------------------------------------------------------------------------
+
+
+def video_decode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = M.decode_video(M.attach_fake_payload(docs))
+    frames = M.sample_frames(decoded, every_n=10)
+    return frames.groupBy(
+        "doc_id", "video_brand", "timescale", "duration_units", "video_duration_ms"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+
+
+VIDEO_DECODE_SQL = """
+WITH hexed AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), bytes AS (
+  SELECT doc_id,
+         ('0x' || substr(h, 1, 2))::INTEGER AS b0,
+         ('0x' || substr(h, 3, 2))::INTEGER AS b1
+  FROM hexed
+), meta AS (
+  SELECT doc_id,
+         'fake' AS video_brand,
+         (1000 * (1 + b0 % 2))::INTEGER AS timescale,
+         (10000 + b1 * 100)::BIGINT AS duration_units,
+         ((10000 + b1 * 100) * 1000 // (1000 * (1 + b0 % 2)))::BIGINT AS video_duration_ms
+  FROM bytes
+)
+-- fake payload is always the 16-byte md5 digest: n_frames = 16 % 64 + 8 = 24,
+-- sampled indices {0,10,20} -> 3 per doc
+SELECT doc_id, video_brand, timescale, duration_units, video_duration_ms,
+       3::BIGINT AS n_sampled
+FROM meta
+"""

@@ -711,3 +711,54 @@ def test_robust_outliers_resist_extremes(spark, tmp_path):
     assert r["n"] == 10 and r["n_outliers"] == 1
     assert 13 <= r["median"] <= 15  # the 1000 didn't move it
     assert r["mad"] <= 5
+
+
+def _tiny_mp4(timescale=1000, duration=5000, version=0, pad_box=False):
+    import struct
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    if version == 0:
+        mvhd = box(b"mvhd", b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = box(b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16 + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+    moov = box(b"moov", mvhd)
+    pre = box(b"free", b"\x00" * 12) if pad_box else b""
+    return box(b"ftyp", b"isom" + b"\x00" * 8) + pre + moov
+
+
+def test_video_real_backend_and_audio_rms_series(spark):
+    from joblink_etl_spark.operators.multimodal import (
+        audio_window_rms,
+        decode_video,
+        parse_mp4_header,
+    )
+
+    assert parse_mp4_header(_tiny_mp4()) == ("isom", 1000, 5000, 5000)
+    assert parse_mp4_header(_tiny_mp4(90000, 450000, version=1, pad_box=True)) == (
+        "isom", 90000, 450000, 5000)
+    assert parse_mp4_header(b"definitely not an mp4") is None
+
+    blobs = [
+        (1, _tiny_mp4(600, 1800), "isom", 600, 1800, 3000),
+        (2, b"garbage", "unknown", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b, *_ in blobs], "doc_id int, content binary"
+    )
+    got = {r["doc_id"]: r for r in decode_video(df, backend="real").collect()}
+    for i, _, brand, ts, du, ms in blobs:
+        r = got[i]
+        assert (r["video_brand"], r["timescale"], r["duration_units"],
+                r["video_duration_ms"]) == (brand, ts, du, ms)
+
+    # audio loudness envelope: three 1-second windows of known RMS
+    samples = [500] * 8000 + [1000] * 8000 + [2000] * 4000
+    wav = _tiny_wav(samples, rate=8000, channels=1)
+    adf = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk"))], "doc_id int, content binary"
+    )
+    out = {r["doc_id"]: list(r["rms_series"]) for r in audio_window_rms(adf).collect()}
+    assert out[1] == [500, 1000, 2000]
+    assert out[2] == []
