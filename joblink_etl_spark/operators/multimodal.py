@@ -3,15 +3,19 @@ columns with typed metadata, processed via Arrow-batched
 mapInPandas / pandas UDFs.
 
 The Spark-side architecture here is real and tested — schemas,
-partitioning, UDF signatures, batch shapes. The decode step is a
+partitioning, UDF signatures, batch shapes. Every decode step is a
 pluggable backend: backend='fake' produces deterministic
-pseudo-decodes (derived from the payload bytes) for tests and
-pipeline wiring; backend='real' decodes actual image headers — via
-Pillow when it is importable, else a stdlib container-format parser
-(PNG / JPEG / GIF / BMP / PPM-PGM magic-byte + header decode) so the
-path works with zero native deps. Full pixel decode / a cv2-class
-codec slots in behind the same signature when the library is
-present.
+pseudo-decodes (derived from the payload bytes) for the DuckDB
+oracles and pipeline wiring; backend='real' decodes actual
+containers with zero native deps —
+- images: Pillow when importable, else a stdlib header parser
+  (PNG / JPEG / GIF / BMP / PPM-PGM magic-byte + header decode);
+- audio: RIFF/WAVE chunk walk + integer-exact PCM16 RMS
+  (decode_audio, audio_window_rms);
+- video: ISO-BMFF (MP4/MOV) box walk to mvhd for
+  timescale/duration (decode_video).
+Full pixel/sample/codec decode slots in behind the same mapInPandas
+signatures when the heavy libraries are present.
 
 At 100 TB: binary payloads ride in their own parquet column (never
 materialized unless selected — column pruning skips them for
