@@ -92,6 +92,7 @@ HEADLINE = [
     "hybrid_retrieval",
     "robust_outliers",
     "video_decode",
+    "time_weighted_avg",
 ]
 
 

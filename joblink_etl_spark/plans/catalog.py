@@ -158,3 +158,4 @@ register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
 register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
 register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
 register("video_decode", E.video_decode_q, E.VIDEO_DECODE_SQL)
+register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)

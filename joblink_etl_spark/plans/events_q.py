@@ -609,3 +609,52 @@ SELECT d.event_type,
 FROM dev d JOIN mad md USING (event_type)
 GROUP BY d.event_type
 """
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each event's value
+    holds until the next event, weighted by that interval. Values are
+    quantized to integer cents and intervals to integer µs BEFORE the
+    sum, so the accumulation is exact bigint arithmetic
+    (order-independent across engines/partitions); doubles appear only
+    in the final single division. Events with no successor contribute
+    no interval (lead is NULL), matching the oracle."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        (F.lead(F.unix_micros(F.col("ts"))).over(w) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt_us")).alias("wsum"),
+            F.sum("dt_us").alias("tsum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.round(
+                F.col("wsum").cast("double") / (F.lit(100.0) * F.col("tsum").cast("double")),
+                4,
+            ).alias("twap"),
+        )
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH t AS (
+  SELECT user_id,
+         floor(value * 100 + 0.5)::BIGINT AS cents,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_intervals,
+       round(sum(cents * dt_us)::DOUBLE / (100.0 * sum(dt_us)::DOUBLE), 4) AS twap
+FROM t WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
