@@ -93,6 +93,7 @@ HEADLINE = [
     "robust_outliers",
     "video_decode",
     "time_weighted_avg",
+    "multimodal_examples",
 ]
 
 

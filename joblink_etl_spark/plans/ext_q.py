@@ -2683,3 +2683,60 @@ SELECT doc_id, video_brand, timescale, duration_units, video_duration_ms,
        3::BIGINT AS n_sampled
 FROM meta
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal training-example assembly: one row per sample with all
+# modalities aligned — text stats, the embedding, image + audio
+# decode metadata — the join step a multimodal training pipeline
+# runs before packing shards. Broadcast the (narrow) embedding side;
+# decode metadata computed in the same pass.
+# ---------------------------------------------------------------------------
+
+
+def multimodal_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+    from ..operators.textstats import tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.col("label").alias("cls")
+    )
+    with_media = M.decode_audio(M.decode_images(M.attach_fake_payload(docs)))
+    return (
+        with_media.join(emb, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "cls",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+            "width",
+            "height",
+            "format",
+            "sample_rate",
+            "duration_ms",
+        )
+    )
+
+
+MULTIMODAL_EXAMPLES_SQL = """
+WITH hexed AS (
+  SELECT doc_id, text, lang, md5(text) AS h FROM documents
+), bytes AS (
+  SELECT doc_id, text, lang,
+         ('0x' || substr(h, 1, 2))::INTEGER AS b0,
+         ('0x' || substr(h, 3, 2))::INTEGER AS b1,
+         ('0x' || substr(h, 5, 2))::INTEGER AS b2,
+         ('0x' || substr(h, 7, 2))::INTEGER AS b3
+  FROM hexed
+)
+SELECT b.doc_id, b.lang, e.label AS cls,
+       CASE WHEN trim(lower(b.text)) = '' THEN 0
+            ELSE len(string_split_regex(trim(lower(b.text)), '\\s+')) END::INTEGER AS n_tokens,
+       (16 + b0 % 64)::INTEGER AS width,
+       (16 + b1 % 64)::INTEGER AS height,
+       'fake/rgb' AS format,
+       (8000 * (1 + b0 % 3))::INTEGER AS sample_rate,
+       ((1000 + b2 * 256 + b3) * 1000 // (8000 * (1 + b0 % 3)))::BIGINT AS duration_ms
+FROM bytes b JOIN (SELECT vec_id, label FROM embeddings) e ON e.vec_id = b.doc_id
+"""
