@@ -762,3 +762,21 @@ def test_video_real_backend_and_audio_rms_series(spark):
     out = {r["doc_id"]: list(r["rms_series"]) for r in audio_window_rms(adf).collect()}
     assert out[1] == [500, 1000, 2000]
     assert out[2] == []
+
+
+def test_time_weighted_avg_exact_intervals(spark, tmp_path):
+    from joblink_etl_spark.plans.events_q import time_weighted_avg
+
+    # value 10 holds 30s, value 20 holds 10s, trailing value ignored
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "t", 10.0),
+        (2, "2024-01-01 00:00:30", 7, "t", 20.0),
+        (3, "2024-01-01 00:00:40", 7, "t", 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    r = time_weighted_avg(spark, str(tmp_path)).first()
+    assert r["n_intervals"] == 2
+    assert r["twap"] == 12.5  # (10*30 + 20*10) / 40
