@@ -284,3 +284,20 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
     plan = plan_of(j)
     assert "dynamicpruningexpression" in plan.lower(), plan
     assert j.count() > 0
+
+
+def test_assign_paths_have_no_ranking_windows(spark):
+    """The k-means/PQ assign and LSH signature rewrites replaced
+    crossJoin-per-candidate + row_number windows with scan-side
+    array_min folds over one broadcast row — a regression back to the
+    windowed spelling (×K row explosion + per-vector sort) would
+    reintroduce Window operators into these plans."""
+    from joblink_etl_spark.plans import ext_q as E
+
+    for name, builder in (
+        ("kmeans_clusters", E.kmeans_clusters_q),
+        ("pq_codes", E.pq_codes_q),
+        ("cosine_near_dups_lsh", E.cosine_near_dups_lsh),
+    ):
+        plan = plan_of(builder(spark, SF_SMALL))
+        assert "Window" not in plan, f"{name} regressed to a windowed assign"
