@@ -160,3 +160,4 @@ register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
 register("video_decode", E.video_decode_q, E.VIDEO_DECODE_SQL)
 register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
 register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
+register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)

@@ -658,3 +658,28 @@ SELECT user_id,
 FROM t WHERE dt_us IS NOT NULL
 GROUP BY user_id
 """
+
+
+def value_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF position of selected events within their type:
+    percent_rank over a total (value, event_id) order — deterministic
+    under ties, one grouped sort, no global order. The probe filter
+    keeps the output small; at scale the same window computes every
+    row's position in one pass."""
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("cdf", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("event_id") % 101 == 0)
+        .select("event_type", "event_id", "value", "cdf")
+    )
+
+
+VALUE_CDF_SQL = """
+SELECT event_type, event_id, value, cdf FROM (
+  SELECT event_type, event_id, value,
+         round(percent_rank() OVER (
+           PARTITION BY event_type ORDER BY value, event_id), 6) AS cdf
+  FROM events
+) WHERE event_id % 101 = 0
+"""
