@@ -130,7 +130,9 @@ def bloom_decontam(
     groupBy(doc)."""
     # ONE benchmark pass feeds both derivations: the distinct gram set
     # is pinned lazily (benchmark-sized — small by assumption) and the
-    # bitmap + exact hash set read the cache instead of re-tokenizing
+    # bitmap + exact hash set read the cache instead of re-tokenizing.
+    # Cache lifetime is the CALLER's responsibility (unpersist or
+    # catalog.clearCache after the consuming action, as bench.py does)
     bg = (
         _doc_grams(benchmark, id_col, text_col, n)
         .select(F.explode("grams").alias("gram"))

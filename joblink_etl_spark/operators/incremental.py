@@ -23,12 +23,18 @@ from pyspark.sql import functions as F
 
 
 def partial_aggs(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
-    """Mergeable partial state per key: (keys…, n, sum_v, min_v,
+    """Mergeable partial state per key: (keys…, n, sum_cents, min_v,
     max_v). One map-side-combinable shuffle over the input — run it
-    over a delta batch, never the full history."""
+    over a delta batch, never the full history.
+
+    The sum is kept as INTEGER CENTS (floor(v*100+0.5) per row) so
+    partial/merge accumulation is exact bigint arithmetic — merge
+    order across batches/partitions can never wobble the stored
+    state (same idiom as plans/events_q.time_weighted_avg)."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
     return df.groupBy(*keys).agg(
         F.count(value_col).alias("n"),
-        F.sum(value_col).alias("sum_v"),
+        F.sum(cents).alias("sum_cents"),
         F.min(value_col).alias("min_v"),
         F.max(value_col).alias("max_v"),
     )
@@ -45,7 +51,7 @@ def merge_partial_aggs(state: DataFrame, delta: DataFrame, keys: list[str]) -> D
         .groupBy(*keys)
         .agg(
             F.sum("n").alias("n"),
-            F.sum("sum_v").alias("sum_v"),
+            F.sum("sum_cents").alias("sum_cents"),
             F.min("min_v").alias("min_v"),
             F.max("max_v").alias("max_v"),
         )
@@ -53,14 +59,16 @@ def merge_partial_aggs(state: DataFrame, delta: DataFrame, keys: list[str]) -> D
 
 
 def finalize_view(merged: DataFrame, keys: list[str]) -> DataFrame:
-    """Read-time projection of the merged state: rounded sum, derived
-    avg (rounded-sum / count, the engine-portable spelling — see
-    plans/events_q.py on midpoint wobble), min/max as stored."""
+    """Read-time projection of the merged state: doubles appear only
+    HERE — the stored sum is exact integer cents, so the division is
+    a single deterministic float op per key (no rounded-float-sum
+    midpoint wobble; see plans/events_q.py)."""
+    sum_v = F.col("sum_cents").cast("double") / F.lit(100.0)
     return merged.select(
         *keys,
         F.col("n"),
-        F.round(F.col("sum_v"), 2).alias("sum_value"),
-        F.round(F.round(F.col("sum_v"), 2) / F.col("n"), 4).alias("avg_value"),
+        sum_v.alias("sum_value"),
+        F.round(sum_v / F.col("n"), 4).alias("avg_value"),
         F.col("min_v").alias("min_value"),
         F.col("max_v").alias("max_value"),
     )

@@ -620,7 +620,10 @@ def knn_pq(
     # the trained codebooks feed TWO consumers (corpus assign + the
     # query distance table); a LAZY persist keeps the iterative Lloyd
     # chain from executing twice while construction stays action-free
-    # (same pattern as tfidf_cosine_pairs' postings pin)
+    # (same pattern as tfidf_cosine_pairs' postings pin). Cache
+    # lifetime is the CALLER's responsibility — unpersist (or
+    # catalog.clearCache, as bench.py does per query) after the
+    # consuming action, since this builder never sees one.
     cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap).persist()
     corpus = _pq_assign(_pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col)
     qsubs = _pq_subspaces(
@@ -742,6 +745,8 @@ def knn_ivfpq(
     cells = _kmeans_assign(vectors, coarse, id_col, codes_col).select(
         id_col, F.col("_cid").alias("cell")
     )
+    # lazy codebook pin (two consumers); cache lifetime is the
+    # CALLER's responsibility — see knn_pq's note.
     cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap).persist()
     corpus = (
         _pq_assign(_pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col)

@@ -111,12 +111,20 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sess.groupBy("user_id", "session_id")
+        sess.withColumn(
+            # quantize BEFORE the sum: summing raw doubles is
+            # partition-order dependent in the last ulp, and rounding
+            # the float sum to 2 decimals flips at half-cent
+            # boundaries (the exact idiom used by time_weighted_avg).
+            "cents",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
         .agg(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -136,7 +144,7 @@ SELECT user_id, session_id,
        min(ts) AS session_start,
        max(ts) AS session_end,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(floor(value * 100 + 0.5)::BIGINT)::DOUBLE / 100.0 AS sum_value
 FROM sessions
 GROUP BY user_id, session_id
 """

@@ -2249,8 +2249,9 @@ def mv_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 MV_INCREMENTAL_SQL = """
 SELECT event_type,
        count(value) AS n,
-       round(sum(value), 2) AS sum_value,
-       round(round(sum(value), 2) / count(value), 4) AS avg_value,
+       sum(floor(value * 100 + 0.5)::BIGINT)::DOUBLE / 100.0 AS sum_value,
+       round(sum(floor(value * 100 + 0.5)::BIGINT)::DOUBLE / 100.0
+             / count(value), 4) AS avg_value,
        min(value) AS min_value,
        max(value) AS max_value
 FROM events

@@ -24,6 +24,8 @@ Scale rules encoded here:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -218,7 +220,19 @@ def compact_dir(
     protocol, and the swap (atomic dir rename / metastore pointer
     flip) belongs to the table format layer, so this function never
     overwrites its own input."""
-    if src == dst:
+    # Alias-proof the in-place guard for local paths: trailing slash,
+    # relative-vs-absolute, and symlinks all name the same directory,
+    # and a lazy read followed by overwrite(dst) would truncate the
+    # directory being scanned. Non-local URIs (s3://, hdfs://) keep
+    # the literal comparison after slash-normalization.
+    def _canon(p: str) -> str:
+        stripped = p.rstrip("/") or "/"
+        if "://" in stripped and not stripped.startswith("file://"):
+            return stripped
+        local = stripped.removeprefix("file://")
+        return os.path.realpath(local)
+
+    if _canon(src) == _canon(dst):
         raise ValueError("compact_dir writes a NEW directory; swap is the caller's job")
     df = spark.read.format(fmt).options(**options).load(src)
     if sort_cols:

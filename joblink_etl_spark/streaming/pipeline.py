@@ -23,6 +23,8 @@ not grown forever.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -472,17 +474,20 @@ def streaming_sessions(
             StructField("start_us", LongType()),
             StructField("end_us", LongType()),
             StructField("n", LongType()),
-            StructField("sv", DoubleType()),
+            # integer cents, not a float: the batch twin quantizes
+            # per-event before summing so accumulation order never
+            # matters — the stream state mirrors that exactly.
+            StructField("sv_cents", LongType()),
         ]
     )
 
-    def _row(uid, start_us, end_us, n, sv):
+    def _row(uid, start_us, end_us, n, sv_cents):
         return {
             "user_id": uid,
             "session_start": pd.Timestamp(start_us, unit="us"),
             "session_end": pd.Timestamp(end_us, unit="us"),
             "n_events": n,
-            "sum_value": sv,
+            "sum_value": sv_cents / 100.0,
         }
 
     def sessionize(key, pdf_iter, state: GroupState):
@@ -503,15 +508,26 @@ def streaming_sessions(
         for ts, value in zip(pdf["ts"], pdf["value"]):
             t_us = int(pd.Timestamp(ts).value // 1000)
             v = float(value) if value is not None else 0.0
+            cents = int(math.floor(v * 100 + 0.5))
             if cur is None:
-                cur = (t_us, t_us, 1, v)
+                cur = (t_us, t_us, 1, cents)
             elif t_us // 1_000_000 - cur[1] // 1_000_000 > gap_seconds:
                 # truncated-SECOND diff, matching the batch twin's
                 # `ts.cast(long) - lag(...) > gap` exactly
                 closed.append(_row(uid, *cur))
-                cur = (t_us, t_us, 1, v)
+                cur = (t_us, t_us, 1, cents)
             else:
-                cur = (cur[0], t_us, cur[2] + 1, cur[3] + v)
+                # min/max so an in-watermark out-of-order event from a
+                # later micro-batch can't move the session bounds
+                # backwards; the SPLIT decision still assumes
+                # cross-batch ordered arrival (the batch twin sorts the
+                # full history globally before gap-flagging).
+                cur = (
+                    min(cur[0], t_us),
+                    max(cur[1], t_us),
+                    cur[2] + 1,
+                    cur[3] + cents,
+                )
         state.update(cur)
         # flush the trailing session once the watermark clears end+gap
         state.setTimeoutTimestamp((cur[1] // 1000) + gap_seconds * 1000)

@@ -64,6 +64,10 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            # builders that lazily persist shared subtrees (PQ
+            # codebooks, bloom gram sets) leave their cache lifetime
+            # to the caller — drop it between queries like bench.py
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
