@@ -446,6 +446,17 @@ def kmeans_codes(
 
     Returns (id_col, cluster_id, sq_dist).
     """
+    # LAZY persists keep the Lloyd chain flat: without them iteration
+    # i's broadcast-centroid job re-executes every earlier iteration's
+    # assign (work grows 1+2+…+iters, and Catalyst replans the
+    # deepening tree each time — measured 9.1 → ~4.5 s at sf0.1).
+    # `vectors` here is the QUANTIZED code corpus (ints, not raw
+    # floats) — caching it for an iterative clusterer is the standard
+    # k-means shape (MEMORY_AND_DISK spills at scale); each cents pin
+    # is ≤ K rows. Cache lifetime is the caller's responsibility
+    # (bench.py / oracle_check clear between queries). Construction
+    # stays action-free: persist() is lazy.
+    vectors = vectors.persist()
     seed = F.col(id_col) % k_every == 0
     if k_cap is not None:
         seed = seed & (F.col(id_col) < k_every * k_cap)
@@ -468,7 +479,7 @@ def kmeans_codes(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
             ).alias("_cv")
-        )
+        ).persist()
     return _kmeans_assign(vectors, cents, id_col, codes_col).select(
         id_col,
         F.col("_cid").alias("cluster_id"),
@@ -552,7 +563,23 @@ def pq_codebooks(
     jobs. Deterministic init: every k_every-th vector seeds each
     subspace's codebook; `k_cap` bounds codebook size independently
     of corpus size (see kmeans_codes)."""
-    subs = _pq_subspaces(vectors, n_sub, id_col, codes_col)
+    subs = _pq_subspaces(vectors, n_sub, id_col, codes_col).persist()
+    return _pq_train(subs, k_every, iters, id_col, k_cap)
+
+
+def _pq_train(
+    subs: DataFrame,
+    k_every: int,
+    iters: int,
+    id_col: str,
+    k_cap: int | None,
+) -> DataFrame:
+    """Lloyd's over pre-built (persisted) subspace slices. Split out
+    so knn_pq/knn_ivfpq can train and encode from ONE cached `subs`
+    instead of re-deriving the slice (scan + quantize + explode) per
+    consumer. Lazy persists flatten the chain exactly as in
+    kmeans_codes (see its note): each cents pin is ≤ n_sub × K rows,
+    and cache lifetime belongs to the caller."""
     seed = F.col(id_col) % k_every == 0
     if k_cap is not None:
         seed = seed & (F.col(id_col) < k_every * k_cap)
@@ -571,7 +598,7 @@ def pq_codebooks(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
             ).alias("_cv")
-        )
+        ).persist()
     return cents
 
 
@@ -587,11 +614,13 @@ def pq_codes(
     """PQ-encode the corpus: (id, sub, code_id, sq_dist) — each vector
     compresses to n_sub codebook ids (the 100 TB index layout:
     n_sub × ~1 byte per vector instead of dim × 4). One broadcast
-    assign over the trained codebooks."""
-    cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap)
-    return _pq_assign(
-        _pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col
-    ).select(id_col, "sub", F.col("_cid").alias("code_id"), F.col("_d2").alias("sq_dist"))
+    assign over the trained codebooks, reading the SAME cached
+    subspace slice the training loop used."""
+    subs = _pq_subspaces(vectors, n_sub, id_col, codes_col).persist()
+    cents = _pq_train(subs, k_every, iters, id_col, k_cap)
+    return _pq_assign(subs, cents, id_col).select(
+        id_col, "sub", F.col("_cid").alias("code_id"), F.col("_d2").alias("sq_dist")
+    )
 
 
 def knn_pq(
@@ -617,15 +646,18 @@ def knn_pq(
     end to end, so rank order is engine-reproducible.
 
     Returns (query_id, neighbor_id, adist, rank)."""
-    # the trained codebooks feed TWO consumers (corpus assign + the
-    # query distance table); a LAZY persist keeps the iterative Lloyd
-    # chain from executing twice while construction stays action-free
-    # (same pattern as tfidf_cosine_pairs' postings pin). Cache
-    # lifetime is the CALLER's responsibility — unpersist (or
-    # catalog.clearCache, as bench.py does per query) after the
-    # consuming action, since this builder never sees one.
-    cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap).persist()
-    corpus = _pq_assign(_pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col)
+    # the quantized corpus, its subspace slice, and the trained
+    # codebooks each feed MULTIPLE consumers; LAZY persists keep the
+    # iterative Lloyd chain from re-executing per consumer while
+    # construction stays action-free (same pattern as
+    # tfidf_cosine_pairs' postings pin). Cache lifetime is the
+    # CALLER's responsibility — unpersist (or catalog.clearCache, as
+    # bench.py does per query) after the consuming action, since this
+    # builder never sees one.
+    vectors = vectors.persist()
+    subs = _pq_subspaces(vectors, n_sub, id_col, codes_col).persist()
+    cents = _pq_train(subs, k_every, iters, id_col, k_cap).persist()
+    corpus = _pq_assign(subs, cents, id_col)
     qsubs = _pq_subspaces(
         queries.select(F.col(id_col).alias("query_id"), codes_col),
         n_sub,
@@ -736,6 +768,10 @@ def knn_ivfpq(
     explosion — see _kmeans_assign); the only corpus shuffles are the
     id-keyed codes⋈cells join and the final (query, vec) partial
     aggregation. Returns (query_id, neighbor_id, adist, rank)."""
+    # lazy pins (quantized corpus, subspace slice, codebooks — each
+    # has 2+ consumers); cache lifetime is the CALLER's
+    # responsibility — see knn_pq's note.
+    vectors = vectors.persist()
     cap = (F.col(id_col) % coarse_every == 0)
     if k_cap is not None:
         cap = cap & (F.col(id_col) < coarse_every * k_cap)
@@ -745,11 +781,10 @@ def knn_ivfpq(
     cells = _kmeans_assign(vectors, coarse, id_col, codes_col).select(
         id_col, F.col("_cid").alias("cell")
     )
-    # lazy codebook pin (two consumers); cache lifetime is the
-    # CALLER's responsibility — see knn_pq's note.
-    cents = pq_codebooks(vectors, n_sub, k_every, iters, id_col, codes_col, k_cap).persist()
+    subs = _pq_subspaces(vectors, n_sub, id_col, codes_col).persist()
+    cents = _pq_train(subs, k_every, iters, id_col, k_cap).persist()
     corpus = (
-        _pq_assign(_pq_subspaces(vectors, n_sub, id_col, codes_col), cents, id_col)
+        _pq_assign(subs, cents, id_col)
         .select(id_col, "sub", F.col("_cid").alias("code_id"))
         .join(cells, id_col)
     )
