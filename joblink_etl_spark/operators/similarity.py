@@ -495,12 +495,20 @@ def kmeans_codes(
 
 
 def _pq_subspaces(
-    df: DataFrame, n_sub: int, id_col: str, codes_col: str, out_col: str = "_sc"
+    df: DataFrame,
+    n_sub: int,
+    id_col: str,
+    codes_col: str,
+    out_col: str = "_sc",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, sub, subvector) — slice each vector into n_sub contiguous
-    subspaces. Width is derived in-plan from size(codes)/n_sub (no
-    driver action); callers must feed vectors whose dim divides
-    n_sub. Narrow scan-side explode of n_sub short arrays."""
+    """(id, [extra…], sub, subvector) — slice each vector into n_sub
+    contiguous subspaces. Width is derived in-plan from
+    size(codes)/n_sub (no driver action); callers must feed vectors
+    whose dim divides n_sub. Narrow scan-side explode of n_sub short
+    arrays. `extra_cols` ride along unchanged (the residual path keys
+    query slices by (query, probed cell))."""
+    extra = list(extra_cols or [])
     w = (F.size(F.col(codes_col)) / n_sub).cast("int")
     entries = F.array(
         *[
@@ -511,8 +519,8 @@ def _pq_subspaces(
             for s in range(n_sub)
         ]
     )
-    return df.select(F.col(id_col), F.explode(entries).alias("_e")).select(
-        id_col, F.col("_e.sub").alias("sub"), F.col("_e.sc").alias(out_col)
+    return df.select(F.col(id_col), *extra, F.explode(entries).alias("_e")).select(
+        id_col, *extra, F.col("_e.sub").alias("sub"), F.col("_e.sc").alias(out_col)
     )
 
 
@@ -747,6 +755,7 @@ def knn_ivfpq(
     k_cap: int | None = None,
     id_col: str = "vec_id",
     codes_col: str = "q_codes",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the production ANN composition — a coarse inverted
     file gates WHICH vectors are scored, product quantization decides
@@ -757,17 +766,24 @@ def knn_ivfpq(
     O(K_coarse + nprobe/K_coarse · N · n_sub lookups) instead of
     O(N · dim) floats.
 
-    Codebooks are trained on raw vectors (FAISS's by_residual=false
-    flavor) rather than cell residuals: every stage stays a replayable
-    pure function, which is what lets the DuckDB oracle check the
-    whole index bit-for-bit; residual encoding slots in by swapping
-    the pq_codebooks/_pq_assign input for (codes - cell centroid).
+    `by_residual=False` trains codebooks on raw vectors (FAISS's
+    by_residual=false flavor). `by_residual=True` is the
+    production-accuracy step: codebooks are trained on and encode the
+    CELL RESIDUAL (codes − assigned cell centroid) — residual vectors
+    concentrate near the origin, so the same codebook budget spends
+    its resolution where the data is, and the query builds one
+    distance table per PROBED CELL from its residual to that cell.
+    Both flavors stay replayable pure functions (integer residuals,
+    exact bigint distances), which is what lets the DuckDB oracle
+    check the whole index bit-for-bit.
 
     Plan shape: the scan-side cell assign and the probe-cell pick are
     both array_min/array_sort over ONE broadcast centroid row (no ×K
     explosion — see _kmeans_assign); the only corpus shuffles are the
-    id-keyed codes⋈cells join and the final (query, vec) partial
-    aggregation. Returns (query_id, neighbor_id, adist, rank)."""
+    id-keyed cells/residual join and the final (query, vec) partial
+    aggregation — the residual path adds NO extra corpus shuffle (the
+    cell-centroid join is against the broadcast K_coarse rows).
+    Returns (query_id, neighbor_id, adist, rank)."""
     # lazy pins (quantized corpus, subspace slice, codebooks — each
     # has 2+ consumers); cache lifetime is the CALLER's
     # responsibility — see knn_pq's note.
@@ -778,16 +794,38 @@ def knn_ivfpq(
     coarse = vectors.filter(cap).select(
         F.col(id_col).alias("_cid"), F.col(codes_col).alias("_cv")
     )
-    cells = _kmeans_assign(vectors, coarse, id_col, codes_col).select(
-        id_col, F.col("_cid").alias("cell")
+    assigned_cells = _kmeans_assign(vectors, coarse, id_col, codes_col).select(
+        id_col, codes_col, F.col("_cid").alias("cell")
     )
-    subs = _pq_subspaces(vectors, n_sub, id_col, codes_col).persist()
+    residual = F.zip_with(F.col(codes_col), F.col("_ccv"), lambda a, b: a - b)
+    if by_residual:
+        # integer residual vs the OWN cell's centroid; the centroid
+        # lookup is a broadcast join against the K_coarse rows
+        rvec = (
+            assigned_cells.join(
+                F.broadcast(
+                    coarse.select(F.col("_cid").alias("cell"), F.col("_cv").alias("_ccv"))
+                ),
+                "cell",
+            )
+            .select(id_col, "cell", residual.alias("_rc"))
+        )
+        subs = _pq_subspaces(rvec, n_sub, id_col, "_rc", extra_cols=["cell"]).persist()
+        corpus_src = subs
+    else:
+        subs = _pq_subspaces(vectors, n_sub, id_col, codes_col).persist()
+        corpus_src = None
     cents = _pq_train(subs, k_every, iters, id_col, k_cap).persist()
-    corpus = (
-        _pq_assign(subs, cents, id_col)
-        .select(id_col, "sub", F.col("_cid").alias("code_id"))
-        .join(cells, id_col)
-    )
+    if by_residual:
+        corpus = _pq_assign(corpus_src, cents, id_col).select(
+            id_col, "cell", "sub", F.col("_cid").alias("code_id")
+        )
+    else:
+        corpus = (
+            _pq_assign(subs, cents, id_col)
+            .select(id_col, "sub", F.col("_cid").alias("code_id"))
+            .join(assigned_cells.select(id_col, "cell"), id_col)
+        )
 
     coarse_row = coarse.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("_cid", "_cv"))).alias("_cents")
@@ -799,6 +837,7 @@ def knn_ivfpq(
                 lambda c: F.struct(
                     _sq_dist(F.col(codes_col), c["_cv"]).alias("_d2"),
                     c["_cid"].alias("_cid"),
+                    c["_cv"].alias("_ccv"),
                 ),
             )
         ),
@@ -808,31 +847,45 @@ def knn_ivfpq(
     qprobe = (
         queries.select(F.col(id_col).alias("query_id"), codes_col)
         .crossJoin(F.broadcast(coarse_row))
-        .select("query_id", F.explode(ranked_cells).alias("_pc"))
-        .select("query_id", F.col("_pc._cid").alias("cell"))
-    )
-    qsubs = _pq_subspaces(
-        queries.select(F.col(id_col).alias("query_id"), codes_col),
-        n_sub,
-        "query_id",
-        codes_col,
-    )
-    dtable = (
-        qsubs.join(F.broadcast(cents), "sub")
-        .withColumn(
-            "_qd2",
-            F.aggregate(
-                F.zip_with(
-                    F.col("_sc"), F.col("_cv"),
-                    lambda a, b: ((a - b).cast("bigint") * (a - b).cast("bigint")),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ),
+        .select("query_id", codes_col, F.explode(ranked_cells).alias("_pc"))
+        .select(
+            "query_id",
+            codes_col,
+            F.col("_pc._cid").alias("cell"),
+            F.col("_pc._ccv").alias("_ccv"),
         )
-        .select("query_id", "sub", F.col("_cid").alias("code_id"), "_qd2")
     )
-    probe_table = qprobe.join(dtable, "query_id")
+    qd2 = F.aggregate(
+        F.zip_with(
+            F.col("_sc"), F.col("_cv"),
+            lambda a, b: ((a - b).cast("bigint") * (a - b).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    if by_residual:
+        # one distance table per (query, probed cell): the query's
+        # residual to THAT cell vs the shared residual codebooks
+        qres = qprobe.select("query_id", "cell", residual.alias("_rq"))
+        qsubs = _pq_subspaces(qres, n_sub, "query_id", "_rq", extra_cols=["cell"])
+        probe_table = (
+            qsubs.join(F.broadcast(cents), "sub")
+            .withColumn("_qd2", qd2)
+            .select("query_id", "cell", "sub", F.col("_cid").alias("code_id"), "_qd2")
+        )
+    else:
+        qsubs = _pq_subspaces(
+            queries.select(F.col(id_col).alias("query_id"), codes_col),
+            n_sub,
+            "query_id",
+            codes_col,
+        )
+        dtable = (
+            qsubs.join(F.broadcast(cents), "sub")
+            .withColumn("_qd2", qd2)
+            .select("query_id", "sub", F.col("_cid").alias("code_id"), "_qd2")
+        )
+        probe_table = qprobe.select("query_id", "cell").join(dtable, "query_id")
     adist = (
         corpus.join(F.broadcast(probe_table), ["cell", "sub", "code_id"])
         .filter(F.col("query_id") != F.col(id_col))

@@ -92,10 +92,10 @@ register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)
 # r3 while still 2-green (VERDICT asked for re-rows); these two cede
 # to round-4 NEW queries (residual PQ, suffix dedup, S4/J1 rows) as
 # they land.
+register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
 register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
 register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
 register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
-register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
 # ---- 50-query driver window ends here --------------------------------
 
 # --- past the driver cap: multi-round green streaks + baselines -------
@@ -103,6 +103,7 @@ register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
 # (rounds 1-3) or is an explicitly-labeled all-pairs/MVP baseline of
 # an operator still checked above. bench, pytest, and
 # tools/oracle_check.py cover all of them every round.
+register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
 register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)
 register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)
 register("clean_role_pipeline", S.clean_role_pipeline, S.CLEAN_ROLE_PIPELINE_SQL)

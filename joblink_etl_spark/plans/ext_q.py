@@ -1896,6 +1896,7 @@ def _pq_sql(
     k_cap: int | None = None,
     nprobe: int = 3,
     coarse_every: int = 25,
+    by_residual: bool = False,
 ) -> str:
     def dist(x: str, c: str) -> str:
         return (
@@ -1927,12 +1928,50 @@ def _pq_sql(
             "  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes\n"
             "  FROM base, g\n)"
         ),
-        (
-            "subs AS (\n"
-            f"  SELECT vec_id, s.sub,\n"
-            f"         codes[s.sub * {w} + 1 : (s.sub + 1) * {w}] AS sc\n"
-            f"  FROM v, (SELECT unnest(range(0, {n_sub})) AS sub) s\n)"
-        ),
+    ]
+    coarse_cap = f" AND vec_id < {coarse_every * k_cap}" if k_cap is not None else ""
+    if by_residual:
+        # coarse cells first: the PQ trains on and encodes the CELL
+        # RESIDUAL (codes − own cell centroid), so cc/cellassign must
+        # precede the subspace slice and `cell` rides every slice row
+        ctes += [
+            (
+                f"cc AS (\n  SELECT vec_id AS ccid, codes AS ccv FROM v"
+                f" WHERE vec_id % {coarse_every} = 0{coarse_cap}\n)"
+            ),
+            (
+                f"cellassign AS (\n"
+                f"  SELECT vec_id, ccid AS cell FROM (\n"
+                f"    SELECT x.vec_id, cc.ccid, {dist_full('x', 'cc')} AS d2,\n"
+                f"           row_number() OVER ("
+                f"PARTITION BY x.vec_id ORDER BY {dist_full('x', 'cc')}, cc.ccid) AS rn\n"
+                f"    FROM v x, cc\n  ) WHERE rn = 1\n)"
+            ),
+            (
+                "rv AS (\n"
+                "  SELECT x.vec_id, ca.cell,\n"
+                "         list_transform(range(1, len(x.codes) + 1),\n"
+                "                        i -> x.codes[i] - cc.ccv[i]) AS codes\n"
+                "  FROM v x JOIN cellassign ca ON ca.vec_id = x.vec_id\n"
+                "  JOIN cc ON cc.ccid = ca.cell\n)"
+            ),
+            (
+                "subs AS (\n"
+                f"  SELECT vec_id, cell, s.sub,\n"
+                f"         codes[s.sub * {w} + 1 : (s.sub + 1) * {w}] AS sc\n"
+                f"  FROM rv, (SELECT unnest(range(0, {n_sub})) AS sub) s\n)"
+            ),
+        ]
+    else:
+        ctes += [
+            (
+                "subs AS (\n"
+                f"  SELECT vec_id, s.sub,\n"
+                f"         codes[s.sub * {w} + 1 : (s.sub + 1) * {w}] AS sc\n"
+                f"  FROM v, (SELECT unnest(range(0, {n_sub})) AS sub) s\n)"
+            ),
+        ]
+    ctes += [
         (
             f"c0 AS (\n  SELECT sub, vec_id AS cid, sc AS cv FROM subs"
             f" WHERE vec_id % {k_every} = 0"
@@ -1966,18 +2005,20 @@ def _pq_sql(
                 f" FROM m{i} GROUP BY sub, cid\n)"
             ),
         ]
+    cell_sel = "x.cell, " if by_residual else ""
+    cell_out = "cell, " if by_residual else ""
     ctes += [
         (
             f"fd AS (\n"
-            f"  SELECT x.vec_id, x.sub, x.sc, c.cid, {dist('x', 'c')} AS d2\n"
+            f"  SELECT x.vec_id, {cell_sel}x.sub, x.sc, c.cid, {dist('x', 'c')} AS d2\n"
             f"  FROM subs x JOIN c{iters} c USING (sub)\n)"
         ),
         (
-            "fa AS (\n"
-            "  SELECT vec_id, sub, cid, d2 FROM (\n"
-            "    SELECT *, row_number() OVER ("
-            "PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn\n"
-            "    FROM fd\n  ) WHERE rn = 1\n)"
+            f"fa AS (\n"
+            f"  SELECT vec_id, {cell_out}sub, cid, d2 FROM (\n"
+            f"    SELECT *, row_number() OVER ("
+            f"PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn\n"
+            f"    FROM fd\n  ) WHERE rn = 1\n)"
         ),
     ]
     if mode == "codes":
@@ -1985,6 +2026,55 @@ def _pq_sql(
             "SELECT vec_id, sub::INTEGER AS sub, cid AS code_id, d2 AS sq_dist FROM fa"
         )
     else:
+        if by_residual:
+            # per-(query, probed cell) residual distance tables: the
+            # query's residual to EACH of its nprobe cells, against
+            # the shared residual codebooks
+            ctes += [
+                (
+                    f"qcells AS (\n"
+                    f"  SELECT query_id, ccid AS cell FROM (\n"
+                    f"    SELECT x.vec_id AS query_id, cc.ccid, {dist_full('x', 'cc')} AS d2,\n"
+                    f"           row_number() OVER ("
+                    f"PARTITION BY x.vec_id ORDER BY {dist_full('x', 'cc')}, cc.ccid) AS rn\n"
+                    f"    FROM v x, cc WHERE x.vec_id < 5\n  ) WHERE rn <= {nprobe}\n)"
+                ),
+                (
+                    "qrv AS (\n"
+                    "  SELECT q.vec_id AS query_id, qc.cell,\n"
+                    "         list_transform(range(1, len(q.codes) + 1),\n"
+                    "                        i -> q.codes[i] - cc.ccv[i]) AS codes\n"
+                    "  FROM v q JOIN qcells qc ON qc.query_id = q.vec_id\n"
+                    "  JOIN cc ON cc.ccid = qc.cell\n)"
+                ),
+                (
+                    "qsubs AS (\n"
+                    f"  SELECT query_id, cell, s.sub,\n"
+                    f"         codes[s.sub * {w} + 1 : (s.sub + 1) * {w}] AS sc\n"
+                    f"  FROM qrv, (SELECT unnest(range(0, {n_sub})) AS sub) s\n)"
+                ),
+                (
+                    f"dtab AS (\n"
+                    f"  SELECT x.query_id, x.cell, x.sub, c.cid, {dist('x', 'c')} AS qd2\n"
+                    f"  FROM qsubs x JOIN c{iters} c USING (sub)\n)"
+                ),
+                (
+                    "adist AS (\n"
+                    "  SELECT d.query_id, f.vec_id, sum(d.qd2)::BIGINT AS adist\n"
+                    "  FROM fa f\n"
+                    "  JOIN dtab d ON d.cell = f.cell"
+                    " AND d.sub = f.sub AND d.cid = f.cid\n"
+                    "  WHERE d.query_id <> f.vec_id\n"
+                    "  GROUP BY d.query_id, f.vec_id\n)"
+                ),
+            ]
+            final = (
+                "SELECT query_id, vec_id AS neighbor_id, adist, rank FROM (\n"
+                "  SELECT *, row_number() OVER ("
+                "PARTITION BY query_id ORDER BY adist, vec_id) AS rank FROM adist\n"
+                f") WHERE rank <= {k}"
+            )
+            return "WITH " + ",\n".join(ctes) + "\n" + final
         ctes += [
             "qsubs AS (\n  SELECT vec_id AS query_id, sub, sc FROM subs WHERE vec_id < 5\n)",
             (
@@ -1995,9 +2085,6 @@ def _pq_sql(
             ),
         ]
         if mode == "ivfpq":
-            coarse_cap = (
-                f" AND vec_id < {coarse_every * k_cap}" if k_cap is not None else ""
-            )
             ctes += [
                 (
                     f"cc AS (\n  SELECT vec_id AS ccid, codes AS ccv FROM v"
@@ -2315,6 +2402,29 @@ def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_IVFPQ_SQL = _pq_sql(50, 2, 4, "ivfpq", k=10, k_cap=100, nprobe=3, coarse_every=25)
+
+
+def knn_ivfpq_res_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (FAISS by_residual=true flavor): codebooks are
+    trained on and encode the cell residual, and the query builds one
+    distance table per probed cell — the accuracy configuration that
+    makes IVF-PQ production-grade at 100 TB. Same deterministic
+    integer arithmetic as knn_ivfpq_q, so the oracle replays the
+    whole residual index bit-for-bit."""
+    from ..operators.similarity import knn_ivfpq, quantize_embeddings_global
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
+    queries = codes.filter(F.col("vec_id") < 5)
+    return knn_ivfpq(
+        codes, queries, k=10, nprobe=3, coarse_every=25,
+        n_sub=4, k_every=50, iters=2, k_cap=100, by_residual=True,
+    )
+
+
+KNN_IVFPQ_RES_SQL = _pq_sql(
+    50, 2, 4, "ivfpq", k=10, k_cap=100, nprobe=3, coarse_every=25, by_residual=True
+)
 
 
 # ---------------------------------------------------------------------------

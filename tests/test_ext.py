@@ -195,6 +195,59 @@ def test_knn_ivfpq_planted_blobs(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, nn))
 
 
+def test_residual_ivfpq_recall_beats_plain_on_clustered_data(spark):
+    """The residual win, demonstrated on data shaped like real
+    embedding corpora: 3 well-separated blobs (offset 2000·blob) each
+    containing the SAME 5 prototype sub-structures. A plain codebook
+    must spend its entries across blobs×prototypes = 15 distinct
+    subvector values; the residual codebook sees only the 5 shared
+    prototypes (the coarse cell removes the blob offset), so the same
+    entry budget discriminates within-cell neighbors that plain PQ
+    collapses. Everything is integer-exact, so the recalls are fixed
+    numbers: residual 0.90 vs plain 0.70 at k_every=13 (floors set
+    just under). On ISOTROPIC random data residual does NOT help —
+    residuals of random vectors are more spread than the vectors —
+    which is why this test plants structure instead of reusing the
+    synthetic embeddings table."""
+    import numpy as np
+
+    from joblink_etl_spark.operators.similarity import knn_ivfpq
+
+    DIM, PER, NPROTO = 16, 30, 5
+
+    def vec(i):
+        blob, p = i // PER, i % NPROTO
+        return [2000 * blob + 40 * p + 9 * ((p * (d + 1)) % 7) + (i % 3) for d in range(DIM)]
+
+    rows = [(i, vec(i)) for i in range(3 * PER)]
+    df = spark.createDataFrame(rows, "vec_id long, q_codes array<int>")
+    qids = [0, 7, 30, 37, 60, 67]
+    queries = df.filter(F.col("vec_id").isin(qids))
+
+    V = np.array([r[1] for r in rows], dtype=np.int64)
+    gt = {}
+    for qi in qids:
+        d2 = ((V - V[qi]) ** 2).sum(1)
+        order = sorted((int(d), j) for j, d in enumerate(d2) if j != qi)
+        gt[qi] = set(j for _, j in order[:10])
+
+    def tops(df_):
+        d: dict[int, set[int]] = {}
+        for r in df_.collect():
+            d.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return d
+
+    common = dict(k=10, nprobe=1, coarse_every=PER, n_sub=4, k_every=13, iters=2)
+    plain = tops(knn_ivfpq(df, queries, **common))
+    res = tops(knn_ivfpq(df, queries, by_residual=True, **common))
+    n = 10 * len(qids)
+    plain_recall = sum(len(plain.get(q, set()) & gt[q]) for q in qids) / n
+    res_recall = sum(len(res.get(q, set()) & gt[q]) for q in qids) / n
+    assert res_recall >= plain_recall, (res_recall, plain_recall)
+    assert res_recall >= 0.85, res_recall
+    assert plain_recall >= 0.6, plain_recall
+
+
 def test_repeated_spans_finds_planted_boilerplate(spark):
     """A 10-token paragraph shared by two docs yields one maximal
     span per doc at exactly the planted token coordinates; the
