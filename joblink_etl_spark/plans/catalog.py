@@ -54,10 +54,13 @@ from . import ext_q as E  # noqa: E402
 register("exact_dedup_salted", E.exact_dedup_salted, E.EXACT_DEDUP_SALTED_SQL)
 register("repeated_spans", E.repeated_spans_q, E.REPEATED_SPANS_SQL)
 register("kmeans_clusters", E.kmeans_clusters_q, E.KMEANS_CLUSTERS_SQL)
-register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
 register("bloom_decontam", E.bloom_decontam_q, E.BLOOM_DECONTAM_SQL)
-register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
+# round-4 suffix-fidelity substring dedup (VERDICT r3 item #7):
+# unit-repeat span verification — the driver-hash face of the
+# operators/suffix.py layer (tfidf_pairs ceded this slot; its tfidf
+# core re-runs inside in-window tfidf_top_terms).
+register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
 register("training_corpus", E.training_corpus_q, E.TRAINING_CORPUS_SQL)
 register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
 register("zorder_key", R.zorder_key_q, R.ZORDER_KEY_SQL)
@@ -88,14 +91,17 @@ register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
 register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
 register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)
 
-# --- last 4 window slots: re-rows for the two queries rotated out in
-# r3 while still 2-green (VERDICT asked for re-rows); these two cede
-# to round-4 NEW queries (residual PQ, suffix dedup, S4/J1 rows) as
-# they land.
+# --- last window slots: round-4 NEW queries (residual PQ, S4/J1
+# rows, suffix-fidelity dedup) + re-rows for the two queries rotated
+# out in r3 while still 2-green. Ceded to make room: pricing_summary
+# (3-round green streak — the durable record) and pq_codes (1 green;
+# its codebook training + code assignment re-runs verbatim inside
+# in-window knn_pq / knn_ivfpq / knn_ivfpq_res).
 register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
+register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
+register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
 register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
 register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
-register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
 # ---- 50-query driver window ends here --------------------------------
 
 # --- past the driver cap: multi-round green streaks + baselines -------
@@ -103,6 +109,14 @@ register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
 # (rounds 1-3) or is an explicitly-labeled all-pairs/MVP baseline of
 # an operator still checked above. bench, pytest, and
 # tools/oracle_check.py cover all of them every round.
+register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
+register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
+register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
+register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
+# iterative doubling/binary-search algorithm: no single-statement
+# oracle — driver records rows-only; exactness pinned by planted
+# overlap/nesting tests (tests/test_suffix.py)
+register("lrs_exact", E.lrs_exact_q, None)
 register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
 register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)
 register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)

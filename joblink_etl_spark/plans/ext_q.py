@@ -2851,3 +2851,120 @@ SELECT b.doc_id, b.lang, e.label AS cls,
        ((1000 + b2 * 256 + b3) * 1000 // (8000 * (1 + b0 % 3)))::BIGINT AS duration_ms
 FROM bytes b JOIN (SELECT vec_id, label FROM embeddings) e ON e.vec_id = b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# suffix-array-fidelity substring dedup (operators/suffix.py)
+# ---------------------------------------------------------------------------
+
+
+def span_unit_repeats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-repeat verification of char-granular candidate spans —
+    the span fidelity a token-n-gram run merge (repeated_spans)
+    cannot provide: each reported span is checked to recur AS A
+    WHOLE across the corpus (operators/suffix.py). The oracle
+    replicates candidate generation, the deterministic top-200 cut,
+    and the greedy replace-count verification."""
+    from ..operators import suffix as SX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return SX.span_unit_repeats(docs, k=20, min_docs=2, top_n=200)
+
+
+SPAN_UNIT_REPEATS_SQL = """
+WITH grams AS (
+  SELECT doc_id AS id, i AS pos, md5(substr(text, i, 20)) AS g
+  FROM documents, unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS t(i)
+), shared AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT id) >= 2
+), hits AS (
+  SELECT grams.id, grams.pos FROM grams JOIN shared USING (g)
+), flagged AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 20
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+), sess AS (
+  SELECT id, pos,
+         sum(new_span) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), spans AS (
+  SELECT id, min(pos) AS span_start,
+         max(pos) + 19 - min(pos) + 1 AS span_len
+  FROM sess GROUP BY id, span_id
+), cand AS (
+  SELECT DISTINCT substr(d.text, s.span_start, s.span_len) AS span_text, s.span_len
+  FROM spans s JOIN documents d ON d.doc_id = s.id
+), top_cand AS (
+  SELECT span_text, span_len, md5(span_text) AS span_md5
+  FROM cand ORDER BY span_len DESC, md5(span_text) LIMIT 200
+), ver AS (
+  SELECT c.span_md5, c.span_len,
+         CASE WHEN strpos(d.text, c.span_text) > 0 THEN 1 ELSE 0 END AS in_doc,
+         (length(d.text) - length(replace(d.text, c.span_text, ''))) // c.span_len AS occ
+  FROM documents d CROSS JOIN top_cand c
+)
+SELECT span_md5,
+       span_len::BIGINT AS span_len,
+       sum(in_doc)::BIGINT AS n_docs,
+       sum(occ)::BIGINT AS n_occurrences,
+       sum(in_doc) >= 2 AS unit_repeat
+FROM ver
+GROUP BY span_md5, span_len
+"""
+
+
+def repeat_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus repeat-length profile at a fixed length grid — the
+    SQL-expressible face of the doubling LRS search
+    (operators/suffix.py::repeat_profile)."""
+    from ..operators import suffix as SX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return SX.repeat_profile(docs, lengths=(16, 32, 64), min_count=2)
+
+
+def _profile_block(L: int) -> str:
+    return f"""
+  SELECT {L}::BIGINT AS gram_len,
+         count(*)::BIGINT AS n_repeated_grams,
+         coalesce(sum(occ), 0)::BIGINT AS n_repeated_positions,
+         coalesce(max(occ), 0)::BIGINT AS max_occ,
+         coalesce(min(g) FILTER (WHERE occ = m), '') AS top_gram_md5
+  FROM (
+    SELECT g, count(*) AS occ FROM (
+      SELECT md5(substr(text, i, {L})) AS g
+      FROM documents, unnest(range(1, greatest(length(text) - {L - 1}, 0) + 1)) AS t(i)
+    ) GROUP BY g HAVING count(*) >= 2
+  ) c LEFT JOIN (
+    SELECT max(occ) AS m FROM (
+      SELECT count(*) AS occ FROM (
+        SELECT md5(substr(text, i, {L})) AS g
+        FROM documents, unnest(range(1, greatest(length(text) - {L - 1}, 0) + 1)) AS t(i)
+      ) GROUP BY g HAVING count(*) >= 2
+    )
+  ) ON TRUE"""
+
+
+REPEAT_PROFILE_SQL = (
+    _profile_block(16) + "\nUNION ALL" + _profile_block(32) + "\nUNION ALL" + _profile_block(64)
+)
+
+
+def lrs_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus longest-repeated-substring via doubling + binary
+    search (operators/suffix.py::longest_repeated_substring) — an
+    iterative algorithm (O(log L) probe jobs), so no single-statement
+    DuckDB oracle; the driver records the rows-only check and the
+    exactness is pinned by planted overlapping/nested boilerplate
+    tests (tests/test_suffix.py)."""
+    from ..operators import suffix as SX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    import hashlib
+
+    L, text, occ = SX.longest_repeated_substring(docs, min_count=2, min_len=16)
+    return spark.createDataFrame(
+        [(L, hashlib.md5(text.encode()).hexdigest(), occ)],
+        "lrs_len BIGINT, lrs_md5 STRING, occurrences BIGINT",
+    )

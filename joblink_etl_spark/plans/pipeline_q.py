@@ -483,3 +483,118 @@ SELECT doc_id,
   END AS decision
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# S4 header self-heal — the schema-repair layer as a data query.
+# ---------------------------------------------------------------------------
+
+
+def header_self_heal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 alias map + S4 self-healing read as a driver-checkable query
+    (reference getHeaderMap_ code-LLM-intergration.js:74-79 and the
+    NotesQueue header rewrite :111-119; alias shape HEADERS_PER_SHEET,
+    code-Extractor-withoutLLM.js:14-31).
+
+    Damages the customer table into a "sheet" with physical headers
+    ("App Link", "Company (auto)"), a wrong-typed key (int, not
+    long), three missing canonical columns, and one extra junk
+    column — then runs the real apply_aliases + validate_or_heal
+    stack and returns the healed canonical tracker rows. The oracle
+    states the healed shape directly, so the driver hash-checks the
+    rename map, the typed-null/'' fills, the cast, and the
+    extra-column drop all at once.
+    """
+    from ..schemas import EXAMPLE_HEADER_ALIASES, TRACKER_SCHEMA, apply_aliases, validate_or_heal
+
+    cust = table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    damaged = cust.select(
+        F.lit("Main").alias("sheet_name"),
+        ck.cast("int").alias("row_index"),
+        F.concat(F.lit("https://jobs.lever.co/co/"), ck.cast("string")).alias("App Link"),
+        F.col("c_name").alias("Company (auto)"),
+        F.when(ck % 4 == 0, F.lit("applied")).otherwise(F.lit("saved")).alias("status"),
+        F.col("c_mktsegment").alias("junk_extra"),
+    )
+    return validate_or_heal(apply_aliases(damaged, EXAMPLE_HEADER_ALIASES), TRACKER_SCHEMA)
+
+
+HEADER_SELF_HEAL_SQL = """
+SELECT 'Main' AS sheet_name,
+       c_custkey::BIGINT AS row_index,
+       'https://jobs.lever.co/co/' || c_custkey::VARCHAR AS link,
+       '' AS canonical_link,
+       c_name AS company_auto,
+       '' AS role_auto,
+       CASE WHEN c_custkey % 4 = 0 THEN 'applied' ELSE 'saved' END AS status,
+       '' AS source,
+       '' AS li_invite,
+       '' AS li_followup
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# J1 queue→tracker lookup — FIFO batch joined back to its tracker rows.
+# ---------------------------------------------------------------------------
+
+
+def queue_tracker_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: each selected queue item looks up its tracker row by
+    (sheet_name, row_index) (reference processNextBatch reads the
+    tracker row for every queue entry, code-LLM-intergration.js:
+    870-926). Composes the real select_batch (O1 FIFO + A2 head-N)
+    with the J1 broadcast lookup: the bounded batch (not the big
+    tracker) is the broadcast side, so the tracker scan stays a
+    single narrow pass at any scale."""
+    from ..operators.enqueue import select_batch
+
+    cust = table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    cks = ck.cast("string")
+    tracker = cust.select(
+        F.concat(F.lit("Sheet"), (ck % 3).cast("string")).alias("sheet_name"),
+        ck.alias("row_index"),
+        F.concat(F.lit("https://jobs.lever.co/co/"), cks).alias("link"),
+        F.when(ck % 7 == 0, F.lit("applied")).otherwise(F.lit("saved")).alias("status"),
+    )
+    queue = cust.filter(ck % 5 == 0).select(
+        F.concat(F.lit("Sheet"), (ck % 3).cast("string")).alias("sheet_name"),
+        ck.alias("row_index"),
+        F.concat(F.lit("https://jobs.lever.co/co/"), cks).alias("url"),
+        F.lit("queued").alias("status"),
+        # deterministic stagger: FIFO order is (ck % 11, sheet, key)
+        F.timestamp_seconds(F.lit(1704067200) + (ck % 11)).alias("enqueued_at"),
+    )
+    batch = select_batch(queue, 120)
+    return tracker.join(
+        F.broadcast(batch.select("sheet_name", "row_index", "url")),
+        ["sheet_name", "row_index"],
+    ).select(
+        "sheet_name",
+        "row_index",
+        "url",
+        "link",
+        F.col("status").alias("tracker_status"),
+    )
+
+
+QUEUE_TRACKER_LOOKUP_SQL = """
+WITH q AS (
+  SELECT 'Sheet' || (c_custkey % 3)::VARCHAR AS sheet_name,
+         c_custkey AS row_index,
+         'https://jobs.lever.co/co/' || c_custkey::VARCHAR AS url,
+         c_custkey % 11 AS stagger
+  FROM customer WHERE c_custkey % 5 = 0
+),
+batch AS (
+  SELECT * FROM q ORDER BY stagger, sheet_name, row_index LIMIT 120
+)
+SELECT b.sheet_name,
+       b.row_index,
+       b.url,
+       'https://jobs.lever.co/co/' || b.row_index::VARCHAR AS link,
+       CASE WHEN b.row_index % 7 = 0 THEN 'applied' ELSE 'saved' END AS tracker_status
+FROM batch b
+"""

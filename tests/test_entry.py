@@ -18,9 +18,12 @@ def test_queries_and_oracles_aligned():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert qs, "no queries registered"
-    # every oracle key must have a query — and every query an oracle
-    # (all registered ops are deterministic, incl. fakes/IVF/decode)
-    assert set(oracles) == set(qs)
+    # every oracle key must have a query — and every query an oracle,
+    # except explicitly-registered iterative algorithms (oracle=None
+    # → the driver's rows-only check). Keep that list tiny and
+    # justified in plans/catalog.py.
+    rows_only = {"lrs_exact"}
+    assert set(oracles) == set(qs) - rows_only
 
 
 def test_all_queries_run_small(spark, sf_dir):

@@ -1,0 +1,143 @@
+"""Planted-boilerplate tests for the suffix-fidelity substring dedup
+layer (operators/suffix.py) — the span-fidelity cases a token-n-gram
+run merge (dedup.repeated_spans) structurally cannot resolve:
+overlapping periodic repeats, nested repeats, and merged runs that
+never recur as a unit."""
+
+from __future__ import annotations
+
+import pytest
+
+from joblink_etl_spark.operators import dedup as D
+from joblink_etl_spark.operators import suffix as SX
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+
+
+class TestLongestRepeatedSubstring:
+    def test_overlapping_periodic_repeat(self, spark):
+        # "ABCD" * 3: "ABCDABCD" occurs at pos 3 and (overlapping) 7.
+        # Occurrences are (doc,pos) pairs, so the LRS is the length-8
+        # period doubling — a fact only visible when overlapping
+        # occurrences count, which gram-run merging cannot express.
+        docs = _docs(spark, ["zzABCDABCDABCDqq"])
+        L, text, occ = SX.longest_repeated_substring(docs, min_count=2, min_len=2)
+        assert (L, text, occ) == (8, "ABCDABCD", 2)
+
+    def test_nested_repeats_pick_outermost(self, spark):
+        # outer block repeated twice across docs; the inner marker
+        # appears 4x. LRS must return the full outer block, not the
+        # more frequent nested inner one.
+        inner = "needle-needle"
+        outer = f"<<{inner}||{inner}>>"
+        docs = _docs(spark, [f"aa{outer}bb", f"cc{outer}dd"])
+        L, text, occ = SX.longest_repeated_substring(docs, min_count=2, min_len=2)
+        assert text == outer
+        assert L == len(outer)
+        assert occ == 2
+
+    def test_min_count_three(self, spark):
+        docs = _docs(spark, ["xx STOP yy", "zz STOP qq", "rr STOP ss", "tt ONCE-ONCE uu", "vv ONCE-ONCE ww"])
+        # " STOP " repeats 3x; "ONCE-ONCE" only 2x — at min_count=3
+        # the longer pair-repeat must be ignored.
+        L, text, occ = SX.longest_repeated_substring(docs, min_count=3, min_len=2)
+        assert (L, text, occ) == (6, " STOP ", 3)
+
+    def test_no_repeat_returns_zero(self, spark):
+        docs = _docs(spark, ["abcdefgh", "ijklmnop"])
+        assert SX.longest_repeated_substring(docs, min_count=2, min_len=4) == (0, "", 0)
+
+
+class TestSpanUnitRepeats:
+    K = 8
+
+    def test_merged_run_that_never_recurs_is_flagged(self, spark):
+        # Blocks A and B are each cross-doc repeated, and sit
+        # ADJACENT in doc0 only. The k-gram run in doc0 merges A+B
+        # into one candidate span — but "A+B" as a unit occurs
+        # exactly once in the corpus. The n-gram operator reports the
+        # merged span as one repeat region; the unit verifier must
+        # flag it unit_repeat=false while the pure A-run (doc1/doc2
+        # context) verifies true.
+        A = "AAAAaaaaAAAAaaaa"  # 16 chars
+        B = "BBBBbbbbBBBBbbbb"
+        docs = _docs(
+            spark,
+            [
+                f"{A}{B}",          # doc0: A and B adjacent
+                f"xxxx{A}yyyy",     # doc1: A alone
+                f"pppp{B}qqqq",     # doc2: B alone
+            ],
+        )
+        out = SX.span_unit_repeats(docs, k=self.K, min_docs=2, top_n=50).collect()
+        by_len = {r["span_len"]: r for r in out}
+        # the doc0 merged A+B candidate: 32 chars, never recurs
+        assert 32 in by_len
+        assert by_len[32]["unit_repeat"] is False
+        assert by_len[32]["n_occurrences"] == 1
+        # the A (and B) 16-char spans verify as true unit repeats
+        assert 16 in by_len
+        assert by_len[16]["unit_repeat"] is True
+        assert by_len[16]["n_docs"] == 2
+        # contrast: the token-n-gram run operator cannot make the
+        # distinction — with the same adjacency planted in token
+        # space, doc0 reports ONE merged span covering A+B even
+        # though A+B never recurs as a unit anywhere.
+        At = "alpha beta alpha beta"
+        Bt = "gamma delta gamma delta"
+        tok_docs = _docs(
+            spark, [f"{At} {Bt}", f"xx {At} yy", f"pp {Bt} qq"]
+        )
+        spans0 = (
+            D.repeated_spans(tok_docs, ngram=2, min_docs=2)
+            .filter("doc_id = 0")
+            .collect()
+        )
+        assert len(spans0) == 1  # A+B merged, indistinguishable
+
+    def test_occurrence_count_is_greedy_nonoverlapping(self, spark):
+        # span "ABAB" in "ABABAB": greedy replace counts 1 — the
+        # documented (engine-exact) semantics of the verifier.
+        blk = "REPEATBLOCK123"
+        docs = _docs(spark, [f"{blk}{blk}{blk}", f"zz{blk}zz"])
+        out = SX.span_unit_repeats(docs, k=self.K, min_docs=2, top_n=50).collect()
+        # the top candidate covers doc0's triple run; its greedy
+        # count in doc0 is floor(42/len) and 1 in doc1
+        top = max(out, key=lambda r: r["span_len"])
+        assert top["span_len"] == len(blk) * 3
+        assert top["unit_repeat"] is False  # triple-block only in doc0
+
+    def test_k20_profile_matches_bruteforce(self, spark):
+        # repeat_profile vs a Python brute force on a small corpus
+        texts = ["the cat sat on the mat on the mat", "the cat sat on a hat", "mat on the mat cat sat"]
+        docs = _docs(spark, texts)
+        for L in (4, 8):
+            from collections import Counter
+
+            c = Counter(t[i : i + L] for t in texts for i in range(len(t) - L + 1))
+            rep = {g: n for g, n in c.items() if n >= 2}
+            row = [
+                r
+                for r in SX.repeat_profile(docs, lengths=(L,), min_count=2).collect()
+            ][0]
+            assert row["n_repeated_grams"] == len(rep)
+            assert row["n_repeated_positions"] == sum(rep.values())
+            assert row["max_occ"] == (max(rep.values()) if rep else 0)
+
+
+class TestCharRepeatSpans:
+    def test_span_text_recovery(self, spark):
+        boiler = "unsubscribe from this newsletter by clicking here"
+        docs = _docs(spark, [f"intro. {boiler} outro1", f"other. {boiler} tail22"])
+        spans = SX.char_repeat_spans(docs, k=10, min_docs=2).collect()
+        assert len(spans) >= 2
+        assert any(boiler in r["span_text"] for r in spans)
+        # char coordinates are exact: substr(text, start, len) == span_text
+        txts = {0: f"intro. {boiler} outro1", 1: f"other. {boiler} tail22"}
+        for r in spans:
+            t = txts[r["doc_id"]]
+            assert t[r["span_start"] - 1 : r["span_start"] - 1 + r["span_len"]] == r["span_text"]
