@@ -210,19 +210,32 @@ def repeat_profile(
     return profiles
 
 
-def _has_repeat(df: DataFrame, L: int, min_count: int, text_col: str, id_col: str) -> bool:
-    """Probe: does ANY length-L substring occur >= min_count times
-    ((doc,pos) occurrences, overlapping allowed)? One scan, one
-    map-side-combined count shuffle on the gram md5."""
+def _best_repeat_len(
+    df: DataFrame, lengths: list[int], min_count: int, text_col: str, id_col: str
+) -> int | None:
+    """Batched probe: the LARGEST L in `lengths` for which some
+    length-L substring occurs >= min_count times ((doc,pos)
+    occurrences, overlapping allowed) — or None. ONE job for the
+    whole batch: the per-length gram extractions union into a single
+    plan, one map-side-combined count shuffle keyed by (len, md5),
+    and a max(len) reduction. Batching turns the classic ~2·log2(L)
+    sequential probe jobs into 2-4 total (latency, not work, is the
+    local bottleneck; at cluster scale it is also 2-4 barriers
+    instead of ~20)."""
+    parts = None
+    for L in lengths:
+        g = _gram_hashes(df, L, text_col, id_col).select(
+            F.lit(L).alias("len"), "g"
+        )
+        parts = g if parts is None else parts.unionByName(g)
     row = (
-        _gram_hashes(df, L, text_col, id_col)
-        .groupBy("g")
+        parts.groupBy("len", "g")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") >= min_count)
-        .limit(1)
-        .count()
+        .agg(F.max("len").alias("m"))
+        .collect()[0]
     )
-    return row > 0
+    return row["m"]
 
 
 def longest_repeated_substring(
@@ -231,35 +244,47 @@ def longest_repeated_substring(
     min_len: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grid: int = 15,
 ) -> tuple[int, str, int]:
     """EXACT longest repeated substring of the corpus: the longest
     string occurring >= min_count times (occurrences are (doc, pos)
     pairs, so overlapping periodic repeats within one doc count —
     the case gram-run merging cannot express).
 
-    Geometric doubling finds an upper bound, binary search pins the
-    exact length L*; a final pass recovers the champion string
-    (min md5 tie-break) and its occurrence count. O(log L*) Spark
-    jobs, each corpus-linear with a 32 B/row shuffle payload.
+    One batched geometric-doubling probe bounds L*; batched grid
+    search (up to `grid` interior lengths per round) pins it exactly;
+    a final pass recovers the champion string (min md5 tie-break)
+    and its occurrence count. 2-4 probe jobs total, each
+    corpus-linear with a ~40 B/row shuffle payload.
 
     Returns (L*, champion_substring, occurrences); (0, "", 0) when
     nothing of length >= min_len repeats.
     """
-    if not _has_repeat(df, min_len, min_count, text_col, id_col):
+    max_len = df.agg(F.max(F.length(F.col(text_col))).alias("m")).collect()[0]["m"]
+    if max_len is None or max_len < min_len:
         return (0, "", 0)
-    # doubling: invariant lo always satisfiable
-    lo = min_len
-    hi = lo
-    while _has_repeat(df, hi * 2, min_count, text_col, id_col):
-        hi *= 2
-    lo, hi = hi, hi * 2  # repeat exists at hi//... lo; none proven at hi yet
-    # binary search on (lo, hi): lo satisfiable, hi unsatisfiable
+    # batched doubling: min_len, 2*min_len, 4*min_len, ... <= max_len
+    ladder = []
+    L = min_len
+    while L <= max_len:
+        ladder.append(L)
+        L *= 2
+    best = _best_repeat_len(df, ladder, min_count, text_col, id_col)
+    if best is None:
+        return (0, "", 0)
+    # interval (lo, hi): lo satisfiable; hi = next ladder rung (or
+    # max_len+1) unsatisfiable or untested-above
+    lo, hi = best, min(best * 2, max_len + 1)
     while hi - lo > 1:
-        mid = (lo + hi) // 2
-        if _has_repeat(df, mid, min_count, text_col, id_col):
-            lo = mid
+        step = max(1, (hi - lo) // (grid + 1))
+        pts = sorted(set(range(lo + step, hi, step)))[:grid]
+        got = _best_repeat_len(df, pts, min_count, text_col, id_col)
+        if got is None:
+            hi = pts[0]
         else:
-            hi = mid
+            lo = got
+            above = [p for p in pts if p > got]
+            hi = above[0] if above else hi
     L = lo
     champ = (
         _gram_hashes(df, L, text_col, id_col)
