@@ -48,11 +48,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _gram_hashes(df: DataFrame, k: int, text_col: str, id_col: str) -> DataFrame:
+def _gram_hashes(
+    df: DataFrame, k: int, text_col: str, id_col: str, spread: bool = True
+) -> DataFrame:
     """(id, pos, g=md5 of the k-char gram at pos) for every stride-1
     position. Scan-side: explode over a position sequence, substring
-    + md5 inside codegen; nothing but the 32 B hash ever shuffles."""
+    + md5 inside codegen; nothing but the 32 B hash ever shuffles.
+
+    The doc scan is repartitioned to all cores first: a small corpus
+    file arrives as ONE scan partition, which would serialize the
+    ~1000× row-multiplying explode+hash onto a single thread (at
+    cluster scale the scan is already split and this is a no-op
+    beyond one cheap narrow-input shuffle). Same idiom as
+    dedup.repeated_spans (dedup.py:185). Callers that already hold a
+    spread (and possibly persisted) frame pass spread=False."""
+    sc = df.sparkSession.sparkContext
     t = F.col(text_col)
+    if spread:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
     return (
         df.filter(F.length(t) >= k)
         .select(
@@ -78,12 +91,24 @@ def char_repeat_spans(
     recoverable with one substr. Output: (doc_id, span_start,
     span_len, span_text) — 1-based char start."""
     grams = _gram_hashes(df, k, text_col, id_col)
-    shared = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("g")
-    )
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" ⇔ min(id) < max(id): plain
+        # min/max partial aggs, no COUNT DISTINCT expansion — the
+        # distinct-count path was the single hottest stage of the
+        # suffix family (7.1 s of a 19 s sf0.1 run)
+        shared = (
+            grams.groupBy("g")
+            .agg(F.min("id").alias("_mn"), F.max("id").alias("_mx"))
+            .filter(F.col("_mn") < F.col("_mx"))
+            .select("g")
+        )
+    else:
+        shared = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("g")
+        )
     hits = grams.join(shared, "g")
     w = Window.partitionBy("id").orderBy("pos")
     new_span = F.coalesce(
@@ -140,15 +165,34 @@ def span_unit_repeats(
         .withColumn("span_md5", F.md5(F.col("span_text")))
         .orderBy(F.col("span_len").desc(), F.col("span_md5"))
         .limit(top_n)
+        # a doc can contain the span only if it contains the span's
+        # LEADING k-gram — key each candidate by that gram's hash so
+        # the expensive instr/replace verify runs only on gram-matched
+        # (candidate, doc) pairs instead of the full candidate × corpus
+        # cross product (docs without the gram contribute exact zeros).
+        # Result-identical; at sf0.1 this was the difference between
+        # 69.6 s and ~7 s.
+        .withColumn("first_g", F.md5(F.substring(F.col("span_text"), 1, k)))
     )
-    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    doc_grams = _gram_hashes(df, k, text_col, id_col).select("id", "g")
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    # join BEFORE deduplicating: the broadcast-hash probe drops the
+    # non-matching 99%+ of gram rows scan-side, so the dedup shuffle
+    # only ever sees matched (doc, candidate) pairs
+    matched = (
+        doc_grams.join(
+            F.broadcast(cands), doc_grams["g"] == cands["first_g"]
+        )
+        .select("id", "span_md5", "span_len", "span_text")
+        .dropDuplicates(["id", "span_md5"])
+        .join(texts, "id")
+    )
     t, s = F.col("_t"), F.col("span_text")
     occ_in_doc = F.floor(
         (F.length(t) - F.length(F.replace(t, s, F.lit("")))) / F.col("span_len")
     )
     verified = (
-        docs.crossJoin(F.broadcast(cands))
-        .select(
+        matched.select(
             "span_md5",
             "span_len",
             (F.instr(t, s) > 0).cast("int").alias("in_doc"),
@@ -222,10 +266,24 @@ def _best_repeat_len(
     sequential probe jobs into 2-4 total (latency, not work, is the
     local bottleneck; at cluster scale it is also 2-4 barriers
     instead of ~20)."""
+    t = F.col(text_col)
     parts = None
     for L in lengths:
-        g = _gram_hashes(df, L, text_col, id_col).select(
-            F.lit(L).alias("len"), "g"
+        # probes key on xxhash64 (8 B longs — far cheaper to compute,
+        # shuffle, and hash-aggregate than md5 hex strings). A 64-bit
+        # collision can only OVERSTATE a probe; the champion pass
+        # re-verifies the final length against md5 and walks down on
+        # a miss, so the result stays exact.
+        g = (
+            df.filter(F.length(t) >= L)
+            .select(
+                t.alias("_t"),
+                F.explode(F.sequence(F.lit(1), F.length(t) - (L - 1))).alias("pos"),
+            )
+            .select(
+                F.lit(L).alias("len"),
+                F.xxhash64(F.substring(F.col("_t"), F.col("pos"), L)).alias("g"),
+            )
         )
         parts = g if parts is None else parts.unionByName(g)
     row = (
@@ -260,52 +318,166 @@ def longest_repeated_substring(
     Returns (L*, champion_substring, occurrences); (0, "", 0) when
     nothing of length >= min_len repeats.
     """
-    max_len = df.agg(F.max(F.length(F.col(text_col))).alias("m")).collect()[0]["m"]
-    if max_len is None or max_len < min_len:
-        return (0, "", 0)
-    # batched doubling: min_len, 2*min_len, 4*min_len, ... <= max_len
-    ladder = []
-    L = min_len
-    while L <= max_len:
-        ladder.append(L)
-        L *= 2
-    best = _best_repeat_len(df, ladder, min_count, text_col, id_col)
-    if best is None:
-        return (0, "", 0)
-    # interval (lo, hi): lo satisfiable; hi = next ladder rung (or
-    # max_len+1) unsatisfiable or untested-above
-    lo, hi = best, min(best * 2, max_len + 1)
-    while hi - lo > 1:
-        step = max(1, (hi - lo) // (grid + 1))
-        pts = sorted(set(range(lo + step, hi, step)))[:grid]
-        got = _best_repeat_len(df, pts, min_count, text_col, id_col)
-        if got is None:
-            hi = pts[0]
-        else:
-            lo = got
-            above = [p for p in pts if p > got]
-            hi = above[0] if above else hi
-    L = lo
-    champ = (
-        _gram_hashes(df, L, text_col, id_col)
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") >= min_count)
-        .orderBy(F.col("occ").desc(), F.col("g"))
-        .limit(1)
-        .collect()[0]
+    sc = df.sparkSession.sparkContext
+    # one spread + persist across the whole probe sequence: every
+    # probe job (and the champion/recovery passes) re-reads this
+    # frame, so pinning the ~scan-sized base avoids a scan + spread
+    # shuffle per job. The search drives execution itself (collect),
+    # so the persist lifecycle is safely owned here.
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(sc.defaultParallelism, F.col(id_col))
+        .persist()
     )
-    # recover the literal string for the champion hash: one more scan
-    t = F.col(text_col)
-    text = (
-        df.filter(F.length(t) >= L)
-        .select(
-            t.alias("_t"),
-            F.explode(F.sequence(F.lit(1), F.length(t) - (L - 1))).alias("pos"),
+    try:
+        max_len = base.agg(F.max(F.length(F.col(text_col))).alias("m")).collect()[0]["m"]
+        if max_len is None or max_len < min_len:
+            return (0, "", 0)
+        # batched doubling: min_len, 2*min_len, 4*min_len, ... <= max_len
+        ladder = []
+        L = min_len
+        while L <= max_len:
+            ladder.append(L)
+            L *= 2
+        best = _best_repeat_len(base, ladder, min_count, text_col, id_col)
+        if best is None:
+            return (0, "", 0)
+        # interval (lo, hi): lo satisfiable; hi = next ladder rung (or
+        # max_len+1) unsatisfiable or untested-above
+        lo, hi = best, min(best * 2, max_len + 1)
+        while hi - lo > 1:
+            step = max(1, (hi - lo) // (grid + 1))
+            pts = sorted(set(range(lo + step, hi, step)))[:grid]
+            got = _best_repeat_len(base, pts, min_count, text_col, id_col)
+            if got is None:
+                hi = pts[0]
+            else:
+                lo = got
+                above = [p for p in pts if p > got]
+                hi = above[0] if above else hi
+        L = lo
+        # champion is md5-verified; an xxhash64 probe collision that
+        # overstated L shows up as an empty result here — walk down
+        # (astronomically rare, but it keeps "EXACT" unconditional)
+        champ = None
+        while L >= min_len:
+            rows = (
+                _gram_hashes(base, L, text_col, id_col, spread=False)
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("occ"))
+                .filter(F.col("occ") >= min_count)
+                .orderBy(F.col("occ").desc(), F.col("g"))
+                .limit(1)
+                .collect()
+            )
+            if rows:
+                champ = rows[0]
+                break
+            L -= 1
+        if champ is None:
+            return (0, "", 0)
+        # recover the literal string for the champion hash: one more scan
+        t = F.col(text_col)
+        text = (
+            base.filter(F.length(t) >= L)
+            .select(
+                t.alias("_t"),
+                F.explode(F.sequence(F.lit(1), F.length(t) - (L - 1))).alias("pos"),
+            )
+            .select(F.substring(F.col("_t"), F.col("pos"), L).alias("s"))
+            .filter(F.md5(F.col("s")) == champ["g"])
+            .limit(1)
+            .collect()[0]["s"]
         )
-        .select(F.substring(F.col("_t"), F.col("pos"), L).alias("s"))
-        .filter(F.md5(F.col("s")) == champ["g"])
-        .limit(1)
-        .collect()[0]["s"]
+        return (L, text, champ["occ"])
+    finally:
+        base.unpersist()
+
+
+def scrub_repeated_spans(
+    df: DataFrame,
+    k: int = 20,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The removal pass of exact-substring dedup (Lee et al. cut the
+    duplicated spans from all but one occurrence; ACL 2022 §4): every
+    char_repeat_spans span is cut from every doc EXCEPT the canonical
+    keeper (min doc_id per distinct span text), and the surviving
+    segments stitch back together in order.
+
+    Plan: spans (two shuffles, see char_repeat_spans) → keeper window
+    per span text → per-doc segment rows (the gaps between cut spans,
+    plus the tail) → one groupBy doc that concatenates segments via a
+    sorted array transform (collect_list order is made deterministic
+    by array_sort on (seg_start, seg_text)). Docs with nothing cut
+    pass through via the final left join. Spans within a doc are
+    disjoint by construction (gap-merged islands), so segment
+    arithmetic never overlaps.
+
+    Output: (doc_id, scrubbed_text, n_spans_cut, chars_cut).
+    """
+    spans = char_repeat_spans(df, k, min_docs, text_col, id_col)
+    # keeper window keyed on the span's md5, not the raw text — the
+    # grouping is identical (md5 equality) but the keeper shuffle
+    # carries 32 B keys instead of full span strings
+    keeper = Window.partitionBy("span_md5")
+    cuts = (
+        spans.select(
+            id_col, "span_start", "span_len", F.md5("span_text").alias("span_md5")
+        )
+        .withColumn("keep_doc", F.min(id_col).over(keeper))
+        .filter(F.col(id_col) != F.col("keep_doc"))
+        .select(id_col, "span_start", "span_len")
     )
-    return (L, text, champ["occ"])
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    seg_start = F.coalesce(
+        F.lag(F.col("span_start") + F.col("span_len")).over(w), F.lit(1)
+    )
+    gaps = cuts.select(
+        F.col(id_col),
+        seg_start.alias("seg_start"),
+        (F.col("span_start") - seg_start).alias("seg_len"),
+        F.col("span_len"),
+    )
+    tails = cuts.groupBy(id_col).agg(
+        (F.max(F.col("span_start") + F.col("span_len"))).alias("seg_start"),
+        F.lit(None).cast("bigint").alias("seg_len"),  # to end of text
+        F.lit(0).cast("bigint").alias("span_len"),
+    )
+    segs = gaps.unionByName(tails)
+    texts = df.select(F.col(id_col), F.col(text_col).alias("_t"))
+    seg_text = F.when(
+        F.col("seg_len").isNull(),
+        F.substring(F.col("_t"), F.col("seg_start"), 1 << 30),
+    ).otherwise(F.substring(F.col("_t"), F.col("seg_start"), F.col("seg_len")))
+    scrubbed = (
+        segs.join(texts, id_col)
+        .select(
+            F.col(id_col),
+            F.struct(F.col("seg_start"), seg_text.alias("s")).alias("seg"),
+            "span_len",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("seg")), lambda x: x["s"]
+                ),
+            ).alias("scrubbed_text"),
+            (F.count(F.lit(1)) - 1).alias("n_spans_cut"),  # minus tail row
+            F.sum("span_len").cast("bigint").alias("chars_cut"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(scrubbed, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("scrubbed_text"), F.col(text_col)).alias("scrubbed_text"),
+            F.coalesce(F.col("n_spans_cut"), F.lit(0)).cast("bigint").alias("n_spans_cut"),
+            F.coalesce(F.col("chars_cut"), F.lit(0)).cast("bigint").alias("chars_cut"),
+        )
+    )

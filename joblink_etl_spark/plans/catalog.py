@@ -113,6 +113,7 @@ register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
 register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
+register("scrub_spans", E.scrub_spans_q, E.SCRUB_SPANS_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

@@ -2968,3 +2968,74 @@ def lrs_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(L, hashlib.md5(text.encode()).hexdigest(), occ)],
         "lrs_len BIGINT, lrs_md5 STRING, occurrences BIGINT",
     )
+
+
+def scrub_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect → scrub: cut every cross-doc repeated span from all
+    but its canonical (min doc_id) owner and stitch the survivors
+    back in order (operators/suffix.py::scrub_repeated_spans; the
+    removal pass of Lee et al. ACL 2022 §4). The oracle rebuilds the
+    same spans, keeper policy, and segment stitching in SQL."""
+    from ..operators import suffix as SX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return SX.scrub_repeated_spans(docs, k=20, min_docs=2)
+
+
+SCRUB_SPANS_SQL = """
+WITH grams AS (
+  SELECT doc_id AS id, i AS pos, md5(substr(text, i, 20)) AS g
+  FROM documents, unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS t(i)
+), shared AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT id) >= 2
+), hits AS (
+  SELECT grams.id, grams.pos FROM grams JOIN shared USING (g)
+), flagged AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 20
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+), sess AS (
+  SELECT id, pos,
+         sum(new_span) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), spans AS (
+  SELECT id, min(pos) AS span_start,
+         max(pos) + 19 - min(pos) + 1 AS span_len
+  FROM sess GROUP BY id, span_id
+), stext AS (
+  SELECT s.id, s.span_start, s.span_len,
+         substr(d.text, s.span_start, s.span_len) AS span_text
+  FROM spans s JOIN documents d ON d.doc_id = s.id
+), cuts AS (
+  SELECT id, span_start, span_len
+  FROM (SELECT *, min(id) OVER (PARTITION BY span_text) AS keep_doc FROM stext)
+  WHERE id <> keep_doc
+), gaps AS (
+  SELECT id,
+         coalesce(lag(span_start + span_len) OVER (PARTITION BY id ORDER BY span_start), 1) AS seg_start,
+         span_start - coalesce(lag(span_start + span_len) OVER (PARTITION BY id ORDER BY span_start), 1) AS seg_len,
+         span_len
+  FROM cuts
+), tails AS (
+  SELECT id, max(span_start + span_len) AS seg_start,
+         NULL::BIGINT AS seg_len, 0::BIGINT AS span_len
+  FROM cuts GROUP BY id
+), segs AS (
+  SELECT * FROM gaps UNION ALL SELECT * FROM tails
+), stitched AS (
+  SELECT s.id,
+         string_agg(CASE WHEN s.seg_len IS NULL THEN substr(d.text, s.seg_start)
+                         ELSE substr(d.text, s.seg_start, s.seg_len) END,
+                    '' ORDER BY s.seg_start) AS scrubbed_text,
+         count(*) - 1 AS n_spans_cut,
+         sum(s.span_len) AS chars_cut
+  FROM segs s JOIN documents d ON d.doc_id = s.id
+  GROUP BY s.id
+)
+SELECT d.doc_id,
+       coalesce(st.scrubbed_text, d.text) AS scrubbed_text,
+       coalesce(st.n_spans_cut, 0)::BIGINT AS n_spans_cut,
+       coalesce(st.chars_cut, 0)::BIGINT AS chars_cut
+FROM documents d LEFT JOIN stitched st ON st.id = d.doc_id
+"""

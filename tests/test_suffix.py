@@ -141,3 +141,46 @@ class TestCharRepeatSpans:
         for r in spans:
             t = txts[r["doc_id"]]
             assert t[r["span_start"] - 1 : r["span_start"] - 1 + r["span_len"]] == r["span_text"]
+
+
+class TestScrubRepeatedSpans:
+    def test_canonical_keeper_and_stitching(self, spark):
+        # contexts differ IMMEDIATELY at both span boundaries so the
+        # detected span is exactly the boilerplate block
+        boiler = "click here to unsubscribe from this newsletter today"
+        d0 = f"HEAD_{boiler}+TAIL0"   # doc 0: canonical keeper — untouched
+        d1 = f"one2-{boiler}=TAIL1"   # doc 1: span cut
+        d2 = "completely unrelated content with no repeats at all"
+        docs = _docs(spark, [d0, d1, d2])
+        out = {
+            r["doc_id"]: r
+            for r in SX.scrub_repeated_spans(docs, k=10, min_docs=2).collect()
+        }
+        assert len(out) == 3
+        # keeper keeps the boilerplate; others lose exactly that span
+        assert out[0]["scrubbed_text"] == d0
+        assert out[0]["n_spans_cut"] == 0
+        assert out[1]["scrubbed_text"] == "one2-=TAIL1"
+        assert out[1]["n_spans_cut"] == 1
+        assert out[1]["chars_cut"] == len(boiler)
+        # untouched doc passes through bit-identical
+        assert out[2]["scrubbed_text"] == d2
+        assert out[2]["n_spans_cut"] == 0
+
+    def test_multiple_disjoint_cuts_in_one_doc(self, spark):
+        b1 = "FIRST-BOILERPLATE-BLOCK-AAAA"
+        b2 = "SECOND-BOILERPLATE-BLOCK-BBB"
+        filler = "#some sufficiently long unique filler text here*"
+        d0 = f"k0_{b1}+z1"
+        d1 = f"k1-{b2}=z2"
+        d2 = f"x%{b1}{filler}{b2}@y"  # two cuts, disjoint islands
+        docs = _docs(spark, [d0, d1, d2])
+        out = {
+            r["doc_id"]: r
+            for r in SX.scrub_repeated_spans(docs, k=10, min_docs=2).collect()
+        }
+        r2 = out[2]
+        assert r2["n_spans_cut"] == 2
+        assert b1 not in r2["scrubbed_text"] and b2 not in r2["scrubbed_text"]
+        assert r2["scrubbed_text"] == f"x%{filler}@y"
+        assert r2["chars_cut"] == len(b1) + len(b2)

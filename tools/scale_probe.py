@@ -1,0 +1,119 @@
+"""One-off scale-trend probe (VERDICT r3 item #9).
+
+Builds a 10x-replicated copy of the sf0.1 tables (ids offset per
+copy so key cardinalities scale too) under .scratch/sf1x/, then
+times one representative query per operator family at sf0.1 and at
+the 10x corpus, printing the per-family wall-clock scaling factor.
+
+This synthetic corpus exists ONLY to measure the growth exponent of
+each family's plan (is it ~linear as designed, or super-linear?);
+all correctness checks stay on the driver-generated testdata.
+
+Usage: python tools/scale_probe.py [replication]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+BASE = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+# one representative query per family — chosen to exercise the
+# family's characteristic shuffle/join shape end-to-end
+FAMILIES = {
+    "dedup": "consensus_near_dups",
+    "suffix": "span_unit_repeats",
+    "ann": "knn_ivfpq",
+    "retrieval": "bm25_rank",
+    "events": "session_windows",
+    "relational": "revenue_by_nation",
+    "sampling": "token_budget_sample",
+    "sketch": "cms_user_counts",
+}
+
+# id column to offset per replica, per table (None = replicate as-is)
+ID_OFFSETS = {
+    "documents": ("doc_id", 1_000_000),
+    "embeddings": ("vec_id", 1_000_000),
+    "events": ("event_id", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+    "lineitem": ("l_orderkey", 100_000_000),
+    "customer": ("c_custkey", 10_000_000),
+    "supplier": ("s_suppkey", 10_000_000),
+    "part": ("p_partkey", 10_000_000),
+    # tiny dims: copy once, unreplicated
+    "region": None,
+    "nation": None,
+}
+
+
+def build(spark, rep: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, spec in ID_OFFSETS.items():
+        src = os.path.join(BASE, f"{name}.parquet")
+        dst = os.path.join(out_dir, f"{name}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(src)
+        if spec is None:
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        id_col, stride = spec
+        parts = []
+        for i in range(rep):
+            p = df
+            for c, s in [(id_col, stride)]:
+                p = p.withColumn(c, F.col(c) + F.lit(i * s))
+            # user-scoped tables also need their user keys offset so
+            # group cardinality scales with the data
+            if name == "events":
+                p = p.withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+            if name == "orders":
+                p = p.withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 10_000_000))
+            if name == "lineitem":
+                p = p.withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * 10_000_000))
+                p = p.withColumn("l_partkey", F.col("l_partkey") + F.lit(i * 10_000_000))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from joblink_etl_spark.plans import registry
+    from joblink_etl_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(SCRATCH, f"sf1x{rep}")
+    build(spark, rep, out_dir)
+
+    qs = registry.queries()
+    results = {}
+    for fam, qname in FAMILIES.items():
+        fn = qs[qname]
+        times = {}
+        for label, d in [("sf0.1", BASE), (f"x{rep}", out_dir)]:
+            t0 = time.perf_counter()
+            fn(spark, d).write.mode("overwrite").format("noop").save()
+            times[label] = round(time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
+        times["factor"] = round(times[f"x{rep}"] / max(times["sf0.1"], 0.01), 2)
+        results[fam] = {"query": qname, **times}
+        print(json.dumps({fam: results[fam]}))
+    print(json.dumps({"replication": rep, "families": results}))
+
+
+if __name__ == "__main__":
+    main()
