@@ -310,7 +310,7 @@ FROM votes GROUP BY id
 
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.knn_bruteforce(emb, queries, k=10)
 
@@ -338,7 +338,7 @@ SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
 
 
 def cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     clones = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
@@ -484,7 +484,7 @@ GROUP BY 1, 2
 
 
 def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.knn_ivf(emb, queries, k=10, nprobe=3, every=25).select(
         "query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank"
@@ -748,7 +748,7 @@ FROM grams
 
 
 def cosine_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     clones = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
@@ -1092,7 +1092,7 @@ FROM agg
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     q = SIM.quantize_embeddings(emb, "embedding")
     return q.select(
         "vec_id",
@@ -1238,7 +1238,7 @@ WHERE rank <= 5
 
 
 def cosine_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     clones = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
     )
@@ -1596,7 +1596,7 @@ SELECT lang, token, n, rank FROM (
 
 def consensus_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     docs_c = docs.select("doc_id", "text").unionAll(
         docs.filter(F.col("doc_id") % 5 == 0).select(
             (F.col("doc_id") + 10000).alias("doc_id"),
@@ -1675,7 +1675,7 @@ FROM tpairs t JOIN vpairs v ON t.id_a = v.id_a AND t.id_b = v.id_b
 def kmeans_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_codes, quantize_embeddings
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     codes = quantize_embeddings(emb).select("vec_id", "q_codes")
     return kmeans_codes(codes, k_every=50, iters=2, k_cap=100)
 
@@ -1873,7 +1873,7 @@ WHERE g.doc_id % 97 <> 0
 def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import pq_codes, quantize_embeddings_global
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
     return pq_codes(codes, n_sub=4, k_every=50, iters=2, k_cap=100)
 
@@ -1881,7 +1881,7 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_pq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_pq, quantize_embeddings_global
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
     queries = codes.filter(F.col("vec_id") < 5)
     return knn_pq(codes, queries, k=10, n_sub=4, k_every=50, iters=2, k_cap=100)
@@ -2290,7 +2290,7 @@ FROM bands
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hard_negatives
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     return hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -2392,7 +2392,7 @@ GROUP BY user_id
 def knn_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_ivfpq, quantize_embeddings_global
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
     queries = codes.filter(F.col("vec_id") < 5)
     return knn_ivfpq(
@@ -2413,7 +2413,7 @@ def knn_ivfpq_res_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole residual index bit-for-bit."""
     from ..operators.similarity import knn_ivfpq, quantize_embeddings_global
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
     queries = codes.filter(F.col("vec_id") < 5)
     return knn_ivfpq(
@@ -2669,7 +2669,7 @@ def hybrid_retrieval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = bm25_rank(docs, qdocs, k=20, max_df_ratio=(1, 1)).select(
         "query_id", "doc_id", "rank"
     )
-    emb = table(spark, sf_dir, "embeddings")
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
     dense = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 3), k=20).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
@@ -2810,7 +2810,7 @@ def multimodal_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import tokens
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = parallelize(table(spark, sf_dir, "embeddings")).select(
         F.col("vec_id").alias("doc_id"), F.col("label").alias("cls")
     )
     with_media = M.decode_audio(M.decode_images(M.attach_fake_payload(docs)))
