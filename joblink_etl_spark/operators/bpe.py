@@ -1,0 +1,180 @@
+"""Distributed BPE tokenizer training (Sennrich et al., ACL 2016).
+
+Industrial BPE trainers never iterate over the corpus: they
+aggregate the word-frequency table ONCE (one corpus-wide shuffle;
+Zipf keeps the distinct-word table orders of magnitude smaller than
+the corpus), then run the merge loop against that table. The same
+shape here:
+
+- ``word_freqs``: corpus → (word, count) — the only corpus-sized
+  shuffle in the whole trainer.
+- ``bpe_pair_counts``: adjacent-symbol pair counts weighted by word
+  frequency — one map-side-combinable shuffle over the vocab. The
+  first round (symbols = characters) is pure SQL and is the driver
+  oracle face of the trainer.
+- ``train_bpe``: the merge loop. Each iteration: count pairs over
+  the (persisted, vocab-sized) symbol table, take the arg-max pair
+  (deterministic tie-break: count desc, then lexicographic), and
+  greedily re-segment every word via one codegen'd HOF fold — no
+  Python in the loop, no corpus re-scan, one tiny collect per merge.
+  Exact same greedy left-to-right merge semantics as the reference
+  implementation, pinned by the classic low/lower/newest/widest
+  example in tests/test_bpe.py.
+
+At 100 TB: the corpus pass is one shuffle; every iteration costs
+O(vocab) with an O(1) driver collect — the standard scalable BPE
+recipe (this is how HF tokenizers' trainer structures the work too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over whitespace-pretokenized text — the one
+    corpus-sized aggregation of the trainer."""
+    sc = df.sparkSession.sparkContext
+    return (
+        df.repartition(sc.defaultParallelism)
+        .select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _to_symbols(word: Column) -> Column:
+    """Initial segmentation: one symbol per character, with the
+    word-end marker `</w>` appended to the last character (the
+    Sennrich formulation — merges can then learn word-final units)."""
+    chars = F.split(word, "")
+    last = F.size(chars) - 1
+    return F.transform(
+        chars,
+        lambda c, i: F.when(i == last, F.concat(c, F.lit("</w>"))).otherwise(c),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, pair_count) over the symbol table, weighted by
+    word frequency. Adjacent pairs come from zipping the symbol
+    array with its own tail — scan-side; the only shuffle is the
+    map-side-combinable SUM keyed by the pair."""
+    pairs = F.expr(
+        "transform(slice(syms, 1, size(syms) - 1), (s, i) -> struct(s AS l, syms[i + 1] AS r))"
+    )
+    return (
+        vocab.filter(F.size("syms") >= 2)
+        .select(F.col("n"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("n").alias("pair_count"))
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", top: int = 100) -> DataFrame:
+    """Round-0 pair statistics (symbols = characters + `</w>`):
+    the top `top` adjacent pairs by frequency, deterministic order
+    (count desc, then left, right). SQL-expressible end-to-end —
+    the driver-oracle face of the trainer."""
+    vocab = word_freqs(df, text_col).select(
+        F.col("n"), _to_symbols(F.col("word")).alias("syms")
+    )
+    return (
+        _pair_counts(vocab)
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(top)
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of every (left, right) adjacency in
+    one HOF fold: the accumulator carries (rebuilt array, pending
+    symbol); a match consumes BOTH symbols (pending empties), so
+    overlapping occurrences like a-a-a with merge (a,a) produce
+    [aa, a] — the reference BPE semantics."""
+    merged = left + right
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("out"), F.lit("").alias("prev")
+    )
+    step = lambda acc, s: (
+        F.when(acc["prev"] == "", F.struct(acc["out"].alias("out"), s.alias("prev")))
+        .when(
+            (acc["prev"] == F.lit(left)) & (s == F.lit(right)),
+            F.struct(
+                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.lit("").alias("prev"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(acc["out"], F.array(acc["prev"])).alias("out"), s.alias("prev")
+            )
+        )
+    )
+    finish = lambda acc: F.when(
+        acc["prev"] == "", acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["prev"])))
+    return F.aggregate(syms, acc0, step, finish)
+
+
+def train_bpe(
+    df: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Learn `n_merges` BPE merges. Returns [(rank, left, right,
+    pair_count)], rank 0 first. Each iteration: one vocab-sized
+    pair-count job (argmax collected to the driver — a single row),
+    then a lazy re-segmentation of the persisted vocab. The corpus
+    is only ever touched by the initial word_freqs aggregation."""
+    spark = df.sparkSession
+    vocab = (
+        word_freqs(df, text_col)
+        .select(F.col("n"), _to_symbols(F.col("word")).alias("syms"))
+        .persist()
+    )
+    pins = [vocab]
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            merges.append((rank, b["left_sym"], b["right_sym"], b["pair_count"]))
+            vocab = vocab.select(
+                "n", _merge_pair(F.col("syms"), b["left_sym"], b["right_sym"]).alias("syms")
+            ).persist()
+            pins.append(vocab)
+            # re-persist keeps each iteration's fold shallow (one
+            # merge deep) instead of an n_merges-deep expression tree
+        return merges
+    finally:
+        for p in pins:
+            p.unpersist()
+
+
+def bpe_segment_words(
+    words: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply a learned merge list to segment words: fold each merge
+    in rank order over the symbol arrays (same greedy semantics as
+    training). Adds `tokens array<string>` and `n_tokens`."""
+    syms = _to_symbols(F.col(word_col))
+    for _, left, right, _ in merges:
+        syms = _merge_pair(syms, left, right)
+    return words.withColumn("tokens", syms).withColumn(
+        "n_tokens", F.size(F.col("tokens"))
+    )

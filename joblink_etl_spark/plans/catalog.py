@@ -114,6 +114,10 @@ register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
 register("scrub_spans", E.scrub_spans_q, E.SCRUB_SPANS_SQL)
+register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
+# iterative trainer (one argmax collect per merge): rows-only driver
+# check; merge semantics pinned by tests/test_bpe.py
+register("bpe_merges", E.bpe_merges_q, None)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

@@ -3039,3 +3039,53 @@ SELECT d.doc_id,
        coalesce(st.chars_cut, 0)::BIGINT AS chars_cut
 FROM documents d LEFT JOIN stitched st ON st.id = d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE pair statistics over the corpus — the
+    SQL-expressible face of the tokenizer trainer (word-frequency
+    aggregation + weighted adjacent-pair counts, Sennrich ACL 2016)."""
+    from ..operators import bpe as B
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return B.bpe_pair_counts(docs, top=100)
+
+
+BPE_PAIR_COUNTS_SQL = r"""
+WITH words AS (
+  SELECT w AS word, count(*) AS n
+  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), pairs AS (
+  SELECT substr(word, i, 1) AS left_sym,
+         substr(word, i + 1, 1)
+           || CASE WHEN i + 1 = length(word) THEN '</w>' ELSE '' END AS right_sym,
+         n
+  FROM words, unnest(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT left_sym, right_sym, sum(n)::BIGINT AS pair_count
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 100
+"""
+
+
+def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table (12 merges) — the iterative trainer
+    (one argmax job per merge over the persisted vocab; corpus
+    touched once). Iterative algorithm → rows-only driver check;
+    exact merge semantics pinned by the classic Sennrich
+    low/lower/newest/widest example in tests/test_bpe.py."""
+    from ..operators import bpe as B
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = B.train_bpe(docs, n_merges=12)
+    return spark.createDataFrame(
+        merges, "rank BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )

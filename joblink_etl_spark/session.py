@@ -43,7 +43,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # a ~100-query single-JVM run compiles thousands of
+        # whole-stage-codegen classes; the JVM's default 240 MB code
+        # cache fills late in the run and HOF-heavy queries silently
+        # fall back to the interpreter (observed: consensus_near_dups
+        # 4.9 s solo vs 53 s as query ~90 of a bench run). A larger
+        # reserved cache + explicit flushing keeps the JIT alive for
+        # the whole run. Driver-only: executors in local mode share
+        # the driver JVM.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,70 @@
+"""BPE trainer tests — the classic Sennrich et al. (ACL 2016)
+low/lower/newest/widest corpus pins the exact merge sequence, plus
+greedy-overlap and segmentation semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from joblink_etl_spark.operators import bpe
+
+
+def _corpus(spark):
+    # word frequencies: low x5, lower x2, newest x6, widest x3
+    text = "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3
+    return spark.createDataFrame([(text.strip(),)], "text STRING")
+
+
+def test_word_freqs(spark):
+    wf = {r["word"]: r["n"] for r in bpe.word_freqs(_corpus(spark)).collect()}
+    assert wf == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_merge_sequence_matches_sennrich(spark):
+    merges = bpe.train_bpe(_corpus(spark), n_merges=5)
+    # (e,s)=9 from newest6+widest3; (es,t</w>)=9; (l,o)=7 from
+    # low5+lower2; (e,w)=6 — then (ew,est</w>)=6 beats (lo,w</w>)=5
+    assert merges == [
+        (0, "e", "s", 9),
+        (1, "es", "t</w>", 9),
+        (2, "l", "o", 7),
+        (3, "e", "w", 6),
+        (4, "ew", "est</w>", 6),
+    ]
+
+
+def test_segmentation_uses_learned_units(spark):
+    merges = bpe.train_bpe(_corpus(spark), n_merges=10)
+    words = spark.createDataFrame(
+        [("newest",), ("low",), ("lowest",)], "word STRING"
+    )
+    out = {r["word"]: r["tokens"] for r in bpe.bpe_segment_words(words, merges).collect()}
+    assert out["newest"] == ["newest</w>"]
+    assert out["low"] == ["low</w>"]
+    # unseen word: falls back to the largest learned pieces
+    assert out["lowest"] == ["lo", "w", "est</w>"]
+
+
+def test_greedy_overlap_semantics(spark):
+    # "aaa" -> symbols a,a,a</w>; merging (a,a) greedily consumes the
+    # first pair only: [aa, a</w>]
+    words = spark.createDataFrame([("aaa",)], "word STRING")
+    out = bpe.bpe_segment_words(words, [(0, "a", "a", 1)]).collect()[0]
+    assert out["tokens"] == ["aa", "a</w>"]
+    assert out["n_tokens"] == 2
+
+
+def test_pair_counts_top_order_deterministic(spark):
+    pc = bpe.bpe_pair_counts(_corpus(spark), top=3).collect()
+    assert [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in pc] == [
+        ("e", "s", 9),
+        ("s", "t</w>", 9),
+        ("w", "e", 8),
+    ]
+
+
+def test_merge_loop_stops_when_no_pairs(spark):
+    # single-char words have no adjacent pairs at all
+    df = spark.createDataFrame([("a b c a b",)], "text STRING")
+    merges = bpe.train_bpe(df, n_merges=4)
+    assert merges == []
