@@ -481,3 +481,60 @@ def scrub_repeated_spans(
             F.coalesce(F.col("chars_cut"), F.lit(0)).cast("bigint").alias("chars_cut"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (the rolling-hash cut-point scheme of
+    storage/corpus dedup — LBFS/rsync lineage): a chunk boundary
+    opens wherever the w-char window's hash lands in a fixed 1/16
+    slice of hash space (md5 first hex nibble == '0'), so boundaries
+    move WITH the content — an insertion shifts at most its own
+    chunk, not every later one (the fixed-stride failure mode).
+
+    Chunk starts = {1} ∪ boundary positions; each chunk runs to the
+    next start (tail to end-of-doc). Output one row per chunk:
+    (doc_id, chunk_start, chunk_len, chunk_md5, n_copies) where
+    n_copies counts the chunk's md5 across the whole corpus — the
+    dedup-ratio signal CDC exists to surface.
+
+    Plan: the boundary scan is _gram_hashes (spread, scan-side);
+    one per-doc window orders starts; the copy count is one
+    map-side-combinable shuffle on the chunk md5. Everything is
+    deterministic content math — the oracle replays it exactly.
+    """
+    t = F.col(text_col)
+    docs = df.filter(F.length(t) > 0).select(
+        F.col(id_col).alias("id"), t.alias("_t"), F.length(t).alias("_n")
+    )
+    bounds = (
+        _gram_hashes(df.filter(F.length(t) > 0), w, text_col, id_col)
+        .filter(F.substring(F.col("g"), 1, 1) == "0")
+        .select("id", F.col("pos").alias("s"))
+    )
+    starts = (
+        docs.select("id", F.lit(1).alias("s"))
+        .unionByName(bounds)
+        .distinct()
+    )
+    win = Window.partitionBy("id").orderBy("s")
+    seg = starts.withColumn("next_s", F.lead("s").over(win)).join(docs, "id").select(
+        "id",
+        "_t",
+        F.col("s"),
+        (F.coalesce(F.col("next_s"), F.col("_n") + 1) - F.col("s")).alias("chunk_len"),
+    )
+    chunks = seg.filter(F.col("chunk_len") > 0).select(
+        F.col("id").alias(id_col),
+        F.col("s").cast("bigint").alias("chunk_start"),
+        F.col("chunk_len").cast("bigint").alias("chunk_len"),
+        F.md5(F.substring(F.col("_t"), F.col("s"), F.col("chunk_len"))).alias("chunk_md5"),
+    )
+    copies = Window.partitionBy("chunk_md5")
+    return chunks.withColumn(
+        "n_copies", F.count(F.lit(1)).over(copies).cast("bigint")
+    )

@@ -118,6 +118,8 @@ register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
 # iterative trainer (one argmax collect per merge): rows-only driver
 # check; merge semantics pinned by tests/test_bpe.py
 register("bpe_merges", E.bpe_merges_q, None)
+register("ngram_lm_score", E.ngram_lm_score_q, E.NGRAM_LM_SCORE_SQL)
+register("cdc_chunks", E.cdc_chunks_q, E.CDC_CHUNKS_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

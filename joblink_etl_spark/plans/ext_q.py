@@ -3089,3 +3089,93 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram-LM scoring (operators/lmscore.py)
+# ---------------------------------------------------------------------------
+
+
+def ngram_lm_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality gate under the corpus's own bigram
+    LM, with exact integer log2 (floor(log2 n) = len(bin n) - 1) so
+    the driver hash-checks it bit-for-bit."""
+    from ..operators import lmscore as LM
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return LM.ngram_lm_score(docs, min_count=2)
+
+
+NGRAM_LM_SCORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+), bgs AS (
+  SELECT id, md5(toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM tok, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+), lm AS (
+  SELECT bg, (length(format('{{:b}}', count(*))) - 1)::BIGINT AS ilog2
+  FROM bgs GROUP BY bg HAVING count(*) >= 2
+), per_doc AS (
+  SELECT b.id, count(*) AS n_bigrams,
+         count(l.ilog2) AS known_bigrams,
+         coalesce(sum(l.ilog2), 0)::BIGINT AS ilog2_sum
+  FROM bgs b LEFT JOIN lm l USING (bg)
+  GROUP BY b.id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(p.known_bigrams, 0)::BIGINT AS known_bigrams,
+       coalesce(p.ilog2_sum, 0)::BIGINT AS ilog2_sum,
+       CASE WHEN coalesce(p.n_bigrams, 0) > 0
+            THEN round(p.ilog2_sum::DOUBLE / p.n_bigrams::DOUBLE, 4)
+            ELSE 0.0 END AS score
+FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (operators/suffix.py::cdc_chunks)
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash content-defined chunking with corpus-wide copy
+    counts — boundaries move with content, so shared runs between
+    near-identical docs land in identical chunks (the storage-dedup
+    signal). Fully deterministic content math; the oracle replays
+    boundary choice, segmentation, and copy counting."""
+    from ..operators import suffix as SX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return SX.cdc_chunks(docs, w=8)
+
+
+CDC_CHUNKS_SQL = """
+WITH docs0 AS (
+  SELECT doc_id AS id, text, length(text) AS n FROM documents WHERE length(text) > 0
+), bounds AS (
+  SELECT id, i AS s
+  FROM docs0, unnest(range(1, greatest(n - 7, 0) + 1)) AS t(i)
+  WHERE substr(md5(substr(text, i, 8)), 1, 1) = '0'
+), starts AS (
+  SELECT DISTINCT id, s FROM (
+    SELECT id, 1 AS s FROM docs0
+    UNION ALL
+    SELECT id, s FROM bounds
+  )
+), seg AS (
+  SELECT st.id, st.s,
+         coalesce(lead(st.s) OVER (PARTITION BY st.id ORDER BY st.s), d.n + 1) - st.s AS chunk_len,
+         d.text
+  FROM starts st JOIN docs0 d ON d.id = st.id
+), chunks AS (
+  SELECT id AS doc_id,
+         s::BIGINT AS chunk_start,
+         chunk_len::BIGINT AS chunk_len,
+         md5(substr(text, s, chunk_len)) AS chunk_md5
+  FROM seg WHERE chunk_len > 0
+)
+SELECT doc_id, chunk_start, chunk_len, chunk_md5,
+       count(*) OVER (PARTITION BY chunk_md5) AS n_copies
+FROM chunks
+"""

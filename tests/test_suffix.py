@@ -184,3 +184,36 @@ class TestScrubRepeatedSpans:
         assert b1 not in r2["scrubbed_text"] and b2 not in r2["scrubbed_text"]
         assert r2["scrubbed_text"] == f"x%{filler}@y"
         assert r2["chars_cut"] == len(b1) + len(b2)
+
+
+class TestCdcChunks:
+    def test_chunks_tile_the_document(self, spark):
+        texts = ["the quick brown fox jumps over the lazy dog " * 8,
+                 "pack my box with five dozen liquor jugs " * 6]
+        docs = _docs(spark, texts)
+        rows = SX.cdc_chunks(docs, w=8).collect()
+        for did, t in enumerate(texts):
+            segs = sorted(
+                [(r["chunk_start"], r["chunk_len"]) for r in rows if r["doc_id"] == did]
+            )
+            # chunks tile [1, len] exactly: start at 1, contiguous, end at len
+            assert segs[0][0] == 1
+            for (s1, l1), (s2, _) in zip(segs, segs[1:]):
+                assert s1 + l1 == s2
+            assert segs[-1][0] + segs[-1][1] - 1 == len(t)
+
+    def test_content_defined_shift_invariance(self, spark):
+        # THE property CDC exists for: prepending text to a doc must
+        # leave the chunking of the untouched remainder identical
+        # (a fixed-stride chunker would shift every boundary).
+        body = "shared content that should chunk identically " * 10
+        docs = _docs(spark, [body, "PREFIX-INSERTED-HERE " + body])
+        rows = SX.cdc_chunks(docs, w=8).collect()
+        md5s0 = {r["chunk_md5"] for r in rows if r["doc_id"] == 0}
+        md5s1 = {r["chunk_md5"] for r in rows if r["doc_id"] == 1}
+        shared = md5s0 & md5s1
+        # all of doc0's chunks except (at most) its head chunk reappear
+        # verbatim in the shifted doc
+        assert len(shared) >= len(md5s0) - 1
+        # and the copy counts reflect the cross-doc duplication
+        assert any(r["n_copies"] >= 2 for r in rows)
