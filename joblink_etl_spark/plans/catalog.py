@@ -120,6 +120,9 @@ register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
 register("bpe_merges", E.bpe_merges_q, None)
 register("ngram_lm_score", E.ngram_lm_score_q, E.NGRAM_LM_SCORE_SQL)
 register("cdc_chunks", E.cdc_chunks_q, E.CDC_CHUNKS_SQL)
+# same oracle as dedup_clusters: the driver hash proves star
+# contraction == label propagation == recursive closure
+register("dedup_clusters_star", E.dedup_clusters_star_q, E.DEDUP_CLUSTERS_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

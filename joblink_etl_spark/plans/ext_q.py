@@ -3077,7 +3077,7 @@ LIMIT 100
 
 
 def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learned BPE merge table (12 merges) — the iterative trainer
+    """Learned BPE merge table (8 merges) — the iterative trainer
     (one argmax job per merge over the persisted vocab; corpus
     touched once). Iterative algorithm → rows-only driver check;
     exact merge semantics pinned by the classic Sennrich
@@ -3085,7 +3085,7 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import bpe as B
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = B.train_bpe(docs, n_merges=12)
+    merges = B.train_bpe(docs, n_merges=8)
     return spark.createDataFrame(
         merges, "rank BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
     )
@@ -3179,3 +3179,18 @@ SELECT doc_id, chunk_start, chunk_len, chunk_md5,
        count(*) OVER (PARTITION BY chunk_md5) AS n_copies
 FROM chunks
 """
+
+
+# ---------------------------------------------------------------------------
+# star-contraction connected components (dedup.py::connected_components_star)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The giant-component-safe cluster resolver: alternating
+    large-star/small-star contraction (Kiveris et al., SoCC 2014)
+    over the SAME minhash candidate pairs as dedup_clusters — and
+    the SAME recursive-closure oracle, so the driver hash proves the
+    two algorithms compute identical components."""
+    pairs = minhash_pairs(spark, sf_dir)
+    return D.resolve_duplicates_star(pairs)
