@@ -538,3 +538,86 @@ def cdc_chunks(
     return chunks.withColumn(
         "n_copies", F.count(F.lit(1)).over(copies).cast("bigint")
     )
+
+
+def _minimizer_key(g: Column, pos: Column) -> Column:
+    """Strict total order for winnowing: 40 bits of the gram md5
+    (collision-free enough for ranking; ties impossible because the
+    position rides in the low 20 bits). Fits a bigint exactly the
+    same way in DuckDB, so the oracle replays selection decisions
+    bit-for-bit."""
+    h40 = F.conv(F.substring(g, 1, 10), 16, 10).cast("bigint")
+    return h40 * F.lit(1 << 20) + pos
+
+
+def minimizer_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): every window of w consecutive
+    k-gram hashes contributes its minimum; the distinct selected
+    positions are the document's fingerprints. Guarantees: any
+    shared substring of length >= k + w - 1 between two docs shares
+    at least one fingerprint, while only ~2/(w+1) of positions are
+    kept — the standard way to shrink gram volume before any
+    cross-doc join.
+
+    Scan-side hashes → one per-doc window pass (min over a w-row
+    frame) → distinct. Output: (doc_id, pos, fp) where fp is the
+    selected gram's md5.
+    """
+    grams = _gram_hashes(df, k, text_col, id_col)
+    keyed = grams.select(
+        "id", "pos", "g", _minimizer_key(F.col("g"), F.col("pos")).alias("hk")
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    # the min key of the window STARTING at each position = that
+    # window's selected fingerprint; distinct across windows
+    picked = (
+        keyed.withColumn("win_min", F.min("hk").over(win))
+        .withColumn(
+            "n_follow",
+            F.count(F.lit(1)).over(win),
+        )
+        # only full windows select (boundary windows at doc end are
+        # suffixes of earlier full windows)
+        .filter(F.col("n_follow") == w)
+        .select("id", F.col("win_min").alias("hk"))
+        .distinct()
+    )
+    return picked.join(keyed.select("id", "pos", "g", "hk"), ["id", "hk"]).select(
+        F.col("id").alias(id_col),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("g").alias("fp"),
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    k: int = 8,
+    w: int = 5,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-doc containment/plagiarism candidates from shared
+    winnowing fingerprints: docs sharing >= min_shared selected
+    grams. The join runs over the ~2/(w+1)-density fingerprint set
+    keyed by the gram hash — the minhash-band join shape, never the
+    raw gram volume. Output: (id_a, id_b, shared_fps)."""
+    fps = minimizer_fingerprints(df, k, w, text_col, id_col).select(
+        F.col(id_col).alias("id"), "fp"
+    ).distinct()
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return pairs

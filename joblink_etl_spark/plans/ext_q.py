@@ -3194,3 +3194,46 @@ def dedup_clusters_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     two algorithms compute identical components."""
     pairs = minhash_pairs(spark, sf_dir)
     return D.resolve_duplicates_star(pairs)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (operators/suffix.py::winnowing_pairs)
+# ---------------------------------------------------------------------------
+
+
+def winnowing_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style containment candidates from shared winnowing
+    fingerprints (Schleimer et al., SIGMOD 2003): the cross-doc join
+    runs over the ~2/(w+1)-density selected-gram set, never the raw
+    gram volume. The oracle replays hashing, window selection, and
+    the pair count bit-for-bit."""
+    from ..operators import suffix as SX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return SX.winnowing_pairs(docs, k=12, w=8, min_shared=10)
+
+
+WINNOWING_PAIRS_SQL = """
+WITH grams AS (
+  SELECT doc_id AS id, i AS pos, md5(substr(text, i, 12)) AS g
+  FROM documents, unnest(range(1, greatest(length(text) - 11, 0) + 1)) AS t(i)
+), keyed AS (
+  SELECT id, pos, g,
+         ('0x' || substr(g, 1, 10))::BIGINT * 1048576 + pos AS hk
+  FROM grams
+), winmin AS (
+  SELECT id,
+         min(hk) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS win_min,
+         count(*) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS n_follow
+  FROM keyed
+), picked AS (
+  SELECT DISTINCT id, win_min AS hk FROM winmin WHERE n_follow = 8
+), fps AS (
+  SELECT DISTINCT p.id, k.g AS fp
+  FROM picked p JOIN keyed k ON k.id = p.id AND k.hk = p.hk
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING count(*) >= 10
+"""

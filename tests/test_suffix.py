@@ -217,3 +217,38 @@ class TestCdcChunks:
         assert len(shared) >= len(md5s0) - 1
         # and the copy counts reflect the cross-doc duplication
         assert any(r["n_copies"] >= 2 for r in rows)
+
+
+class TestWinnowing:
+    def test_shared_substring_guarantee(self, spark):
+        # SIGMOD 2003 guarantee: any shared substring of length
+        # >= k + w - 1 yields at least one shared fingerprint
+        k, w = 8, 5
+        shared = "this exact block is long enough to guarantee a match"
+        assert len(shared) >= k + w - 1
+        docs = _docs(spark, [f"aaa {shared} bbb", f"ccccc {shared} ddd",
+                             "totally different content with nothing in common!"])
+        fps = SX.minimizer_fingerprints(docs, k=k, w=w).collect()
+        by_doc = {}
+        for r in fps:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+        pairs = SX.winnowing_pairs(docs, k=k, w=w, min_shared=1).collect()
+        assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs)
+
+    def test_density_reduction(self, spark):
+        # winnowing keeps ~2/(w+1) of positions — assert a hard upper
+        # bound well below 1 (here: at most 40% for w=5)
+        text = "the quick brown fox jumps over the lazy dog " * 20
+        docs = _docs(spark, [text])
+        n_pos = len(text) - 8 + 1
+        n_fp = SX.minimizer_fingerprints(docs, k=8, w=5).count()
+        assert 0 < n_fp < 0.4 * n_pos
+
+    def test_fingerprints_are_actual_positions(self, spark):
+        text = "abcdefghijklmnopqrstuvwxyz0123456789" * 3
+        docs = _docs(spark, [text])
+        for r in SX.minimizer_fingerprints(docs, k=8, w=5).collect():
+            import hashlib
+            gram = text[r["pos"] - 1 : r["pos"] - 1 + 8]
+            assert hashlib.md5(gram.encode()).hexdigest() == r["fp"]
