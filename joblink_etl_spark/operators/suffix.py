@@ -110,6 +110,15 @@ def char_repeat_spans(
             .select("g")
         )
     hits = grams.join(shared, "g")
+    return _runs_to_spans(hits, df, k, text_col, id_col)
+
+
+def _runs_to_spans(
+    hits: DataFrame, df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Gap-merge repeated gram positions (id, pos) into maximal char
+    spans and recover the literal text — the islands tail shared by
+    char_repeat_spans and incremental_repeat_spans."""
     w = Window.partitionBy("id").orderBy("pos")
     new_span = F.coalesce(
         (F.col("pos") - F.lag("pos").over(w) > k).cast("int"), F.lit(0)
@@ -135,6 +144,33 @@ def char_repeat_spans(
             "span_text"
         ),
     )
+
+
+def incremental_repeat_spans(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-dedup a NEW batch against an EXISTING corpus without
+    ever pairing the corpus with itself — the daily-crawl production
+    shape of the suffix layer (mirrors dedup.incremental_near_dups
+    for whole-doc near-dups).
+
+    A new-doc position is index-duplicated when its k-gram exists
+    ANYWHERE in the index; maximal runs gap-merge into spans exactly
+    like char_repeat_spans. At 100 TB the index gram set is written
+    once (bucketed by gram hash); each batch computes grams only for
+    the new docs and semi-joins the stored index — cost per batch is
+    O(new) + O(matched buckets), never O(corpus).
+
+    Output: (doc_id, span_start, span_len, span_text) for NEW docs.
+    """
+    idx = _gram_hashes(index_docs, k, text_col, id_col).select("g").distinct()
+    ng = _gram_hashes(new_docs, k, text_col, id_col)
+    hits = ng.join(idx, "g", "left_semi")
+    return _runs_to_spans(hits, new_docs, k, text_col, id_col)
 
 
 def span_unit_repeats(

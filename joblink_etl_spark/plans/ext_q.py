@@ -3237,3 +3237,57 @@ FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
 GROUP BY a.id, b.id
 HAVING count(*) >= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# incremental substring dedup (suffix.py::incremental_repeat_spans)
+# ---------------------------------------------------------------------------
+
+
+def incremental_repeat_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-index substring dedup: the new docs are clones of
+    every 4th index doc with a fresh tail, so their bodies must come
+    back as index-duplicated spans while the appended tail stays
+    clean. The oracle replays gram membership and the islands merge."""
+    from ..operators import suffix as SX
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" FRESH TAIL 9Z7Q UNIQUE")).alias("text"),
+    )
+    return SX.incremental_repeat_spans(new, docs, k=20)
+
+
+INCREMENTAL_REPEAT_SPANS_SQL = """
+WITH idx AS (
+  SELECT DISTINCT md5(substr(text, i, 20)) AS g
+  FROM documents, unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS t(i)
+), newc AS (
+  SELECT doc_id + 50000 AS id, text || ' FRESH TAIL 9Z7Q UNIQUE' AS text
+  FROM documents WHERE doc_id % 4 = 0
+), ngrams AS (
+  SELECT id, i AS pos, md5(substr(text, i, 20)) AS g
+  FROM newc, unnest(range(1, greatest(length(text) - 19, 0) + 1)) AS t(i)
+), hits AS (
+  SELECT id, pos FROM ngrams WHERE g IN (SELECT g FROM idx)
+), flagged AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 20
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits
+), sess AS (
+  SELECT id, pos,
+         sum(new_span) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flagged
+), spans AS (
+  SELECT id, min(pos) AS span_start,
+         max(pos) + 19 - min(pos) + 1 AS span_len
+  FROM sess GROUP BY id, span_id
+)
+SELECT s.id AS doc_id,
+       s.span_start::BIGINT AS span_start,
+       s.span_len::BIGINT AS span_len,
+       substr(n.text, s.span_start, s.span_len) AS span_text
+FROM spans s JOIN newc n ON n.id = s.id
+"""

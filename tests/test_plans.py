@@ -301,3 +301,48 @@ def test_assign_paths_have_no_ranking_windows(spark):
     ):
         plan = plan_of(builder(spark, SF_SMALL))
         assert "Window" not in plan, f"{name} regressed to a windowed assign"
+
+
+def test_suffix_verify_joins_are_broadcast_not_cartesian(spark):
+    """span_unit_repeats must probe candidates via a broadcast hash
+    join on the leading-gram key — a regression to the candidate ×
+    corpus cartesian (69.6 s at sf0.1) would reintroduce a
+    CartesianProduct / BroadcastNestedLoopJoin into the plan."""
+    from joblink_etl_spark.plans import ext_q as E
+
+    plan = plan_of(E.span_unit_repeats_q(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winnowing_join_runs_on_fingerprints_not_grams(spark):
+    """winnowing_pairs joins the selected-fingerprint set on the
+    gram hash; no cartesian/nested-loop anywhere in the plan."""
+    from joblink_etl_spark.plans import ext_q as E
+
+    plan = plan_of(E.winnowing_pairs_q(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_is_two_aggregates_no_window(spark):
+    """ngram_lm_score is two map-side-combinable aggregates plus
+    joins — no Window operator (a per-doc window spelling would sort
+    every doc's bigrams)."""
+    from joblink_etl_spark.plans import ext_q as E
+
+    plan = plan_of(E.ngram_lm_score_q(spark, SF_SMALL))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_counts_single_shuffle_chain(spark):
+    """bpe_pair_counts: corpus → word counts → pair counts, both
+    partial-aggregated (map-side combine) — HashAggregate pairs
+    around each Exchange, never a sort-based fallback."""
+    from joblink_etl_spark.plans import ext_q as E
+
+    plan = plan_of(E.bpe_pair_counts_q(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs

@@ -252,3 +252,28 @@ class TestWinnowing:
             import hashlib
             gram = text[r["pos"] - 1 : r["pos"] - 1 + 8]
             assert hashlib.md5(gram.encode()).hexdigest() == r["fp"]
+
+
+class TestIncrementalRepeatSpans:
+    def test_new_batch_vs_index(self, spark):
+        idx = _docs(spark, [
+            "the index corpus contains this exact boilerplate passage verbatim",
+            "another indexed document with its own unique wording here",
+        ])
+        new = spark.createDataFrame(
+            [(100, "prefix! this exact boilerplate passage verbatim suffix?"),
+             (101, "zq9 xv7 totally fresh material 123 nothing matches 456!?")],
+            "doc_id BIGINT, text STRING",
+        )
+        spans = SX.incremental_repeat_spans(new, idx, k=10).collect()
+        by_doc = {}
+        for r in spans:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 100's copied middle comes back as one span; the novel
+        # doc yields nothing
+        assert 100 in by_doc and len(by_doc[100]) == 1
+        assert "boilerplate passage" in by_doc[100][0]["span_text"]
+        assert 101 not in by_doc
+        # the index is never self-paired: index-internal repeats are
+        # not reported (output contains only new-batch doc ids)
+        assert all(r["doc_id"] >= 100 for r in spans)
