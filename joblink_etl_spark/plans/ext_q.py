@@ -3291,3 +3291,120 @@ SELECT s.id AS doc_id,
        substr(n.text, s.span_start, s.span_len) AS span_text
 FROM spans s JOIN newc n ON n.id = s.id
 """
+
+
+# ---------------------------------------------------------------------------
+# curate -> scrub -> count: the suffix layer composed into the
+# corpus-prep pipeline (one Catalyst plan).
+# ---------------------------------------------------------------------------
+
+
+def scrubbed_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub pass composed INTO corpus prep: language+quality
+    gates → exact-dedup canonicalization → benchmark decontamination
+    → cross-doc repeated-span scrub → post-scrub token accounting,
+    one logical plan end-to-end. Output per surviving doc:
+    (doc_id, n_spans_cut, chars_cut, n_tokens_after)."""
+    from pyspark.sql.window import Window
+
+    from ..operators.decontam import ngram_overlap
+    from ..operators.suffix import scrub_repeated_spans
+    from ..operators.textstats import add_text_stats, token_count
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    stats = add_text_stats(corpus).select(
+        "doc_id", "text", "lang_guess", "quality", "fingerprint"
+    )
+    kept = stats.filter(
+        F.col("lang_guess").isin("en", "es") & (F.col("quality") >= 0.5)
+    )
+    w = Window.partitionBy("fingerprint")
+    canon = kept.withColumn("canonical_id", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("canonical_id")
+    )
+    clean = (
+        ngram_overlap(canon, bench, n=3, carry=("text",))
+        .filter(~F.col("contaminated"))
+        .select("doc_id", "text")
+    )
+    scrubbed = scrub_repeated_spans(clean, k=20, min_docs=2)
+    return scrubbed.select(
+        "doc_id",
+        "n_spans_cut",
+        "chars_cut",
+        token_count(F.col("scrubbed_text")).cast("bigint").alias("n_tokens_after"),
+    )
+
+
+_SCRUB_TOKS = _TOKS.replace("text", "final_text")
+
+SCRUBBED_CORPUS_SQL = (
+    _CURATION_CTES
+    + """, clean AS (
+  SELECT doc_id, text FROM canon
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), sgrams AS (
+  SELECT c.doc_id AS id, i AS pos, md5(substr(c.text, i, 20)) AS g
+  FROM clean c, unnest(range(1, greatest(length(c.text) - 19, 0) + 1)) AS t(i)
+), sshared AS (
+  SELECT g FROM sgrams GROUP BY g HAVING count(DISTINCT id) >= 2
+), shits AS (
+  SELECT sgrams.id, sgrams.pos FROM sgrams JOIN sshared USING (g)
+), sflagged AS (
+  SELECT id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) > 20
+              THEN 1 ELSE 0 END AS new_span
+  FROM shits
+), ssess AS (
+  SELECT id, pos,
+         sum(new_span) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM sflagged
+), sspans AS (
+  SELECT id, min(pos) AS span_start,
+         max(pos) + 19 - min(pos) + 1 AS span_len
+  FROM ssess GROUP BY id, span_id
+), sstext AS (
+  SELECT s.id, s.span_start, s.span_len,
+         substr(c.text, s.span_start, s.span_len) AS span_text
+  FROM sspans s JOIN clean c ON c.doc_id = s.id
+), scuts AS (
+  SELECT id, span_start, span_len
+  FROM (SELECT *, min(id) OVER (PARTITION BY span_text) AS keep_doc FROM sstext)
+  WHERE id <> keep_doc
+), sgaps AS (
+  SELECT id,
+         coalesce(lag(span_start + span_len) OVER (PARTITION BY id ORDER BY span_start), 1) AS seg_start,
+         span_start - coalesce(lag(span_start + span_len) OVER (PARTITION BY id ORDER BY span_start), 1) AS seg_len,
+         span_len
+  FROM scuts
+), stails AS (
+  SELECT id, max(span_start + span_len) AS seg_start,
+         NULL::BIGINT AS seg_len, 0::BIGINT AS span_len
+  FROM scuts GROUP BY id
+), ssegs AS (
+  SELECT * FROM sgaps UNION ALL SELECT * FROM stails
+), sstitched AS (
+  SELECT s.id,
+         string_agg(CASE WHEN s.seg_len IS NULL THEN substr(c.text, s.seg_start)
+                         ELSE substr(c.text, s.seg_start, s.seg_len) END,
+                    '' ORDER BY s.seg_start) AS scrubbed_text,
+         count(*) - 1 AS n_spans_cut,
+         sum(s.span_len) AS chars_cut
+  FROM ssegs s JOIN clean c ON c.doc_id = s.id
+  GROUP BY s.id
+), final AS (
+  SELECT c.doc_id,
+         coalesce(st.n_spans_cut, 0)::BIGINT AS n_spans_cut,
+         coalesce(st.chars_cut, 0)::BIGINT AS chars_cut,
+         coalesce(st.scrubbed_text, c.text) AS final_text
+  FROM clean c LEFT JOIN sstitched st ON st.id = c.doc_id
+)
+SELECT doc_id, n_spans_cut, chars_cut,
+       len("""
+    + _SCRUB_TOKS
+    + """)::BIGINT AS n_tokens_after
+FROM final
+"""
+)
