@@ -608,27 +608,32 @@ def minimizer_fingerprints(
     """
     grams = _gram_hashes(df, k, text_col, id_col)
     keyed = grams.select(
-        "id", "pos", "g", _minimizer_key(F.col("g"), F.col("pos")).alias("hk")
+        "id",
+        F.struct(
+            _minimizer_key(F.col("g"), F.col("pos")).alias("hk"),
+            F.col("pos").alias("pos"),
+            F.col("g").alias("g"),
+        ).alias("kd"),
+        "pos",
     )
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     # the min key of the window STARTING at each position = that
-    # window's selected fingerprint; distinct across windows
-    picked = (
-        keyed.withColumn("win_min", F.min("hk").over(win))
-        .withColumn(
-            "n_follow",
-            F.count(F.lit(1)).over(win),
-        )
+    # window's selected fingerprint; the struct min (ordered by the
+    # unique hk) carries the winner's (pos, g) along, so no recovery
+    # join or second gram pass is needed; distinct across windows
+    return (
+        keyed.withColumn("win_min", F.min("kd").over(win))
+        .withColumn("n_follow", F.count(F.lit(1)).over(win))
         # only full windows select (boundary windows at doc end are
         # suffixes of earlier full windows)
         .filter(F.col("n_follow") == w)
-        .select("id", F.col("win_min").alias("hk"))
+        .select("id", F.col("win_min.pos").alias("pos"), F.col("win_min.g").alias("g"))
         .distinct()
-    )
-    return picked.join(keyed.select("id", "pos", "g", "hk"), ["id", "hk"]).select(
-        F.col("id").alias(id_col),
-        F.col("pos").cast("bigint").alias("pos"),
-        F.col("g").alias("fp"),
+        .select(
+            F.col("id").alias(id_col),
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("g").alias("fp"),
+        )
     )
 
 
