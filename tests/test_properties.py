@@ -266,3 +266,60 @@ def test_histogram_quantile_upper_edge_bounds(spark_prop, vals, bins):
     eps = 1e-9 * max(abs(hi), abs(lo), 1.0)
     assert true - eps <= est <= true + width + eps, (true, est, width)
     assert lo - eps <= est <= hi + eps
+
+
+# --- suffix-layer properties (round 4) --------------------------------
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "omega", "zz"])
+_doc = st.lists(_word, min_size=0, max_size=18).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=6))
+def test_lrs_matches_bruteforce(spark_prop, texts):
+    """Exact LRS vs a quadratic Python brute force on tiny corpora:
+    same maximal length and occurrence count under the same
+    (doc,pos)-occurrence semantics."""
+    from joblink_etl_spark.operators import suffix as SX
+
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    min_len = 2
+    # brute force: count all substrings of every length
+    from collections import Counter
+
+    best = (0, 0)  # (length, occ)
+    for L in range(min_len, max((len(t) for t in texts), default=0) + 1):
+        c = Counter(t[i : i + L] for t in texts for i in range(len(t) - L + 1))
+        rep = {g: n for g, n in c.items() if n >= 2}
+        if rep:
+            best = (L, max(rep.values()))
+    L, text, occ = SX.longest_repeated_substring(df, min_count=2, min_len=min_len)
+    assert L == best[0]
+    if L:
+        # the champion string must really occur `occ` times
+        true_occ = sum(
+            1 for t in texts for i in range(len(t) - L + 1) if t[i : i + L] == text
+        )
+        assert occ == true_occ >= 2
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_doc, min_size=2, max_size=6))
+def test_scrub_never_leaves_cut_content_and_conserves_chars(spark_prop, texts):
+    """Scrub invariants on random corpora: chars_cut + len(scrubbed)
+    == len(original) for every doc, and a doc with nothing cut
+    passes through bit-identical."""
+    from joblink_etl_spark.operators import suffix as SX
+
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r for r in SX.scrub_repeated_spans(df, k=4, min_docs=2).collect()}
+    assert set(out) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        r = out[i]
+        assert len(r["scrubbed_text"]) + r["chars_cut"] == len(t)
+        if r["n_spans_cut"] == 0:
+            assert r["scrubbed_text"] == t

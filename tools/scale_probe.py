@@ -36,6 +36,12 @@ FAMILIES = {
     "relational": "revenue_by_nation",
     "sampling": "token_budget_sample",
     "sketch": "cms_user_counts",
+    "scrub": "scrub_spans",
+    "winnowing": "winnowing_pairs",
+    "cdc": "cdc_chunks",
+    "lm": "ngram_lm_score",
+    "cc_star": "dedup_clusters_star",
+    "bpe": "bpe_pair_counts",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
