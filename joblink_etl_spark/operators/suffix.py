@@ -642,6 +642,7 @@ def winnowing_pairs(
     k: int = 8,
     w: int = 5,
     min_shared: int = 3,
+    max_df: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -649,10 +650,27 @@ def winnowing_pairs(
     winnowing fingerprints: docs sharing >= min_shared selected
     grams. The join runs over the ~2/(w+1)-density fingerprint set
     keyed by the gram hash — the minhash-band join shape, never the
-    raw gram volume. Output: (id_a, id_b, shared_fps)."""
+    raw gram volume. Output: (id_a, id_b, shared_fps).
+
+    `max_df` drops fingerprints appearing in more than that many
+    docs before the self-join — the stop-gram prune every inverted
+    index ships (cf. the tfidf df-ratio prune, tfidf.py): a
+    fingerprint in ten thousand docs is boilerplate, carries no
+    containment signal, and alone would contribute O(df²) join rows.
+    The 10× scale probe measured exactly that blow-up (36.8× wall
+    at 10× data with clone-heavy fps); with the cap the join's
+    per-key fan-out is bounded by construction."""
     fps = minimizer_fingerprints(df, k, w, text_col, id_col).select(
         F.col(id_col).alias("id"), "fp"
     ).distinct()
+    if max_df is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("fp")
+        )
+        fps = fps.join(keep, "fp")
     pairs = (
         fps.alias("a")
         .join(fps.alias("b"), "fp")

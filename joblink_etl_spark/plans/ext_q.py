@@ -3210,7 +3210,7 @@ def winnowing_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import suffix as SX
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return SX.winnowing_pairs(docs, k=12, w=8, min_shared=10)
+    return SX.winnowing_pairs(docs, k=12, w=8, min_shared=10, max_df=50)
 
 
 WINNOWING_PAIRS_SQL = """
@@ -3228,9 +3228,13 @@ WITH grams AS (
   FROM keyed
 ), picked AS (
   SELECT DISTINCT id, win_min AS hk FROM winmin WHERE n_follow = 8
-), fps AS (
+), fps0 AS (
   SELECT DISTINCT p.id, k.g AS fp
   FROM picked p JOIN keyed k ON k.id = p.id AND k.hk = p.hk
+), keep AS (
+  SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= 50
+), fps AS (
+  SELECT fps0.id, fps0.fp FROM fps0 JOIN keep USING (fp)
 )
 SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS shared_fps
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
