@@ -542,3 +542,36 @@ def streaming_sessions(
             sessionize, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
         )
     )
+
+
+def stream_repeat_span_gate(
+    docs_stream: DataFrame,
+    index_docs: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: int = 20,
+) -> None:
+    """Streaming face of incremental substring dedup: each arriving
+    micro-batch of documents is span-checked against the STATIC
+    corpus gram index (operators/suffix.incremental_repeat_spans) and
+    the detected index-duplicated spans land in the sink. Stateless
+    by design — the per-doc islands merge needs only that doc's own
+    rows, which arrive together in one micro-batch, so foreachBatch
+    reuses the batch operator verbatim (the same batch-twin contract
+    as throttled_links/band_registry; at scale the index gram set is
+    the stored bucketed table, not a recompute)."""
+    from ..operators.suffix import incremental_repeat_spans
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spans = incremental_repeat_spans(batch_df, index_docs, k=k)
+        spans.write.mode("append").parquet(sink_dir)
+
+    (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -457,3 +457,38 @@ def test_streaming_sessions_match_batch_twin(spark, tmp_path, sf_dir):
         for r in session_windows(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_repeat_span_gate_matches_batch(spark, tmp_path):
+    """Streaming incremental substring dedup: micro-batched new docs
+    are span-checked against the static index; the drained sink must
+    equal the batch operator run over all new docs at once (per-doc
+    islands need only that doc's rows, so foreachBatch reuse is
+    exact)."""
+    from joblink_etl_spark.operators.suffix import incremental_repeat_spans
+    from joblink_etl_spark.streaming.pipeline import stream_repeat_span_gate
+
+    src, sink, ckpt = str(tmp_path / "nd"), str(tmp_path / "out"), str(tmp_path / "ck")
+    idx = spark.createDataFrame(
+        [(1, "the shared boilerplate block lives in the index corpus"),
+         (2, "unrelated indexed text with different words entirely")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(100, "x1 the shared boilerplate block lives q1"),
+         (101, "zq fresh novel writing with zero overlap 77"),
+         (102, "y2 boilerplate block lives in the index y3")],
+        "doc_id BIGINT, text STRING",
+    )
+    new.repartition(3).write.parquet(src)  # several files → several batches
+    stream = spark.readStream.schema(new.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    stream_repeat_span_gate(stream, idx, sink, ckpt, k=10)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["span_text"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["doc_id"], r["span_start"], r["span_len"], r["span_text"])
+        for r in incremental_repeat_spans(new, idx, k=10).collect()
+    }
+    assert got == want and len(want) >= 2

@@ -277,3 +277,19 @@ class TestIncrementalRepeatSpans:
         # the index is never self-paired: index-internal repeats are
         # not reported (output contains only new-batch doc ids)
         assert all(r["doc_id"] >= 100 for r in spans)
+
+
+class TestWinnowingMaxDf:
+    def test_hot_fingerprint_pruned(self, spark):
+        # boilerplate shared by ALL docs is dropped at max_df=3; the
+        # rare shared block between docs 0 and 1 survives
+        hot = "THIS-HOT-BOILERPLATE-IS-EVERYWHERE-IN-THE-CORPUS"
+        rare = "rare shared passage only in the first two documents"
+        docs = _docs(spark, [f"{hot} a {rare} x", f"{hot} b {rare} y",
+                             f"{hot} c uniq3", f"{hot} d uniq4", f"{hot} e uniq5"])
+        capped = SX.winnowing_pairs(docs, k=8, w=4, min_shared=1, max_df=3).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in capped}
+        assert (0, 1) in pairs
+        # pairs that ONLY shared the hot boilerplate disappear
+        uncapped = SX.winnowing_pairs(docs, k=8, w=4, min_shared=1).collect()
+        assert len({(r["id_a"], r["id_b"]) for r in uncapped}) > len(pairs)
