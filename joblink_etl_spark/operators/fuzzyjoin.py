@@ -1,0 +1,66 @@
+"""Fuzzy key join via deletion-neighborhood blocking — record
+linkage for dirty keys at scale.
+
+The classic trick (FastSS / SymSpell lineage): a pair of strings at
+edit distance <= 1 always shares a member of their deletion
+neighborhoods (the string itself plus every one-char-deleted
+variant). Exploding each side's ~(len+1) variants and hash-joining
+on the variant replaces the O(n·m) all-pairs comparison with a
+uniform-key equi-join; the exact Levenshtein check runs only on the
+candidates that collide. Both the variant generation and the verify
+are pure deterministic string math, so the DuckDB oracle replays
+them bit-for-bit.
+
+At 100 TB: variants multiply each side by ~key length (bounded by
+`max_len`), the join key is md5-uniform, and candidates are rare —
+the same candidate-then-verify shape as the minhash/winnowing
+families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_variants(key: Column, max_len: int = 64) -> Column:
+    """The deletion-1 neighborhood: the (truncated) key itself plus
+    every string obtained by deleting one character. Distinct, so a
+    key with repeated characters doesn't emit duplicate variants."""
+    k = F.substring(key, 1, max_len)
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(k)),
+        lambda i: F.concat(
+            F.substring(k, 1, i - 1),
+            F.substring(k, i + 1, max_len),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(k), dels))
+
+
+def fuzzy_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    max_distance: int = 1,
+    max_len: int = 64,
+) -> DataFrame:
+    """All (left, right) row pairs whose keys are within Levenshtein
+    distance `max_distance` (currently 1 — the guarantee the
+    deletion-1 neighborhood provides). Output: left columns + right
+    columns + `edit_distance`. Candidates come from the variant
+    equi-join; the exact distance verifies each candidate once."""
+    if max_distance != 1:
+        raise ValueError("deletion-1 blocking guarantees distance <= 1 only")
+    lv = left.withColumn("_lv", F.explode(deletion_variants(F.col(left_key), max_len)))
+    rv = right.withColumn("_rv", F.explode(deletion_variants(F.col(right_key), max_len)))
+    cand = (
+        lv.join(rv, lv["_lv"] == rv["_rv"])
+        .drop("_lv", "_rv")
+        .dropDuplicates([left_key, right_key])
+    )
+    dist = F.levenshtein(F.col(left_key), F.col(right_key))
+    return cand.withColumn("edit_distance", dist.cast("bigint")).filter(
+        F.col("edit_distance") <= max_distance
+    )

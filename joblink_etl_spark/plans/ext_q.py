@@ -3412,3 +3412,60 @@ SELECT doc_id, n_spans_cut, chars_cut,
 FROM final
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy key join (operators/fuzzyjoin.py) — record linkage for dirty keys
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_key_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-neighborhood fuzzy join: every 7th customer name gets
+    one character deleted (a typo'd dirty feed) and must link back to
+    clean names within edit distance 1 — candidates from the variant
+    equi-join, exact Levenshtein verify, no all-pairs comparison.
+    The oracle replays variant generation and the verify."""
+    from ..operators.fuzzyjoin import fuzzy_key_join
+
+    cust = table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    pos = (ck % 10) + 5
+    dirty = cust.filter(ck % 7 == 0).select(
+        (ck + 500000).alias("d_key"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), pos - 1),
+            F.substring(F.col("c_name"), pos + 1, F.lit(64)),
+        ).alias("d_name"),
+    )
+    clean = cust.select("c_custkey", "c_name")
+    out = fuzzy_key_join(dirty, clean, "d_name", "c_name")
+    return out.select("d_key", "d_name", "c_custkey", "c_name", "edit_distance")
+
+
+FUZZY_KEY_JOIN_SQL = """
+WITH dirty AS (
+  SELECT c_custkey + 500000 AS d_key,
+         substr(c_name, 1, (c_custkey % 10) + 4)
+           || substr(c_name, (c_custkey % 10) + 6) AS d_name
+  FROM customer WHERE c_custkey % 7 = 0
+), clean AS (
+  SELECT c_custkey, c_name FROM customer
+), lv AS (
+  SELECT d_key, d_name, unnest(list_distinct(list_prepend(d_name,
+           list_transform(range(1, length(d_name) + 1),
+             i -> substr(d_name, 1, i - 1) || substr(d_name, i + 1))))) AS v
+  FROM dirty
+), rv AS (
+  SELECT c_custkey, c_name, unnest(list_distinct(list_prepend(c_name,
+           list_transform(range(1, length(c_name) + 1),
+             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1))))) AS v
+  FROM clean
+), cand AS (
+  SELECT DISTINCT l.d_key, l.d_name, r.c_custkey, r.c_name
+  FROM lv l JOIN rv r ON l.v = r.v
+)
+SELECT d_key, d_name, c_custkey, c_name,
+       levenshtein(d_name, c_name)::BIGINT AS edit_distance
+FROM cand
+WHERE levenshtein(d_name, c_name) <= 1
+"""
