@@ -73,3 +73,52 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         *[F.col(f"_c_{c}").alias(c) for c in out_payload],
     )
+
+
+def interval_join_binned(
+    points,
+    intervals,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_size: int = 1024,
+):
+    """Point-in-interval join for two LARGE sides without a
+    nested-loop: intervals explode into the fixed-width bins they
+    cover, points key into their single bin, and the containment
+    predicate verifies the equi-join candidates. Each matching
+    (point, interval) pair meets in exactly ONE bin (the point's),
+    so no post-join dedup is needed.
+
+    Spark plans a raw BETWEEN theta join as BroadcastNestedLoopJoin
+    (O(n·m) compare, driver-bound broadcast); the binned spelling is
+    a hash join on a uniform key whose fan-out is
+    interval_width / bin_size — the standard range-join decomposition
+    (cf. IP→CIDR enrichment, genomic overlap joins; Databricks ships
+    the same rewrite as `spark.databricks.optimizer.rangeJoin`).
+
+    All columns integer; bin_size trades interval replication
+    (width/bin_size rows per interval) against candidate precision
+    (points share bins with more non-overlapping intervals as bins
+    grow).
+    """
+    from pyspark.sql import functions as F
+
+    p = points.withColumn("_bin", F.floor(F.col(point_col) / bin_size))
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bin_size),
+                F.floor(F.col(end_col) / bin_size),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )

@@ -127,6 +127,7 @@ register("winnowing_pairs", E.winnowing_pairs_q, E.WINNOWING_PAIRS_SQL)
 register("incremental_repeat_spans", E.incremental_repeat_spans_q, E.INCREMENTAL_REPEAT_SPANS_SQL)
 register("scrubbed_corpus", E.scrubbed_corpus_q, E.SCRUBBED_CORPUS_SQL)
 register("fuzzy_key_join", E.fuzzy_key_join_q, E.FUZZY_KEY_JOIN_SQL)
+register("interval_join", E.interval_join_q, E.INTERVAL_JOIN_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

@@ -3469,3 +3469,49 @@ SELECT d_key, d_name, c_custkey, c_name,
 FROM cand
 WHERE levenshtein(d_name, c_name) <= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# binned interval join (operators/asof.py::interval_join_binned)
+# ---------------------------------------------------------------------------
+
+
+def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big point-in-range join: event-derived integer points
+    against document-derived ranges (the IP→CIDR / genomic-overlap
+    shape). The binned plan replaces Spark's nested-loop theta join
+    with one uniform-key hash join; the oracle is the plain BETWEEN
+    theta join DuckDB optimizes natively (IEJoin), so the driver
+    hash proves the decomposition exact."""
+    from ..operators.asof import interval_join_binned
+
+    ev = table(spark, sf_dir, "events")
+    points = ev.select(
+        "event_id",
+        ((F.col("user_id").cast("bigint") * 104729 + F.col("event_id")) % 1048576).alias("p"),
+    )
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    intervals = docs.select(
+        "doc_id",
+        ((did * 7919) % 1048576).alias("r_start"),
+        (((did * 7919) % 1048576) + (did % 997) + 1).alias("r_end"),
+    )
+    out = interval_join_binned(points, intervals, "p", "r_start", "r_end", bin_size=1024)
+    return out.select("event_id", "doc_id", "p", "r_start", "r_end")
+
+
+INTERVAL_JOIN_SQL = """
+WITH pts AS (
+  SELECT event_id, (user_id::BIGINT * 104729 + event_id) % 1048576 AS p
+  FROM events
+), intervals AS (
+  SELECT doc_id,
+         (doc_id * 7919) % 1048576 AS r_start,
+         (doc_id * 7919) % 1048576 + (doc_id % 997) + 1 AS r_end
+  FROM documents
+)
+SELECT pt.event_id, i.doc_id, pt.p, i.r_start, i.r_end
+FROM pts pt JOIN intervals i
+  ON pt.p >= i.r_start AND pt.p <= i.r_end
+"""

@@ -66,3 +66,33 @@ def test_mark_errors_truncates(spark):
     assert rows[2] == "queued"
     assert rows[1].startswith("error: boom")
     assert len(rows[1]) <= 300 + len("error: ")
+
+
+def test_interval_join_binned_matches_theta(spark):
+    """Binned decomposition == brute-force containment, including
+    boundary points, multi-bin-spanning intervals, and points in
+    zero/many intervals."""
+    from joblink_etl_spark.operators.asof import interval_join_binned
+
+    points = spark.createDataFrame(
+        [(1, 0), (2, 10), (3, 99), (4, 100), (5, 5000), (6, 1023), (7, 1024)],
+        "pid BIGINT, p BIGINT",
+    )
+    intervals = spark.createDataFrame(
+        [(10, 0, 0),        # single point at origin
+         (11, 5, 99),       # within one bin
+         (12, 90, 2000),    # spans three bins
+         (13, 4000, 6000),  # isolated
+         (14, 10, 10)],     # exact single point
+        "iid BIGINT, s BIGINT, e BIGINT",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join_binned(points, intervals, "p", "s", "e", bin_size=1024).collect()
+    }
+    want = set()
+    for pid, p in [(1, 0), (2, 10), (3, 99), (4, 100), (5, 5000), (6, 1023), (7, 1024)]:
+        for iid, s, e in [(10, 0, 0), (11, 5, 99), (12, 90, 2000), (13, 4000, 6000), (14, 10, 10)]:
+            if s <= p <= e:
+                want.add((pid, iid))
+    assert got == want

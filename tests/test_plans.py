@@ -346,3 +346,15 @@ def test_bpe_pair_counts_single_shuffle_chain(spark):
     plan = plan_of(E.bpe_pair_counts_q(spark, SF_SMALL))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 aggs
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    """The binned range-join decomposition must plan as a hash
+    equi-join on the bin key — a raw BETWEEN theta join would appear
+    as BroadcastNestedLoopJoin (O(n·m) compares)."""
+    from joblink_etl_spark.plans import ext_q as E
+
+    plan = plan_of(E.interval_join_q(spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
