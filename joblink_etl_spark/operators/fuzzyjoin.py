@@ -50,7 +50,13 @@ def fuzzy_key_join(
     distance `max_distance` (currently 1 — the guarantee the
     deletion-1 neighborhood provides). Output: left columns + right
     columns + `edit_distance`. Candidates come from the variant
-    equi-join; the exact distance verifies each candidate once."""
+    equi-join; the exact distance verifies each candidate once.
+
+    Assumes keys identify rows on both sides (the record-linkage
+    shape): the candidate dedup keys on (left_key, right_key), so two
+    left rows with the SAME key would collapse to one
+    arbitrarily-chosen carrier row. Pre-aggregate to unique keys if
+    the input has duplicates."""
     if max_distance != 1:
         raise ValueError("deletion-1 blocking guarantees distance <= 1 only")
     lv = left.withColumn("_lv", F.explode(deletion_variants(F.col(left_key), max_len)))

@@ -112,6 +112,14 @@ register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
 register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
 register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
+# ROUND-5 ROTATION QUEUE: the round-4 additions below
+# (repeat_profile, scrub_spans, bpe_pair_counts, bpe_merges,
+# ngram_lm_score, cdc_chunks, dedup_clusters_star, winnowing_pairs,
+# incremental_repeat_spans, scrubbed_corpus, fuzzy_key_join,
+# interval_join, lrs_exact) have local-oracle + bench coverage but
+# no driver row yet — rotate them into the 50-query window next
+# round, ceding slots from queries that will then hold 2-round
+# streaks (the same policy rounds 3→4 used).
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
 register("scrub_spans", E.scrub_spans_q, E.SCRUB_SPANS_SQL)
 register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
