@@ -28,6 +28,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -574,4 +575,64 @@ def stream_repeat_span_gate(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def streaming_kmv(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Custom stateful operator: STREAMING per-key distinct-count via
+    a KMV sketch carried in the state store. State per key is the k
+    smallest distinct md5-derived hashes (k longs — fixed size no
+    matter how many values stream past); each micro-batch merges its
+    values' hashes into the sketch and emits the refreshed estimate,
+    so the sink's LAST row per key is the running answer.
+
+    The merge is the sketch's own algebra — k-smallest of a union is
+    the k-smallest of per-part k-smallests — so a full drain equals
+    the batch operator (operators/sketches.kmv_distinct) exactly:
+    identical n_seen, identical kth hash, identical 4-decimal
+    estimate. That equivalence is pinned in tests across multi-file
+    micro-batches."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketches import HASH_SPACE, md5_int
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("n_seen", LongType()),
+            StructField("est_distinct", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("hashes", ArrayType(LongType()))]
+    )
+
+    def sketch(key, pdf_iter, state: GroupState):
+        held = list(state.get[0]) if state.exists else []
+        new = set()
+        for pdf in pdf_iter:
+            new.update(int(h) for h in pdf["h"])
+        merged = sorted(set(held) | new)[:k]
+        state.update((merged,))
+        n_seen = len(merged)
+        if n_seen < k:
+            est = float(n_seen)
+        else:
+            est = (k - 1) / (merged[-1] / HASH_SPACE)
+        yield pd.DataFrame(
+            {"group": [key[0]], "n_seen": [n_seen], "est_distinct": [round(est, 4)]}
+        )
+
+    hashed = events.select(
+        F.col(group_col).cast("string").alias("g"),
+        md5_int(F.col(value_col).cast("string")).alias("h"),
+    )
+    return hashed.groupBy("g").applyInPandasWithState(
+        sketch, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

@@ -492,3 +492,37 @@ def test_stream_repeat_span_gate_matches_batch(spark, tmp_path):
         for r in incremental_repeat_spans(new, idx, k=10).collect()
     }
     assert got == want and len(want) >= 2
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
+    """Streaming KMV per-key distinct count: after draining all
+    micro-batches, the LAST emitted row per key must equal the batch
+    sketch (operators/sketches.kmv_distinct) exactly — identical
+    n_seen and identical 4-decimal estimate (k-smallest-of-union is
+    the k-smallest of per-batch k-smallests)."""
+    from joblink_etl_spark.operators.sketches import kmv_distinct
+    from joblink_etl_spark.streaming.pipeline import run_available_now, streaming_kmv
+
+    src, sink, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows = [("big", i % 500) for i in range(2000)] + [("small", i % 9) for i in range(100)]
+    ev = spark.createDataFrame(rows, "event_type STRING, user_id BIGINT")
+    ev.repartition(4).write.parquet(src)  # 4 files → 4 micro-batches
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_available_now(streaming_kmv(stream, k=64), sink, ckpt)
+
+    import pyspark.sql.functions as SF
+
+    got_df = spark.read.parquet(sink)
+    # last emission per key = the row with the max n_seen (monotone)
+    w_rows = got_df.groupBy("group").agg(
+        SF.max(SF.struct("n_seen", "est_distinct")).alias("s")
+    )
+    got = {r["group"]: (r["s"]["n_seen"], r["s"]["est_distinct"]) for r in w_rows.collect()}
+    want = {
+        r["event_type"]: (r["n_seen"], r["est_distinct"])
+        for r in kmv_distinct(ev, "event_type", "user_id", k=64).collect()
+    }
+    assert got == want
+    assert got["small"] == (9, 9.0)        # exact below k
+    assert got["big"][0] == 64             # sketch saturated
