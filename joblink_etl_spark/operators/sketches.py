@@ -278,3 +278,52 @@ def quantile_bins(
         .withColumn("bucket", bucket)
         .drop("_cuts")
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch AS STATE: the sorted array of the k
+    smallest distinct hashes — the mergeable form you persist
+    between batches (streaming_kmv keeps exactly this in the state
+    store). Returns (group_col, sketch array<bigint>)."""
+    from pyspark.sql import Window
+
+    hashes = df.select(
+        group_col, md5_int(F.col(value_col).cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    topk = hashes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return topk.groupBy(group_col).agg(
+        F.sort_array(F.collect_list("h")).alias("sketch")
+    )
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Merge any number of per-group KMV sketches (rows may repeat a
+    group — e.g. one sketch per shard/day) and estimate: k-smallest
+    of the union of k-smallest sets IS the k-smallest of the union,
+    so the merged estimate is bit-identical to a from-scratch build.
+    Input rows: (group_col, sketch array<bigint>); output matches
+    kmv_distinct: (group_col, n_seen, est_distinct)."""
+    from pyspark.sql import Window
+
+    exploded = sketches.select(
+        group_col, F.explode("sketch").alias("h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    topk = exploded.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    agg = topk.groupBy(group_col).agg(
+        F.max("rn").alias("n_seen"), F.max("h").alias("kth")
+    )
+    est = F.when(F.col("n_seen") < k, F.col("n_seen").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(HASH_SPACE))
+    )
+    return agg.select(group_col, "n_seen", F.round(est, 4).alias("est_distinct"))

@@ -116,7 +116,8 @@ register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 # (repeat_profile, scrub_spans, bpe_pair_counts, bpe_merges,
 # ngram_lm_score, cdc_chunks, dedup_clusters_star, winnowing_pairs,
 # incremental_repeat_spans, scrubbed_corpus, fuzzy_key_join,
-# interval_join, lrs_exact) have local-oracle + bench coverage but
+# interval_join, kmv_merge, snapshot_diff, lrs_exact) have
+# local-oracle + bench coverage but
 # no driver row yet — rotate them into the 50-query window next
 # round, ceding slots from queries that will then hold 2-round
 # streaks (the same policy rounds 3→4 used).
@@ -136,6 +137,8 @@ register("incremental_repeat_spans", E.incremental_repeat_spans_q, E.INCREMENTAL
 register("scrubbed_corpus", E.scrubbed_corpus_q, E.SCRUBBED_CORPUS_SQL)
 register("fuzzy_key_join", E.fuzzy_key_join_q, E.FUZZY_KEY_JOIN_SQL)
 register("interval_join", E.interval_join_q, E.INTERVAL_JOIN_SQL)
+register("kmv_merge", E.kmv_merge_q, E.KMV_MERGE_SQL)
+register("snapshot_diff", E.snapshot_diff_q, E.SNAPSHOT_DIFF_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

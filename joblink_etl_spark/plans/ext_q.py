@@ -3515,3 +3515,131 @@ SELECT pt.event_id, i.doc_id, pt.p, i.r_start, i.r_end
 FROM pts pt JOIN intervals i
   ON pt.p >= i.r_start AND pt.p <= i.r_end
 """
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch merge (sketches.py::kmv_sketch / kmv_merge_estimate)
+# ---------------------------------------------------------------------------
+
+
+def kmv_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY as a driver row: build one KMV sketch per
+    (event_type, day-parity shard), merge the shards, estimate. The
+    oracle is the from-scratch single-pass estimate over all data —
+    hash equality proves k-smallest-of-union == k-smallest of merged
+    per-shard k-smallests, the algebra every distributed sketch
+    rollup relies on."""
+    from ..operators.sketches import kmv_merge_estimate, kmv_sketch
+
+    ev = table(spark, sf_dir, "events")
+    halves = ev.withColumn("_half", (F.col("event_id") % 2).cast("int"))
+    shard_sketches = None
+    for h in (0, 1):
+        s = kmv_sketch(
+            halves.filter(F.col("_half") == h), "event_type", "user_id", k=64
+        )
+        shard_sketches = s if shard_sketches is None else shard_sketches.unionByName(s)
+    return kmv_merge_estimate(shard_sketches, "event_type", k=64)
+
+
+KMV_MERGE_SQL = """
+WITH hashes AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+), topk AS (
+  SELECT event_type, h, rn FROM ranked WHERE rn <= 64
+), agg AS (
+  SELECT event_type, max(rn) AS n_seen, max(h) AS kth FROM topk GROUP BY event_type
+)
+SELECT event_type,
+       n_seen::BIGINT AS n_seen,
+       round(CASE WHEN n_seen < 64 THEN n_seen::DOUBLE
+                  ELSE 63.0 / (kth::DOUBLE / 1152921504606846976.0) END, 4) AS est_distinct
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff (sources/io.py::snapshot_diff)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style reconciliation of two order-table snapshots: every
+    13th order deleted, every 7th repriced, a synthetic range added —
+    each key classified added/removed/changed/unchanged via
+    engine-exact row hashes."""
+    from ..sources.io import snapshot_diff
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    ok = F.col("o_orderkey")
+    new = (
+        orders.filter(ok % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(ok % 7 == 0, F.round(F.col("o_totalprice") * 2, 2)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            orders.filter(ok % 11 == 0).select(
+                (ok + 90000000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    return snapshot_diff(orders, new, ["o_orderkey"]).filter(
+        F.col("status") != "unchanged"
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old_t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+), new_t AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 2, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey + 90000000, o_custkey, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+), oh AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(1),
+             coalesce(o_custkey::VARCHAR, chr(0) || 'null'),
+             coalesce(o_orderstatus, chr(0) || 'null'),
+             coalesce(o_totalprice::VARCHAR, chr(0) || 'null'))) AS old_hash
+  FROM old_t
+), nh AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(1),
+             coalesce(o_custkey::VARCHAR, chr(0) || 'null'),
+             coalesce(o_orderstatus, chr(0) || 'null'),
+             coalesce(o_totalprice::VARCHAR, chr(0) || 'null'))) AS new_hash
+  FROM new_t
+), j AS (
+  SELECT coalesce(oh.o_orderkey, nh.o_orderkey) AS o_orderkey, old_hash, new_hash
+  FROM oh FULL OUTER JOIN nh ON oh.o_orderkey = nh.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       old_hash, new_hash
+FROM j
+WHERE (CASE WHEN old_hash IS NULL THEN 'added'
+            WHEN new_hash IS NULL THEN 'removed'
+            WHEN old_hash <> new_hash THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+"""

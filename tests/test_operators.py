@@ -96,3 +96,50 @@ def test_interval_join_binned_matches_theta(spark):
             if s <= p <= e:
                 want.add((pid, iid))
     assert got == want
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    from joblink_etl_spark.sources.io import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "d", 40.0)],
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", 20.0),        # NULL -> value: changed (null-sentinel hash)
+         (3, None, 30.0),       # unchanged with a NULL field
+         (5, "e", 50.0)],       # added; 4 removed
+        "k BIGINT, s STRING, v DOUBLE",
+    )
+    got = {r["k"]: r["status"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    from joblink_etl_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("g", i % 300) for i in range(1500)] + [("h", i % 20) for i in range(60)],
+        "grp STRING, uid BIGINT",
+    )
+    parts = None
+    for m in range(3):  # three shards
+        s = kmv_sketch(df.filter(F.col("uid") % 3 == m), "grp", "uid", k=64)
+        parts = s if parts is None else parts.unionByName(s)
+    merged = {
+        r["grp"]: (r["n_seen"], r["est_distinct"])
+        for r in kmv_merge_estimate(parts, "grp", k=64).collect()
+    }
+    direct = {
+        r["grp"]: (r["n_seen"], r["est_distinct"])
+        for r in kmv_distinct(df, "grp", "uid", k=64).collect()
+    }
+    assert merged == direct
+    assert direct["h"] == (20, 20.0)
