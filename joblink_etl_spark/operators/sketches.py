@@ -327,3 +327,120 @@ def kmv_merge_estimate(
         F.lit(float(k - 1)) / (F.col("kth").cast("double") / F.lit(HASH_SPACE))
     )
     return agg.select(group_col, "n_seen", F.round(est, 4).alias("est_distinct"))
+
+
+def hll_registers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """HyperLogLog register state per group, engine-exact.
+
+    Bucket = h % m; rank = leading-zero count of the remaining
+    54-bit word + 1, computed as 55 - bitlength(w) (bitlength via
+    the binary-string length — identical in Spark ``bin()`` and
+    DuckDB ``format('{:b}',…)``; w = 0 ⇒ rank 55). Registers are
+    max-merged — the HLL algebra. Returns one row per (group,
+    bucket) with the register value; fully deterministic.
+    """
+    base = df.select(
+        F.col(group_col), md5_int(F.col(value_col).cast("string")).alias("_h")
+    )
+    # integer div — a double round-trip above 2^53 drops low bits
+    w = F.expr(f"_h div {m}")
+    rank = F.when(w > 0, F.lit(55) - F.length(F.bin(w))).otherwise(F.lit(55))
+    return (
+        base.select(
+            F.col(group_col),
+            (F.col("_h") % m).cast("int").alias("bucket"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Raw HLL estimate from register state, via EXACT integer
+    sufficient statistics: Σ 2^(-M_j) scaled by 2^55 is an exact
+    bigint (M_j <= 55), empty buckets contribute 2^55 each. The only
+    float op is ONE multiply+divide at the end (IEEE-identical
+    across engines), so the driver can hash-check an HLL — the
+    ln-based small/large-range corrections are deliberately left to
+    the consumer (they would put libm's ln in the hash path).
+    Output: (group, n_buckets_used, inv_sum_scaled, est_distinct)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    full = F.lit(1 << 55).cast("bigint")
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_buckets_used"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 55 - register)"))
+        .cast("bigint")
+        .alias("used_inv"),
+    )
+    inv_scaled = F.col("used_inv") + (F.lit(m) - F.col("n_buckets_used")) * full
+    est = (
+        F.lit(alpha * m * m) * full.cast("double") / inv_scaled.cast("double")
+    )
+    return agg.select(
+        group_col,
+        "n_buckets_used",
+        inv_scaled.alias("inv_sum_scaled"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch set-operation estimates from two KMV sketches:
+    distinct-union, distinct-intersection, and Jaccard — the
+    audience-overlap question answered from two k-long sketches
+    instead of a distinct-join over the raw data.
+
+    theta = the k-th smallest hash of the sketch union; every
+    common hash below theta is a uniform sample of the
+    intersection at rate theta/2^60, so
+    est_inter = |common below theta| * 2^60 / theta. One row out;
+    single IEEE divisions only — engine-exact."""
+    ha = df_a.select(md5_int(F.col(value_col).cast("string")).alias("h")).distinct()
+    hb = df_b.select(md5_int(F.col(value_col).cast("string")).alias("h")).distinct()
+    top = lambda d: d.orderBy("h").limit(k)
+    sa, sb = top(ha), top(hb)
+    union_k = top(sa.unionByName(sb).distinct())
+    theta = union_k.agg(F.max("h").alias("theta"), F.count(F.lit(1)).alias("n_u"))
+    common = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est_union = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / (F.col("theta").cast("double") / F.lit(HASH_SPACE)))
+    scale = F.when(F.col("n_u") < k, F.lit(1.0)).otherwise(
+        F.lit(HASH_SPACE) / F.col("theta").cast("double")
+    )
+    return (
+        theta.crossJoin(F.broadcast(common))
+        .select(
+            F.col("n_u").cast("bigint").alias("union_sample"),
+            F.col("n_common").cast("bigint").alias("common_sample"),
+            F.round(est_union, 4).alias("est_union"),
+            F.round(F.col("n_common").cast("double") * scale, 4).alias("est_intersection"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.when(
+                F.col("est_union") > 0,
+                F.round(F.col("est_intersection") / F.col("est_union"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -139,6 +139,8 @@ register("fuzzy_key_join", E.fuzzy_key_join_q, E.FUZZY_KEY_JOIN_SQL)
 register("interval_join", E.interval_join_q, E.INTERVAL_JOIN_SQL)
 register("kmv_merge", E.kmv_merge_q, E.KMV_MERGE_SQL)
 register("snapshot_diff", E.snapshot_diff_q, E.SNAPSHOT_DIFF_SQL)
+register("hll_user_counts", E.hll_user_counts_q, E.HLL_USER_COUNTS_SQL)
+register("kmv_overlap", E.kmv_overlap_q, E.KMV_OVERLAP_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

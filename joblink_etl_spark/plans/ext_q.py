@@ -3643,3 +3643,92 @@ WHERE (CASE WHEN old_hash IS NULL THEN 'added'
             WHEN old_hash <> new_hash THEN 'changed'
             ELSE 'unchanged' END) <> 'unchanged'
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog + theta-sketch overlap (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def hll_user_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per event_type, driver-hash-checkable: register
+    state and the raw estimate derive from EXACT integer sufficient
+    statistics (sum of 2^(55-register) as a bigint) with one IEEE
+    multiply+divide at the end — no libm in the hash path (the
+    ln-based range corrections are the consumer's, documented)."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    ev = table(spark, sf_dir, "events")
+    return hll_estimate(hll_registers(ev, "event_type", "user_id", m=64), "event_type", m=64)
+
+
+HLL_USER_COUNTS_SQL = """
+WITH base AS (
+  SELECT event_type, ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events
+), reg AS (
+  SELECT event_type, (h % 64)::INT AS bucket,
+         max(CASE WHEN h // 64 > 0 THEN 55 - length(format('{:b}', h // 64))
+                  ELSE 55 END)::INT AS register
+  FROM base GROUP BY event_type, h % 64
+), agg AS (
+  SELECT event_type, count(*) AS n_buckets_used,
+         sum(1::BIGINT << (55 - register))::BIGINT AS used_inv
+  FROM reg GROUP BY event_type
+)
+SELECT event_type,
+       n_buckets_used::BIGINT AS n_buckets_used,
+       (used_inv + (64 - n_buckets_used) * (1::BIGINT << 55))::BIGINT AS inv_sum_scaled,
+       round(2905.460551022604 * (1::BIGINT << 55)::DOUBLE
+             / (used_inv + (64 - n_buckets_used) * (1::BIGINT << 55))::DOUBLE,
+             4) AS est_distinct
+FROM agg
+"""
+
+
+def kmv_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap from two KMV sketches (theta-sketch set
+    algebra): distinct click-users vs distinct view-users — union,
+    intersection, and Jaccard estimated from two 64-hash sketches
+    instead of a distinct-join over the raw stream."""
+    from ..operators.sketches import kmv_overlap
+
+    ev = table(spark, sf_dir, "events")
+    return kmv_overlap(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        "user_id",
+        k=64,
+    )
+
+
+KMV_OVERLAP_SQL = """
+WITH ha AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'click'
+), hb AS (
+  SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE event_type = 'view'
+), sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+u AS (
+  SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+  ORDER BY h LIMIT 64
+), th AS (SELECT max(h) AS theta, count(*) AS n_u FROM u),
+cm AS (
+  SELECT count(*) AS n_common
+  FROM sa JOIN sb USING (h), th WHERE sa.h <= th.theta
+), raw AS (
+  SELECT n_u::BIGINT AS union_sample,
+         n_common::BIGINT AS common_sample,
+         round(CASE WHEN n_u < 64 THEN n_u::DOUBLE
+               ELSE 63.0 / (theta::DOUBLE / 1152921504606846976.0) END, 4) AS est_union,
+         round(CASE WHEN n_u < 64 THEN n_common::DOUBLE
+               ELSE n_common::DOUBLE * (1152921504606846976.0 / theta::DOUBLE) END, 4) AS est_intersection
+  FROM th, cm
+)
+SELECT union_sample, common_sample, est_union, est_intersection,
+       CASE WHEN est_union > 0 THEN round(est_intersection / est_union, 4)
+            ELSE 0.0 END AS jaccard_est
+FROM raw
+"""

@@ -143,3 +143,38 @@ def test_kmv_merge_equals_direct_build(spark):
     }
     assert merged == direct
     assert direct["h"] == (20, 20.0)
+
+
+def test_hll_estimate_accuracy_bands(spark):
+    """Raw HLL (m=64, no range corrections): within the ~13%
+    1.04/sqrt(m) band for mid-range cardinalities, and register
+    state merges by max (the HLL algebra)."""
+    from joblink_etl_spark.operators.sketches import hll_estimate, hll_registers
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("g", i) for i in range(4000)], "grp STRING, uid BIGINT")
+    est = hll_estimate(hll_registers(df, "grp", "uid"), "grp").collect()[0]["est_distinct"]
+    assert 4000 * 0.7 < est < 4000 * 1.3
+    # mergeability: max-merge of two halves' registers == full build
+    r_full = hll_registers(df, "grp", "uid")
+    halves = None
+    for m in (0, 1):
+        r = hll_registers(df.filter(F.col("uid") % 2 == m), "grp", "uid")
+        halves = r if halves is None else halves.unionByName(r)
+    merged = halves.groupBy("grp", "bucket").agg(F.max("register").alias("register"))
+    a = {(r["bucket"], r["register"]) for r in r_full.collect()}
+    b = {(r["bucket"], r["register"]) for r in merged.collect()}
+    assert a == b
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """When the union fits in the sketch, the overlap numbers are
+    EXACT (theta sampling never kicks in)."""
+    from joblink_etl_spark.operators.sketches import kmv_overlap
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "uid BIGINT")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "uid BIGINT")
+    r = kmv_overlap(a, b, "uid", k=64).collect()[0]
+    assert r["est_union"] == 50.0
+    assert r["est_intersection"] == 10.0
+    assert r["jaccard_est"] == 0.2
