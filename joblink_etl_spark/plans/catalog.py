@@ -116,7 +116,8 @@ register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 # (repeat_profile, scrub_spans, bpe_pair_counts, bpe_merges,
 # ngram_lm_score, cdc_chunks, dedup_clusters_star, winnowing_pairs,
 # incremental_repeat_spans, scrubbed_corpus, fuzzy_key_join,
-# interval_join, kmv_merge, snapshot_diff, lrs_exact) have
+# interval_join, kmv_merge, snapshot_diff, hll_user_counts,
+# kmv_overlap, lrs_exact) have
 # local-oracle + bench coverage but
 # no driver row yet — rotate them into the 50-query window next
 # round, ceding slots from queries that will then hold 2-round
