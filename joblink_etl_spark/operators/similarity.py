@@ -978,3 +978,57 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(query_col, id_col, "rrf_score", "rank")
     )
+
+
+def embedding_second_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """EXACT whitening/PCA statistics over the embedding corpus: the
+    integer second-moment matrix of the globally-quantized codes.
+
+    Covariance (and thus PCA/whitening transforms) is fully
+    determined by (n, per-dim sums, pairwise product sums). Floats
+    make those sums order-dependent; int8 codes make every entry an
+    exact bigint (|code| <= 127 ⇒ a product is <= 16129, summed over
+    even 10^12 rows stays far under 2^63), so the statistics are
+    engine- and partition-reproducible and the driver can hash-check
+    them. The eigen-solve itself is a tiny d×d driver-side problem
+    downstream — the distributed part is exactly this operator.
+
+    Plan: one broadcast one-row scale agg (quantize_embeddings_global)
+    → scan-side upper-triangle pair explode (d(d+1)/2 structs per
+    vector) → one map-side-combined SUM keyed by (i, j). Output:
+    (i, j, sum_prod, sum_i, sum_j, n) for i <= j.
+    """
+    q = quantize_embeddings_global(df, vec_col).select("q_codes")
+    pair_structs = F.expr(
+        "flatten(transform(q_codes, (vi, i) -> "
+        "transform(sequence(i, size(q_codes) - 1), j -> "
+        "struct(i AS i, j AS j, "
+        "cast(vi AS BIGINT) * cast(element_at(q_codes, j + 1) AS BIGINT) AS p))))"
+    )
+    moments = (
+        q.select(F.explode(pair_structs).alias("s"))
+        .select("s.i", "s.j", "s.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("bigint").alias("sum_prod"))
+    )
+    sums = (
+        q.select(F.posexplode("q_codes").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").cast("bigint").alias("dim_sum"))
+    )
+    n = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        moments.join(sums.withColumnRenamed("dim_sum", "sum_i"), "i")
+        .join(
+            sums.withColumnRenamed("dim_sum", "sum_j").withColumnRenamed("i", "j"), "j"
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            "sum_prod",
+            "sum_i",
+            "sum_j",
+            "n",
+        )
+    )

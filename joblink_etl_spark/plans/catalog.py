@@ -117,7 +117,7 @@ register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 # ngram_lm_score, cdc_chunks, dedup_clusters_star, winnowing_pairs,
 # incremental_repeat_spans, scrubbed_corpus, fuzzy_key_join,
 # interval_join, kmv_merge, snapshot_diff, hll_user_counts,
-# kmv_overlap, lrs_exact) have
+# kmv_overlap, embedding_moments, lrs_exact) have
 # local-oracle + bench coverage but
 # no driver row yet — rotate them into the 50-query window next
 # round, ceding slots from queries that will then hold 2-round
@@ -142,6 +142,7 @@ register("kmv_merge", E.kmv_merge_q, E.KMV_MERGE_SQL)
 register("snapshot_diff", E.snapshot_diff_q, E.SNAPSHOT_DIFF_SQL)
 register("hll_user_counts", E.hll_user_counts_q, E.HLL_USER_COUNTS_SQL)
 register("kmv_overlap", E.kmv_overlap_q, E.KMV_OVERLAP_SQL)
+register("embedding_moments", E.embedding_moments_q, E.EMBEDDING_MOMENTS_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

@@ -3732,3 +3732,51 @@ SELECT union_sample, common_sample, est_union, est_intersection,
             ELSE 0.0 END AS jaccard_est
 FROM raw
 """
+
+
+# ---------------------------------------------------------------------------
+# exact whitening statistics (similarity.py::embedding_second_moments)
+# ---------------------------------------------------------------------------
+
+
+def embedding_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact covariance sufficient statistics over the
+    embedding corpus — the distributed half of PCA/whitening; every
+    cell a bigint, driver-hash-checkable."""
+    from ..operators.similarity import embedding_second_moments
+
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    return embedding_second_moments(emb)
+
+
+EMBEDDING_MOMENTS_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), g AS (
+  SELECT CASE WHEN max(list_max(list_transform(e, x -> abs(x)))) > 0
+              THEN max(list_max(list_transform(e, x -> abs(x)))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM base
+), v AS (
+  SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes
+  FROM base, g
+), pairs AS (
+  SELECT t1.i, t2.j,
+         sum(codes[t1.i + 1]::BIGINT * codes[t2.j + 1]::BIGINT)::BIGINT AS sum_prod
+  FROM v,
+       unnest(range(0, len(codes))) AS t1(i),
+       unnest(range(t1.i, len(codes))) AS t2(j)
+  GROUP BY t1.i, t2.j
+), sums AS (
+  SELECT t.i, sum(codes[t.i + 1])::BIGINT AS dim_sum
+  FROM v, unnest(range(0, len(codes))) AS t(i)
+  GROUP BY t.i
+), nn AS (
+  SELECT count(*) AS n FROM v
+)
+SELECT p.i::BIGINT AS i, p.j::BIGINT AS j, p.sum_prod,
+       si.dim_sum AS sum_i, sj.dim_sum AS sum_j, nn.n::BIGINT AS n
+FROM pairs p
+JOIN sums si ON si.i = p.i
+JOIN sums sj ON sj.i = p.j, nn
+"""

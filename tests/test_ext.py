@@ -833,3 +833,32 @@ def test_time_weighted_avg_exact_intervals(spark, tmp_path):
     r = time_weighted_avg(spark, str(tmp_path)).first()
     assert r["n_intervals"] == 2
     assert r["twap"] == 12.5  # (10*30 + 20*10) / 40
+
+
+def test_embedding_moments_match_numpy(spark, sf_dir):
+    """The exact integer sufficient statistics reproduce numpy's
+    covariance bit-for-bit when assembled (cov = (S - n·mean·meanᵀ)
+    over the same int codes)."""
+    import numpy as np
+
+    from joblink_etl_spark.operators.similarity import (
+        embedding_second_moments,
+        quantize_embeddings_global,
+    )
+    from joblink_etl_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes = np.array(
+        [r["q_codes"] for r in quantize_embeddings_global(emb).select("q_codes").collect()],
+        dtype=np.int64,
+    )
+    rows = embedding_second_moments(emb).collect()
+    n = rows[0]["n"]
+    assert n == codes.shape[0]
+    S = np.zeros((codes.shape[1], codes.shape[1]), dtype=np.int64)
+    for r in rows:
+        S[r["i"], r["j"]] = r["sum_prod"]
+        S[r["j"], r["i"]] = r["sum_prod"]
+    assert np.array_equal(S, codes.T @ codes)
+    sums = {r["i"]: r["sum_i"] for r in rows if r["i"] == r["j"]}
+    assert all(sums[i] == codes[:, i].sum() for i in sums)
