@@ -143,6 +143,7 @@ register("snapshot_diff", E.snapshot_diff_q, E.SNAPSHOT_DIFF_SQL)
 register("hll_user_counts", E.hll_user_counts_q, E.HLL_USER_COUNTS_SQL)
 register("kmv_overlap", E.kmv_overlap_q, E.KMV_OVERLAP_SQL)
 register("embedding_moments", E.embedding_moments_q, E.EMBEDDING_MOMENTS_SQL)
+register("user_value_trend", EV.user_value_trend, EV.USER_VALUE_TREND_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

@@ -691,3 +691,69 @@ SELECT event_type, event_id, value, cdf FROM (
   FROM events
 ) WHERE event_id % 101 = 0
 """
+
+
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS value trend (cents per hour) via EXACT integer
+    moments — the closed-form least-squares slope computed the only
+    way two engines can agree on it bit-for-bit.
+
+    x = seconds since the user's own first event (recentring keeps
+    every product within bigint range: x <= ~2.6e6 for a month,
+    y cents <= ~1e7, n per user bounded), y = integer cents. The
+    five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are exact
+    bigints — order-independent — and slope/intercept are single
+    IEEE divisions at the end:
+      slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²),
+    reported as cents/hour (×3600), round 4. Users with < 3 events
+    or a degenerate x-spread are filtered (both engines identically).
+    Scale: one window for the per-user recentring, one
+    map-side-combined agg — no driver math beyond the plan."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    x = (F.col("ts").cast("long") - F.min(F.col("ts").cast("long")).over(w)).cast(
+        "bigint"
+    )
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = ev.select(F.col("user_id"), x.alias("x"), y.alias("y"))
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_cph = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / denom.cast("double")
+        * F.lit(3600.0)
+    )
+    return (
+        agg.filter((F.col("n") >= 3) & (denom > 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(slope_cph, 4).alias("slope_cents_per_hour"),
+        )
+    )
+
+
+USER_VALUE_TREND_SQL = """
+WITH base AS (
+  SELECT user_id,
+         ((epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id)) AS x,
+         floor(value * 100 + 0.5)::BIGINT AS y
+  FROM events
+), agg AS (
+  SELECT user_id, count(*) AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM base GROUP BY user_id
+)
+SELECT user_id, n::BIGINT AS n,
+       round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE * 3600.0,
+             4) AS slope_cents_per_hour
+FROM agg
+WHERE n >= 3 AND (n * sxx - sx * sx) > 0
+"""

@@ -636,3 +636,51 @@ def streaming_kmv(
     return hashed.groupBy("g").applyInPandasWithState(
         sketch, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cms(
+    events: DataFrame,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Custom stateful operator: a STREAMING count-min sketch. Each
+    value increments its depth bucket counters, carried across
+    micro-batches as one long per touched (seed, pos) cell — at most
+    depth × width state entries no matter how much data streams by.
+    Every batch emits the touched cells' refreshed counts, so the
+    sink's max per cell IS the sketch; counts are monotone, and a
+    full drain equals cms_build over the same history exactly (the
+    CMS is a sum — order-free). Pinned by a multi-batch equivalence
+    test that also round-trips cms_estimate over the drained sketch."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sketches import _cms_pos
+
+    out_schema = StructType(
+        [
+            StructField("seed", IntegerType()),
+            StructField("pos", IntegerType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("cnt", LongType())])
+
+    def bump(key, pdf_iter, state: GroupState):
+        cnt = state.get[0] if state.exists else 0
+        add = sum(len(pdf) for pdf in pdf_iter)
+        cnt += int(add)
+        state.update((cnt,))
+        yield pd.DataFrame({"seed": [key[0]], "pos": [key[1]], "cnt": [cnt]})
+
+    cells = events.select(
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed"),
+        F.col(key_col).cast("string").alias("key"),
+    ).select(
+        F.col("seed").cast("int"),
+        _cms_pos(F.col("key"), F.col("seed"), width).cast("int").alias("pos"),
+    )
+    return cells.groupBy("seed", "pos").applyInPandasWithState(
+        bump, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

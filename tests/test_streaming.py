@@ -526,3 +526,42 @@ def test_streaming_kmv_matches_batch_sketch(spark, tmp_path):
     assert got == want
     assert got["small"] == (9, 9.0)        # exact below k
     assert got["big"][0] == 64             # sketch saturated
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
+    """Streaming CMS: the drained sink's max count per (seed, pos)
+    cell must equal cms_build over the full history (the sketch is a
+    sum — order-free), and estimates from the reconstructed sketch
+    must match estimates from the batch sketch."""
+    from joblink_etl_spark.operators.sketches import cms_build, cms_estimate
+    from joblink_etl_spark.streaming.pipeline import run_available_now, streaming_cms
+
+    src, sink, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows = [(i % 50,) for i in range(3000)] + [(777,)] * 400
+    ev = spark.createDataFrame(rows, "user_id BIGINT")
+    ev.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_available_now(streaming_cms(stream, "user_id"), sink, ckpt)
+
+    import pyspark.sql.functions as SF
+
+    drained = (
+        spark.read.parquet(sink)
+        .groupBy("seed", "pos")
+        .agg(SF.max("cnt").alias("cnt"))
+    )
+    batch = cms_build(ev, "user_id")
+    a = {(r["seed"], r["pos"]): r["cnt"] for r in drained.collect()}
+    b = {(r["seed"], r["pos"]): r["cnt"] for r in batch.collect()}
+    assert a == b
+    est_s = {
+        r["key"]: r["est"]
+        for r in cms_estimate(drained, ev, "user_id").collect()
+    }
+    est_b = {
+        r["key"]: r["est"]
+        for r in cms_estimate(batch, ev, "user_id").collect()
+    }
+    assert est_s == est_b
+    assert est_s["777"] >= 400  # CMS only ever over-counts
