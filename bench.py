@@ -53,6 +53,12 @@ def main() -> None:
         # run). The drop is outside the timed window — the cache
         # WRITE cost stays inside each query's own time.
         spark.catalog.clearCache()
+        # explicit GC between queries (also outside the timed
+        # window): a ~115-query single-JVM run otherwise accumulates
+        # heap until some unlucky query pays a multi-second
+        # stop-the-world mid-measurement (observed 2-10x per-query
+        # spikes late in long runs)
+        spark.sparkContext._jvm.System.gc()
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
