@@ -117,7 +117,8 @@ register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 # ngram_lm_score, cdc_chunks, dedup_clusters_star, winnowing_pairs,
 # incremental_repeat_spans, scrubbed_corpus, fuzzy_key_join,
 # interval_join, kmv_merge, snapshot_diff, hll_user_counts,
-# kmv_overlap, embedding_moments, lrs_exact) have
+# kmv_overlap, embedding_moments, user_value_trend,
+# event_transitions, weighted_percentiles, lrs_exact) have
 # local-oracle + bench coverage but
 # no driver row yet — rotate them into the 50-query window next
 # round, ceding slots from queries that will then hold 2-round
@@ -144,6 +145,8 @@ register("hll_user_counts", E.hll_user_counts_q, E.HLL_USER_COUNTS_SQL)
 register("kmv_overlap", E.kmv_overlap_q, E.KMV_OVERLAP_SQL)
 register("embedding_moments", E.embedding_moments_q, E.EMBEDDING_MOMENTS_SQL)
 register("user_value_trend", EV.user_value_trend, EV.USER_VALUE_TREND_SQL)
+register("event_transitions", EV.event_transitions, EV.EVENT_TRANSITIONS_SQL)
+register("weighted_percentiles", EV.weighted_percentiles, EV.WEIGHTED_PERCENTILES_SQL)
 # iterative doubling/binary-search algorithm: no single-statement
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)

@@ -757,3 +757,101 @@ SELECT user_id, n::BIGINT AS n,
 FROM agg
 WHERE n >= 3 AND (n * sxx - sx * sx) > 0
 """
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    event-type sequence (lag window, deterministic (ts, event_id)
+    order) with the transition probability as ONE exact-integer
+    division per row — the behavioral-model feature table."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(totals).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), f AS (
+  SELECT from_type, to_type FROM steps WHERE from_type IS NOT NULL
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n FROM f GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n::BIGINT AS n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6) AS p
+FROM counts
+"""
+
+
+def weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of value per event_type (weights
+    synthesized as 1 + user_id % 3): sort by (value, event_id) for a
+    deterministic tie order, running integer weight sums, first row
+    whose doubled cumulative weight reaches the total — no floats
+    until the reported value itself."""
+    ev = table(spark, sf_dir, "events")
+    wgt = (F.lit(1) + F.col("user_id") % 3).cast("bigint")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_cents"),
+        "event_id",
+        wgt.alias("w"),
+    )
+    order = Window.partitionBy("event_type").orderBy("v_cents", "event_id")
+    tot = Window.partitionBy("event_type")
+    ranked = base.withColumn(
+        "cumw", F.sum("w").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("totw", F.sum("w").over(tot))
+    picked = ranked.filter(F.col("cumw") * 2 >= F.col("totw"))
+    first = Window.partitionBy("event_type").orderBy("v_cents", "event_id")
+    return (
+        picked.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            (F.col("v_cents").cast("double") / 100.0).alias("weighted_median"),
+            F.col("totw").alias("total_weight"),
+        )
+    )
+
+
+WEIGHTED_PERCENTILES_SQL = """
+WITH base AS (
+  SELECT event_type,
+         floor(value * 100 + 0.5)::BIGINT AS v_cents,
+         event_id,
+         (1 + user_id % 3)::BIGINT AS w
+  FROM events
+), ranked AS (
+  SELECT event_type, v_cents, event_id, w,
+         sum(w) OVER (PARTITION BY event_type ORDER BY v_cents, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY event_type) AS totw
+  FROM base
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v_cents, event_id) AS rn
+  FROM ranked WHERE cumw * 2 >= totw
+)
+SELECT event_type,
+       v_cents::DOUBLE / 100.0 AS weighted_median,
+       totw::BIGINT AS total_weight
+FROM picked WHERE rn = 1
+"""
