@@ -1,0 +1,108 @@
+"""Distributed graph analytics over candidate-pair edge sets.
+
+PageRank here is the classic damped power iteration, re-expressed for
+the engine's cross-engine-exact style: every per-iteration quantity is
+an integer (rank mass scaled by ``SCALE``), contributions are exact
+``div`` integer divisions, and the damping mix is computed as
+``(15·SCALE) div 100 + (85·Σcontrib) div 100`` — so partial/merged sums
+are order-independent and the driver's DuckDB value-hash check can be
+bit-exact. A float spelling would wobble in the last ulp across
+partition orders (the session_windows lesson).
+
+Scale design: each iteration is ONE keyed shuffle (groupBy dst of the
+contribution sum) plus a broadcast-eligible join back to the node set;
+the edge set never grows. Ranks are 8 bytes/node. Iterations are
+sequential barriers by nature (same as Lloyd's in similarity.py) and
+parallelize linearly within each round. For 100 TB-scale graphs the
+edge DataFrame arrives pre-partitioned by src; persisting edges+degrees
+across rounds (done below) keeps the per-round cost to the contribution
+shuffle only.
+
+The reference has no graph operator — this extends the dedup layer
+(candidate pairs from minhash/LSH are an undirected similarity graph;
+rank identifies hub documents inside boilerplate clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMP_NUM = 85  # damping 0.85 as an exact rational
+DAMP_DEN = 100
+
+
+def symmetrize(pairs: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Undirected candidate pairs -> directed edge list (both ways)."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionAll(rev).distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Integer-exact damped PageRank over a directed edge list.
+
+    ``edges``: (src, dst). Returns (node, rank_scaled, rank) where
+    rank_scaled is the exact bigint fixed-point rank (initial mass
+    ``scale`` per node) and rank is the single final IEEE division
+    rank_scaled / scale (deterministic — one op on exact inputs).
+
+    Dangling nodes: a symmetrized similarity graph has none (every
+    node has out-edges); for general graphs the standard dangling-mass
+    redistribution would add one broadcast scalar per round.
+    """
+    edges = edges.persist()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # contribution an edge carries per round = rank(src) div outdeg(src)
+    esrc = edges.join(deg, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    rank = nodes.withColumn("r", F.lit(scale).cast("long"))
+    base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
+    for _ in range(iters):
+        contrib = (
+            esrc.join(rank, esrc["src"] == rank["node"])
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({DAMP_NUM} * coalesce(csum, 0L)) div {DAMP_DEN}")
+            ).alias("r"),
+        )
+    out = rank.select(
+        F.col("node"),
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )
+    return out
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node (out_degree, in_degree) — one groupBy each, full outer."""
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

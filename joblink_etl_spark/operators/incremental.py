@@ -58,6 +58,33 @@ def merge_partial_aggs(state: DataFrame, delta: DataFrame, keys: list[str]) -> D
     )
 
 
+def join_view_delta(
+    a_old: DataFrame,
+    d_a: DataFrame,
+    b_old: DataFrame,
+    d_b: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view V = A ⋈ B under inserts.
+
+    The delta algebra:  Δ(A ⋈ B) = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+    (insert-only deltas; deletes would subtract symmetric terms).
+    Refresh cost is O(|ΔA|·fanout + |ΔB|·fanout) — the old relations
+    are only ever the PROBE side of a delta-keyed join, never
+    re-joined against each other. At scale A and B live bucketed by
+    the join key, so each delta term is an exchange-free lookup; the
+    deltas themselves are small enough to broadcast.
+
+    Returns the delta rows only; the maintained view is
+    old_view ∪ delta (the caller appends — same contract as
+    merge_partial_aggs)."""
+    return (
+        d_a.join(b_old, key)
+        .unionByName(a_old.join(d_b, key))
+        .unionByName(d_a.join(d_b, key))
+    )
+
+
 def finalize_view(merged: DataFrame, keys: list[str]) -> DataFrame:
     """Read-time projection of the merged state: doubles appear only
     HERE — the stored sum is exact integer cents, so the division is

@@ -248,3 +248,63 @@ def temperature_sample(
         )
         .drop("n_docs", "target_rows")
     )
+
+
+def priority_sample(
+    df,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "pri",
+):
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield-Lund-Thorup): each row draws a deterministic uniform
+    u from its salted md5 hash and gets priority q = w/u; the k
+    highest-priority rows are the sample, and tau (the (k+1)-st
+    priority) yields the unbiased weight estimator max(w, tau).
+
+    Integer-exact spelling: u is an integer in [1, 2^30] and the
+    priority is the bigint (w << 30) div u — floor of the real-valued
+    priority, identical in any engine, so selection order (priority
+    desc, id asc) is bit-stable. est_weight performs the ONE float
+    division at the end (deterministic IEEE on exact inputs).
+
+    Scale: top-(k+1) by priority is TakeOrdered — per-partition heaps
+    merged on the driver, no global sort shuffle; the scan computes
+    w, u, q scan-side. The weighted-without-replacement contract is
+    what a mixture sampler needs when row weights vary by orders of
+    magnitude (doc token counts) and k ≪ N.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    u = (
+        md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        % F.lit(1 << 30)
+    ) + 1
+    pri = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("bigint").alias("weight"),
+        F.expr(f"(CAST({weight_col} AS BIGINT) * {1 << 30})").alias("_wq"),
+    ).withColumn("_u", u).withColumn("priority", F.expr("_wq div _u")).drop("_wq", "_u")
+    top = pri.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
+    w_all = Window.orderBy(F.col("priority").desc(), F.col(id_col))
+    ranked = top.withColumn("_rn", F.row_number().over(w_all))
+    tau = ranked.filter(F.col("_rn") == k + 1).select(
+        F.col("priority").alias("_tau")
+    )
+    return (
+        ranked.filter(F.col("_rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            (
+                F.greatest(F.col("weight") * F.lit(1 << 30), F.col("_tau")).cast(
+                    "double"
+                )
+                / F.lit(float(1 << 30))
+            ).alias("est_weight"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Data selection scoring for training-corpus curation.
+
+Two corpus-level signals that rank raw documents for inclusion:
+
+- dsir_scores: importance ranking in the spirit of DSIR (Xie et al.
+  2023, "Data Selection for Language Models via Importance
+  Resampling"): represent documents by HASHED word features, model
+  target and raw corpora by their feature counts, and score each raw
+  document by a log-likelihood-ratio sum over its features. This
+  engine quantizes the log to the exact integer floor(log2(count+1))
+  (binary length — no libm anywhere), so the per-doc sum is exact
+  bigint arithmetic and cross-engine reproducible; ranking fidelity
+  is the coarse-log tradeoff, the selection mechanics are identical.
+
+- novelty_scores: the fraction of a document's distinct n-grams that
+  occur NOWHERE else in the corpus (document frequency 1) — high
+  novelty = unique content, low = boilerplate. The complement of the
+  repetition/dup-gram signals in textstats.
+
+Scale design: both are two-shuffle pipelines — explode features,
+aggregate per feature (map-side combined), then one join back and a
+per-doc aggregate. The DSIR feature table is bounded by the hash
+bucket count (2^12 rows), broadcast back to the scan; the novelty
+doc-frequency table is gram-keyed and shuffles gram hashes (8 B),
+never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _bound_ngrams, md5_int
+
+N_FEATURE_BUCKETS = 1 << 12
+
+
+def _feature_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, feature) pairs: distinct hashed-unigram buckets per doc."""
+    toks = df.select(
+        F.col(id_col), _bound_ngrams(F.col(text_col), 1).alias("grams")
+    )
+    return toks.select(
+        id_col, F.explode("grams").alias("gram")
+    ).select(id_col, (md5_int(F.col("gram")) % N_FEATURE_BUCKETS).alias("feature"))
+
+
+def _log2_floor(c):
+    """Exact integer floor(log2(x)) for x >= 1: binary length - 1.
+    Shared primitive with the bigram-LM scorer (operators/lmscore.py);
+    DuckDB spells it length(format('{:b}', x)) - 1."""
+    return (F.length(F.bin(c)) - 1).cast("bigint")
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score raw docs by target-likeness: per distinct feature f of
+    the doc, add floor(log2(ct_target(f)+1)) - floor(log2(ct_raw(f)+1)).
+    Returns (id, n_features, score) — higher = more target-like.
+    """
+    raw_f = _feature_buckets(raw, id_col, text_col)
+    tgt_f = _feature_buckets(target, id_col, text_col)
+    raw_ct = raw_f.groupBy("feature").agg(F.count(F.lit(1)).alias("ct_raw"))
+    tgt_ct = tgt_f.groupBy("feature").agg(F.count(F.lit(1)).alias("ct_tgt"))
+    # bucket table is <= 2^12 rows — broadcast it back over the scan
+    lr = (
+        raw_ct.join(tgt_ct, "feature", "full_outer")
+        .select(
+            "feature",
+            (
+                _log2_floor(F.coalesce("ct_tgt", F.lit(0)) + 1)
+                - _log2_floor(F.coalesce("ct_raw", F.lit(0)) + 1)
+            ).alias("llr"),
+        )
+    )
+    doc_feats = raw_f.distinct()
+    return (
+        doc_feats.join(F.broadcast(lr), "feature", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.sum(F.coalesce("llr", F.lit(0))).cast("bigint").alias("score"),
+        )
+    )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, n_unique, novelty): distinct word n-grams per
+    doc, how many have corpus-wide document frequency 1, and their
+    ratio (one deterministic IEEE division per doc)."""
+    grams = docs.select(
+        F.col(id_col), _bound_ngrams(F.col(text_col), n).alias("grams")
+    ).select(id_col, F.explode("grams").alias("gram"))
+    # gram hashes travel, not strings; df via one map-side-combined agg
+    pairs = grams.select(id_col, md5_int(F.col("gram")).alias("g")).distinct()
+    df_ct = pairs.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        pairs.join(df_ct, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("bigint").alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_grams").cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -1032,3 +1032,81 @@ def embedding_second_moments(df: DataFrame, vec_col: str = "embedding") -> DataF
             "n",
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_every: int = 25,
+    iters: int = 1,
+    k_cap: int = 100,
+    eps_num: int = 95,
+    eps_den: int = 100,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings, then pruning within-cluster near-
+    duplicates — pairwise comparisons happen ONLY inside a cluster,
+    turning the O(N²) semantic-dup scan into Σ O(cell²).
+
+    Engine-exact spelling: vectors are globally-scale-quantized
+    (quantize_embeddings_global) so the k-means step is the bit-exact
+    integer Lloyd's of kmeans_codes, and the within-cluster cosine
+    test is an exact integer cross-multiplication —
+        dot > 0  AND  dot² · eps_den² ≥ eps_num² · |a|² · |b|²
+    — no sqrt, no float, no partition-order sensitivity. A vector is
+    PRUNED when a more-senior (smaller-id) ε-neighbor exists in its
+    cluster: the keep-one-representative policy of the paper, made
+    deterministic.
+
+    Returns (id, cluster_id, kept). Scale: the codes corpus shuffles
+    once on cluster_id for the self-join; cluster sizes are bounded
+    by k_cap's geometry (K ≈ N/k_every up to k_cap — at 100 TB pick
+    k_cap so N/k_cap rows fit an executor, exactly the IVF cell
+    math)."""
+    codes = quantize_embeddings_global(df, vec_col).select(id_col, "q_codes")
+    clusters = kmeans_codes(
+        codes, k_every=k_every, iters=iters, id_col=id_col, k_cap=k_cap
+    ).select(id_col, "cluster_id")
+    with_c = codes.join(clusters, id_col)
+    a = with_c.select(
+        "cluster_id", F.col(id_col).alias("_ida"), F.col("q_codes").alias("_ca")
+    )
+    b = with_c.select(
+        "cluster_id", F.col(id_col).alias("_idb"), F.col("q_codes").alias("_cb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_ca"), F.col("_cb"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("long") * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dup_pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .withColumn("_dot", dot)
+        .withColumn("_na", sq(F.col("_ca")))
+        .withColumn("_nb", sq(F.col("_cb")))
+        .filter(
+            (F.col("_dot") > 0)
+            & (
+                F.col("_dot") * F.col("_dot") * F.lit(eps_den * eps_den)
+                >= F.lit(eps_num * eps_num) * F.col("_na") * F.col("_nb")
+            )
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        with_c.join(dup_pairs, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -207,3 +207,21 @@ register(
 register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
 register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
 register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)
+
+# --- round-5 additions (registered here until the round-5 window
+# rotation is finalized) -----------------------------------------------
+from . import graph_q as GQ  # noqa: E402
+
+register("pagerank_docs", GQ.pagerank_docs, GQ.PAGERANK_DOCS_SQL)
+register("leakage_split", GQ.leakage_split, GQ.LEAKAGE_SPLIT_SQL)
+
+from . import maint_q as MQ  # noqa: E402
+from . import select_q as SQ  # noqa: E402
+
+register("priority_sample", SQ.priority_sample_q, SQ.PRIORITY_SAMPLE_SQL)
+register("dsir_scores", SQ.dsir_scores_q, SQ.DSIR_SCORES_SQL)
+register("novelty_scores", SQ.novelty_scores_q, SQ.NOVELTY_SCORES_SQL)
+register("semdedup_prune", SQ.semdedup_prune_q, SQ.SEMDEDUP_SQL)
+register("join_view_delta", MQ.join_view_delta_q, MQ.JOIN_VIEW_DELTA_SQL)
+register("cdc_apply", MQ.cdc_apply_q, MQ.CDC_APPLY_SQL)
+register("bloom_semi_join", MQ.bloom_semi_join_q, MQ.BLOOM_SEMI_JOIN_SQL)

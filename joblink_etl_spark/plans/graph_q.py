@@ -1,0 +1,124 @@
+"""Graph analytics queries over the near-duplicate candidate graph.
+
+The minhash-LSH candidate pairs (ext_q.minhash_pairs) form an
+undirected similarity graph; these queries layer classic graph
+operators on it: integer-exact PageRank (hub documents inside
+boilerplate clusters) and leakage-safe train/eval splitting (every
+member of a near-dup cluster lands on the SAME side of the split, so
+eval never sees a near-copy of a training doc — the cluster-aware
+split real training pipelines use to stop contamination-by-near-dup).
+
+Oracles replay both bit-for-bit: PageRank's per-iteration arithmetic
+is all-integer (see operators/graph.py), and the split inherits the
+recursive-CTE transitive closure already proven for dedup_clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import graph as G
+from . import ext_q as E
+
+# ---------------------------------------------------------------------------
+# PageRank over minhash candidate pairs.
+# ---------------------------------------------------------------------------
+
+
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = E.minhash_pairs(spark, sf_dir)
+    edges = G.symmetrize(pairs)
+    return G.pagerank(edges, iters=3)
+
+
+def _pr_iter(prev: str, cur: str) -> str:
+    base = (G.DAMP_DEN - G.DAMP_NUM) * G.SCALE // G.DAMP_DEN
+    return f"""{cur} AS (
+  SELECT n.node,
+         ({base}::BIGINT + (({G.DAMP_NUM} * coalesce(s.csum, 0)) // {G.DAMP_DEN}))::BIGINT AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.r // d.outdeg)::BIGINT AS csum
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+PAGERANK_DOCS_SQL = f"""
+WITH pairs AS ({E.MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, {G.SCALE}::BIGINT AS r FROM nodes),
+{_pr_iter("r0", "r1")},
+{_pr_iter("r1", "r2")},
+{_pr_iter("r2", "r3")}
+SELECT node, r AS rank_scaled, r::DOUBLE / {G.SCALE} AS rank
+FROM r3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/eval split: connected components over the
+# candidate graph; singleton docs are their own cluster; the split is
+# decided ONCE per cluster (md5 of the cluster id) and inherited by
+# every member. 90/10 by hash bucket — deterministic, partitioning-
+# independent, and at scale it's one tiny-pair-graph CC plus a
+# broadcast join of (cluster -> side) back onto the corpus.
+# ---------------------------------------------------------------------------
+
+
+def leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = E._docs_with_neardups(E.table(spark, sf_dir, "documents"))
+    pairs = E.minhash_pairs(spark, sf_dir)
+    comp = D.resolve_duplicates(pairs).select("doc_id", "cluster_id")
+    ids = docs.select("doc_id")
+    labeled = ids.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = F.pmod(
+        D.md5_int(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))),
+        F.lit(10),
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 9, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+
+
+LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS ({E.MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+), corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 FROM documents WHERE doc_id % 4 = 0
+), labeled AS (
+  SELECT c.doc_id, coalesce(comp.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 15))::BIGINT % 10 < 9
+            THEN 'train' ELSE 'eval' END AS split
+FROM labeled
+"""

@@ -1,0 +1,189 @@
+"""Data-selection queries: weighted sampling, importance scoring,
+novelty, and semantic dedup — the "which docs make the training cut"
+layer, each with a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sampling as SA
+from ..operators import select as SEL
+from ..operators import similarity as SIM
+from ..sources import parallelize, table
+from .ext_q import _TOKS
+
+_MD5I = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# ---------------------------------------------------------------------------
+# Priority sampling (weighted, without replacement).
+# ---------------------------------------------------------------------------
+
+
+def priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return SA.priority_sample(docs, "n_chars", k=20, salt="pri")
+
+
+PRIORITY_SAMPLE_SQL = f"""
+WITH pri AS (
+  SELECT doc_id,
+         n_chars::BIGINT AS weight,
+         (n_chars::BIGINT * 1073741824)
+           // (({_MD5I.format(x="'pri:' || doc_id::VARCHAR")} % 1073741824) + 1) AS priority
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM pri
+), tau AS (SELECT priority AS t FROM ranked WHERE rn = 21)
+SELECT doc_id, weight, priority,
+       greatest(weight * 1073741824, t)::DOUBLE / 1073741824 AS est_weight
+FROM ranked, tau
+WHERE rn <= 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scores: target = English docs, raw = the rest.
+# ---------------------------------------------------------------------------
+
+
+def dsir_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    raw = docs.filter((F.col("lang") != "en") | F.col("lang").isNull()).select(
+        "doc_id", "text"
+    )
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    return SEL.dsir_scores(raw, target)
+
+
+_UNIGRAMS = f"unnest(list_distinct({_TOKS}))"
+
+DSIR_SCORES_SQL = f"""
+WITH rawf AS (
+  SELECT doc_id, {_MD5I.format(x='t')} % 4096 AS feature
+  FROM (SELECT doc_id, {_UNIGRAMS} AS t FROM documents WHERE lang <> 'en' OR lang IS NULL)
+), tgtf AS (
+  SELECT doc_id, {_MD5I.format(x='t')} % 4096 AS feature
+  FROM (SELECT doc_id, {_UNIGRAMS} AS t FROM documents WHERE lang = 'en')
+), rawct AS (SELECT feature, count(*) AS ct FROM rawf GROUP BY feature),
+tgtct AS (SELECT feature, count(*) AS ct FROM tgtf GROUP BY feature),
+lr AS (
+  SELECT coalesce(r.feature, t.feature) AS feature,
+         (length(format('{{:b}}', coalesce(t.ct, 0) + 1)) - 1)
+         - (length(format('{{:b}}', coalesce(r.ct, 0) + 1)) - 1) AS llr
+  FROM rawct r FULL OUTER JOIN tgtct t ON r.feature = t.feature
+), docf AS (SELECT DISTINCT doc_id, feature FROM rawf)
+SELECT doc_id, count(*)::BIGINT AS n_features, sum(coalesce(llr, 0))::BIGINT AS score
+FROM docf LEFT JOIN lr USING (feature)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Novelty: fraction of a doc's distinct 3-grams with corpus df = 1.
+# ---------------------------------------------------------------------------
+
+
+def novelty_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return SEL.novelty_scores(docs)
+
+
+NOVELTY_SCORES_SQL = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+  FROM tok
+), pairs AS (
+  SELECT DISTINCT doc_id, {_MD5I.format(x='gram')} AS g FROM grams
+), dfct AS (SELECT g, count(*) AS df FROM pairs GROUP BY g)
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS novelty
+FROM pairs JOIN dfct USING (g)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster embeddings (bit-exact integer k-means, 1 Lloyd
+# iteration, global-scale codes), prune within-cluster ε-neighbors
+# keeping the smallest id. Clones (identical vectors, +10000 ids)
+# are planted so the prune provably fires; the oracle replays the
+# whole chain — quantization, Lloyd's, assignment, the integer
+# cosine cross-multiplication — bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _emb_with_clones(emb: DataFrame) -> DataFrame:
+    base = emb.select("vec_id", "embedding")
+    clones = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return base.unionAll(clones)
+
+
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_clones(parallelize(table(spark, sf_dir, "embeddings")))
+    return SIM.semdedup(emb, k_every=25, iters=1, k_cap=100, eps_num=95, eps_den=100)
+
+
+def _sd_dist(va: str, vb: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, len({va}) + 1), "
+        f"i -> ({va}[i] - {vb}[i])::BIGINT * ({va}[i] - {vb}[i])::BIGINT)))::BIGINT"
+    )
+
+
+def _sd_dot(va: str, vb: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, len({va}) + 1), "
+        f"i -> {va}[i]::BIGINT * {vb}[i]::BIGINT)))::BIGINT"
+    )
+
+
+SEMDEDUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 5 = 0
+),
+gmax AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS g FROM base),
+v AS (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / (CASE WHEN g > 0 THEN g / 127.0 ELSE 1.0 END) + 0.5)::INTEGER) AS codes
+  FROM base, gmax
+),
+c0 AS (SELECT vec_id AS cid, codes FROM v WHERE vec_id % 25 = 0 AND vec_id < 2500),
+a1d AS (SELECT v.vec_id, v.codes, c.cid, {_sd_dist('v.codes', 'c.codes')} AS d2 FROM v, c0 c),
+s1 AS (
+  SELECT vec_id, codes, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM a1d
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, u.i - 1 AS pos, floor(sum(codes[u.i])::DOUBLE / count(*))::INT AS m
+  FROM s1, unnest(range(1, len(codes) + 1)) AS u(i)
+  GROUP BY cid, u.i
+),
+c1 AS (SELECT cid, list(m ORDER BY pos) AS codes FROM m1 GROUP BY cid),
+fd AS (SELECT v.vec_id, v.codes, c.cid, {_sd_dist('v.codes', 'c.codes')} AS d2 FROM v, c1 c),
+sf AS (
+  SELECT vec_id, codes, cid AS cluster_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM fd
+  ) WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM sf a JOIN sf b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_sd_dot('a.codes', 'b.codes')} > 0
+    AND {_sd_dot('a.codes', 'b.codes')} * {_sd_dot('a.codes', 'b.codes')} * 10000
+        >= 9025 * {_sd_dot('a.codes', 'a.codes')} * {_sd_dot('b.codes', 'b.codes')}
+)
+SELECT s.vec_id, s.cluster_id, p.vec_id IS NULL AS kept
+FROM sf s LEFT JOIN pruned p ON p.vec_id = s.vec_id
+"""
