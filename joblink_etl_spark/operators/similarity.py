@@ -1110,3 +1110,91 @@ def semdedup(
             F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rel_w: int = 2,
+    div_w: int = 1,
+    qid_col: str = "qid",
+    did_col: str = "did",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): per
+    query, greedily select k documents maximizing
+        rel_w · rel(q, d) − div_w · max_{s ∈ selected} sim(d, s)
+    — the diversity-aware rerank of a retrieval stack, which plain
+    top-k cannot express (each pick depends on the picks before it).
+
+    Physical design: relevance dots are computed scan-side (codegen'd
+    zip_with/aggregate over the broadcast query set); the greedy loop
+    itself is ONE applyInPandas over qid groups — the candidate set
+    per query is bounded by construction (in production MMR reranks a
+    per-query top-N list from knn_*, so each group is N rows), making
+    per-group local selection the correct distributed shape: one
+    shuffle on qid, then k·N int64 numpy dot-max updates per group.
+    A first cut unrolled the k steps as k joined/windowed stages; the
+    triple self-reference per step grew the logical plan ~3^k and
+    Catalyst analysis alone took longer than the whole pandas path.
+
+    Integer-exact: queries carry `q_codes`, corpus `d_codes` (shared-
+    scale int codes from quantize_embeddings_global); rel and sim are
+    exact int64 dot products, λ the rational rel_w:div_w, ties break
+    on smallest did — bit-stable anywhere, so the DuckDB oracle
+    replays all k greedy steps verbatim.
+
+    Returns (qid, rank, did, score): rank 1 is pure relevance (no
+    selected set yet); later ranks carry the MMR score.
+    """
+    import pandas as pd
+
+    q = queries.select(F.col(qid_col).alias("qid"), F.col("q_codes"))
+    c = corpus.select(F.col(did_col).alias("did"), F.col("d_codes"))
+    dot_qc = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("d_codes"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("rel", dot_qc)
+        .select("qid", "did", "rel", "d_codes")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("did").reset_index(drop=True)
+        codes = np.array(pdf["d_codes"].tolist(), dtype=np.int64)
+        rel = pdf["rel"].to_numpy(dtype=np.int64)
+        dids = pdf["did"].to_numpy(dtype=np.int64)
+        n = len(pdf)
+        picked: list[int] = []
+        scores: list[int] = []
+        max_sim = None
+        for t in range(min(k, n)):
+            if t == 0:
+                step = rel
+            else:
+                step = rel_w * rel - div_w * max_sim
+            step = step.copy()
+            if picked:
+                step[np.array(picked)] = np.iinfo(np.int64).min
+            i = int(np.argmax(step))  # first occurrence = smallest did
+            picked.append(i)
+            scores.append(int(step[i]) if t > 0 else int(rel[i]))
+            sim_to_new = codes @ codes[i]
+            max_sim = sim_to_new if max_sim is None else np.maximum(max_sim, sim_to_new)
+        return pd.DataFrame(
+            {
+                "qid": pdf["qid"].iloc[:1].repeat(len(picked)).to_numpy(),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "did": dids[np.array(picked)],
+                "score": np.array(scores, dtype=np.int64),
+            }
+        )
+
+    return cand.groupBy("qid").applyInPandas(
+        greedy, "qid long, rank int, did long, score long"
+    )

@@ -225,3 +225,4 @@ register("semdedup_prune", SQ.semdedup_prune_q, SQ.SEMDEDUP_SQL)
 register("join_view_delta", MQ.join_view_delta_q, MQ.JOIN_VIEW_DELTA_SQL)
 register("cdc_apply", MQ.cdc_apply_q, MQ.CDC_APPLY_SQL)
 register("bloom_semi_join", MQ.bloom_semi_join_q, MQ.BLOOM_SEMI_JOIN_SQL)
+register("mmr_rerank", SQ.mmr_rerank_q, SQ.MMR_RERANK_SQL)

@@ -187,3 +187,78 @@ pruned AS (
 SELECT s.vec_id, s.cluster_id, p.vec_id IS NULL AS kept
 FROM sf s LEFT JOIN pruned p ON p.vec_id = s.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank: 3 query vectors against the rest of the
+# corpus, k=5 greedy picks, lambda = 2:1 relevance:diversity. The
+# oracle unrolls all five greedy steps (each pick feeds the next
+# step's max-similarity term) over the same shared-scale integer
+# codes — bit-exact, including tie order.
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = SIM.quantize_embeddings_global(
+        parallelize(table(spark, sf_dir, "embeddings"))
+    ).select("vec_id", "q_codes")
+    queries = codes.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "q_codes"
+    )
+    corpus = codes.filter(F.col("vec_id") >= 3).select(
+        F.col("vec_id").alias("did"), F.col("q_codes").alias("d_codes")
+    )
+    return SIM.mmr_rerank(queries, corpus, k=5, rel_w=2, div_w=1)
+
+
+def _mmr_dot(a: str, b: str) -> str:
+    return (
+        f"(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::BIGINT * {b}[i]::BIGINT)))::BIGINT"
+    )
+
+
+def _mmr_sql(k: int = 5, rel_w: int = 2, div_w: int = 1) -> str:
+    ctes = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "gmax AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS g FROM base)",
+        (
+            "v AS (SELECT vec_id, list_transform(e, x -> floor(x / "
+            "(CASE WHEN g > 0 THEN g / 127.0 ELSE 1.0 END) + 0.5)::INTEGER) AS codes "
+            "FROM base, gmax)"
+        ),
+        "q AS (SELECT vec_id AS qid, codes AS qc FROM v WHERE vec_id < 3)",
+        "c AS (SELECT vec_id AS did, codes AS dc FROM v WHERE vec_id >= 3)",
+        f"cand AS (SELECT qid, did, {_mmr_dot('qc', 'dc')} AS rel, dc FROM c, q)",
+        (
+            "s1 AS (SELECT qid, did, rel AS score, 1 AS rank, dc FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rn "
+            "FROM cand) WHERE rn = 1)"
+        ),
+    ]
+    sel_union = "SELECT * FROM s1"
+    for t in range(2, k + 1):
+        ctes.append(f"sel{t - 1} AS ({sel_union})")
+        ctes.append(
+            f"r{t} AS (SELECT cand.* FROM cand WHERE NOT EXISTS "
+            f"(SELECT 1 FROM sel{t - 1} s WHERE s.qid = cand.qid AND s.did = cand.did))"
+        )
+        ctes.append(
+            f"m{t} AS (SELECT r.qid, r.did, max({_mmr_dot('r.dc', 's.dc')}) AS msim "
+            f"FROM r{t} r JOIN sel{t - 1} s ON s.qid = r.qid GROUP BY r.qid, r.did)"
+        )
+        ctes.append(
+            f"s{t} AS (SELECT qid, did, score, {t} AS rank, dc FROM ("
+            f"SELECT r.qid, r.did, {rel_w} * r.rel - {div_w} * m.msim AS score, r.dc, "
+            f"row_number() OVER (PARTITION BY r.qid "
+            f"ORDER BY ({rel_w} * r.rel - {div_w} * m.msim) DESC, r.did) AS rn "
+            f"FROM r{t} r JOIN m{t} m ON m.qid = r.qid AND m.did = r.did) WHERE rn = 1)"
+        )
+        sel_union += f" UNION ALL SELECT * FROM s{t}"
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT qid, rank, did, score FROM ({sel_union})"
+    )
+
+
+MMR_RERANK_SQL = _mmr_sql(5, 2, 1)

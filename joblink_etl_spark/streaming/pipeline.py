@@ -684,3 +684,74 @@ def streaming_cms(
     return cells.groupBy("seed", "pos").applyInPandasWithState(
         bump, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_hll(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    m: int = 64,
+) -> DataFrame:
+    """Custom stateful operator: STREAMING per-key distinct-count via
+    HyperLogLog registers in the state store — m small ints per key,
+    fixed size forever. (bucket, rank) are computed SCAN-SIDE with
+    the exact integer spelling of the batch operator
+    (operators/sketches.hll_registers: rank = 55 - bitlength(h div m)),
+    so the stateful op only max-merges — the HLL algebra — and a full
+    drain equals hll_estimate over the same history bit-for-bit
+    (integer inv_sum_scaled and all; pinned by the equivalence test).
+
+    Completes the streaming sketch family: KMV (k-smallest merge),
+    CMS (counter add), HLL (register max)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import md5_int
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("n_buckets_used", LongType()),
+            StructField("inv_sum_scaled", LongType()),
+            StructField("est_distinct", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("regs", ArrayType(IntegerType()))])
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    full = 1 << 55
+
+    def merge(key, pdf_iter, state: GroupState):
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdf_iter:
+            for b, r in zip(pdf["bucket"], pdf["rank"]):
+                b = int(b)
+                if int(r) > regs[b]:
+                    regs[b] = int(r)
+        state.update((regs,))
+        used = [r for r in regs if r > 0]
+        inv_scaled = sum(1 << (55 - r) for r in used) + (m - len(used)) * full
+        est = alpha * m * m * float(full) / float(inv_scaled)
+        yield pd.DataFrame(
+            {
+                "group": [key[0]],
+                "n_buckets_used": [len(used)],
+                "inv_sum_scaled": [inv_scaled],
+                "est_distinct": [round(est, 4)],
+            }
+        )
+
+    base = events.select(
+        F.col(group_col).cast("string").alias("g"),
+        md5_int(F.col(value_col).cast("string")).alias("_h"),
+    )
+    w = F.expr(f"_h div {m}")
+    rank = F.when(w > 0, F.lit(55) - F.length(F.bin(w))).otherwise(F.lit(55))
+    cells = base.select(
+        "g",
+        (F.col("_h") % m).cast("int").alias("bucket"),
+        rank.cast("int").alias("rank"),
+    )
+    return cells.groupBy("g").applyInPandasWithState(
+        merge, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1,0 +1,228 @@
+"""Unit tests for the round-5 operator families: graph analytics,
+data selection, view maintenance, CDC, bloom join, MMR."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from joblink_etl_spark.operators import graph as G
+from joblink_etl_spark.operators.bloomjoin import bloom_semi_join
+from joblink_etl_spark.operators.cdc import apply_changelog
+from joblink_etl_spark.operators.incremental import join_view_delta
+from joblink_etl_spark.operators.sampling import priority_sample
+from joblink_etl_spark.operators.select import dsir_scores, novelty_scores
+from joblink_etl_spark.operators.similarity import mmr_rerank, semdedup
+
+
+# ---------------------------------------------------------------- graph
+
+def test_pagerank_star_center_dominates(spark):
+    """In a star graph the hub receives mass from every leaf each
+    round — its rank must strictly exceed every leaf's, and leaves
+    are symmetric (identical ranks)."""
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "id_a BIGINT, id_b BIGINT"
+    )
+    pr = G.pagerank(G.symmetrize(pairs), iters=3).collect()
+    ranks = {r["node"]: r["rank_scaled"] for r in pr}
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 6)]
+    assert all(hub > v for v in leaves)
+    assert len(set(leaves)) == 1
+    # fixed-point output is exact integers; float view is one division
+    for r in pr:
+        assert r["rank"] == r["rank_scaled"] / float(G.SCALE)
+
+
+def test_pagerank_mass_roughly_conserved(spark):
+    """Symmetric graph, no dangling nodes: total mass stays within
+    the integer-floor loss bound (each div loses < 1 unit per edge
+    and per node per iteration)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "id_a BIGINT, id_b BIGINT"
+    )
+    pr = G.pagerank(G.symmetrize(pairs), iters=3)
+    total = pr.agg(F.sum("rank_scaled")).collect()[0][0]
+    n = 4
+    assert abs(total - n * G.SCALE) < 1000 * n  # floor losses only
+
+
+def test_pagerank_partitioning_invariant(spark):
+    pairs = spark.createDataFrame(
+        [(i, (i * 7) % 20) for i in range(20) if i != (i * 7) % 20],
+        "id_a BIGINT, id_b BIGINT",
+    )
+    e = G.symmetrize(pairs)
+    a = sorted(map(tuple, G.pagerank(e, iters=2).collect()))
+    b = sorted(map(tuple, G.pagerank(e.repartition(13), iters=2).collect()))
+    assert a == b
+
+
+def test_degree_stats(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src BIGINT, dst BIGINT"
+    )
+    got = {r["node"]: (r["out_degree"], r["in_degree"]) for r in G.degree_stats(edges).collect()}
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+# ------------------------------------------------------------ selection
+
+def test_priority_sample_contract(spark):
+    """k rows out; heavier rows are sampled preferentially (in
+    aggregate); est_weight >= weight; deterministic across
+    partitionings."""
+    rows = [(i, 10 if i < 50 else 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, w BIGINT")
+    s = priority_sample(df, "w", k=10, salt="t")
+    got = s.collect()
+    assert len(got) == 10
+    heavy = sum(1 for r in got if r["weight"] == 1000)
+    assert heavy >= 8  # weight ratio 100:1 → heavy rows dominate
+    assert all(r["est_weight"] >= r["weight"] for r in got)
+    again = priority_sample(df.repartition(7), "w", k=10, salt="t").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_dsir_scores_prefer_targetlike(spark):
+    """Docs sharing the target's vocabulary must outscore docs with
+    raw-only vocabulary."""
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(20)],
+        "doc_id BIGINT, text STRING",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zork quux blorp frotz")]
+        + [(10 + i, "zork quux blorp frotz") for i in range(10)],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r["score"] for r in dsir_scores(raw, target).collect()}
+    assert got[1] > got[2]
+
+
+def test_novelty_scores_boilerplate_vs_unique(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the same boilerplate text appears here twice exactly"),
+            (2, "the same boilerplate text appears here twice exactly"),
+            (3, "completely unique words nobody else ever wrote down"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    got = {r["doc_id"]: r for r in novelty_scores(docs).collect()}
+    assert got[3]["novelty"] == 1.0
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+
+
+def test_semdedup_prunes_planted_clone(spark):
+    """An identical clone (same vector, larger id) must be pruned;
+    its original must be kept."""
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows += [(1000 + i, rows[i][1]) for i in range(0, 10)]  # clones of 0..9
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    got = {r["vec_id"]: r["kept"] for r in semdedup(emb, k_every=10, k_cap=50).collect()}
+    assert all(got[1000 + i] is False for i in range(10))
+    assert all(got[i] is True for i in range(10))
+
+
+# ---------------------------------------------------------- maintenance
+
+def test_join_view_delta_algebra(spark):
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(10)], "k BIGINT, av STRING")
+    b = spark.createDataFrame(
+        [(i % 10, i, i * 1.5) for i in range(30)], "k BIGINT, oid BIGINT, val DOUBLE"
+    )
+    a_old, d_a = a.filter("k % 3 != 0"), a.filter("k % 3 = 0")
+    b_old, d_b = b.filter("oid % 4 != 0"), b.filter("oid % 4 = 0")
+    delta = join_view_delta(a_old, d_a, b_old, d_b, "k")
+    old_view = a_old.join(b_old, "k")
+    incr = sorted(map(tuple, old_view.unionByName(delta).collect()))
+    scratch = sorted(map(tuple, a.join(b, "k").collect()))
+    assert incr == scratch
+
+
+def test_cdc_apply_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "one", 1.0), (2, "two", 2.0), (3, "three", 3.0)],
+        "k BIGINT, name STRING, price DOUBLE",
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, 10, "U", "two-v2", 2.5),   # update
+            (2, 5, "U", "two-old", 2.2),   # superseded by seq 10
+            (3, 7, "D", None, None),       # delete
+            (9, 3, "I", "nine", 9.0),      # insert new key
+        ],
+        "k BIGINT, seq BIGINT, op STRING, name STRING, price DOUBLE",
+    )
+    got = {r["k"]: (r["name"], r["price"]) for r in apply_changelog(base, chg, "k").collect()}
+    assert got == {1: ("one", 1.0), 2: ("two-v2", 2.5), 9: ("nine", 9.0)}
+
+
+def test_cdc_delete_then_reinsert_by_seq(spark):
+    base = spark.createDataFrame([(1, "x")], "k BIGINT, name STRING")
+    chg = spark.createDataFrame(
+        [(1, 1, "D", None), (1, 2, "I", "back")], "k BIGINT, seq BIGINT, op STRING, name STRING"
+    )
+    got = apply_changelog(base, chg, "k").collect()
+    assert [(r["k"], r["name"]) for r in got] == [(1, "back")]
+
+
+def test_bloom_semi_join_equals_plain(spark):
+    fact = spark.createDataFrame([(i, i % 37) for i in range(500)], "rid BIGINT, fk BIGINT")
+    dim = spark.createDataFrame([(3,), (7,), (11,)], "dk BIGINT")
+    got = sorted(map(tuple, bloom_semi_join(fact, dim, "fk", "dk").collect()))
+    want = sorted(
+        map(tuple, fact.join(dim.withColumnRenamed("dk", "fk").distinct(), "fk", "left_semi").collect())
+    )
+    # column order differs (semi join keeps fact schema); compare sets of rows
+    assert {tuple(sorted(r)) for r in got} == {tuple(sorted(r)) for r in want}
+    assert len(got) == len(want) > 0
+
+
+# ------------------------------------------------------------------ mmr
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Query at e1. Candidates: an exact clone of the rank-1 doc and
+    a less-relevant but orthogonal-ish doc. Plain top-2 would take
+    both e1 clones; with diversity weighted 2:1 the second MMR pick
+    must be the diverse doc."""
+    q = spark.createDataFrame([(0, [100, 0, 0, 0])], "qid BIGINT, q_codes ARRAY<INT>")
+    c = spark.createDataFrame(
+        [
+            (1, [100, 0, 0, 0]),
+            (2, [100, 0, 0, 0]),
+            (3, [60, 60, 0, 0]),
+        ],
+        "did BIGINT, d_codes ARRAY<INT>",
+    )
+    got = {r["rank"]: r["did"] for r in mmr_rerank(q, c, k=2, rel_w=1, div_w=2).collect()}
+    assert got[1] == 1
+    assert got[2] == 3
+
+
+def test_mmr_rank1_is_pure_relevance_and_deterministic(spark):
+    import random
+
+    random.seed(3)
+    q = spark.createDataFrame(
+        [(i, [random.randint(-50, 50) for _ in range(6)]) for i in range(2)],
+        "qid BIGINT, q_codes ARRAY<INT>",
+    )
+    c = spark.createDataFrame(
+        [(i, [random.randint(-50, 50) for _ in range(6)]) for i in range(40)],
+        "did BIGINT, d_codes ARRAY<INT>",
+    )
+    a = sorted(map(tuple, mmr_rerank(q, c, k=4).collect()))
+    b = sorted(map(tuple, mmr_rerank(q, c.repartition(9), k=4).collect()))
+    assert a == b
+    # rank-1 = argmax dot
+    rows = {(r[0], r[1]): r for r in a}
+    qc = {r["qid"]: r["q_codes"] for r in q.collect()}
+    cc = {r["did"]: r["d_codes"] for r in c.collect()}
+    for qid in qc:
+        best = max(cc, key=lambda d: (sum(x * y for x, y in zip(qc[qid], cc[d])), -d))
+        assert rows[(qid, 1)][2] == best

@@ -565,3 +565,43 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path):
     }
     assert est_s == est_b
     assert est_s["777"] >= 400  # CMS only ever over-counts
+
+
+def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
+    """Streaming HLL: after draining, the LAST emission per key (max
+    n_buckets_used / min inv_sum_scaled — registers only grow) must
+    equal the batch hll_estimate(hll_registers(...)) exactly,
+    including the integer sufficient statistic."""
+    from joblink_etl_spark.operators.sketches import hll_estimate, hll_registers
+    from joblink_etl_spark.streaming.pipeline import run_available_now, streaming_hll
+
+    src, sink, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows = [("big", i % 700) for i in range(2500)] + [("small", i % 5) for i in range(80)]
+    ev = spark.createDataFrame(rows, "event_type STRING, user_id BIGINT")
+    ev.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_available_now(streaming_hll(stream, m=64), sink, ckpt)
+
+    import pyspark.sql.functions as SF
+
+    got_df = spark.read.parquet(sink)
+    # registers only grow → inv_sum_scaled only shrinks; last = min
+    last = got_df.groupBy("group").agg(
+        SF.min(SF.struct("inv_sum_scaled", "n_buckets_used", "est_distinct")).alias("s")
+    )
+    got = {
+        r["group"]: (r["s"]["n_buckets_used"], r["s"]["inv_sum_scaled"], r["s"]["est_distinct"])
+        for r in last.collect()
+    }
+    want = {
+        r["event_type"]: (r["n_buckets_used"], r["inv_sum_scaled"], r["est_distinct"])
+        for r in hll_estimate(
+            hll_registers(ev, "event_type", "user_id", m=64), "event_type", m=64
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][2] - want[k][2]) < 1e-6
