@@ -1,14 +1,21 @@
 """Registers every query plan with the registry.
 
 ORDERING MATTERS: the driver's correctness gate checks the first 50
-registered queries. Rotation policy (round 4): queries holding a 2-3
-round green streak cede their slots to the 21 round-3 additions that
-have never had a driver row (VERDICT r3 item #2) — their streak is
-the durable record, and every §2 operator they covered keeps either
-an in-window sibling row or that multi-round record. Nothing without
-a green streak is rotated out (the one exception, tumbling_counts,
-is the judge's own keep-one-of-two call vs sliding_avg). Everything
-past the cap stays fully checked by tools/oracle_check.py + pytest.
+registered queries. Rotation policy (same as rounds 3→4→5): queries
+holding a multi-round green driver streak cede their slots — the
+streak is the durable record — to queries that have never had a
+driver row; additionally a single-green query may cede its slot when
+its operator re-runs verbatim inside an in-window sibling (noted
+inline). Nothing leaves the window without either a streak or a
+covering sibling, and EVERYTHING (in-window or not) stays fully
+checked by tools/oracle_check.py + pytest every round.
+
+Round-5 window: the 21 round-4 additions (first driver rows) + the
+10 round-5 additions + the 7 single-green round-4 rows + the
+12 round-3-rotation rows whose operators have no in-window sibling.
+Ceded: the four §2 anchors + writeback (3-4 round streaks), the
+events set (2-round streaks), the round-3 singles (2-round streaks),
+and six sibling-covered single-green rows.
 """
 
 from __future__ import annotations
@@ -17,112 +24,14 @@ from . import relational as R
 from . import scalar as S
 from .registry import register
 
-# --- §2 coverage anchors: the four widest-coverage composite rows ----
-# (§2.8 cascade, enqueue J2/A2/O1/P7/S2/S5, fetch S7-S11/J5/U4/U5/§2.9,
-# notes P8/S15/S18/J3/U3/F19)
 from . import pipeline_q as PQ  # noqa: E402
-
-register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
-register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
-register("fetch_cascade", PQ.fetch_cascade, PQ.FETCH_CASCADE_SQL)
-register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
-# S13 write-back: the incremental (partition-scoped MERGE) spelling is
-# the superset; writeback_merge holds a 3-round streak past the cap.
-register("writeback_incremental", PQ.writeback_incremental, PQ.WRITEBACK_INCREMENTAL_SQL)
-
-# --- event-time windows + streaming batch-equivalence (SURVEY §2.10) --
-# First driver rows were round 3 (single green, no streak) — all stay.
-# session_windows was r3's one red (order-dependent float sum): fixed
-# this round (integer cents), must re-check.
 from . import events_q as EV  # noqa: E402
-
-register("sliding_avg", EV.sliding_avg, EV.SLIDING_AVG_SQL)
-register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
-register("event_dedup", EV.event_dedup, EV.EVENT_DEDUP_SQL)
-register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)
-register("event_attribution", EV.event_attribution, EV.EVENT_ATTRIBUTION_SQL)
-register("value_percentiles", EV.value_percentiles, EV.VALUE_PERCENTILES_SQL)
-register("user_event_matrix", EV.user_event_matrix, EV.USER_EVENT_MATRIX_SQL)
-register("conversion_funnel", EV.conversion_funnel, EV.CONVERSION_FUNNEL_SQL)
-register("user_activity_scd2", EV.user_activity_scd2, EV.USER_ACTIVITY_SCD2_SQL)
-register("throttled_links", EV.throttled_links_q, EV.THROTTLED_LINKS_SQL)
-register("stream_interval_join", EV.stream_interval_join_q, EV.STREAM_INTERVAL_JOIN_SQL)
-
-# --- single-green round-3 rows (no streak yet — stay in window) -------
 from . import ext_q as E  # noqa: E402
+from . import graph_q as GQ  # noqa: E402
+from . import maint_q as MQ  # noqa: E402
+from . import select_q as SQ  # noqa: E402
 
-register("exact_dedup_salted", E.exact_dedup_salted, E.EXACT_DEDUP_SALTED_SQL)
-register("repeated_spans", E.repeated_spans_q, E.REPEATED_SPANS_SQL)
-register("kmeans_clusters", E.kmeans_clusters_q, E.KMEANS_CLUSTERS_SQL)
-register("bloom_decontam", E.bloom_decontam_q, E.BLOOM_DECONTAM_SQL)
-register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
-# round-4 suffix-fidelity substring dedup (VERDICT r3 item #7):
-# unit-repeat span verification — the driver-hash face of the
-# operators/suffix.py layer (tfidf_pairs ceded this slot; its tfidf
-# core re-runs inside in-window tfidf_top_terms).
-register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
-register("training_corpus", E.training_corpus_q, E.TRAINING_CORPUS_SQL)
-register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
-register("zorder_key", R.zorder_key_q, R.ZORDER_KEY_SQL)
-
-# --- round-3 additions rotating IN for their first driver rows --------
-# (VERDICT r3 item #2: all 20 pass the local oracle replica 93/93)
-register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
-register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)
-register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
-register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
-register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
-register("hard_negatives", E.hard_negatives_q, E.HARD_NEGATIVES_SQL)
-# mv_incremental's oracle is the from-scratch aggregation: the driver
-# hash-checks the algebraic merge property itself (now exact bigint
-# cents end-to-end — the r4 ADVICE medium)
-register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
-register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
-register("knn_ivfpq", E.knn_ivfpq_q, E.KNN_IVFPQ_SQL)
-register("temperature_mixture", E.temperature_mixture_q, E.TEMPERATURE_MIXTURE_SQL)
-register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
-register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
-register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
-register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
-register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
-register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
-register("video_decode", E.video_decode_q, E.VIDEO_DECODE_SQL)
-register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
-register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
-register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)
-
-# --- last window slots: round-4 NEW queries (residual PQ, S4/J1
-# rows, suffix-fidelity dedup) + re-rows for the two queries rotated
-# out in r3 while still 2-green. Ceded to make room: pricing_summary
-# (3-round green streak — the durable record) and pq_codes (1 green;
-# its codebook training + code assignment re-runs verbatim inside
-# in-window knn_pq / knn_ivfpq / knn_ivfpq_res).
-register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
-register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
-register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
-register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
-register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
-# ---- 50-query driver window ends here --------------------------------
-
-# --- past the driver cap: multi-round green streaks + baselines -------
-# Every query below either holds a 2-3 round green driver streak
-# (rounds 1-3) or is an explicitly-labeled all-pairs/MVP baseline of
-# an operator still checked above. bench, pytest, and
-# tools/oracle_check.py cover all of them every round.
-register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
-register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
-register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
-# ROUND-5 ROTATION QUEUE: the round-4 additions below
-# (repeat_profile, scrub_spans, bpe_pair_counts, bpe_merges,
-# ngram_lm_score, cdc_chunks, dedup_clusters_star, winnowing_pairs,
-# incremental_repeat_spans, scrubbed_corpus, fuzzy_key_join,
-# interval_join, kmv_merge, snapshot_diff, hll_user_counts,
-# kmv_overlap, embedding_moments, user_value_trend,
-# event_transitions, weighted_percentiles, lrs_exact) have
-# local-oracle + bench coverage but
-# no driver row yet — rotate them into the 50-query window next
-# round, ceding slots from queries that will then hold 2-round
-# streaks (the same policy rounds 3→4 used).
+# --- round-4 additions rotating IN for their first driver rows --------
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
 register("scrub_spans", E.scrub_spans_q, E.SCRUB_SPANS_SQL)
 register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
@@ -151,12 +60,98 @@ register("weighted_percentiles", EV.weighted_percentiles, EV.WEIGHTED_PERCENTILE
 # oracle — driver records rows-only; exactness pinned by planted
 # overlap/nesting tests (tests/test_suffix.py)
 register("lrs_exact", E.lrs_exact_q, None)
+
+# --- round-5 additions (first driver rows) ----------------------------
+register("pagerank_docs", GQ.pagerank_docs, GQ.PAGERANK_DOCS_SQL)
+register("leakage_split", GQ.leakage_split, GQ.LEAKAGE_SPLIT_SQL)
+register("priority_sample", SQ.priority_sample_q, SQ.PRIORITY_SAMPLE_SQL)
+register("dsir_scores", SQ.dsir_scores_q, SQ.DSIR_SCORES_SQL)
+register("novelty_scores", SQ.novelty_scores_q, SQ.NOVELTY_SCORES_SQL)
+register("semdedup_prune", SQ.semdedup_prune_q, SQ.SEMDEDUP_SQL)
+register("mmr_rerank", SQ.mmr_rerank_q, SQ.MMR_RERANK_SQL)
+register("join_view_delta", MQ.join_view_delta_q, MQ.JOIN_VIEW_DELTA_SQL)
+register("cdc_apply", MQ.cdc_apply_q, MQ.CDC_APPLY_SQL)
+register("bloom_semi_join", MQ.bloom_semi_join_q, MQ.BLOOM_SEMI_JOIN_SQL)
+
+# --- single-green round-4 rows: stay for their streak -----------------
+register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
+register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
+register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
+register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
+register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
+register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
+# r3 red → r4 green: keep in-window until it holds a streak
+register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
+
+# --- round-3-rotation rows with no in-window sibling: stay ------------
+register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
+register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
+register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
+register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
+register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
+register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
+register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
+register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
+register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
+register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
+register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
+register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
+# ---- 50-query driver window ends here --------------------------------
+
+# --- past the driver cap: streak holders + sibling-covered rows -------
+# §2 anchors (decide/enqueue/fetch/notes: 4-round streaks; the
+# writeback pair: merge 3 rounds, incremental 2)
+register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
+register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
+register("fetch_cascade", PQ.fetch_cascade, PQ.FETCH_CASCADE_SQL)
+register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
+register("writeback_incremental", PQ.writeback_incremental, PQ.WRITEBACK_INCREMENTAL_SQL)
+register("writeback_merge", PQ.writeback_merge, PQ.WRITEBACK_MERGE_SQL)
+# events set: 2-round streaks (r3+r4)
+register("sliding_avg", EV.sliding_avg, EV.SLIDING_AVG_SQL)
+register("event_dedup", EV.event_dedup, EV.EVENT_DEDUP_SQL)
+register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)
+register("event_attribution", EV.event_attribution, EV.EVENT_ATTRIBUTION_SQL)
+register("value_percentiles", EV.value_percentiles, EV.VALUE_PERCENTILES_SQL)
+register("user_event_matrix", EV.user_event_matrix, EV.USER_EVENT_MATRIX_SQL)
+register("conversion_funnel", EV.conversion_funnel, EV.CONVERSION_FUNNEL_SQL)
+register("user_activity_scd2", EV.user_activity_scd2, EV.USER_ACTIVITY_SCD2_SQL)
+register("throttled_links", EV.throttled_links_q, EV.THROTTLED_LINKS_SQL)
+register("stream_interval_join", EV.stream_interval_join_q, EV.STREAM_INTERVAL_JOIN_SQL)
+# round-3 singles: 2-round streaks (r3+r4)
+register("exact_dedup_salted", E.exact_dedup_salted, E.EXACT_DEDUP_SALTED_SQL)
+register("repeated_spans", E.repeated_spans_q, E.REPEATED_SPANS_SQL)
+register("kmeans_clusters", E.kmeans_clusters_q, E.KMEANS_CLUSTERS_SQL)
+register("bloom_decontam", E.bloom_decontam_q, E.BLOOM_DECONTAM_SQL)
+register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
+register("training_corpus", E.training_corpus_q, E.TRAINING_CORPUS_SQL)
+register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
+register("zorder_key", R.zorder_key_q, R.ZORDER_KEY_SQL)
+# sibling-covered single-green rows (r4): the covering sibling is in
+# the window — audio/video decode re-run inside multimodal_examples;
+# knn_pq/knn_ivfpq's PQ chain re-runs inside knn_ivfpq_res; bm25_rank
+# is embedded verbatim in hybrid_retrieval; temperature_mixture's
+# targets re-derive inside temperature_sample; value_cdf's rank
+# machinery re-runs inside weighted_percentiles; hard_negatives'
+# scored source is knn_bruteforce's (ranked family covered by
+# hybrid_retrieval + mmr_rerank)
+register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
+register("video_decode", E.video_decode_q, E.VIDEO_DECODE_SQL)
+register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)
+register("knn_ivfpq", E.knn_ivfpq_q, E.KNN_IVFPQ_SQL)
+register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
+register("temperature_mixture", E.temperature_mixture_q, E.TEMPERATURE_MIXTURE_SQL)
+register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)
+register("hard_negatives", E.hard_negatives_q, E.HARD_NEGATIVES_SQL)
+# long-streak baselines and the rest of the registry
+register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
+register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
+register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
 register("duplicate_guard", R.duplicate_guard, R.DUPLICATE_GUARD_SQL)
 register("parts_never_ordered", R.parts_never_ordered, R.PARTS_NEVER_ORDERED_SQL)
 register("url_functions", S.url_functions, S.URL_FUNCTIONS_SQL)
 register("clean_role_pipeline", S.clean_role_pipeline, S.CLEAN_ROLE_PIPELINE_SQL)
 register("provenance_tokens", S.provenance_tokens, S.PROVENANCE_TOKENS_SQL)
-register("writeback_merge", PQ.writeback_merge, PQ.WRITEBACK_MERGE_SQL)
 register("tumbling_counts", EV.tumbling_counts, EV.TUMBLING_COUNTS_SQL)
 register("text_stats", E.text_stats, E.TEXT_STATS_SQL)
 register("minhash_pairs", E.minhash_pairs, E.MINHASH_PAIRS_SQL)
@@ -207,22 +202,3 @@ register(
 register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
 register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
 register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)
-
-# --- round-5 additions (registered here until the round-5 window
-# rotation is finalized) -----------------------------------------------
-from . import graph_q as GQ  # noqa: E402
-
-register("pagerank_docs", GQ.pagerank_docs, GQ.PAGERANK_DOCS_SQL)
-register("leakage_split", GQ.leakage_split, GQ.LEAKAGE_SPLIT_SQL)
-
-from . import maint_q as MQ  # noqa: E402
-from . import select_q as SQ  # noqa: E402
-
-register("priority_sample", SQ.priority_sample_q, SQ.PRIORITY_SAMPLE_SQL)
-register("dsir_scores", SQ.dsir_scores_q, SQ.DSIR_SCORES_SQL)
-register("novelty_scores", SQ.novelty_scores_q, SQ.NOVELTY_SCORES_SQL)
-register("semdedup_prune", SQ.semdedup_prune_q, SQ.SEMDEDUP_SQL)
-register("join_view_delta", MQ.join_view_delta_q, MQ.JOIN_VIEW_DELTA_SQL)
-register("cdc_apply", MQ.cdc_apply_q, MQ.CDC_APPLY_SQL)
-register("bloom_semi_join", MQ.bloom_semi_join_q, MQ.BLOOM_SEMI_JOIN_SQL)
-register("mmr_rerank", SQ.mmr_rerank_q, SQ.MMR_RERANK_SQL)
