@@ -56,15 +56,21 @@ def pagerank(
     node has out-edges); for general graphs the standard dangling-mass
     redistribution would add one broadcast scalar per round.
     """
-    edges = edges.persist()
+    # LAZY localCheckpoint (not persist): the edge set is typically
+    # derived from a large upstream plan (minhash banding); the rank
+    # recursion references it 2 + iters times, and without lineage
+    # truncation Catalyst re-optimizes the full upstream tree inside
+    # every reference (measured 14.4 s → ~5 s at sf0.1 — the same
+    # fix connected_components uses). Construction stays action-free.
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution an edge carries per round = rank(src) div outdeg(src)
-    esrc = edges.join(deg, "src").persist()
+    esrc = edges.join(deg, "src").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     rank = nodes.withColumn("r", F.lit(scale).cast("long"))
     base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN

@@ -1,0 +1,56 @@
+"""Distributed global ordering rank.
+
+`global_rank` assigns the 1-based position of each row in a TOTAL
+order (order_cols must be a unique key) without ever sorting on a
+single partition: range-repartition on the order key, rank locally
+per partition, then add broadcast per-partition offsets. This is the
+standard two-phase distributed rank — the shuffle is the range
+exchange (same cost as any global sort), the window runs per
+partition, and the only driver traffic is ONE row per partition
+(bounded by the partition count, like the write-back batch list).
+
+Determinism: range boundaries come from Spark's sampler, but the
+final rank is a pure function of the total order — any boundary
+split yields the same ranks. The partitioned input is persisted so
+the offset counts and the ranking pass see the SAME boundaries.
+
+NOTE: this operator performs one bounded ACTION at call time (the
+per-partition counts) — callers that need action-free plan
+construction should call it at execution time, not build time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, ["_pid", "_off"])
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        part.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )

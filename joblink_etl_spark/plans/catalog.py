@@ -98,6 +98,15 @@ register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
 register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
 # ---- 50-query driver window ends here --------------------------------
 
+# ROUND-6 ROTATION QUEUE: round-5 additions past the cap (local
+# oracle + bench covered; rotate in next round under the same
+# policy): gap_fill_hourly, winsorized_stats, multi_touch_attribution,
+# snm_pairs.
+register("gap_fill_hourly", EV.gap_fill_hourly, EV.GAP_FILL_HOURLY_SQL)
+register("winsorized_stats", EV.winsorized_stats, EV.WINSORIZED_STATS_SQL)
+register("multi_touch_attribution", EV.multi_touch_attribution, EV.MULTI_TOUCH_ATTRIBUTION_SQL)
+register("snm_pairs", E.snm_pairs_q, E.SNM_PAIRS_SQL)
+
 # --- past the driver cap: streak holders + sibling-covered rows -------
 # §2 anchors (decide/enqueue/fetch/notes: 4-round streaks; the
 # writeback pair: merge 3 rounds, incremental 2)

@@ -855,3 +855,210 @@ SELECT event_type,
        totw::BIGINT AS total_weight
 FROM picked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill resampling (hypertable time_bucket_gapfill + locf): every
+# tenth user's purchase series resampled to an hourly grid, missing
+# hours carrying the last observation forward. Cents ride as bigints
+# through the fill; ONE division at projection.
+# ---------------------------------------------------------------------------
+
+
+def gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import gap_fill_locf
+
+    ev = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 10 == 0)
+    )
+    obs = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        "event_id",
+    )
+    filled = gap_fill_locf(
+        obs, "user_id", "t_us", "cents", 3_600_000_000, order_cols=("event_id",)
+    )
+    return filled.select(
+        "user_id",
+        "bucket",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("value_filled"),
+        "is_observed",
+    )
+
+
+GAP_FILL_HOURLY_SQL = """
+WITH obs AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) // 3600000000 AS bucket,
+         epoch_us(ts::TIMESTAMP) AS tus, event_id,
+         floor(value * 100 + 0.5)::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+), pb AS (
+  SELECT user_id, bucket, cents FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, bucket ORDER BY tus DESC, event_id DESC) AS rn
+    FROM obs
+  ) WHERE rn = 1
+), span AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM obs GROUP BY user_id),
+grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+f AS (
+  SELECT g.user_id, g.bucket, pb.cents AS oc
+  FROM grid g LEFT JOIN pb ON pb.user_id = g.user_id AND pb.bucket = g.bucket
+)
+SELECT user_id, bucket,
+       (last_value(oc IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE / 100.0 AS value_filled,
+       oc IS NOT NULL AS is_observed
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics: clamp per-type values at the exact
+# nearest-rank p05/p95 cutoffs (pure integer rank math — no
+# interpolation, no floats until the final projections).
+# ---------------------------------------------------------------------------
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w) - 1).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    lo_r = F.expr("((n - 1) * 5) div 100")
+    hi_r = F.expr("((n - 1) * 95) div 100")
+    cuts = (
+        ranked.filter((F.col("rn") == lo_r) | (F.col("rn") == hi_r))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == F.expr("((n - 1) * 5) div 100"), F.col("cents"))).alias("lo"),
+            F.min(F.when(F.col("rn") == F.expr("((n - 1) * 95) div 100"), F.col("cents"))).alias("hi"),
+        )
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.min("lo").cast("double") / 100.0).alias("lo_cut"),
+            (F.min("hi").cast("double") / 100.0).alias("hi_cut"),
+            F.sum(F.when(F.col("cents") < F.col("lo"), 1).otherwise(0)).cast("bigint").alias("n_low"),
+            F.sum(F.when(F.col("cents") > F.col("hi"), 1).otherwise(0)).cast("bigint").alias("n_high"),
+            F.sum(clamped).cast("bigint").alias("wsum_cents"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "lo_cut",
+            "hi_cut",
+            "n_low",
+            "n_high",
+            (F.col("wsum_cents").cast("double") / 100.0).alias("wsum_value"),
+            F.round((F.col("wsum_cents").cast("double") / 100.0) / F.col("n"), 4).alias(
+                "wavg_value"
+            ),
+        )
+    )
+
+
+WINSORIZED_STATS_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, floor(value * 100 + 0.5)::BIGINT AS cents FROM events
+), ranked AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+), cuts AS (
+  SELECT event_type,
+         min(CASE WHEN rn = ((n - 1) * 5) // 100 THEN cents END) AS lo,
+         min(CASE WHEN rn = ((n - 1) * 95) // 100 THEN cents END) AS hi
+  FROM ranked
+  WHERE rn = ((n - 1) * 5) // 100 OR rn = ((n - 1) * 95) // 100
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       count(*)::BIGINT AS n,
+       (min(c.lo)::DOUBLE / 100.0) AS lo_cut,
+       (min(c.hi)::DOUBLE / 100.0) AS hi_cut,
+       sum(CASE WHEN e.cents < c.lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+       sum(CASE WHEN e.cents > c.hi THEN 1 ELSE 0 END)::BIGINT AS n_high,
+       (sum(least(greatest(e.cents, c.lo), c.hi))::BIGINT::DOUBLE / 100.0) AS wsum_value,
+       round((sum(least(greatest(e.cents, c.lo), c.hi))::BIGINT::DOUBLE / 100.0) / count(*), 4) AS wavg_value
+FROM ev e JOIN cuts c ON c.event_type = e.event_type
+GROUP BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution: split each purchase's cents EQUALLY across
+# the clicks in its 1-hour lookback, remainder to the most recent
+# click — exact integer allocation, Σ allocations == purchase cents
+# by construction (no cent ever lost to float division).
+# ---------------------------------------------------------------------------
+
+
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("tp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("tc"),
+    )
+    j = p.join(c, "user_id").filter(
+        (F.col("tc") <= F.col("tp")) & (F.col("tp") - F.col("tc") <= 3_600_000_000)
+    )
+    w_n = Window.partitionBy("purchase_id")
+    w_r = Window.partitionBy("purchase_id").orderBy(
+        F.col("tc").desc(), F.col("click_id").desc()
+    )
+    alloc = F.expr("cents div n") + F.when(
+        F.col("rn") == 1, F.expr("cents % n")
+    ).otherwise(F.lit(0))
+    return (
+        j.withColumn("n", F.count(F.lit(1)).over(w_n))
+        .withColumn("rn", F.row_number().over(w_r))
+        .select(
+            "purchase_id",
+            "click_id",
+            alloc.cast("bigint").alias("alloc_cents"),
+            (alloc.cast("double") / F.lit(100.0)).alias("alloc_value"),
+        )
+    )
+
+
+MULTI_TOUCH_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts::TIMESTAMP) AS tp,
+         floor(value * 100 + 0.5)::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts::TIMESTAMP) AS tc
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.purchase_id, p.cents, c.click_id, c.tc
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND c.tc <= p.tp AND p.tp - c.tc <= 3600000000
+), r AS (
+  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n,
+         row_number() OVER (PARTITION BY purchase_id ORDER BY tc DESC, click_id DESC) AS rn
+  FROM j
+)
+SELECT purchase_id, click_id,
+       (cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END)::BIGINT AS alloc_cents,
+       ((cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END)::DOUBLE) / 100.0 AS alloc_value
+FROM r
+"""

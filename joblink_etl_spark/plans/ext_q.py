@@ -3780,3 +3780,50 @@ FROM pairs p
 JOIN sums si ON si.i = p.i
 JOIN sums sj ON sj.i = p.j, nn
 """
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (Hernandez-Stolfo): prefix-sorted corpus,
+# window-4 neighbor candidates, exact 3-gram-Jaccard verify. The
+# mutated clones share their source's prefix, so they are guaranteed
+# adjacent in the sorted order — SNM's sweet spot. Oracle replays
+# key, global rank, neighbor join, and jaccard bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def snm_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_neardups(parallelize(table(spark, sf_dir, "documents")))
+    return D.sorted_neighborhood_pairs(docs, window=4, min_jaccard=0.3)
+
+
+SNM_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zz end marker' FROM documents WHERE doc_id % 4 = 0
+), keyed AS (
+  SELECT id, substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS k
+  FROM corpus
+), ranked AS (
+  SELECT id, row_number() OVER (ORDER BY k, id) AS rnk FROM keyed
+), cand AS (
+  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+  FROM ranked a JOIN ranked b ON b.rnk BETWEEN a.rnk + 1 AND a.rnk + 3
+), tok AS (
+  SELECT id, {_TOKS} AS toks FROM corpus
+), sh AS (
+  SELECT id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(l.sh, r.sh))::DOUBLE
+             / len(list_distinct(l.sh || r.sh)), 4) AS jaccard
+FROM cand c
+JOIN sh l ON l.id = c.id_a
+JOIN sh r ON r.id = c.id_b
+WHERE len(list_distinct(l.sh || r.sh)) > 0
+  AND round(len(list_intersect(l.sh, r.sh))::DOUBLE
+            / len(list_distinct(l.sh || r.sh)), 4) >= 0.3
+"""

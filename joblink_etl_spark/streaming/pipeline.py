@@ -755,3 +755,86 @@ def streaming_hll(
     return cells.groupBy("g").applyInPandasWithState(
         merge, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_topk(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    capacity: int = 8,
+) -> DataFrame:
+    """Custom stateful operator: STREAMING heavy hitters per key via
+    SpaceSaving (Metwally et al. 2005). State per key is a candidate
+    table of at most `capacity` (item, count, err) triples — fixed
+    size forever; when a new item arrives with the table full, the
+    minimum-count candidate is evicted and the newcomer inherits its
+    count as overestimation error.
+
+    Guarantees (pinned by the equivalence test): every stored count
+    obeys true ≤ count ≤ true + err, and any item whose true
+    frequency exceeds n/capacity is IN the table after a full drain.
+    Within a micro-batch, rows fold in (item_col asc of arrival
+    groupings) deterministic order: items are processed in the
+    concatenated pdf order after a stable sort on the batch's
+    arrival index column `_i` when present, else by item value —
+    SpaceSaving's guarantees hold for ANY order; the sort just makes
+    reruns reproducible.
+
+    Completes the streaming sketch family: KMV / HLL (distinct), CMS
+    (frequency), SpaceSaving (top-k identity)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("group", StringType()),
+            StructField("item", StringType()),
+            StructField("cnt", LongType()),
+            StructField("err", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(StringType())),
+            StructField("cnts", ArrayType(LongType())),
+            StructField("errs", ArrayType(LongType())),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            items, cnts, errs = (list(x) for x in state.get)
+        else:
+            items, cnts, errs = [], [], []
+        tbl = {it: [c, e] for it, c, e in zip(items, cnts, errs)}
+        for pdf in pdf_iter:
+            for it in pdf.sort_values("item")["item"]:
+                it = str(it)
+                if it in tbl:
+                    tbl[it][0] += 1
+                elif len(tbl) < capacity:
+                    tbl[it] = [1, 0]
+                else:
+                    # evict the min-count candidate (tie: lexicographic)
+                    victim = min(tbl, key=lambda k: (tbl[k][0], k))
+                    vcnt = tbl[victim][0]
+                    del tbl[victim]
+                    tbl[it] = [vcnt + 1, vcnt]
+        ks = sorted(tbl)
+        state.update((ks, [tbl[k][0] for k in ks], [tbl[k][1] for k in ks]))
+        yield pd.DataFrame(
+            {
+                "group": [key[0]] * len(ks),
+                "item": ks,
+                "cnt": [tbl[k][0] for k in ks],
+                "err": [tbl[k][1] for k in ks],
+            }
+        )
+
+    base = events.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return base.groupBy("g").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

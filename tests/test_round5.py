@@ -226,3 +226,106 @@ def test_mmr_rank1_is_pure_relevance_and_deterministic(spark):
     for qid in qc:
         best = max(cc, key=lambda d: (sum(x * y for x, y in zip(qc[qid], cc[d])), -d))
         assert rows[(qid, 1)][2] == best
+
+
+# ---------------------------------------------------------- wave 2
+
+
+def test_global_rank_matches_single_window(spark):
+    from joblink_etl_spark.operators.rank import global_rank
+
+    rows = [(i, f"k{(i * 13) % 40:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id BIGINT, k STRING").repartition(11)
+    got = {
+        (r["k"], r["id"]): r["rnk"]
+        for r in global_rank(df, ["k", "id"], num_partitions=7).collect()
+    }
+    want = {
+        (k, i): rank + 1
+        for rank, (k, i) in enumerate(sorted((k, i) for i, k in rows))
+    }
+    assert got == want
+
+
+def test_gap_fill_locf_known_series(spark):
+    from joblink_etl_spark.operators.timeseries import gap_fill_locf
+
+    rows = [
+        (1, 0, 100, 10),      # bucket 0
+        (1, 25, 300, 11),     # bucket 2 (buckets of 10 us)
+        (1, 27, 350, 12),     # bucket 2, later ts wins
+        (1, 51, 700, 13),     # bucket 5
+        (2, 9, 50, 14),       # single point user
+    ]
+    df = spark.createDataFrame(rows, "u BIGINT, t_us BIGINT, cents BIGINT, eid BIGINT")
+    got = {
+        (r["u"], r["bucket"]): (r["cents"], r["is_observed"])
+        for r in gap_fill_locf(df, "u", "t_us", "cents", 10, ("eid",)).collect()
+    }
+    assert got == {
+        (1, 0): (100, True),
+        (1, 1): (100, False),
+        (1, 2): (350, True),
+        (1, 3): (350, False),
+        (1, 4): (350, False),
+        (1, 5): (700, True),
+        (2, 0): (50, True),
+    }
+
+
+def test_sorted_neighborhood_finds_prefix_clones(spark):
+    from joblink_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = [(i, f"document number {i:03d} about topic {(i * 7) % 5} " * 5) for i in range(30)]
+    docs += [(100 + i, docs[i][1] + " tail mutation") for i in range(5)]  # near-dups
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    pairs = {(r["id_a"], r["id_b"]) for r in sorted_neighborhood_pairs(df, window=3).collect()}
+    for i in range(5):
+        assert (i, 100 + i) in pairs  # clone sorts adjacent to source
+    for a, b in pairs:
+        assert a < b
+
+
+def test_multi_touch_allocation_conserves_cents(spark):
+    from joblink_etl_spark.plans.events_q import multi_touch_attribution
+
+    out = multi_touch_attribution(spark, "/root/testdata/sf0.001")
+    per_p = out.groupBy("purchase_id").agg(F.sum("alloc_cents").alias("s")).collect()
+    from joblink_etl_spark.sources import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    cents = {
+        r["event_id"]: r["c"]
+        for r in ev.filter("event_type = 'purchase'")
+        .select("event_id", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"))
+        .collect()
+    }
+    assert len(per_p) > 0
+    for r in per_p:
+        assert r["s"] == cents[r["purchase_id"]]  # no cent lost or invented
+
+
+def test_streaming_topk_space_saving_guarantees(spark, tmp_path):
+    from joblink_etl_spark.streaming.pipeline import run_available_now, streaming_topk
+
+    src, sink, ckpt = str(tmp_path / "ev"), str(tmp_path / "out"), str(tmp_path / "ck")
+    # 3 genuinely heavy items + a long tail; n = 1200, capacity 8
+    rows = [("g", 1) for _ in range(400)] + [("g", 2) for _ in range(300)]
+    rows += [("g", 3) for _ in range(250)] + [("g", 100 + i % 50) for i in range(250)]
+    ev = spark.createDataFrame(rows, "event_type STRING, user_id BIGINT")
+    ev.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_available_now(streaming_topk(stream, capacity=8), sink, ckpt)
+
+    import pyspark.sql.functions as SF
+
+    got = spark.read.parquet(sink)
+    last = got.groupBy("group", "item").agg(SF.max(SF.struct("cnt", "err")).alias("s"))
+    final = {r["item"]: (r["s"]["cnt"], r["s"]["err"]) for r in last.collect()}
+    true = {"1": 400, "2": 300, "3": 250}
+    n, cap = 1200, 8
+    for it, t in true.items():
+        assert it in final  # freq > n/cap => guaranteed present
+        cnt, err = final[it]
+        assert t <= cnt <= t + err
