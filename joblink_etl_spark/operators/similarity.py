@@ -1198,3 +1198,87 @@ def mmr_rerank(
     return cand.groupBy("qid").applyInPandas(
         greedy, "qid long, rank int, did long, score long"
     )
+
+
+def jl_project(
+    df: DataFrame,
+    dims: int,
+    n_out: int = 8,
+    vec_col: str = "q_codes",
+    salt: str = "jl",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    deterministic ±1 sign matrix (Achlioptas 2003 database-friendly
+    variant): output component p = Σ_d sign(p,d) · code_d, an exact
+    bigint. Distances contract by ≈ √(n_out/dims) in expectation;
+    the reduced vectors feed any downstream integer ANN at 1/8 the
+    bytes and dot-product cost.
+
+    The sign matrix is md5-parity derived (hashlib here, the md5()
+    expression in the oracle — same digests) and rides as ONE
+    broadcast row, same pattern as the LSH hyperplanes: no literal
+    tree for Catalyst to chew, no shuffle — a pure scan-side
+    projection at any scale. Adds `reduced` (array<long>)."""
+    import hashlib
+
+    signs = [
+        [
+            1
+            if int(hashlib.md5(f"{salt}:{p}:{d}".encode()).hexdigest()[:15], 16) % 2 == 0
+            else -1
+            for d in range(dims)
+        ]
+        for p in range(n_out)
+    ]
+    srow = df.sparkSession.createDataFrame(
+        [(signs,)], "_signs array<array<int>>"
+    )
+    reduced = F.transform(
+        F.col("_signs"),
+        lambda sv: F.aggregate(
+            F.zip_with(F.col(vec_col), sv, lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(srow)).withColumn("reduced", reduced).drop("_signs")
+    )
+
+
+def nearest_centroid_classify(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    codes_col: str = "q_codes",
+) -> DataFrame:
+    """Rocchio / nearest-centroid classification over shared-scale
+    integer codes: per-label centroids are floor(sum/count) integer
+    means (ONE map-side-combined shuffle on (label, dim) — the
+    kmeans update step with labels as fixed clusters), and prediction
+    is the scan-side broadcast argmin of exact integer squared
+    distance (_kmeans_assign — no ×K explosion). Returns
+    (id, label, predicted, sq_dist, correct).
+
+    The natural centroid-quality probe of an embedding pipeline:
+    train/apply in one plan, resubstitution accuracy as the health
+    metric."""
+    by_dim = df.select(
+        F.col(label_col).alias("_cid"), F.posexplode(F.col(codes_col)).alias("_pos", "_v")
+    )
+    means = by_dim.groupBy("_cid", "_pos").agg(
+        F.floor(F.sum("_v").cast("double") / F.count(F.lit(1))).cast("int").alias("_m")
+    )
+    cents = means.groupBy("_cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+        ).alias("_cv")
+    )
+    assigned = _kmeans_assign(df, cents, id_col, codes_col)
+    return assigned.select(
+        id_col,
+        F.col(label_col),
+        F.col("_cid").alias("predicted"),
+        F.col("_d2").alias("sq_dist"),
+        (F.col(label_col) == F.col("_cid")).alias("correct"),
+    )

@@ -262,3 +262,67 @@ def _mmr_sql(k: int = 5, rel_w: int = 2, div_w: int = 1) -> str:
 
 
 MMR_RERANK_SQL = _mmr_sql(5, 2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection: 64-dim global codes → 8
+# exact-bigint components. Oracle re-derives the md5-parity sign
+# matrix inline.
+# ---------------------------------------------------------------------------
+
+
+def jl_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = SIM.quantize_embeddings_global(
+        parallelize(table(spark, sf_dir, "embeddings"))
+    ).select("vec_id", "q_codes")
+    return SIM.jl_project(codes, dims=64, n_out=8).select("vec_id", "reduced")
+
+
+_GLOBAL_CODES_CTES = """base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+gmax AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS g FROM base),
+v AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> floor(x / (CASE WHEN g > 0 THEN g / 127.0 ELSE 1.0 END) + 0.5)::INTEGER) AS codes
+  FROM base, gmax
+)"""
+
+JL_PROJECT_SQL = f"""
+WITH {_GLOBAL_CODES_CTES}
+SELECT vec_id,
+       list_transform(range(0, 8), p ->
+         (list_sum(list_transform(range(1, len(codes) + 1), i ->
+            codes[i]::BIGINT *
+            (CASE WHEN ('0x' || substr(md5('jl:' || p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END))))::BIGINT) AS reduced
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classification: per-label integer-mean
+# centroids, scan-side argmin assignment, resubstitution check.
+# ---------------------------------------------------------------------------
+
+
+def rocchio_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = SIM.quantize_embeddings_global(
+        parallelize(table(spark, sf_dir, "embeddings"))
+    ).select("vec_id", "label", "q_codes")
+    return SIM.nearest_centroid_classify(codes)
+
+
+ROCCHIO_CLASSIFY_SQL = f"""
+WITH {_GLOBAL_CODES_CTES},
+md AS (
+  SELECT label AS cid, u.i - 1 AS pos,
+         floor(sum(codes[u.i])::DOUBLE / count(*))::INT AS m
+  FROM v, unnest(range(1, len(codes) + 1)) AS u(i)
+  GROUP BY label, u.i
+),
+c AS (SELECT cid, list(m ORDER BY pos) AS codes FROM md GROUP BY cid),
+fd AS (SELECT v.vec_id, v.label, c.cid, {_sd_dist('v.codes', 'c.codes')} AS d2 FROM v, c)
+SELECT vec_id, label, cid AS predicted, d2 AS sq_dist, label = cid AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM fd
+) WHERE rn = 1
+"""

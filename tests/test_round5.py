@@ -329,3 +329,44 @@ def test_streaming_topk_space_saving_guarantees(spark, tmp_path):
         assert it in final  # freq > n/cap => guaranteed present
         cnt, err = final[it]
         assert t <= cnt <= t + err
+
+
+def test_jl_project_shape_and_determinism(spark):
+    from joblink_etl_spark.operators.similarity import jl_project
+
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.randint(-100, 100) for _ in range(16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, q_codes ARRAY<INT>")
+    out = jl_project(df, dims=16, n_out=4).select("vec_id", "reduced")
+    a = sorted((r["vec_id"], tuple(r["reduced"])) for r in out.collect())
+    b = sorted(
+        (r["vec_id"], tuple(r["reduced"]))
+        for r in jl_project(df.repartition(7), dims=16, n_out=4).select("vec_id", "reduced").collect()
+    )
+    assert a == b
+    assert all(len(v) == 4 for _, v in a)
+    # identical inputs project identically; a clone pair stays a clone pair
+    codes = {i: tuple(v) for i, v in a}
+    df2 = spark.createDataFrame(rows + [(999, rows[0][1])], "vec_id BIGINT, q_codes ARRAY<INT>")
+    out2 = {r["vec_id"]: tuple(r["reduced"]) for r in jl_project(df2, dims=16, n_out=4).collect()}
+    assert out2[999] == out2[0] == codes[0]
+
+
+def test_rocchio_recovers_separable_labels(spark):
+    from joblink_etl_spark.operators.similarity import nearest_centroid_classify
+
+    import random
+
+    random.seed(5)
+    rows = []
+    for i in range(90):
+        lab = i % 3
+        center = [0] * 12
+        center[lab * 4] = 80
+        rows.append((i, lab, [c + random.randint(-5, 5) for c in center]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, label INT, q_codes ARRAY<INT>")
+    out = nearest_centroid_classify(df)
+    acc = out.filter("correct").count() / out.count()
+    assert acc == 1.0  # cleanly separable blobs
