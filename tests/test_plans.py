@@ -358,3 +358,43 @@ def test_interval_join_is_hash_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_bloom_semi_join_stays_hash_join(spark):
+    """The exact verify must be a hash/broadcast semi join over the
+    ADMITTED rows — never a nested-loop over the fact table; the
+    bitmap rides as a one-row broadcast."""
+    from joblink_etl_spark.plans import maint_q as MQ
+
+    plan = plan_of(MQ.bloom_semi_join_q(spark, SF_SMALL))
+    semi = [ln for ln in plan.splitlines() if "Join" in ln and "LeftSemi" in ln]
+    assert semi, plan
+    assert all("NestedLoop" not in ln for ln in semi), semi
+
+
+def test_priority_sample_uses_take_ordered(spark):
+    """Top-(k+1) selection must be TakeOrderedAndProject (per-
+    partition heaps + driver merge), not a global Sort exchange over
+    the corpus."""
+    from joblink_etl_spark.plans import select_q as SQ
+
+    plan = plan_of(SQ.priority_sample_q(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_jl_project_is_scan_side(spark):
+    """JL projection must add NO exchange: one scan, one broadcast
+    one-row sign matrix."""
+    from joblink_etl_spark.plans import select_q as SQ
+
+    plan = plan_of(SQ.jl_project_q(spark, SF_SMALL))
+    # the only allowed exchanges are broadcast-side (sign row / gmax
+    # one-row aggregates); no hash-partitioned shuffle of the corpus
+    import re
+
+    hash_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert not hash_ex, hash_ex

@@ -42,6 +42,15 @@ FAMILIES = {
     "lm": "ngram_lm_score",
     "cc_star": "dedup_clusters_star",
     "bpe": "bpe_pair_counts",
+    # round-5 families
+    "graph": "pagerank_docs",
+    "semdedup": "semdedup_prune",
+    "snm": "snm_pairs",
+    "timeseries": "gap_fill_hourly",
+    "selection": "dsir_scores",
+    "maintenance": "cdc_apply",
+    "bloomjoin": "bloom_semi_join",
+    "rerank": "mmr_rerank",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
