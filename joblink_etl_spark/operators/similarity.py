@@ -1282,3 +1282,82 @@ def nearest_centroid_classify(
         F.col("_d2").alias("sq_dist"),
         (F.col(label_col) == F.col("_cid")).alias("correct"),
     )
+
+
+def label_separation(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    codes_col: str = "q_codes",
+) -> DataFrame:
+    """Embedding-space health report: per label, how tight is the
+    class (mean squared distance to its OWN centroid) versus how far
+    the nearest OTHER centroid sits — the Davies-Bouldin-flavored
+    separation signal that tells a pipeline whether its labels (or
+    clusters) are collapsing before anything downstream trains on
+    them.
+
+    Exact arithmetic end-to-end: integer-mean centroids, exact bigint
+    squared distances, per-label bigint sums; the two mean divisions
+    and the ratio are the only float ops (deterministic IEEE on exact
+    inputs). Scan-side shape: centroids collapse to ONE broadcast row
+    (K·dims ints); per-vector intra/other distances are a pure
+    projection; one map-side-combined shuffle on the label."""
+    by_dim = df.select(
+        F.col(label_col).alias("_cid"), F.posexplode(F.col(codes_col)).alias("_pos", "_v")
+    )
+    means = by_dim.groupBy("_cid", "_pos").agg(
+        F.floor(F.sum("_v").cast("double") / F.count(F.lit(1))).cast("int").alias("_m")
+    )
+    cents = means.groupBy("_cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+        ).alias("_cv")
+    )
+    cents_row = cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("_cid", "_cv"))).alias("_cents")
+    )
+    dists = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            c["_cid"].alias("_cid"), _sq_dist(F.col(codes_col), c["_cv"]).alias("_d2")
+        ),
+    )
+    with_d = (
+        df.crossJoin(F.broadcast(cents_row))
+        .withColumn("_ds", dists)
+        .withColumn(
+            "_intra",
+            F.element_at(
+                F.filter(F.col("_ds"), lambda s: s["_cid"] == F.col(label_col)), 1
+            )["_d2"],
+        )
+        .withColumn(
+            "_other",
+            F.array_min(
+                F.transform(
+                    F.filter(F.col("_ds"), lambda s: s["_cid"] != F.col(label_col)),
+                    lambda s: s["_d2"],
+                )
+            ),
+        )
+    )
+    return (
+        with_d.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_intra").cast("bigint").alias("_si"),
+            F.sum("_other").cast("bigint").alias("_so"),
+        )
+        .select(
+            label_col,
+            "n",
+            (F.col("_si").cast("double") / F.col("n")).alias("mean_intra_sq"),
+            (F.col("_so").cast("double") / F.col("n")).alias("mean_other_sq"),
+            F.round(
+                (F.col("_so").cast("double") / F.col("n"))
+                / (F.col("_si").cast("double") / F.col("n")),
+                4,
+            ).alias("separation"),
+        )
+    )

@@ -326,3 +326,41 @@ FROM (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM fd
 ) WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Label-separation report: class tightness vs nearest-other-centroid
+# distance over the shared-scale integer codes.
+# ---------------------------------------------------------------------------
+
+
+def label_separation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = SIM.quantize_embeddings_global(
+        parallelize(table(spark, sf_dir, "embeddings"))
+    ).select("vec_id", "label", "q_codes")
+    return SIM.label_separation(codes)
+
+
+LABEL_SEPARATION_SQL = f"""
+WITH {_GLOBAL_CODES_CTES},
+md AS (
+  SELECT label AS cid, u.i - 1 AS pos,
+         floor(sum(codes[u.i])::DOUBLE / count(*))::INT AS m
+  FROM v, unnest(range(1, len(codes) + 1)) AS u(i)
+  GROUP BY label, u.i
+),
+c AS (SELECT cid, list(m ORDER BY pos) AS codes FROM md GROUP BY cid),
+d AS (SELECT v.vec_id, v.label, c.cid, {_sd_dist('v.codes', 'c.codes')} AS d2 FROM v, c),
+per_vec AS (
+  SELECT vec_id, label,
+         min(CASE WHEN cid = label THEN d2 END) AS intra,
+         min(CASE WHEN cid <> label THEN d2 END) AS other
+  FROM d GROUP BY vec_id, label
+)
+SELECT label,
+       count(*)::BIGINT AS n,
+       sum(intra)::BIGINT::DOUBLE / count(*) AS mean_intra_sq,
+       sum(other)::BIGINT::DOUBLE / count(*) AS mean_other_sq,
+       round((sum(other)::BIGINT::DOUBLE / count(*)) / (sum(intra)::BIGINT::DOUBLE / count(*)), 4) AS separation
+FROM per_vec GROUP BY label
+"""
