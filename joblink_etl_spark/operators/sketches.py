@@ -444,3 +444,27 @@ def kmv_overlap(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def cms_join_size(
+    sketch_a: DataFrame, sketch_b: DataFrame, depth: int = CMS_DEPTH
+) -> DataFrame:
+    """Equi-join cardinality estimation from two count-min sketches
+    over the join key (the AGMS/CM inner-product estimator, Cormode &
+    Muthukrishnan 2005 §4.2): per seed row, the inner product
+    Σ_pos cntA(pos)·cntB(pos) over-estimates Σ_k fA(k)·fB(k) =
+    |A ⋈ B| (hash collisions only ever ADD cross terms); min over
+    the depth seeds is the estimate.
+
+    This is how an optimizer sizes a join WITHOUT running it: both
+    inputs were already summarized to ≤ depth×width counters (built
+    map-side-combined, mergeable across partitions/days), and the
+    estimate itself joins two sketch-sized relations — the fact
+    tables never participate. Returns one row (est_join_size)."""
+    j = (
+        sketch_a.alias("a")
+        .join(sketch_b.alias("b"), ["seed", "pos"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
+    )
+    return j.groupBy().agg(F.min("ip").cast("bigint").alias("est_join_size"))

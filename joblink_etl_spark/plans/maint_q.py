@@ -115,3 +115,60 @@ SELECT l_orderkey, l_partkey, l_quantity
 FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
 """
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation from CMS sketches: |orders ⋈ BUILDING
+# customers| on custkey, estimated from two fixed-size counter
+# sketches (the inputs never join), with the exact size alongside so
+# the driver hash pins both the estimator arithmetic and its
+# over-count-only property.
+# ---------------------------------------------------------------------------
+
+
+def join_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import cms_build, cms_join_size
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    cust = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    sk_o = cms_build(orders, "o_custkey")
+    sk_c = cms_build(cust, "c_custkey")
+    est = cms_join_size(sk_o, sk_c)
+    exact = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("exact_join_size"))
+    return est.crossJoin(exact).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias("overcount"),
+    )
+
+
+JOIN_CARDINALITY_SQL = """
+WITH seeds AS (SELECT unnest(range(0, 4)) AS seed),
+ska AS (
+  SELECT seed,
+         ('0x' || substr(md5('cms' || seed || ':' || o_custkey::VARCHAR), 1, 15))::BIGINT % 1024 AS pos,
+         count(*) AS cnt
+  FROM orders, seeds GROUP BY seed, pos
+), skb AS (
+  SELECT seed,
+         ('0x' || substr(md5('cms' || seed || ':' || c_custkey::VARCHAR), 1, 15))::BIGINT % 1024 AS pos,
+         count(*) AS cnt
+  FROM customer, seeds WHERE c_mktsegment = 'BUILDING' GROUP BY seed, pos
+), ip AS (
+  SELECT a.seed, sum(a.cnt * b.cnt) AS ip
+  FROM ska a JOIN skb b ON a.seed = b.seed AND a.pos = b.pos
+  GROUP BY a.seed
+), est AS (SELECT min(ip)::BIGINT AS est_join_size FROM ip),
+exact AS (
+  SELECT count(*)::BIGINT AS exact_join_size
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+)
+SELECT est_join_size, exact_join_size,
+       (est_join_size - exact_join_size)::BIGINT AS overcount
+FROM est, exact
+"""
