@@ -1068,20 +1068,29 @@ def semdedup(
     clusters = kmeans_codes(
         codes, k_every=k_every, iters=iters, id_col=id_col, k_cap=k_cap
     ).select(id_col, "cluster_id")
-    with_c = codes.join(clusters, id_col)
-    a = with_c.select(
-        "cluster_id", F.col(id_col).alias("_ida"), F.col("q_codes").alias("_ca")
-    )
-    b = with_c.select(
-        "cluster_id", F.col(id_col).alias("_idb"), F.col("q_codes").alias("_cb")
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("_ca"), F.col("_cb"), lambda x, y: x.cast("long") * y),
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("long") * x),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x.cast("long") * x),
+    # self-norms computed ONCE per vector (scan-side) and carried
+    # into the pair join — recomputing them per candidate pair would
+    # triple the interpreted-HOF element ops in the O(cell²) stage
+    with_c = codes.join(clusters, id_col).withColumn("_n2", sq(F.col("q_codes")))
+    a = with_c.select(
+        "cluster_id",
+        F.col(id_col).alias("_ida"),
+        F.col("q_codes").alias("_ca"),
+        F.col("_n2").alias("_na"),
+    )
+    b = with_c.select(
+        "cluster_id",
+        F.col(id_col).alias("_idb"),
+        F.col("q_codes").alias("_cb"),
+        F.col("_n2").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_ca"), F.col("_cb"), lambda x, y: x.cast("long") * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -1089,8 +1098,6 @@ def semdedup(
         a.join(b, "cluster_id")
         .filter(F.col("_ida") < F.col("_idb"))
         .withColumn("_dot", dot)
-        .withColumn("_na", sq(F.col("_ca")))
-        .withColumn("_nb", sq(F.col("_cb")))
         .filter(
             (F.col("_dot") > 0)
             & (
