@@ -1368,3 +1368,72 @@ def label_separation(
             ).alias("separation"),
         )
     )
+
+
+def pq_index_add(
+    base: DataFrame,
+    new: DataFrame,
+    n_sub: int = 4,
+    k_every: int = 50,
+    iters: int = 2,
+    k_cap: int | None = 100,
+    coarse_every: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental ANN index maintenance: encode a NEW vector batch
+    against a FROZEN index — the production lifecycle (FAISS
+    add-after-train): quantization scale, coarse cells, and PQ
+    codebooks are derived from the BASE corpus only; the new batch
+    is scaled, cell-assigned, and PQ-encoded against them without
+    touching base vectors or retraining anything.
+
+    Per-batch cost is O(|new|) broadcast work (scale row, coarse
+    row, codebook rows — all ≤ K·dims ints) + training over the base
+    ONCE (amortized across batches when the codebooks are persisted
+    to storage; here they rebuild in-plan so the oracle can replay
+    end-to-end). The companion of incremental_near_dups for the ANN
+    family. Returns (id, cell, sub, code_id, sq_dist) for the new
+    batch."""
+    e_b = base.withColumn("_e", as_double(F.col(vec_col)))
+    e_n = new.withColumn("_e", as_double(F.col(vec_col)))
+    gmax = e_b.agg(F.max(F.array_max(F.transform(F.col("_e"), F.abs))).alias("_gmax"))
+    scale = F.when(
+        F.col("_gmax") > 0, F.col("_gmax") / F.lit(127.0)
+    ).otherwise(F.lit(1.0))
+
+    def quant(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(gmax))
+            .withColumn("_scale", scale)
+            .withColumn(
+                "q_codes",
+                F.transform(
+                    F.col("_e"),
+                    lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)).cast("int"),
+                ),
+            )
+            .select(id_col, "q_codes")
+        )
+
+    base_c = quant(e_b)
+    new_c = quant(e_n)
+    seed = F.col(id_col) % coarse_every == 0
+    if k_cap is not None:
+        seed = seed & (F.col(id_col) < coarse_every * k_cap)
+    cc = base_c.filter(seed).select(
+        F.col(id_col).alias("_cid"), F.col("q_codes").alias("_cv")
+    )
+    new_cells = _kmeans_assign(new_c, cc, id_col, "q_codes").select(
+        id_col, F.col("_cid").alias("cell")
+    )
+    subs_base = _pq_subspaces(base_c, n_sub, id_col, "q_codes").persist()
+    cents = _pq_train(subs_base, k_every, iters, id_col, k_cap)
+    enc = _pq_assign(_pq_subspaces(new_c, n_sub, id_col, "q_codes"), cents, id_col)
+    return enc.join(new_cells, id_col).select(
+        id_col,
+        "cell",
+        "sub",
+        F.col("_cid").alias("code_id"),
+        F.col("_d2").alias("sq_dist"),
+    )

@@ -172,3 +172,115 @@ SELECT est_join_size, exact_join_size,
        (est_join_size - exact_join_size)::BIGINT AS overcount
 FROM est, exact
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index add: scale + coarse cells + PQ codebooks are
+# trained on the BASE embeddings only (frozen index); a new batch
+# (+10000-id clones) is scaled, cell-assigned, and PQ-encoded against
+# them. The oracle replays the frozen training and the new-batch
+# encode bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def ann_index_add_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_index_add
+    from ..sources import parallelize
+
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    base = emb.select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return pq_index_add(base, new, n_sub=4, k_every=50, iters=2, k_cap=100, coarse_every=25)
+
+
+def _ann_add_sql(
+    n_sub: int = 4, k_every: int = 50, iters: int = 2, k_cap: int = 100, coarse_every: int = 25
+) -> str:
+    def dist(x: str, c: str, xf: str = "sc", cf: str = "cv") -> str:
+        return (
+            f"(list_sum(list_transform(range(1, len({x}.{xf}) + 1), "
+            f"i -> ({x}.{xf}[i] - {c}.{cf}[i])::BIGINT * "
+            f"({x}.{xf}[i] - {c}.{cf}[i])::BIGINT)))::BIGINT"
+        )
+
+    w = f"(len(codes) // {n_sub})"
+    ctes = [
+        "baseall AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        (
+            "newb AS (SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings WHERE vec_id % 5 = 0)"
+        ),
+        (
+            "g AS (SELECT CASE WHEN max(list_max(list_transform(e, x -> abs(x)))) > 0 "
+            "THEN max(list_max(list_transform(e, x -> abs(x)))) / 127.0 ELSE 1.0 END AS scale "
+            "FROM baseall)"
+        ),
+        (
+            "vb AS (SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes "
+            "FROM baseall, g)"
+        ),
+        (
+            "vn AS (SELECT vec_id, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes "
+            "FROM newb, g)"
+        ),
+        (
+            f"cc AS (SELECT vec_id AS ccid, codes AS ccv FROM vb "
+            f"WHERE vec_id % {coarse_every} = 0 AND vec_id < {coarse_every * k_cap})"
+        ),
+        (
+            f"cellassign AS (SELECT vec_id, ccid AS cell FROM ("
+            f"SELECT x.vec_id, cc.ccid, {dist('x', 'cc', 'codes', 'ccv')} AS d2, "
+            f"row_number() OVER (PARTITION BY x.vec_id "
+            f"ORDER BY {dist('x', 'cc', 'codes', 'ccv')}, cc.ccid) AS rn "
+            f"FROM vn x, cc) WHERE rn = 1)"
+        ),
+        (
+            f"subsb AS (SELECT vec_id, s.sub, codes[s.sub * {w} + 1 : (s.sub + 1) * {w}] AS sc "
+            f"FROM vb, (SELECT unnest(range(0, {n_sub})) AS sub) s)"
+        ),
+        (
+            f"subsn AS (SELECT vec_id, s.sub, codes[s.sub * {w} + 1 : (s.sub + 1) * {w}] AS sc "
+            f"FROM vn, (SELECT unnest(range(0, {n_sub})) AS sub) s)"
+        ),
+        (
+            f"c0 AS (SELECT sub, vec_id AS cid, sc AS cv FROM subsb "
+            f"WHERE vec_id % {k_every} = 0 AND vec_id < {k_every * k_cap})"
+        ),
+    ]
+    for i in range(1, iters + 1):
+        ctes += [
+            (
+                f"a{i} AS (SELECT x.vec_id, x.sub, x.sc, c.cid, {dist('x', 'c')} AS d2 "
+                f"FROM subsb x JOIN c{i - 1} c USING (sub))"
+            ),
+            (
+                f"s{i} AS (SELECT vec_id, sub, sc, cid FROM ("
+                f"SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn "
+                f"FROM a{i}) WHERE rn = 1)"
+            ),
+            (
+                f"m{i} AS (SELECT sub, cid, u.i - 1 AS pos, "
+                f"floor(sum(sc[u.i])::DOUBLE / count(*))::INT AS m "
+                f"FROM s{i}, unnest(range(1, len(sc) + 1)) AS u(i) GROUP BY sub, cid, u.i)"
+            ),
+            (
+                f"c{i} AS (SELECT sub, cid, list(m ORDER BY pos) AS cv FROM m{i} "
+                f"GROUP BY sub, cid)"
+            ),
+        ]
+    ctes.append(
+        f"enc AS (SELECT vec_id, sub, cid, d2 FROM ("
+        f"SELECT x.vec_id, x.sub, c.cid, {dist('x', 'c')} AS d2, "
+        f"row_number() OVER (PARTITION BY x.vec_id, x.sub ORDER BY {dist('x', 'c')}, c.cid) AS rn "
+        f"FROM subsn x JOIN c{iters} c USING (sub)) WHERE rn = 1)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT e.vec_id, ca.cell, e.sub, e.cid AS code_id, e.d2 AS sq_dist\n"
+        "FROM enc e JOIN cellassign ca USING (vec_id)"
+    )
+
+
+ANN_INDEX_ADD_SQL = _ann_add_sql()
