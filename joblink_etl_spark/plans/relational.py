@@ -463,3 +463,70 @@ FROM b
 
 
 ZORDER_KEY_SQL = _zorder_sql(["l_quantity", "l_extendedprice"], 10)
+
+
+def hilbert_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Hilbert clustering key over (l_quantity, l_extendedprice)
+    — zorder_key's seam-free sibling; the unrolled xy2d integer
+    transform is engine-neutral and replayed bit-for-bit."""
+    from ..sources.io import hilbert_key
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return hilbert_key(li, ["l_quantity", "l_extendedprice"], bits=8).select(
+        "l_orderkey", "l_linenumber", "h_key"
+    )
+
+
+def _hilbert_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of sources/io.hilbert_key: identical binning, then
+    the xy2d levels unrolled as chained CTEs."""
+    n_bins = 1 << bits
+    lo = {c: f"(SELECT min({c}::DOUBLE) FROM lineitem)" for c in cols}
+    hi = {c: f"(SELECT max({c}::DOUBLE) FROM lineitem)" for c in cols}
+    bins = ",\n         ".join(
+        f"CASE WHEN {c} IS NULL OR hi_{c} <= lo_{c} THEN 0 "
+        f"ELSE least(floor(({c}::DOUBLE - lo_{c}) / (hi_{c} - lo_{c}) * {n_bins}.0), {n_bins - 1}) "
+        f"END::BIGINT AS bin_{c}"
+        for c in cols
+    )
+    bounds = ", ".join(f"{lo[c]} AS lo_{c}, {hi[c]} AS hi_{c}" for c in cols)
+    ctes = [
+        f"""b{bits} AS (
+  SELECT l_orderkey, l_linenumber,
+         bin_{cols[0]} AS hx, bin_{cols[1]} AS hy, 0::BIGINT AS hd
+  FROM (
+    SELECT l_orderkey, l_linenumber,
+         {bins}
+    FROM lineitem, (SELECT {bounds}) bounds
+  )
+)"""
+    ]
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        ctes.append(
+            f"""b{lvl} AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN ry = 0 AND rx = 1 THEN {n_bins - 1} - hy
+              WHEN ry = 0 THEN hy ELSE hx END AS hx,
+         CASE WHEN ry = 0 AND rx = 1 THEN {n_bins - 1} - hx
+              WHEN ry = 0 THEN hx ELSE hy END AS hy,
+         hd + {s * s}::BIGINT * (CASE WHEN rx = 1 AND ry = 0 THEN 3
+                                      WHEN rx = 1 AND ry = 1 THEN 2
+                                      WHEN rx = 0 AND ry = 1 THEN 1
+                                      ELSE 0 END)::BIGINT AS hd
+  FROM (
+    SELECT *, CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+              CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+    FROM b{lvl + 1}
+  )
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT l_orderkey, l_linenumber, hd AS h_key FROM b0"
+    )
+
+
+HILBERT_KEY_SQL = _hilbert_sql(["l_quantity", "l_extendedprice"], 8)

@@ -279,3 +279,77 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return joined.select(*key_cols, status.alias("status"), "old_hash", "new_hash")
+
+
+def hilbert_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Append a 2-D Hilbert-curve key over `cols` (exactly two):
+    the stronger multi-column clustering alternative to zorder_key —
+    the Hilbert curve has no Morton "seams" (consecutive keys are
+    ALWAYS grid-adjacent), so range-clustered files get strictly
+    better min/max locality on both columns (the layout used by
+    recent Iceberg/Delta clustering work).
+
+    Binning is identical to zorder_key (2^bits buckets between the
+    in-plan min/max, one broadcast one-row aggregate). The curve
+    index is the classic xy2d bit transform (per level: quadrant
+    digit + conditional reflect/swap rotation), unrolled `bits`
+    times as pure integer CASE arithmetic — engine-neutral, so the
+    oracle replays it bit-for-bit. Adds `h_key`.
+    """
+    if len(cols) != 2:
+        raise ValueError("hilbert_key is 2-D: pass exactly two columns")
+    n_bins = 1 << bits
+    bounds = df.select(
+        *[F.min(c).cast("double").alias(f"_lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_hi_{c}") for c in cols],
+    )
+    t = df.join(F.broadcast(bounds))
+    bin_cols = {}
+    for c in cols:
+        lo, hi = F.col(f"_lo_{c}"), F.col(f"_hi_{c}")
+        scaled = F.floor(
+            (F.col(c).cast("double") - lo) / (hi - lo) * F.lit(float(n_bins))
+        )
+        bin_cols[f"_bin_{c}"] = (
+            F.when(F.col(c).isNull() | (hi <= lo), F.lit(0))
+            .otherwise(F.least(scaled, F.lit(n_bins - 1)))
+            .cast("bigint")
+        )
+    t = t.withColumns(bin_cols).withColumns(
+        {
+            "_hx": F.col(f"_bin_{cols[0]}"),
+            "_hy": F.col(f"_bin_{cols[1]}"),
+            "_hd": F.lit(0).cast("bigint"),
+        }
+    )
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = F.when(F.col("_hx").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(F.col("_hy").bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        # quadrant digit (3*rx) XOR ry spelled as a CASE table
+        quad = (
+            F.when((rx == 1) & (ry == 0), F.lit(3))
+            .when((rx == 1) & (ry == 1), F.lit(2))
+            .when((rx == 0) & (ry == 1), F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        t = t.withColumns({"_rx": rx, "_ry": ry})
+        refl = F.col("_ry") == 0
+        neg = refl & (F.col("_rx") == 1)
+        t = t.withColumns(
+            {
+                "_hd": F.col("_hd") + F.lit(s * s).cast("bigint") * quad.cast("bigint"),
+                "_hx": F.when(
+                    neg, F.lit(n_bins - 1) - F.col("_hy")
+                ).when(refl, F.col("_hy")).otherwise(F.col("_hx")),
+                "_hy": F.when(
+                    neg, F.lit(n_bins - 1) - F.col("_hx")
+                ).when(refl, F.col("_hx")).otherwise(F.col("_hy")),
+            }
+        )
+    return t.withColumn("h_key", F.col("_hd")).drop(
+        "_hx", "_hy", "_hd", "_rx", "_ry",
+        *[f"_lo_{c}" for c in cols],
+        *[f"_hi_{c}" for c in cols],
+        *bin_cols.keys(),
+    )
