@@ -1062,3 +1062,48 @@ SELECT purchase_id, click_id,
        ((cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END)::DOUBLE) / 100.0 AS alloc_value
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Trailing event-time window (RANGE frame): per event, the user's
+# running 24h-lookback sum/count — the window shape tumbling/sliding
+# buckets cannot express (every row gets ITS OWN trailing horizon).
+# Integer-µs RANGE bounds + integer cents keep it engine-exact.
+# ---------------------------------------------------------------------------
+
+
+def trailing_window_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    day_us = 86_400_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us")
+        .rangeBetween(-day_us, Window.currentRow)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_24h"),
+        (F.sum("cents").over(w).cast("double") / F.lit(100.0)).alias("sum_24h"),
+    )
+
+
+TRAILING_WINDOW_SUMS_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS t_us,
+         floor(value * 100 + 0.5)::BIGINT AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       count(*) OVER w ::BIGINT AS n_24h,
+       (sum(cents) OVER w)::BIGINT::DOUBLE / 100.0 AS sum_24h
+FROM base
+WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""

@@ -838,3 +838,87 @@ def streaming_topk(
     return base.groupBy("g").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_priority_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = 20,
+    id_col: str = "doc_id",
+    salt: str = "pri",
+) -> DataFrame:
+    """Custom stateful operator: STREAMING weighted sampling without
+    replacement — the streaming twin of sampling.priority_sample.
+    Priorities are pure deterministic functions of (salt, id, weight)
+    — (w·2³⁰) div u with u md5-derived — so "top-(k+1) of the union
+    is top-(k+1) of merged per-batch tops" holds EXACTLY, and a full
+    drain reproduces the batch sample bit-for-bit (priorities, tau,
+    est_weight). State is k+1 (priority, id, weight) triples, fixed
+    size forever.
+
+    Emits the current top-k (+ est_weight vs the running tau) every
+    batch; the LAST emission per id set is the final sample."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import md5_int
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("weight", LongType()),
+            StructField("priority", LongType()),
+            StructField("est_weight", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pris", ArrayType(LongType())),
+            StructField("ids", ArrayType(LongType())),
+            StructField("ws", ArrayType(LongType())),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        if state.exists:
+            pris, ids, ws = (list(x) for x in state.get)
+        else:
+            pris, ids, ws = [], [], []
+        entries = {(-p, i): (p, i, w) for p, i, w in zip(pris, ids, ws)}
+        for pdf in pdf_iter:
+            for p, i, w in zip(pdf["priority"], pdf["_id"], pdf["_w"]):
+                entries[(-int(p), int(i))] = (int(p), int(i), int(w))
+        top = [entries[kk] for kk in sorted(entries)[: k + 1]]
+        state.update(
+            ([p for p, _, _ in top], [i for _, i, _ in top], [w for _, _, w in top])
+        )
+        sample = top[:k]
+        tau = top[k][0] if len(top) > k else 0
+        yield pd.DataFrame(
+            {
+                "doc_id": [i for _, i, _ in sample],
+                "weight": [w for _, _, w in sample],
+                "priority": [p for p, _, _ in sample],
+                "est_weight": [
+                    float(max(w << 30, tau)) / float(1 << 30) for _, _, w in sample
+                ],
+            }
+        )
+
+    u = (
+        md5_int(F.concat(F.lit(salt + ":"), F.col("_id").cast("string")))
+        % F.lit(1 << 30)
+    ) + 1
+    base = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.col(weight_col).cast("bigint").alias("_w"),
+        )
+        .withColumn("_u", u)
+        .withColumn("priority", F.expr(f"(_w * {1 << 30}) div _u"))
+        .withColumn("_g", F.lit(1))
+        .drop("_u")
+    )
+    return base.groupBy("_g").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

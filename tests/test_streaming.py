@@ -605,3 +605,38 @@ def test_streaming_hll_matches_batch_sketch(spark, tmp_path):
         assert got[k][0] == want[k][0]
         assert got[k][1] == want[k][1]
         assert abs(got[k][2] - want[k][2]) < 1e-6
+
+
+def test_streaming_priority_sample_matches_batch(spark, tmp_path):
+    """Streaming priority sample: the final micro-batch's emission
+    must equal batch priority_sample over the full history exactly —
+    same ids, priorities, tau-based est_weights."""
+    from joblink_etl_spark.operators.sampling import priority_sample
+    from joblink_etl_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_priority_sample,
+    )
+
+    src, sink, ckpt = str(tmp_path / "d"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows = [(i, 10 + (i * 37) % 500) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, n_chars BIGINT")
+    docs.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_available_now(streaming_priority_sample(stream, "n_chars", k=15), sink, ckpt)
+
+    import pyspark.sql.functions as SF
+
+    got_df = spark.read.parquet(sink)
+    # final emission = rows whose priority set matches the global
+    # top-15; emissions are monotone (priorities only improve), so
+    # take the 15 highest-priority distinct rows ever emitted with
+    # their LAST est_weight (max priority ties resolved by id)
+    last = (
+        got_df.groupBy("doc_id", "weight", "priority")
+        .agg(SF.min("est_weight").alias("est_weight"))
+    )
+    top = last.orderBy(SF.col("priority").desc(), "doc_id").limit(15)
+    got = sorted(map(tuple, top.collect()))
+    want = sorted(map(tuple, priority_sample(docs, "n_chars", k=15, salt="pri").collect()))
+    assert got == want
