@@ -112,3 +112,81 @@ def degree_stats(edges: DataFrame) -> DataFrame:
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Personalized PageRank over DIRECTED edges with dangling-mass
+    redistribution — the restart distribution concentrates on the
+    seed set, so ranks measure proximity TO the seeds (the
+    similar-item / recommendation spelling of PageRank).
+
+    Differences from the uniform operator: (1) teleport mass lands
+    only on seeds; (2) directed edges mean dangling nodes (no
+    out-edges) exist — their rank would leak, so each round their
+    total re-enters through the seed set (one extra anti-join agg +
+    broadcast scalar per round; still integer-exact: the share is
+    dangling_sum div n_seeds).
+
+    `seeds`: DataFrame with a `node` column (subset of edge
+    endpoints). Returns (node, rank_scaled, rank)."""
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    esrc = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_set = seeds.select("node").distinct().join(nodes, "node", "left_semi")
+    seed_flag = nodes.join(
+        seed_set.withColumn("_is_seed", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("_is_seed", F.lit(False)).alias("_is_seed"))
+    seed_flag = seed_flag.localCheckpoint(eager=False)
+    n_seeds = seed_set.agg(F.count(F.lit(1)).alias("_ns"))
+    base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
+    rank = seed_flag.withColumn(
+        "r",
+        F.when(F.col("_is_seed"), F.lit(scale).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    ).select("node", "r")
+    has_out = deg.select(F.col("src").alias("node"))
+    for _ in range(iters):
+        contrib = (
+            esrc.join(rank, esrc["src"] == rank["node"])
+            .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        dang = (
+            rank.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("_dsum"))
+        )
+        rank = (
+            seed_flag.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_seeds))
+            .select(
+                "node",
+                (
+                    F.when(F.col("_is_seed"), F.lit(base).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                    + F.expr(
+                        f"({DAMP_NUM} * (coalesce(csum, 0L) + "
+                        f"(CASE WHEN _is_seed THEN _dsum div _ns ELSE 0L END))) div {DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+        )
+    return rank.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

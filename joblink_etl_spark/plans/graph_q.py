@@ -122,3 +122,65 @@ SELECT doc_id, cluster_id,
             THEN 'train' ELSE 'eval' END AS split
 FROM labeled
 """
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: DIRECTED candidate edges (id_a → id_b only,
+# so dangling nodes exist), teleport + dangling mass concentrated on
+# the seed set (every third node). Oracle unrolls both iterations
+# including the per-round dangling aggregate.
+# ---------------------------------------------------------------------------
+
+
+def ppr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = E.minhash_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 3 == 0)
+    return G.pagerank_personalized(edges, seeds, iters=2)
+
+
+def _ppr_iter(prev: str, k: int) -> str:
+    base = (G.DAMP_DEN - G.DAMP_NUM) * G.SCALE // G.DAMP_DEN
+    return f"""c{k} AS (
+  SELECT e.dst AS node, sum(p.r // d.outdeg)::BIGINT AS csum
+  FROM edges e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+d{k} AS (
+  SELECT coalesce(sum(p.r), 0)::BIGINT AS dsum
+  FROM {prev} p LEFT JOIN deg d ON d.src = p.node
+  WHERE d.src IS NULL
+),
+r{k} AS (
+  SELECT sf.node,
+         ((CASE WHEN sf.is_seed THEN {base} ELSE 0 END)::BIGINT
+          + (({G.DAMP_NUM} * (coalesce(c.csum, 0)
+              + CASE WHEN sf.is_seed THEN d{k}.dsum // ns.n ELSE 0 END)) // {G.DAMP_DEN}))::BIGINT AS r
+  FROM sf LEFT JOIN c{k} c ON c.node = sf.node, d{k}, ns
+)"""
+
+
+PPR_DOCS_SQL = f"""
+WITH pairs AS ({E.MINHASH_PAIRS_SQL}),
+edges AS (SELECT DISTINCT id_a AS src, id_b AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seedset AS (SELECT node FROM nodes WHERE node % 3 = 0),
+ns AS (SELECT count(*) AS n FROM seedset),
+sf AS (
+  SELECT n.node, s.node IS NOT NULL AS is_seed
+  FROM nodes n LEFT JOIN seedset s ON s.node = n.node
+),
+r0 AS (
+  SELECT node, (CASE WHEN is_seed THEN {G.SCALE} ELSE 0 END)::BIGINT AS r FROM sf
+),
+{_ppr_iter("r0", 1)},
+{_ppr_iter("r1", 2)}
+SELECT node, r AS rank_scaled, r::DOUBLE / {G.SCALE} AS rank
+FROM r2
+"""

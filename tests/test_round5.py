@@ -423,3 +423,28 @@ def test_hilbert_key_bijective_and_adjacent(spark):
         if b == a + 1:
             (x1, y1), (x2, y2) = inv[a], inv[b]
             assert abs(x1 - x2) + abs(y1 - y2) == 1  # manhattan-adjacent
+
+
+def test_personalized_pagerank_proximity_and_dangling(spark):
+    """Chain 0→1→2 plus isolated pair 10→11, seeds = {0}. Hand-
+    unrolled two iterations: after iter1 r = (0.15S, 0.85S, 0, 0, 0);
+    after iter2 node2 holds the traveling wave 0.85²S, node1 gets
+    0.85·0.15S, the seed keeps its teleport base. Nodes unreachable
+    from the seed (10, 11) stay at exactly 0 — teleport and dangling
+    mass land only on seeds."""
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src BIGINT, dst BIGINT"
+    )
+    seeds = spark.createDataFrame([(0,)], "node BIGINT")
+    pr = {r["node"]: r["rank_scaled"] for r in G.pagerank_personalized(edges, seeds, iters=2).collect()}
+    S = G.SCALE
+    assert pr[0] == 15 * S // 100
+    assert pr[1] == 85 * (15 * S // 100) // 100
+    assert pr[2] == 85 * (85 * S // 100) // 100
+    assert pr[10] == 0 and pr[11] == 0
+    # determinism across partitionings
+    pr2 = {
+        r["node"]: r["rank_scaled"]
+        for r in G.pagerank_personalized(edges.repartition(5), seeds, iters=2).collect()
+    }
+    assert pr == pr2
