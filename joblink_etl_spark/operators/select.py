@@ -119,3 +119,78 @@ def novelty_scores(
             ),
         )
     )
+
+
+def nb_train_classify(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes over hashed unigram features, trained
+    AND applied in one plan — the language-ID / quality-classifier
+    shape (fastText-without-embeddings), made engine-exact.
+
+    Everything is counts: per-(label, feature) counts from the train
+    split, add-one smoothing, and log-probabilities quantized to the
+    exact integer floor(log2(count + 1)) (binary length — no libm).
+    A doc's score under label L is Σ_f [log2q(ct(L, f) + 1) −
+    log2q(total(L) + 1)] + log2q(prior(L) + 1); the argmax with a
+    deterministic label tie-break is the prediction. Quantized logs
+    trade calibration for bit-reproducibility — ranking fidelity at
+    the argmax is what the operator contracts (pinned by the
+    separable-vocabulary test).
+
+    Scale: the model is ≤ |labels| × 2^12 count rows — broadcast back
+    over the test scan; training is one map-side-combined shuffle.
+    Returns (id, label, predicted, score, correct)."""
+    tr_f = _feature_buckets(train.select(id_col, text_col), id_col, text_col).join(
+        train.select(id_col, label_col), id_col
+    )
+    model = tr_f.groupBy(label_col, "feature").agg(F.count(F.lit(1)).alias("ct"))
+    totals = model.groupBy(label_col).agg(F.sum("ct").alias("tot"))
+    priors = train.groupBy(label_col).agg(F.count(F.lit(1)).alias("prior"))
+    labels = (
+        totals.join(priors, label_col)
+        .select(
+            F.col(label_col).alias("_lab"),
+            _log2_floor(F.col("tot") + 1).alias("_ltot"),
+            _log2_floor(F.col("prior") + 1).alias("_lprior"),
+        )
+    )
+    lweights = model.select(
+        F.col(label_col).alias("_lab"),
+        "feature",
+        _log2_floor(F.col("ct") + 1).alias("_lct"),
+    )
+    te_f = _feature_buckets(test.select(id_col, text_col), id_col, text_col).distinct()
+    # every (doc, feature) × every label: the label set is tiny, the
+    # weight table is broadcast; absent (label, feature) pairs score
+    # log2q(0 + 1) = 0 via the left join's coalesce
+    scored = (
+        te_f.crossJoin(F.broadcast(labels))
+        .join(F.broadcast(lweights), ["_lab", "feature"], "left")
+        .groupBy(id_col, "_lab")
+        .agg(
+            (
+                F.sum(F.coalesce("_lct", F.lit(0)) - F.col("_ltot"))
+                + F.min("_lprior")
+            ).alias("score")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("_lab"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("_lab").alias("predicted"), "score")
+    )
+    return best.join(test.select(id_col, label_col), id_col).select(
+        id_col,
+        F.col(label_col).alias("label"),
+        "predicted",
+        "score",
+        (F.col(label_col) == F.col("predicted")).alias("correct"),
+    )

@@ -364,3 +364,54 @@ SELECT label,
        round((sum(other)::BIGINT::DOUBLE / count(*)) / (sum(intra)::BIGINT::DOUBLE / count(*)), 4) AS separation
 FROM per_vec GROUP BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language classification: train on 3/4 of the corpus,
+# classify the held-out quarter; quantized-log integer scores make
+# the whole model oracle-replayable.
+# ---------------------------------------------------------------------------
+
+
+def nb_classify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("doc_id") % 4 != 0).select("doc_id", "lang", "text")
+    test = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id", "lang", "text")
+    return SEL.nb_train_classify(train, test)
+
+
+_L2Q = "(length(format('{{:b}}', {x})) - 1)::BIGINT"
+
+NB_CLASSIFY_SQL = f"""
+WITH trf AS (
+  SELECT DISTINCT doc_id, lang, {_MD5I.format(x='t')} % 4096 AS feature
+  FROM (SELECT doc_id, lang, {_UNIGRAMS} AS t FROM documents WHERE doc_id % 4 <> 0)
+), model AS (
+  SELECT lang AS lab, feature, count(*) AS ct FROM trf GROUP BY lang, feature
+), totals AS (SELECT lab, sum(ct)::BIGINT AS tot FROM model GROUP BY lab),
+priors AS (
+  SELECT lang AS lab, count(*) AS prior FROM documents WHERE doc_id % 4 <> 0 GROUP BY lang
+), labs AS (
+  SELECT t.lab, {_L2Q.format(x='t.tot + 1')} AS ltot, {_L2Q.format(x='p.prior + 1')} AS lprior
+  FROM totals t JOIN priors p ON p.lab = t.lab
+), w AS (
+  SELECT lab, feature, {_L2Q.format(x='ct + 1')} AS lct FROM model
+), tef AS (
+  SELECT DISTINCT doc_id, {_MD5I.format(x='t')} % 4096 AS feature
+  FROM (SELECT doc_id, {_UNIGRAMS} AS t FROM documents WHERE doc_id % 4 = 0)
+), scored AS (
+  SELECT f.doc_id, l.lab,
+         (sum(coalesce(w.lct, 0) - l.ltot) + min(l.lprior))::BIGINT AS score
+  FROM tef f
+  CROSS JOIN labs l
+  LEFT JOIN w ON w.lab = l.lab AND w.feature = f.feature
+  GROUP BY f.doc_id, l.lab
+), best AS (
+  SELECT doc_id, lab AS predicted, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT b.doc_id, d.lang AS label, b.predicted, b.score, d.lang = b.predicted AS correct
+FROM best b JOIN documents d ON d.doc_id = b.doc_id
+"""

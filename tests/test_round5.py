@@ -448,3 +448,21 @@ def test_personalized_pagerank_proximity_and_dangling(spark):
         for r in G.pagerank_personalized(edges.repartition(5), seeds, iters=2).collect()
     }
     assert pr == pr2
+
+
+def test_nb_classifier_separable_vocab(spark):
+    """Fully separable vocabularies per label → held-out docs with
+    the same vocabulary must classify perfectly."""
+    from joblink_etl_spark.operators.select import nb_train_classify
+
+    vocab = {"aa": "apfel birne kirsche traube", "bb": "apple pear cherry grape"}
+    train = spark.createDataFrame(
+        [(i, lab, vocab[lab]) for i, lab in enumerate(["aa", "bb"] * 15)],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    test = spark.createDataFrame(
+        [(100, "aa", "birne traube apfel"), (101, "bb", "pear grape apple")],
+        "doc_id BIGINT, lang STRING, text STRING",
+    )
+    got = {r["doc_id"]: (r["predicted"], r["correct"]) for r in nb_train_classify(train, test).collect()}
+    assert got == {100: ("aa", True), 101: ("bb", True)}
