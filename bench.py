@@ -70,6 +70,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_queries": len(timings),
+                # totals grow with registry size every round; the
+                # per-query median is the cross-round comparable
+                "median_sec": round(sorted(timings.values())[len(timings) // 2], 3),
                 "excluded": EXCLUDED_QUADRATIC_BASELINES,
                 "sf": sf,
             }

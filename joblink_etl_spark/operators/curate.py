@@ -66,3 +66,49 @@ def curate(
         .filter(~F.col("contaminated"))
         .select("doc_id", "lang_guess", "n_tokens", "quality")
     )
+
+
+def pick_canonical_by_source(
+    docs,
+    pairs,
+    priority,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Cross-source dedup POLICY: resolve near-dup clusters, then keep
+    ONE representative per cluster chosen by source priority (curated
+    > crawl > synthetic …), not by arbitrary id — the decision rule
+    real multi-source corpora use when the same document arrives from
+    several feeds. Ties inside a priority tier break on smallest id.
+
+    `priority`: dict source -> rank (lower wins); unlisted sources
+    rank after all listed ones. Scale: connected components run over
+    the candidate-pair graph only; the pick is one window per cluster
+    over cluster members (clusters ≪ corpus).
+
+    Returns (id, cluster_id, source, keep)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .dedup import resolve_duplicates
+
+    comp = resolve_duplicates(pairs).select(id_col, "cluster_id")
+    labeled = docs.select(id_col, source_col).join(comp, id_col, "left").select(
+        id_col,
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        source_col,
+    )
+    rank_expr = F.lit(len(priority))
+    for src, r in sorted(priority.items()):
+        rank_expr = F.when(F.col(source_col) == src, F.lit(r)).otherwise(rank_expr)
+    w = Window.partitionBy("cluster_id").orderBy("_prio", F.col(id_col))
+    return (
+        labeled.withColumn("_prio", rank_expr)
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col,
+            "cluster_id",
+            source_col,
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )

@@ -184,3 +184,60 @@ r0 AS (
 SELECT node, r AS rank_scaled, r::DOUBLE / {G.SCALE} AS rank
 FROM r2
 """
+
+
+# ---------------------------------------------------------------------------
+# Canonical pick by source priority: near-dup clusters resolved, one
+# survivor per cluster chosen by source rank (src0 < src1 < ... by a
+# 3-tier priority map), ties on smallest id. The multi-source dedup
+# POLICY on top of the mechanics.
+# ---------------------------------------------------------------------------
+
+_PRIORITY = {"src0": 0, "src1": 0, "src2": 1, "src3": 1}  # rest rank 4
+
+
+def canonical_source_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import pick_canonical_by_source
+
+    base = E.table(spark, sf_dir, "documents")
+    docs = E._docs_with_neardups(base).join(
+        # clones (+10000) inherit their origin's source
+        base.select(
+            F.col("doc_id").alias("orig_id"), F.col("source").alias("_src")
+        ),
+        F.pmod(F.col("doc_id"), F.lit(10000)) == F.col("orig_id"),
+    ).select("doc_id", F.col("_src").alias("source"))
+    pairs = E.minhash_pairs(spark, sf_dir)
+    return pick_canonical_by_source(docs, pairs, _PRIORITY)
+
+
+CANONICAL_SOURCE_PICK_SQL = f"""
+WITH RECURSIVE pairs AS ({E.MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+), corpus AS (
+  SELECT d.doc_id, o.source
+  FROM (
+    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 FROM documents WHERE doc_id % 4 = 0
+  ) d JOIN documents o ON o.doc_id = d.doc_id % 10000
+), labeled AS (
+  SELECT c.doc_id, coalesce(comp.cluster_id, c.doc_id) AS cluster_id, c.source,
+         CASE c.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 0
+                       WHEN 'src2' THEN 1 WHEN 'src3' THEN 1 ELSE 4 END AS prio
+  FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id, source,
+       row_number() OVER (PARTITION BY cluster_id ORDER BY prio, doc_id) = 1 AS keep
+FROM labeled
+"""

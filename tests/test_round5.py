@@ -466,3 +466,21 @@ def test_nb_classifier_separable_vocab(spark):
     )
     got = {r["doc_id"]: (r["predicted"], r["correct"]) for r in nb_train_classify(train, test).collect()}
     assert got == {100: ("aa", True), 101: ("bb", True)}
+
+
+def test_canonical_pick_priority_beats_id(spark):
+    from joblink_etl_spark.operators.curate import pick_canonical_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "crawl"), (2, "curated"), (3, "crawl"), (9, "crawl")],
+        "doc_id BIGINT, source STRING",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a BIGINT, id_b BIGINT")
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in pick_canonical_by_source(docs, pairs, {"curated": 0, "crawl": 1}).collect()
+    }
+    # cluster {1,2,3}: the curated doc (id 2) wins despite id 1 being smaller
+    assert got[2] == (1, True)
+    assert got[1][1] is False and got[3][1] is False
+    assert got[9] == (9, True)  # singleton keeps itself
