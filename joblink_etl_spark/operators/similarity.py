@@ -1168,6 +1168,21 @@ def mmr_rerank(
         .withColumn("rel", dot_qc)
         .select("qid", "did", "rel", "d_codes")
     )
+    return mmr_rerank_pairs(cand, k=k, rel_w=rel_w, div_w=div_w)
+
+
+def mmr_rerank_pairs(
+    cand: DataFrame,
+    k: int = 5,
+    rel_w: int = 2,
+    div_w: int = 1,
+) -> DataFrame:
+    """MMR greedy selection over a PRECOMPUTED candidate set
+    (qid, did, rel, d_codes) — the composition point: gate candidates
+    however the index allows (IVF cells, BM25 top-N, a bloom filter)
+    and rerank only the survivors. Same per-query applyInPandas
+    greedy loop and integer contract as mmr_rerank."""
+    import pandas as pd
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

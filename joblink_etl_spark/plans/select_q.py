@@ -218,8 +218,10 @@ def _mmr_dot(a: str, b: str) -> str:
     )
 
 
-def _mmr_sql(k: int = 5, rel_w: int = 2, div_w: int = 1) -> str:
-    ctes = [
+def _mmr_sql(
+    k: int = 5, rel_w: int = 2, div_w: int = 1, cand_ctes: list[str] | None = None
+) -> str:
+    ctes = cand_ctes if cand_ctes is not None else [
         "base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         "gmax AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS g FROM base)",
         (
@@ -229,13 +231,13 @@ def _mmr_sql(k: int = 5, rel_w: int = 2, div_w: int = 1) -> str:
         ),
         "q AS (SELECT vec_id AS qid, codes AS qc FROM v WHERE vec_id < 3)",
         "c AS (SELECT vec_id AS did, codes AS dc FROM v WHERE vec_id >= 3)",
-        f"cand AS (SELECT qid, did, {_mmr_dot('qc', 'dc')} AS rel, dc FROM c, q)",
-        (
-            "s1 AS (SELECT qid, did, rel AS score, 1 AS rank, dc FROM ("
-            "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rn "
-            "FROM cand) WHERE rn = 1)"
-        ),
+        f"cand AS MATERIALIZED (SELECT qid, did, {_mmr_dot('qc', 'dc')} AS rel, dc FROM c, q)",
     ]
+    ctes.append(
+        "s1 AS (SELECT qid, did, rel AS score, 1 AS rank, dc FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, did) AS rn "
+        "FROM cand) WHERE rn = 1)"
+    )
     sel_union = "SELECT * FROM s1"
     for t in range(2, k + 1):
         ctes.append(f"sel{t - 1} AS ({sel_union})")
@@ -415,3 +417,121 @@ priors AS (
 SELECT b.doc_id, d.lang AS label, b.predicted, b.score, d.lang = b.predicted AS correct
 FROM best b JOIN documents d ON d.doc_id = b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-gated MMR: the production retrieval path composed — coarse
+# integer IVF cells gate the candidates (nprobe=3 of ~20 cells per
+# query), then the greedy diversity rerank runs ONLY over survivors.
+# Every stage integer-exact; the oracle replays cells, probes, gated
+# candidates, and all 5 greedy steps.
+# ---------------------------------------------------------------------------
+
+
+def ivf_mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _kmeans_assign, mmr_rerank_pairs
+
+    codes = SIM.quantize_embeddings_global(
+        parallelize(table(spark, sf_dir, "embeddings"))
+    ).select("vec_id", "q_codes")
+    queries = codes.filter(F.col("vec_id") < 3)
+    corpus = codes.filter(F.col("vec_id") >= 3)
+    cc = corpus.filter(
+        (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2500)
+    ).select(F.col("vec_id").alias("_cid"), F.col("q_codes").alias("_cv"))
+    assigned = _kmeans_assign(corpus, cc, "vec_id", "q_codes").select(
+        F.col("vec_id").alias("did"),
+        F.col("_cid").alias("cell"),
+        F.col("q_codes").alias("d_codes"),
+    )
+    cents_row = cc.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("_cid", "_cv"))).alias("_cents")
+    )
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col("q_codes"), c["_cv"], lambda x, y: (x.cast("long") - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents_row))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("q_codes"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_cents"),
+                            lambda c: F.struct(
+                                d2(c).alias("_d2"), c["_cid"].alias("_cid")
+                            ),
+                        )
+                    ),
+                    1,
+                    3,
+                )
+            ).alias("_p"),
+        )
+        .select("qid", "q_codes", F.col("_p._cid").alias("cell"))
+    )
+    rel = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("d_codes"), lambda x, y: x.cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        probes.join(assigned, "cell")
+        .withColumn("rel", rel)
+        .select("qid", "did", "rel", "d_codes")
+    )
+    return mmr_rerank_pairs(cand, k=5, rel_w=2, div_w=1)
+
+
+def _ivf_mmr_cand_ctes() -> list[str]:
+    dist = (
+        "(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i] - {b}[i])::BIGINT * ({a}[i] - {b}[i])::BIGINT)))::BIGINT"
+    )
+    dot = (
+        "(list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i]::BIGINT * {b}[i]::BIGINT)))::BIGINT"
+    )
+    return [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "gmax AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS g FROM base)",
+        (
+            "v AS (SELECT vec_id, list_transform(e, x -> floor(x / "
+            "(CASE WHEN g > 0 THEN g / 127.0 ELSE 1.0 END) + 0.5)::INTEGER) AS codes "
+            "FROM base, gmax)"
+        ),
+        "q AS (SELECT vec_id AS qid, codes AS qc FROM v WHERE vec_id < 3)",
+        "corp AS (SELECT vec_id AS did, codes AS dc FROM v WHERE vec_id >= 3)",
+        (
+            "cc AS (SELECT did AS ccid, dc AS ccv FROM corp "
+            "WHERE did % 25 = 0 AND did < 2500)"
+        ),
+        (
+            "cellassign AS MATERIALIZED (SELECT did, dc, ccid AS cell FROM ("
+            f"SELECT corp.did, corp.dc, cc.ccid, {dist.format(a='corp.dc', b='cc.ccv')} AS d2, "
+            "row_number() OVER (PARTITION BY corp.did ORDER BY "
+            f"{dist.format(a='corp.dc', b='cc.ccv')}, cc.ccid) AS rn "
+            "FROM corp, cc) WHERE rn = 1)"
+        ),
+        (
+            "qprobe AS MATERIALIZED (SELECT qid, qc, ccid AS cell FROM ("
+            f"SELECT q.qid, q.qc, cc.ccid, {dist.format(a='q.qc', b='cc.ccv')} AS d2, "
+            "row_number() OVER (PARTITION BY q.qid ORDER BY "
+            f"{dist.format(a='q.qc', b='cc.ccv')}, cc.ccid) AS rn "
+            "FROM q, cc) WHERE rn <= 3)"
+        ),
+        (
+            "cand AS MATERIALIZED (SELECT p.qid, a.did, "
+            f"{dot.format(a='p.qc', b='a.dc')} AS rel, a.dc "
+            "FROM qprobe p JOIN cellassign a ON a.cell = p.cell)"
+        ),
+    ]
+
+
+IVF_MMR_SQL = _mmr_sql(5, 2, 1, cand_ctes=_ivf_mmr_cand_ctes())
