@@ -922,3 +922,60 @@ def streaming_priority_sample(
     return base.groupBy("_g").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cdc_apply(
+    changes: DataFrame,
+    key_col: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Custom stateful operator: STREAMING CDC merge — the keyed
+    state holds each key's current winning change (max (seq, op),
+    exactly operators/cdc.apply_changelog's last-writer-wins order),
+    so the sink's final emission per key IS the key's row in the
+    maintained snapshot (op = 'D' → tombstone; base rows the stream
+    never touched carry over unchanged). State is ONE change row per
+    touched key regardless of changelog volume; a full drain equals
+    the batch apply bit-for-bit (pinned by the equivalence test).
+
+    Payload columns are derived from the input schema, so the
+    operator is generic over any changelog shape."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    payload = [
+        f for f in changes.schema.fields if f.name not in (key_col, seq_col, op_col)
+    ]
+    out_schema = StructType(
+        [changes.schema[key_col], changes.schema[seq_col], changes.schema[op_col]]
+        + payload
+    )
+    state_schema = StructType(
+        [changes.schema[seq_col], changes.schema[op_col]] + payload
+    )
+    pnames = [f.name for f in payload]
+
+    def fold(key, pdf_iter, state: GroupState):
+        cur = tuple(state.get) if state.exists else None  # (seq, op, *payload)
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                d = row._asdict()
+                cand = (d[seq_col], d[op_col], *[d[p] for p in pnames])
+                if cur is None or (cand[0], cand[1]) > (cur[0], cur[1]):
+                    cur = cand
+        state.update(cur)
+        yield pd.DataFrame(
+            [
+                {
+                    key_col: key[0],
+                    seq_col: cur[0],
+                    op_col: cur[1],
+                    **dict(zip(pnames, cur[2:])),
+                }
+            ]
+        )
+
+    return changes.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -640,3 +640,47 @@ def test_streaming_priority_sample_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, top.collect()))
     want = sorted(map(tuple, priority_sample(docs, "n_chars", k=15, salt="pri").collect()))
     assert got == want
+
+
+def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
+    """Streaming CDC merge: reconstructing the snapshot from the
+    drained sink (last emission per key + untouched base rows, D =
+    tombstone) must equal operators/cdc.apply_changelog over the full
+    changelog exactly."""
+    from joblink_etl_spark.operators.cdc import apply_changelog
+    from joblink_etl_spark.streaming.pipeline import run_available_now, streaming_cdc_apply
+
+    src, sink, ckpt = str(tmp_path / "chg"), str(tmp_path / "out"), str(tmp_path / "ck")
+    base = spark.createDataFrame(
+        [(k, f"name{k}", float(k)) for k in range(20)], "k BIGINT, name STRING, price DOUBLE"
+    )
+    chg_rows = []
+    for i in range(60):
+        k = i % 15
+        op = "D" if i % 10 == 7 else "U"
+        chg_rows.append((k, i, op, f"v{i}", i * 1.5))
+    chg_rows.append((99, 3, "I", "new", 9.0))
+    chg = spark.createDataFrame(chg_rows, "k BIGINT, seq BIGINT, op STRING, name STRING, price DOUBLE")
+    chg.repartition(4).write.parquet(src)
+
+    stream = spark.readStream.schema(chg.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    run_available_now(streaming_cdc_apply(stream, "k"), sink, ckpt)
+
+    import pyspark.sql.functions as SF
+
+    drained = spark.read.parquet(sink)
+    final = (
+        drained.groupBy("k")
+        .agg(SF.max(SF.struct("seq", "op", "name", "price")).alias("s"))
+        .select("k", "s.op", "s.name", "s.price")
+    )
+    touched = {r["k"]: (r["op"], r["name"], r["price"]) for r in final.collect()}
+    got = {}
+    for r in base.collect():
+        if r["k"] not in touched:
+            got[r["k"]] = (r["name"], r["price"])
+    for k, (op, name, price) in touched.items():
+        if op != "D":
+            got[k] = (name, price)
+    want = {r["k"]: (r["name"], r["price"]) for r in apply_changelog(base, chg, "k").collect()}
+    assert got == want
