@@ -1107,3 +1107,124 @@ FROM base
 WINDOW w AS (PARTITION BY user_id ORDER BY t_us
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): the inverse of user_event_matrix — wide per-user
+# count columns back to (user_id, event_type, n) rows, dropping
+# zero cells so pivot∘unpivot round-trips to the sparse form.
+# ---------------------------------------------------------------------------
+
+
+def event_matrix_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = user_event_matrix(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.unpivot("user_id", types, "event_type", "n")
+        .filter(F.col("n") > 0)
+    )
+
+
+EVENT_MATRIX_UNPIVOT_SQL = f"""
+WITH wide AS ({USER_EVENT_MATRIX_SQL})
+SELECT user_id, event_type, n
+FROM (
+  UNPIVOT wide ON click, error, purchase, signup, view
+  INTO NAME event_type VALUE n
+)
+WHERE n > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten purge: given a deletion list, drop every
+# event of those users and report a per-user audit count — the
+# cascade a privacy pipeline runs across fact tables. The oracle is
+# the from-scratch anti-join + audit.
+# ---------------------------------------------------------------------------
+
+
+def user_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    to_forget = ev.select("user_id").distinct().filter(F.col("user_id") % 13 == 0)
+    purged = ev.join(F.broadcast(to_forget), "user_id", "left_anti")
+    audit = (
+        ev.join(F.broadcast(to_forget), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_deleted"))
+    )
+    survivors = purged.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return audit.crossJoin(F.broadcast(survivors)).select(
+        "user_id", "n_deleted", F.col("n").alias("n_surviving_total")
+    )
+
+
+USER_PURGE_AUDIT_SQL = """
+WITH forget AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0),
+audit AS (
+  SELECT user_id, count(*)::BIGINT AS n_deleted
+  FROM events WHERE user_id IN (SELECT user_id FROM forget)
+  GROUP BY user_id
+),
+surv AS (
+  SELECT count(*)::BIGINT AS n FROM events
+  WHERE user_id NOT IN (SELECT user_id FROM forget)
+)
+SELECT user_id, n_deleted, n AS n_surviving_total
+FROM audit, surv
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report: the diagnosis every big join needs before it
+# ships — per-key-distribution summary (n keys, rows, max key share,
+# exact p99 key count) for a candidate join key. All integer until
+# the final ratios.
+# ---------------------------------------------------------------------------
+
+
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("cnt", "l_partkey")
+    ranked = per_key.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nk", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    p99 = ranked.filter(F.col("rn") == F.expr("((nk - 1) * 99) div 100 + 1")).select(
+        F.col("cnt").alias("p99_cnt")
+    )
+    agg = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    return agg.crossJoin(F.broadcast(p99)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p99_cnt",
+        F.round(
+            F.col("max_cnt").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double")),
+            4,
+        ).alias("skew_factor"),
+    )
+
+
+SKEW_REPORT_SQL = """
+WITH per_key AS (
+  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt, l_partkey) AS rn,
+         count(*) OVER () AS nk
+  FROM per_key
+), p99 AS (
+  SELECT cnt AS p99_cnt FROM ranked WHERE rn = ((nk - 1) * 99) // 100 + 1
+), agg AS (
+  SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows, max(cnt)::BIGINT AS max_cnt
+  FROM per_key
+)
+SELECT n_keys, n_rows, max_cnt, p99_cnt,
+       round(max_cnt::DOUBLE / (n_rows::DOUBLE / n_keys::DOUBLE), 4) AS skew_factor
+FROM agg, p99
+"""
