@@ -290,8 +290,14 @@ def priority_sample(
     top = pri.orderBy(F.col("priority").desc(), F.col(id_col)).limit(k + 1)
     w_all = Window.orderBy(F.col("priority").desc(), F.col(id_col))
     ranked = top.withColumn("_rn", F.row_number().over(w_all))
-    tau = ranked.filter(F.col("_rn") == k + 1).select(
-        F.col("priority").alias("_tau")
+    # one-row AGGREGATE (not a filter): with n <= k there is no
+    # (k+1)-st row, and a crossJoin against an empty frame would wipe
+    # the sample — tau degrades to 0 and est_weight = weight, the
+    # estimator's exact-below-k behavior (hypothesis-found edge case)
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("priority"))), F.lit(0)
+        ).alias("_tau")
     )
     return (
         ranked.filter(F.col("_rn") <= k)

@@ -35,7 +35,9 @@ WITH pri AS (
   FROM documents
 ), ranked AS (
   SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn FROM pri
-), tau AS (SELECT priority AS t FROM ranked WHERE rn = 21)
+), tau AS (
+  SELECT coalesce(max(CASE WHEN rn = 21 THEN priority END), 0) AS t FROM ranked
+)
 SELECT doc_id, weight, priority,
        greatest(weight * 1073741824, t)::DOUBLE / 1073741824 AS est_weight
 FROM ranked, tau

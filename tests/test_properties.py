@@ -323,3 +323,105 @@ def test_scrub_never_leaves_cut_content_and_conserves_chars(spark_prop, texts):
         assert len(r["scrubbed_text"]) + r["chars_cut"] == len(t)
         if r["n_spans_cut"] == 0:
             assert r["scrubbed_text"] == t
+
+
+# ---------------------------------------------------------------------------
+# Round-5 properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),           # key
+            st.integers(0, 1000),         # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.text(string.ascii_lowercase, max_size=6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cdc_apply_matches_python_fold(spark_prop, chg_rows):
+    """apply_changelog == a pure-Python last-writer-wins fold over
+    arbitrary changelogs (random keys, seqs incl. duplicates, ops)."""
+    from joblink_etl_spark.operators.cdc import apply_changelog
+
+    base_rows = [(k, f"base{k}") for k in range(0, 20)]
+    base = spark_prop.createDataFrame(base_rows, "k BIGINT, name STRING")
+    chg = spark_prop.createDataFrame(chg_rows, "k BIGINT, seq BIGINT, op STRING, name STRING")
+
+    # python reference: winner per key by (seq, op) desc
+    winner = {}
+    for k, seq, op, name in chg_rows:
+        if k not in winner or (seq, op) > (winner[k][0], winner[k][1]):
+            winner[k] = (seq, op, name)
+    want = {}
+    for k, name in base_rows:
+        if k not in winner:
+            want[k] = name
+    for k, (seq, op, name) in winner.items():
+        if op != "D":
+            want[k] = name
+    got = {r["k"]: r["name"] for r in apply_changelog(base, chg, "k").collect()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=30),
+    st.integers(1, 3),
+)
+def test_pagerank_matches_python_fixed_point(spark_prop, raw_edges, iters):
+    """Integer PageRank == a pure-Python replica of the fixed-point
+    recurrence on arbitrary symmetric graphs."""
+    from joblink_etl_spark.operators import graph as G
+
+    edges = sorted({(a, b) for a, b in raw_edges if a != b} | {(b, a) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    df = spark_prop.createDataFrame(edges, "src BIGINT, dst BIGINT")
+    got = {r["node"]: r["rank_scaled"] for r in G.pagerank(df, iters=iters).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: G.SCALE for n in nodes}
+    base = (G.DAMP_DEN - G.DAMP_NUM) * G.SCALE // G.DAMP_DEN
+    for _ in range(iters):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += r[s] // outdeg[s]
+        r = {n: base + (G.DAMP_NUM * contrib[n]) // G.DAMP_DEN for n in nodes}
+    assert got == r
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 100), st.integers(1, 10_000)), min_size=2, max_size=60), st.integers(1, 10))
+def test_priority_sample_matches_python_reference(spark_prop, rows, k):
+    """priority_sample == the pure-Python top-k by the same integer
+    priorities (dedup'd ids; est_weight formula replayed)."""
+    import hashlib
+
+    from joblink_etl_spark.operators.sampling import priority_sample
+
+    uniq = {}
+    for i, w in rows:
+        uniq[i] = w
+    rows = sorted(uniq.items())
+    df = spark_prop.createDataFrame(rows, "doc_id BIGINT, w BIGINT")
+    got = sorted(map(tuple, priority_sample(df, "w", k=k, salt="pp").collect()))
+
+    def pri(i, w):
+        u = int(hashlib.md5(f"pp:{i}".encode()).hexdigest()[:15], 16) % (1 << 30) + 1
+        return (w << 30) // u
+
+    scored = sorted(((pri(i, w), i, w) for i, w in rows), key=lambda t: (-t[0], t[1]))
+    top = scored[:k]
+    tau = scored[k][0] if len(scored) > k else 0
+    want = sorted(
+        (i, w, p, float(max(w << 30, tau)) / float(1 << 30)) for p, i, w in top
+    )
+    assert got == want
