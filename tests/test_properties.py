@@ -425,3 +425,88 @@ def test_priority_sample_matches_python_reference(spark_prop, rows, k):
         (i, w, p, float(max(w << 30, tau)) / float(1 << 30)) for p, i, w in top
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 200), st.integers(-500, 500)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(2, 20),
+)
+def test_gap_fill_locf_matches_python(spark_prop, rows, bucket):
+    """gap_fill_locf == a pure-Python grid+LOCF fold for arbitrary
+    per-key series (duplicate timestamps resolved by the eid
+    tiebreaker in both)."""
+    from joblink_etl_spark.operators.timeseries import gap_fill_locf
+
+    rows = [(k, t, c, i) for i, (k, t, c) in enumerate(rows)]
+    df = spark_prop.createDataFrame(rows, "k BIGINT, t BIGINT, c BIGINT, eid BIGINT")
+    got = {
+        (r["k"], r["bucket"]): (r["c"], r["is_observed"])
+        for r in gap_fill_locf(df, "k", "t", "c", bucket, ("eid",)).collect()
+    }
+
+    want = {}
+    bykey = {}
+    for k, t, c, eid in rows:
+        bykey.setdefault(k, []).append((t, eid, c))
+    for k, obs in bykey.items():
+        per_bucket = {}
+        for t, eid, c in obs:
+            b = t // bucket
+            if b not in per_bucket or (t, eid) > per_bucket[b][:2]:
+                per_bucket[b] = (t, eid, c)
+        b0, b1 = min(per_bucket), max(per_bucket)
+        last = None
+        for b in range(b0, b1 + 1):
+            if b in per_bucket:
+                last = per_bucket[b][2]
+                want[(k, b)] = (last, True)
+            else:
+                want[(k, b)] = (last, False)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(-20, 20), min_size=4, max_size=4), min_size=2, max_size=15),
+    st.integers(1, 4),
+)
+def test_mmr_matches_python_greedy(spark_prop, vecs, k):
+    """mmr_rerank == a pure-Python greedy MMR with the same integer
+    scores and smallest-id tie-break."""
+    from joblink_etl_spark.operators.similarity import mmr_rerank
+
+    q = spark_prop.createDataFrame([(0, vecs[0])], "qid BIGINT, q_codes ARRAY<INT>")
+    cand = list(enumerate(vecs[1:], start=1))
+    c = spark_prop.createDataFrame(cand, "did BIGINT, d_codes ARRAY<INT>")
+    got = {
+        r["rank"]: (r["did"], r["score"])
+        for r in mmr_rerank(q, c, k=k, rel_w=2, div_w=1).collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qv = vecs[0]
+    rel = {i: dot(qv, v) for i, v in cand}
+    picked, want = [], {}
+    max_sim = {i: None for i, _ in cand}
+    for rank in range(1, min(k, len(cand)) + 1):
+        best = None
+        for i, v in cand:
+            if i in picked:
+                continue
+            s = rel[i] if rank == 1 else 2 * rel[i] - max_sim[i]
+            if best is None or s > best[0] or (s == best[0] and i < best[1]):
+                best = (s, i)
+        want[rank] = (best[1], best[0])
+        picked.append(best[1])
+        pv = dict(cand)[best[1]]
+        for i, v in cand:
+            s = dot(v, pv)
+            max_sim[i] = s if max_sim[i] is None else max(max_sim[i], s)
+    assert got == want
