@@ -979,3 +979,42 @@ def streaming_cdc_apply(
     return changes.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_ingest_curated(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    langs: tuple[str, ...] = ("en", "es"),
+    min_quality: float = 0.5,
+) -> None:
+    """The training-data FRONT DOOR in streaming form: each arriving
+    micro-batch runs the full curation gate chain (language + quality
+    filters, exact-dup collapse, benchmark decontamination —
+    operators/curate.curate) before anything reaches the corpus sink.
+
+    Per-batch gates are stateless (the benchmark gram set is static;
+    within-batch dup collapse is the batch operator verbatim), so a
+    full drain equals batch curation applied per input file — the
+    equivalence test pins it. Cross-batch near-dup admission is the
+    separately-tested stateful layer (streaming_band_registry /
+    stream_repeat_span_gate); composing them is sink-chaining, kept
+    apart here so each contract stays independently verifiable."""
+    from ..operators.curate import curate
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        curated = curate(
+            batch_df, benchmark, langs=langs, min_quality=min_quality
+        ).filter(~F.col("contaminated"))
+        curated.write.mode("append").parquet(sink_dir)
+
+    (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -684,3 +684,48 @@ def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
             got[k] = (name, price)
     want = {r["k"]: (r["name"], r["price"]) for r in apply_changelog(base, chg, "k").collect()}
     assert got == want
+
+
+def test_stream_ingest_curated_matches_per_file_batch(spark, tmp_path):
+    """Streaming curation front door: drained sink == batch curate
+    applied per input file (micro-batch == file with
+    maxFilesPerTrigger=1)."""
+    from joblink_etl_spark.operators.curate import curate
+    from joblink_etl_spark.streaming.pipeline import stream_ingest_curated
+
+    src, sink, ckpt = str(tmp_path / "docs"), str(tmp_path / "out"), str(tmp_path / "ck")
+    from joblink_etl_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 11 = 0").limit(5)
+    import os
+
+    os.makedirs(src)
+    files = []
+    for i in range(3):
+        part = docs.filter(f"doc_id % 3 = {i}")
+        part.coalesce(1).write.parquet(f"{src}/f{i}.parquet")
+        files.append(part)
+    # readStream over the directory of per-file parquet dirs
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    stream_ingest_curated(stream, bench, sink, ckpt)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(sink).select("doc_id", "lang_guess", "n_tokens", "quality").collect())
+    )
+    want = []
+    for part in files:
+        want += [
+            tuple(r)
+            for r in curate(part, bench)
+            .filter("NOT contaminated")
+            .select("doc_id", "lang_guess", "n_tokens", "quality")
+            .collect()
+        ]
+    assert got == sorted(want)
+    assert len(got) > 0
