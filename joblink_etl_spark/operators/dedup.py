@@ -693,3 +693,70 @@ def sorted_neighborhood_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family,
+    Xiao et al. WWW 2008): order each doc's distinct tokens globally
+    by (document frequency, token) — rarest first — and keep only the
+    first |T| - ceil(t·|T|) + 1 as the doc's PREFIX. Two docs with
+    jaccard ≥ t MUST share a prefix token (pigeonhole on the overlap
+    bound), so joining on prefix tokens is a LOSSLESS candidate
+    generator; exact Jaccard verifies. Unlike MinHash-LSH this is
+    exact (recall 1 by construction — the oracle is the plain
+    all-pairs join, proving it), and the prefix join's fan-out is
+    bounded by rare-token frequencies instead of band collisions.
+
+    Scale: token df is one map-side-combined aggregate; the ordering
+    is per-doc scan-side (array_sort over (df, token) structs after a
+    broadcast-df join keyed by token — df table ≪ corpus after a
+    min-df floor; here it rides a shuffle join keyed on the token).
+    Candidates pair only through prefix tokens — with Zipfian
+    vocabularies prefixes are dominated by rare tokens, so per-token
+    fan-out stays small. Output (id_a, id_b, jaccard), same contract
+    as ngram_jaccard_pairs.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), _bound_ngrams(F.col(text_col), 1).alias("_t")
+    ).filter(F.size("_t") > 0)
+    tok_rows = toks.select("id", F.explode("_t").alias("tok"))
+    dfreq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc tokens ordered (df, tok) ascending; prefix keeps the
+    # first n - ceil(t*n) + 1
+    ordered = (
+        tok_rows.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "tok"))), lambda s: s["tok"]
+            ).alias("toks")
+        )
+        .withColumn("_n", F.size("toks"))
+        .withColumn(
+            "_plen",
+            F.col("_n") - F.ceil(F.col("_n") * F.lit(float(min_jaccard))).cast("int") + 1,
+        )
+    )
+    prefix = ordered.select(
+        "id", F.explode(F.slice("toks", 1, F.col("_plen"))).alias("tok")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "tok")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sets = toks.select("id", F.array_distinct("_t").alias("_s"))
+    return (
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("_s").alias("_sa")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("_s").alias("_sb")), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("_sa"), F.col("_sb")), 4))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -190,3 +190,70 @@ def pagerank_personalized(
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002,
+    majority-vote variant): seed nodes hold fixed labels; every
+    round each unlabeled node adopts the MAJORITY label among its
+    labeled neighbors (ties → smallest label; no labeled neighbor →
+    keep previous). Fully categorical/integer → deterministic and
+    oracle-replayable, unlike weighted float variants.
+
+    The curation use: spread trusted metadata (language, license,
+    topic) from canonical documents to their near-duplicates across
+    the candidate graph. Each round is one keyed shuffle (neighbor
+    label counts) + a window pick; state is one label per node.
+
+    `edges` symmetric (src, dst); `seeds` (node, label). Returns
+    (node, label) with label null where nothing reached the node."""
+    from pyspark.sql.window import Window
+
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_l = (
+        seeds.select("node", F.col("label").alias("_seed"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.join(seed_l, "node", "left").select(
+        "node", F.col("_seed").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("_c").desc(), F.col("label"))
+    for _ in range(iters):
+        labels = labels.localCheckpoint(eager=False)
+        nb = (
+            edges.join(
+                labels.filter(F.col("label").isNotNull()).withColumnRenamed(
+                    "node", "src"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        pick = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_maj"))
+        )
+        labels = (
+            nodes.join(seed_l, "node", "left")
+            .join(pick, "node", "left")
+            .join(labels.withColumnRenamed("label", "_prev"), "node", "left")
+            .select(
+                "node",
+                F.coalesce("_seed", "_maj", "_prev").alias("label"),
+            )
+        )
+    return labels

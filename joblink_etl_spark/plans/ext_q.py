@@ -3827,3 +3827,35 @@ WHERE len(list_distinct(l.sh || r.sh)) > 0
   AND round(len(list_intersect(l.sh, r.sh))::DOUBLE
             / len(list_distinct(l.sh || r.sh)), 4) >= 0.3
 """
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity self-join (PPJoin family). The
+# oracle is the plain ALL-PAIRS jaccard join — a green hash proves
+# the prefix filter is LOSSLESS (recall exactly 1), not just fast.
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_neardups(parallelize(table(spark, sf_dir, "documents")))
+    subset = docs.filter((F.col("doc_id") % 10000) < 80)
+    return D.prefix_filter_jaccard_pairs(subset, min_jaccard=0.5)
+
+
+PREFIX_JACCARD_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id < 80
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zz end marker' FROM documents
+  WHERE doc_id % 4 = 0 AND doc_id < 80
+), tok AS (
+  SELECT id, list_distinct({_TOKS}) AS s FROM corpus
+  WHERE len(list_distinct({_TOKS})) > 0
+)
+SELECT l.id AS id_a, r.id AS id_b,
+       round(len(list_intersect(l.s, r.s))::DOUBLE
+             / len(list_distinct(l.s || r.s)), 4) AS jaccard
+FROM tok l JOIN tok r ON l.id < r.id
+WHERE round(len(list_intersect(l.s, r.s))::DOUBLE
+            / len(list_distinct(l.s || r.s)), 4) >= 0.5
+"""

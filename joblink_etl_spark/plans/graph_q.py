@@ -241,3 +241,61 @@ SELECT doc_id, cluster_id, source,
        row_number() OVER (PARTITION BY cluster_id ORDER BY prio, doc_id) = 1 AS keep
 FROM labeled
 """
+
+
+# ---------------------------------------------------------------------------
+# Label propagation: spread trusted `lang` labels from base docs to
+# their unlabeled near-dup clones over the candidate graph. Oracle
+# unrolls both majority-vote rounds (counts, deterministic ties,
+# seed clamping, keep-previous fallback).
+# ---------------------------------------------------------------------------
+
+
+def label_propagation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = E.minhash_pairs(spark, sf_dir)
+    edges = G.symmetrize(pairs)
+    seeds = E.table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), F.col("lang").alias("label")
+    )
+    return G.label_propagation(edges, seeds, iters=2)
+
+
+def _lp_iter(prev: str, k: int) -> str:
+    return f"""n{k} AS (
+  SELECT e.dst AS node, p.label, count(*) AS c
+  FROM edges e JOIN {prev} p ON p.node = e.src AND p.label IS NOT NULL
+  GROUP BY e.dst, p.label
+),
+p{k} AS (
+  SELECT node, label AS maj FROM (
+    SELECT *, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM n{k}
+  ) WHERE rn = 1
+),
+l{k} AS (
+  SELECT n.node, coalesce(s.seed, p.maj, prev.label) AS label
+  FROM nodes n
+  LEFT JOIN seedl s ON s.node = n.node
+  LEFT JOIN p{k} p ON p.node = n.node
+  LEFT JOIN {prev} prev ON prev.node = n.node
+)"""
+
+
+LABEL_PROPAGATION_SQL = f"""
+WITH pairs AS ({E.MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seedl AS (
+  SELECT d.doc_id AS node, d.lang AS seed
+  FROM documents d JOIN nodes n ON n.node = d.doc_id
+),
+l0 AS (
+  SELECT n.node, s.seed AS label FROM nodes n LEFT JOIN seedl s ON s.node = n.node
+),
+{_lp_iter("l0", 1)},
+{_lp_iter("l1", 2)}
+SELECT node, label FROM l2
+"""

@@ -484,3 +484,42 @@ def test_canonical_pick_priority_beats_id(spark):
     assert got[2] == (1, True)
     assert got[1][1] is False and got[3][1] is False
     assert got[9] == (9, True)  # singleton keeps itself
+
+
+def test_prefix_filter_is_lossless_vs_allpairs(spark):
+    from joblink_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = [(i, f"common shared words here plus item {i} detail {i % 4}") for i in range(25)]
+    docs += [(100 + i, docs[i][1]) for i in range(6)]  # exact clones
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = sorted(map(tuple, prefix_filter_jaccard_pairs(df, min_jaccard=0.6).collect()))
+    # all-pairs baseline with the SAME token sets (unigram jaccard):
+    import itertools
+
+    toks = {i: set(t.lower().split()) for i, t in docs}
+    want = []
+    for a, b in itertools.combinations(sorted(toks), 2):
+        j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+        if round(j, 4) >= 0.6:
+            want.append((a, b, round(j, 4)))
+    assert got == sorted(want)
+    assert len(got) >= 6  # the planted clones at least
+
+
+def test_label_propagation_spreads_majority(spark):
+    from joblink_etl_spark.operators import graph as G
+
+    # clone 10 connected to labeled 1 ("en") and 2 ("en") and 3 ("fr")
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (20, 21)], "id_a BIGINT, id_b BIGINT"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (20, "de")], "node BIGINT, label STRING"
+    )
+    got = {r["node"]: r["label"] for r in G.label_propagation(G.symmetrize(pairs), seeds, iters=1).collect()}
+    assert got[10] == "en"      # majority of labeled neighbors
+    assert got[21] == "de"      # single labeled neighbor
+    assert got[1] == "en" and got[3] == "fr"  # seeds clamped
