@@ -257,3 +257,54 @@ def label_propagation(
             )
         )
     return labels
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iters: int = 2,
+    scale: int = SCALE,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Edge-WEIGHTED PageRank: a node's rank splits across its
+    out-edges proportionally to integer edge weights instead of
+    uniformly — contribution = (rank · w) div Σw_out. With candidate
+    graphs the natural weight is the quantized similarity (jaccard ×
+    10⁴ as bigint), so strong near-duplicates pull more rank mass
+    than borderline pairs.
+
+    Same integer-exact contract and per-round cost as pagerank(); the
+    out-weight sum replaces the out-degree (one extra column in the
+    same aggregate). Weights must be positive bigints."""
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.sum(weight_col).alias("wsum"))
+    esrc = edges.join(deg, "src").localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rank = nodes.withColumn("r", F.lit(scale).cast("long"))
+    base = (DAMP_DEN - DAMP_NUM) * scale // DAMP_DEN
+    for _ in range(iters):
+        contrib = (
+            esrc.join(rank, esrc["src"] == rank["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(r * {weight_col}) div wsum").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        rank = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({DAMP_NUM} * coalesce(csum, 0L)) div {DAMP_DEN}")
+            ).alias("r"),
+        )
+    return rank.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
+    )

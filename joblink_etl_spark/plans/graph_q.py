@@ -299,3 +299,52 @@ l0 AS (
 {_lp_iter("l1", 2)}
 SELECT node, label FROM l2
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank: rank mass splits across edges by quantized
+# jaccard (×10⁴ bigint) — strong near-dups pull more mass. r·w can
+# reach SCALE·10⁴ = 10¹⁶ per term, still exact in bigints.
+# ---------------------------------------------------------------------------
+
+
+def pagerank_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = E.minhash_pairs(spark, sf_dir).withColumn(
+        "w", F.floor(F.col("jaccard") * 10000 + F.lit(0.5)).cast("bigint")
+    )
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w")
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "w")
+    return G.pagerank_weighted(fwd.unionAll(rev).distinct(), iters=2)
+
+
+def _prw_iter(prev: str, cur: str) -> str:
+    base = (G.DAMP_DEN - G.DAMP_NUM) * G.SCALE // G.DAMP_DEN
+    return f"""{cur} AS (
+  SELECT n.node,
+         ({base}::BIGINT + (({G.DAMP_NUM} * coalesce(s.csum, 0)) // {G.DAMP_DEN}))::BIGINT AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum((p.r * e.w) // d.wsum)::BIGINT AS csum
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) s ON s.node = n.node
+)"""
+
+
+PAGERANK_WEIGHTED_SQL = f"""
+WITH pairs AS ({E.MINHASH_PAIRS_SQL}),
+wp AS (SELECT id_a, id_b, floor(jaccard * 10000 + 0.5)::BIGINT AS w FROM pairs),
+edges AS (
+  SELECT id_a AS src, id_b AS dst, w FROM wp
+  UNION
+  SELECT id_b, id_a, w FROM wp
+),
+deg AS (SELECT src, sum(w)::BIGINT AS wsum FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+r0 AS (SELECT node, {G.SCALE}::BIGINT AS r FROM nodes),
+{_prw_iter("r0", "r1")},
+{_prw_iter("r1", "r2")}
+SELECT node, r AS rank_scaled, r::DOUBLE / {G.SCALE} AS rank
+FROM r2
+"""

@@ -523,3 +523,20 @@ def test_label_propagation_spreads_majority(spark):
     assert got[10] == "en"      # majority of labeled neighbors
     assert got[21] == "de"      # single labeled neighbor
     assert got[1] == "en" and got[3] == "fr"  # seeds clamped
+
+
+def test_weighted_pagerank_heavier_edge_pulls_more(spark):
+    """Hub 0 with a heavy edge to 1 (w=9000) and a light edge to 2
+    (w=1000): node 1 must outrank node 2; with equal weights they tie."""
+    edges = spark.createDataFrame(
+        [(0, 1, 9000), (0, 2, 1000), (1, 0, 9000), (2, 0, 1000)],
+        "src BIGINT, dst BIGINT, w BIGINT",
+    )
+    pr = {r["node"]: r["rank_scaled"] for r in G.pagerank_weighted(edges, iters=2).collect()}
+    assert pr[1] > pr[2]
+    eq = spark.createDataFrame(
+        [(0, 1, 5000), (0, 2, 5000), (1, 0, 5000), (2, 0, 5000)],
+        "src BIGINT, dst BIGINT, w BIGINT",
+    )
+    pre = {r["node"]: r["rank_scaled"] for r in G.pagerank_weighted(eq, iters=2).collect()}
+    assert pre[1] == pre[2]
