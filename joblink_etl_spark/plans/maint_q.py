@@ -284,3 +284,126 @@ def _ann_add_sql(
 
 
 ANN_INDEX_ADD_SQL = _ann_add_sql()
+
+
+# ---------------------------------------------------------------------------
+# Data-quality constraint gate over orders: row-local rules fold into
+# one scan; uniqueness and referential integrity add one keyed agg /
+# anti-join each. Oracle recomputes every violation count.
+# ---------------------------------------------------------------------------
+
+
+def quality_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import check_constraints
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return check_constraints(
+        orders,
+        not_null=("o_custkey", "o_orderdate"),
+        ranges={"o_totalprice": (0.0, 1_000_000.0)},
+        accepted={"o_orderstatus": ("F", "O", "P")},
+        unique=(("o_orderkey",),),
+        references={"o_custkey": (cust, "c_custkey")},
+    )
+
+
+QUALITY_GATE_SQL = """
+WITH v AS (
+  SELECT
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_ck,
+    sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_od,
+    sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 1000000.0
+        THEN 1 ELSE 0 END)::BIGINT AS rng,
+    sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)::BIGINT AS acc
+  FROM orders
+), uq AS (
+  SELECT coalesce(sum(n - 1), 0)::BIGINT AS d
+  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) WHERE n > 1
+), rf AS (
+  SELECT count(*)::BIGINT AS o FROM orders
+  WHERE o_custkey IS NOT NULL AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+SELECT t.rule, t.col, t.n_violations
+FROM (
+  SELECT 'accepted_values' AS rule, 'o_orderstatus' AS col, (SELECT acc FROM v) AS n_violations
+  UNION ALL SELECT 'not_null', 'o_custkey', (SELECT nn_ck FROM v)
+  UNION ALL SELECT 'not_null', 'o_orderdate', (SELECT nn_od FROM v)
+  UNION ALL SELECT 'range', 'o_totalprice', (SELECT rng FROM v)
+  UNION ALL SELECT 'references', 'o_custkey', (SELECT o FROM rf)
+  UNION ALL SELECT 'unique', 'o_orderkey', (SELECT d FROM uq)
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style table profile: per-column row/null counts + HLL
+# distinct-count estimates over lineitem, all columns profiled in ONE
+# unioned pass (column name rides as the group key, so the HLL layer
+# is the existing per-group operator unchanged). Restricted to
+# integer/string columns whose string form is engine-identical (a
+# double's string rendering is not).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_orderkey", "l_suppkey", "l_returnflag", "l_linestatus")
+
+
+def table_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    li = table(spark, sf_dir, "lineitem")
+    stacked = reduce(
+        lambda a, b: a.unionAll(b),
+        [
+            li.select(
+                F.lit(c).alias("col"), F.col(c).cast("string").alias("val")
+            )
+            for c in _PROFILE_COLS
+        ],
+    )
+    counts = stacked.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+    )
+    ndv = hll_estimate(
+        hll_registers(stacked.filter(F.col("val").isNotNull()), "col", "val"), "col"
+    )
+    return counts.join(ndv, "col").select(
+        "col", "n_rows", "n_null", "n_buckets_used", "inv_sum_scaled",
+        F.col("est_distinct").alias("est_ndv"),
+    )
+
+
+TABLE_PROFILE_SQL = """
+WITH stacked AS (
+  SELECT 'l_orderkey' AS col, l_orderkey::VARCHAR AS val FROM lineitem
+  UNION ALL SELECT 'l_suppkey', l_suppkey::VARCHAR FROM lineitem
+  UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+), counts AS (
+  SELECT col, count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+  FROM stacked GROUP BY col
+), base AS (
+  SELECT col, ('0x' || substr(md5(val), 1, 15))::BIGINT AS h
+  FROM stacked WHERE val IS NOT NULL
+), reg AS (
+  SELECT col, (h % 64)::INT AS bucket,
+         max(CASE WHEN h // 64 > 0 THEN 55 - length(format('{:b}', h // 64))
+                  ELSE 55 END)::INT AS register
+  FROM base GROUP BY col, h % 64
+), agg AS (
+  SELECT col, count(*) AS n_buckets_used,
+         sum(1::BIGINT << (55 - register))::BIGINT AS used_inv
+  FROM reg GROUP BY col
+)
+SELECT c.col, c.n_rows, c.n_null,
+       a.n_buckets_used::BIGINT AS n_buckets_used,
+       (a.used_inv + (64 - a.n_buckets_used) * (1::BIGINT << 55))::BIGINT AS inv_sum_scaled,
+       round(2905.460551022604 * (1::BIGINT << 55)::DOUBLE
+             / (a.used_inv + (64 - a.n_buckets_used) * (1::BIGINT << 55))::DOUBLE,
+             4) AS est_ndv
+FROM counts c JOIN agg a ON a.col = c.col
+"""
