@@ -760,3 +760,37 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SOFT deduplication: instead of dropping near-duplicates, weight
+    every document by 1/|its near-dup cluster| so each semantic unit
+    contributes one unit of training mass however many copies exist —
+    the loss-reweighting alternative to destructive dedup (keeps rare
+    phrasing variants a hard collapse would lose).
+
+    Exact-rational spelling: the weight rides as (1, cluster_size)
+    integer columns and ONE final IEEE division — so downstream
+    weighted samplers (priority_sample, temperature_mixture) can stay
+    integer-exact by consuming the denominator directly.
+
+    Scale: connected components over the candidate-pair graph only,
+    one count per cluster, broadcast back. Returns
+    (id, cluster_id, cluster_size, weight)."""
+    comp = resolve_duplicates(pairs).select(id_col, "cluster_id")
+    labeled = docs.select(id_col).join(comp, id_col, "left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
+    )

@@ -348,3 +348,44 @@ r0 AS (SELECT node, {G.SCALE}::BIGINT AS r FROM nodes),
 SELECT node, r AS rank_scaled, r::DOUBLE / {G.SCALE} AS rank
 FROM r2
 """
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup weights: 1/|cluster| loss weights instead of dropping
+# near-dups — every semantic unit contributes one unit of mass.
+# ---------------------------------------------------------------------------
+
+
+def soft_dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = E._docs_with_neardups(E.table(spark, sf_dir, "documents"))
+    pairs = E.minhash_pairs(spark, sf_dir)
+    return D.soft_dedup_weights(docs, pairs)
+
+
+SOFT_DEDUP_WEIGHTS_SQL = f"""
+WITH RECURSIVE pairs AS ({E.MINHASH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+), comp AS (
+  SELECT node AS doc_id, least(node, min(r)) AS cluster_id
+  FROM reach GROUP BY node
+), corpus AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 FROM documents WHERE doc_id % 4 = 0
+), labeled AS (
+  SELECT c.doc_id, coalesce(comp.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
+), sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       1.0 / s.cluster_size::DOUBLE AS weight
+FROM labeled l JOIN sizes s ON s.cluster_id = l.cluster_id
+"""
