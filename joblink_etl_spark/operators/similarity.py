@@ -1452,3 +1452,58 @@ def pq_index_add(
         F.col("_cid").alias("code_id"),
         F.col("_d2").alias("sq_dist"),
     )
+
+
+def contrastive_triplets(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive training-pair assembly: per anchor, the nearest
+    SAME-label vector is the positive and the nearest DIFFERENT-label
+    vector the hard negative (both excluding self, deterministic id
+    ties) — the triplet/InfoNCE mining step of embedding finetuning,
+    with the margin as the difficulty signal.
+
+    One scored pass (broadcast anchors × corpus, the knn_bruteforce
+    shape) feeds BOTH windows; labels split the ranking, nothing is
+    scored twice. Doubles follow the engine's bit-reproducible
+    left-fold cosine, so the oracle matches exactly. Returns
+    (anchor_id, positive_id, pos_score, negative_id, neg_score,
+    margin)."""
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        as_double(F.col(vec_col)).alias("nv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("anchor_id") != F.col("nid"))
+        .withColumn("score", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("_same", F.col("qlabel") == F.col("nlabel"))
+    )
+    w = Window.partitionBy("anchor_id", "_same").orderBy(
+        F.col("score").desc(), F.col("nid")
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    pos = best.filter(F.col("_same")).select(
+        "anchor_id", F.col("nid").alias("positive_id"), F.col("score").alias("pos_score")
+    )
+    neg = best.filter(~F.col("_same")).select(
+        "anchor_id", F.col("nid").alias("negative_id"), F.col("score").alias("neg_score")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "pos_score",
+        "negative_id",
+        "neg_score",
+        (F.col("pos_score") - F.col("neg_score")).alias("margin"),
+    )

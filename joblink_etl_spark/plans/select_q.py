@@ -537,3 +537,41 @@ def _ivf_mmr_cand_ctes() -> list[str]:
 
 
 IVF_MMR_SQL = _mmr_sql(5, 2, 1, cand_ctes=_ivf_mmr_cand_ctes())
+
+
+# ---------------------------------------------------------------------------
+# Contrastive triplet mining: nearest same-label positive + nearest
+# different-label hard negative per anchor, margin as difficulty.
+# ---------------------------------------------------------------------------
+
+
+def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    return SIM.contrastive_triplets(emb, emb.filter(F.col("vec_id") < 5))
+
+
+CONTRASTIVE_TRIPLETS_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings
+), q AS (
+  SELECT vec_id AS anchor_id, e AS qv, label AS qlabel FROM v WHERE vec_id < 5
+), scored AS (
+  SELECT q.anchor_id, v.vec_id AS nid, v.label = q.qlabel AS same,
+         CASE WHEN sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e)) > 0
+              THEN list_dot_product(qv, e)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e, e)))
+              ELSE 0.0 END AS score
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.anchor_id
+), best AS (
+  SELECT anchor_id, nid, same, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY anchor_id, same ORDER BY score DESC, nid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT p.anchor_id,
+       p.nid AS positive_id, p.score AS pos_score,
+       n.nid AS negative_id, n.score AS neg_score,
+       p.score - n.score AS margin
+FROM best p JOIN best n ON n.anchor_id = p.anchor_id AND p.same AND NOT n.same
+"""
