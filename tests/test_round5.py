@@ -540,3 +540,69 @@ def test_weighted_pagerank_heavier_edge_pulls_more(spark):
     )
     pre = {r["node"]: r["rank_scaled"] for r in G.pagerank_weighted(eq, iters=2).collect()}
     assert pre[1] == pre[2]
+
+
+def test_check_constraints_finds_planted_violations(spark):
+    from joblink_etl_spark.operators.quality import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, "OK"),
+            (2, None, 5.0, "OK"),        # not_null violation
+            (3, "c", -1.0, "OK"),        # range violation
+            (3, "d", 2.0, "BAD"),        # dup key + bad status
+            (4, "e", 3.0, "OK"),
+        ],
+        "k BIGINT, name STRING, price DOUBLE, status STRING",
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "dk BIGINT")  # 4 is orphan
+    got = {
+        (r["rule"], r["col"]): r["n_violations"]
+        for r in check_constraints(
+            df,
+            not_null=("name",),
+            ranges={"price": (0.0, 100.0)},
+            accepted={"status": ("OK",)},
+            unique=(("k",),),
+            references={"k": (dim, "dk")},
+        ).collect()
+    }
+    assert got == {
+        ("not_null", "name"): 1,
+        ("range", "price"): 1,
+        ("accepted_values", "status"): 1,
+        ("unique", "k"): 1,
+        ("references", "k"): 1,
+    }
+
+
+def test_soft_dedup_weights_sum_to_semantic_units(spark):
+    from joblink_etl_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id BIGINT")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], "id_a BIGINT, id_b BIGINT")
+    rows = soft_dedup_weights(docs, pairs).collect()
+    got = {r["doc_id"]: (r["cluster_size"], r["weight"]) for r in rows}
+    assert got[0] == (3, 1.0 / 3) and got[1] == (3, 1.0 / 3) and got[2] == (3, 1.0 / 3)
+    assert got[5] == (2, 0.5) and got[6] == (2, 0.5)
+    assert got[3] == (1, 1.0)
+    # total mass = number of semantic units (clusters)
+    assert abs(sum(w for _, w in got.values()) - 5.0) < 1e-9
+
+
+def test_contrastive_triplets_margin_and_labels(spark):
+    from joblink_etl_spark.operators.similarity import contrastive_triplets
+
+    rows = [
+        (0, [1.0, 0.0], 0),    # anchor
+        (1, [0.9, 0.1], 0),    # same-label near → positive
+        (2, [0.0, 1.0], 0),    # same-label far
+        (3, [0.95, 0.05], 1),  # diff-label near → hard negative
+        (4, [-1.0, 0.0], 1),   # diff-label far
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    got = contrastive_triplets(emb, emb.filter("vec_id = 0")).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["positive_id"] == 1 and r["negative_id"] == 3
+    assert r["margin"] == r["pos_score"] - r["neg_score"]
