@@ -1228,3 +1228,90 @@ SELECT n_keys, n_rows, max_cnt, p99_cnt,
        round(max_cnt::DOUBLE / (n_rows::DOUBLE / n_keys::DOUBLE), 4) AS skew_factor
 FROM agg, p99
 """
+
+
+# ---------------------------------------------------------------------------
+# Event co-occurrence lift: for each ordered pair of event types, how
+# often they occur within 5 minutes for the same user vs what
+# independence predicts (the association-rule lift over a temporal
+# basket). Counts are exact integers; lift is one final division
+# chain spelled identically in the oracle.
+# ---------------------------------------------------------------------------
+
+
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    a = ev.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("event_id").alias("_ida"),
+        F.col("t_us").alias("_ta"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("event_id").alias("_idb"),
+        F.col("t_us").alias("_tb"),
+    )
+    window_us = 300_000_000
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("_idb") != F.col("_ida"))
+            & (F.col("_tb") >= F.col("_ta"))
+            & (F.col("_tb") - F.col("_ta") <= window_us)
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cooc"))
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_all = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (
+        pairs.join(
+            F.broadcast(totals.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(totals.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "type_a",
+            "type_b",
+            "n_cooc",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_cooc").cast("double") * F.col("n_total").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+EVENT_COOCCURRENCE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts::TIMESTAMP) AS t_us FROM events
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*)::BIGINT AS n_cooc
+  FROM ev a JOIN ev b ON b.user_id = a.user_id
+   AND b.event_id <> a.event_id
+   AND b.t_us >= a.t_us AND b.t_us - a.t_us <= 300000000
+  GROUP BY a.event_type, b.event_type
+), totals AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM ev GROUP BY event_type
+), alln AS (SELECT count(*)::BIGINT AS n_total FROM ev)
+SELECT p.type_a, p.type_b, p.n_cooc, ta.n AS n_a, tb.n AS n_b,
+       round((p.n_cooc::DOUBLE * n_total::DOUBLE) / (ta.n::DOUBLE * tb.n::DOUBLE), 6) AS lift
+FROM pairs p
+JOIN totals ta ON ta.event_type = p.type_a
+JOIN totals tb ON tb.event_type = p.type_b
+CROSS JOIN alln
+"""
