@@ -112,3 +112,61 @@ def pick_canonical_by_source(
             (F.col("_rn") == 1).alias("keep"),
         )
     )
+
+
+def curation_funnel(
+    docs,
+    benchmark,
+    langs: tuple[str, ...] = ("en", "es"),
+    min_quality: float = 0.5,
+):
+    """Per-gate selectivity report for the curation pipeline: how many
+    documents enter and survive each stage (lang+quality gate → exact
+    -dedup collapse → benchmark decontam). This is the observability
+    a cost-ordered gate chain is tuned with — cheap selective gates
+    must run before expensive ones, and this report is the evidence.
+
+    One logical plan: stage populations are the same subtrees
+    curate() builds; the counts are four one-row aggregates crossed
+    into a 3-row (stage, rows_in, rows_out, selectivity) report.
+    Integer counts; one division per row."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .decontam import ngram_overlap
+    from .textstats import add_text_stats
+
+    stats = add_text_stats(docs).select(
+        "doc_id", "text", "lang_guess", "quality", "fingerprint"
+    )
+    kept = stats.filter(
+        F.col("lang_guess").isin(*langs) & (F.col("quality") >= F.lit(min_quality))
+    )
+    w = Window.partitionBy("fingerprint")
+    canon = kept.withColumn("_cid", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("_cid")
+    )
+    final = ngram_overlap(canon.select("doc_id", "text"), benchmark).filter(
+        ~F.col("contaminated")
+    )
+    c0 = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n0"))
+    c1 = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    c2 = canon.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    c3 = final.agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
+    wide = c0.crossJoin(c1).crossJoin(c2).crossJoin(c3)
+    stages = F.array(
+        F.struct(F.lit("a_lang_quality").alias("stage"), F.col("n0").alias("rows_in"), F.col("n1").alias("rows_out")),
+        F.struct(F.lit("b_exact_dedup").alias("stage"), F.col("n1").alias("rows_in"), F.col("n2").alias("rows_out")),
+        F.struct(F.lit("c_decontam").alias("stage"), F.col("n2").alias("rows_in"), F.col("n3").alias("rows_out")),
+    )
+    return (
+        wide.select(F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.rows_in").alias("rows_in"),
+            F.col("s.rows_out").alias("rows_out"),
+            F.round(
+                F.col("s.rows_out").cast("double") / F.col("s.rows_in"), 6
+            ).alias("selectivity"),
+        )
+    )

@@ -106,7 +106,8 @@ register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
 # ppr_docs, nb_classify, canonical_source_pick, ivf_mmr,
 # event_matrix_unpivot, user_purge_audit, skew_report, prefix_jaccard,
 # label_propagation, pagerank_weighted, quality_gate, table_profile,
-# soft_dedup_weights, contrastive_triplets, event_cooccurrence.
+# soft_dedup_weights, contrastive_triplets, event_cooccurrence,
+# curation_funnel.
 register("gap_fill_hourly", EV.gap_fill_hourly, EV.GAP_FILL_HOURLY_SQL)
 register("winsorized_stats", EV.winsorized_stats, EV.WINSORIZED_STATS_SQL)
 register("multi_touch_attribution", EV.multi_touch_attribution, EV.MULTI_TOUCH_ATTRIBUTION_SQL)
@@ -133,6 +134,7 @@ register("table_profile", MQ.table_profile_q, MQ.TABLE_PROFILE_SQL)
 register("soft_dedup_weights", GQ.soft_dedup_weights_q, GQ.SOFT_DEDUP_WEIGHTS_SQL)
 register("contrastive_triplets", SQ.contrastive_triplets_q, SQ.CONTRASTIVE_TRIPLETS_SQL)
 register("event_cooccurrence", EV.event_cooccurrence, EV.EVENT_COOCCURRENCE_SQL)
+register("curation_funnel", E.curation_funnel_q, E.CURATION_FUNNEL_SQL)
 
 # --- past the driver cap: streak holders + sibling-covered rows -------
 # §2 anchors (decide/enqueue/fetch/notes: 4-round streaks; the

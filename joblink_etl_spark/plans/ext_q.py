@@ -3859,3 +3859,41 @@ FROM tok l JOIN tok r ON l.id < r.id
 WHERE round(len(list_intersect(l.s, r.s))::DOUBLE
             / len(list_distinct(l.s || r.s)), 4) >= 0.5
 """
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: per-gate in/out counts + selectivity, reusing the
+# proven curation CTE chain (same corpus/benchmark split as
+# curation_pipeline).
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curate import curation_funnel
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return curation_funnel(corpus, bench, langs=("en", "es"), min_quality=0.5)
+
+
+_CURATION_CHAIN = CURATION_PIPELINE_SQL.rsplit("SELECT doc_id, lang_guess", 1)[0]
+
+CURATION_FUNNEL_SQL = (
+    _CURATION_CHAIN
+    + """, c0 AS (SELECT count(*)::BIGINT AS n FROM tok),
+c1 AS (SELECT count(*)::BIGINT AS n FROM kept),
+c2 AS (SELECT count(*)::BIGINT AS n FROM canon),
+c3 AS (
+  SELECT count(*)::BIGINT AS n FROM canon
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT t.stage, t.rows_in, t.rows_out,
+       round(t.rows_out::DOUBLE / t.rows_in, 6) AS selectivity
+FROM (
+  SELECT 'a_lang_quality' AS stage, c0.n AS rows_in, c1.n AS rows_out FROM c0, c1
+  UNION ALL SELECT 'b_exact_dedup', c1.n, c2.n FROM c1, c2
+  UNION ALL SELECT 'c_decontam', c2.n, c3.n FROM c2, c3
+) t
+"""
+)
