@@ -1,21 +1,27 @@
 """Registers every query plan with the registry.
 
 ORDERING MATTERS: the driver's correctness gate checks the first 50
-registered queries. Rotation policy (same as rounds 3→4→5): queries
-holding a multi-round green driver streak cede their slots — the
-streak is the durable record — to queries that have never had a
-driver row; additionally a single-green query may cede its slot when
-its operator re-runs verbatim inside an in-window sibling (noted
-inline). Nothing leaves the window without either a streak or a
-covering sibling, and EVERYTHING (in-window or not) stays fully
-checked by tools/oracle_check.py + pytest every round.
+registered queries. Rotation policy (rounds 3→4→5→6): queries holding
+a green driver streak cede their slots — the streak is the durable
+record — to queries that have never had a driver row; a single-green
+query may also cede when its operator re-runs verbatim inside an
+in-window sibling, or (round-6 amendment, per the round-5 verdict's
+explicit instruction) when the backlog of never-checked queries fills
+the window — every ceded query remains fully checked by
+tools/oracle_check.py (now Arrow-dtype-sensitive) + pytest each round.
 
-Round-5 window: the 21 round-4 additions (first driver rows) + the
-10 round-5 additions + the 7 single-green round-4 rows + the
-12 round-3-rotation rows whose operators have no in-window sibling.
-Ceded: the four §2 anchors + writeback (3-4 round streaks), the
-events set (2-round streaks), the round-3 singles (2-round streaks),
-and six sibling-covered single-green rows.
+Round-6 window (50):
+  * the 27 round-5 additions past last round's cap (first driver rows),
+  * the 8 round-3/4 flagships that have waited longest for a driver
+    row (knn_pq, knn_ivfpq, bm25_rank, hard_negatives, audio_decode,
+    video_decode, temperature_mixture, value_cdf),
+  * session_windows — r03/r05 hash-red, root-caused to the oracle's
+    uncast windowed sum (DuckDB HUGEINT → Arrow decimal128 vs Spark
+    int64); the CAST fix landed this round, stays until it streaks,
+  * 14 re-touches of r01/r02-only anchors so old parity claims stay
+    fresh against driver-environment drift.
+Ceded: the whole round-5 green window (47 single greens — local
+oracle + pytest still cover them; re-streak in r07+).
 """
 
 from __future__ import annotations
@@ -31,83 +37,7 @@ from . import graph_q as GQ  # noqa: E402
 from . import maint_q as MQ  # noqa: E402
 from . import select_q as SQ  # noqa: E402
 
-# --- round-4 additions rotating IN for their first driver rows --------
-register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
-register("scrub_spans", E.scrub_spans_q, E.SCRUB_SPANS_SQL)
-register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
-# iterative trainer (one argmax collect per merge): rows-only driver
-# check; merge semantics pinned by tests/test_bpe.py
-register("bpe_merges", E.bpe_merges_q, None)
-register("ngram_lm_score", E.ngram_lm_score_q, E.NGRAM_LM_SCORE_SQL)
-register("cdc_chunks", E.cdc_chunks_q, E.CDC_CHUNKS_SQL)
-# same oracle as dedup_clusters: the driver hash proves star
-# contraction == label propagation == recursive closure
-register("dedup_clusters_star", E.dedup_clusters_star_q, E.DEDUP_CLUSTERS_SQL)
-register("winnowing_pairs", E.winnowing_pairs_q, E.WINNOWING_PAIRS_SQL)
-register("incremental_repeat_spans", E.incremental_repeat_spans_q, E.INCREMENTAL_REPEAT_SPANS_SQL)
-register("scrubbed_corpus", E.scrubbed_corpus_q, E.SCRUBBED_CORPUS_SQL)
-register("fuzzy_key_join", E.fuzzy_key_join_q, E.FUZZY_KEY_JOIN_SQL)
-register("interval_join", E.interval_join_q, E.INTERVAL_JOIN_SQL)
-register("kmv_merge", E.kmv_merge_q, E.KMV_MERGE_SQL)
-register("snapshot_diff", E.snapshot_diff_q, E.SNAPSHOT_DIFF_SQL)
-register("hll_user_counts", E.hll_user_counts_q, E.HLL_USER_COUNTS_SQL)
-register("kmv_overlap", E.kmv_overlap_q, E.KMV_OVERLAP_SQL)
-register("embedding_moments", E.embedding_moments_q, E.EMBEDDING_MOMENTS_SQL)
-register("user_value_trend", EV.user_value_trend, EV.USER_VALUE_TREND_SQL)
-register("event_transitions", EV.event_transitions, EV.EVENT_TRANSITIONS_SQL)
-register("weighted_percentiles", EV.weighted_percentiles, EV.WEIGHTED_PERCENTILES_SQL)
-# iterative doubling/binary-search algorithm: no single-statement
-# oracle — driver records rows-only; exactness pinned by planted
-# overlap/nesting tests (tests/test_suffix.py)
-register("lrs_exact", E.lrs_exact_q, None)
-
-# --- round-5 additions (first driver rows) ----------------------------
-register("pagerank_docs", GQ.pagerank_docs, GQ.PAGERANK_DOCS_SQL)
-register("leakage_split", GQ.leakage_split, GQ.LEAKAGE_SPLIT_SQL)
-register("priority_sample", SQ.priority_sample_q, SQ.PRIORITY_SAMPLE_SQL)
-register("dsir_scores", SQ.dsir_scores_q, SQ.DSIR_SCORES_SQL)
-register("novelty_scores", SQ.novelty_scores_q, SQ.NOVELTY_SCORES_SQL)
-register("semdedup_prune", SQ.semdedup_prune_q, SQ.SEMDEDUP_SQL)
-register("mmr_rerank", SQ.mmr_rerank_q, SQ.MMR_RERANK_SQL)
-register("join_view_delta", MQ.join_view_delta_q, MQ.JOIN_VIEW_DELTA_SQL)
-register("cdc_apply", MQ.cdc_apply_q, MQ.CDC_APPLY_SQL)
-register("bloom_semi_join", MQ.bloom_semi_join_q, MQ.BLOOM_SEMI_JOIN_SQL)
-
-# --- single-green round-4 rows: stay for their streak -----------------
-register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
-register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
-register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
-register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
-register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
-register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
-# r3 red → r4 green: keep in-window until it holds a streak
-register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
-
-# --- round-3-rotation rows with no in-window sibling: stay ------------
-register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
-register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
-register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
-register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
-register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
-register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
-register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
-register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
-register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
-register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
-register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
-register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
-# ---- 50-query driver window ends here --------------------------------
-
-# ROUND-6 ROTATION QUEUE: round-5 additions past the cap (local
-# oracle + bench covered; rotate in next round under the same
-# policy): gap_fill_hourly, winsorized_stats, multi_touch_attribution,
-# snm_pairs, jl_project, rocchio_classify, label_separation,
-# join_cardinality, ann_index_add, hilbert_key, trailing_window_sums,
-# ppr_docs, nb_classify, canonical_source_pick, ivf_mmr,
-# event_matrix_unpivot, user_purge_audit, skew_report, prefix_jaccard,
-# label_propagation, pagerank_weighted, quality_gate, table_profile,
-# soft_dedup_weights, contrastive_triplets, event_cooccurrence,
-# curation_funnel.
+# --- round-5 additions past last round's cap: first driver rows -------
 register("gap_fill_hourly", EV.gap_fill_hourly, EV.GAP_FILL_HOURLY_SQL)
 register("winsorized_stats", EV.winsorized_stats, EV.WINSORIZED_STATS_SQL)
 register("multi_touch_attribution", EV.multi_touch_attribution, EV.MULTI_TOUCH_ATTRIBUTION_SQL)
@@ -136,7 +66,101 @@ register("contrastive_triplets", SQ.contrastive_triplets_q, SQ.CONTRASTIVE_TRIPL
 register("event_cooccurrence", EV.event_cooccurrence, EV.EVENT_COOCCURRENCE_SQL)
 register("curation_funnel", E.curation_funnel_q, E.CURATION_FUNNEL_SQL)
 
-# --- past the driver cap: streak holders + sibling-covered rows -------
+# --- round-3/4 flagships: longest-waiting never-driver-checked --------
+register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)
+register("knn_ivfpq", E.knn_ivfpq_q, E.KNN_IVFPQ_SQL)
+register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
+register("hard_negatives", E.hard_negatives_q, E.HARD_NEGATIVES_SQL)
+register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
+register("video_decode", E.video_decode_q, E.VIDEO_DECODE_SQL)
+register("temperature_mixture", E.temperature_mixture_q, E.TEMPERATURE_MIXTURE_SQL)
+register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)
+
+# --- r03/r05 red, oracle CAST fix landed this round: stay until streak
+register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
+
+# --- r01/r02-only anchors: freshness re-touch (one driver row) --------
+register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
+register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
+register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
+register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
+register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
+register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
+register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
+register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
+register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
+register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
+register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
+register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
+register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
+register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
+# ---- 50-query driver window ends here --------------------------------
+
+# ROUND-7 ROTATION QUEUE: the remaining r01/r02-only anchors
+# (cosine_near_dups_blocked, customer_order_coverage,
+# customers_with_open_orders, customers_without_orders,
+# order_priority_rollup, top_orders_per_customer, cosine_near_dups) and
+# re-streaks for the round-5 single greens.
+
+# --- ceded round-5 window (single greens; local oracle + pytest) -------
+register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
+register("scrub_spans", E.scrub_spans_q, E.SCRUB_SPANS_SQL)
+register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
+# iterative trainer (one argmax collect per merge): rows-only driver
+# check; merge semantics pinned by tests/test_bpe.py + pinned fixture
+register("bpe_merges", E.bpe_merges_q, None)
+register("ngram_lm_score", E.ngram_lm_score_q, E.NGRAM_LM_SCORE_SQL)
+register("cdc_chunks", E.cdc_chunks_q, E.CDC_CHUNKS_SQL)
+# same oracle as dedup_clusters: the driver hash proves star
+# contraction == label propagation == recursive closure
+register("dedup_clusters_star", E.dedup_clusters_star_q, E.DEDUP_CLUSTERS_SQL)
+register("winnowing_pairs", E.winnowing_pairs_q, E.WINNOWING_PAIRS_SQL)
+register("incremental_repeat_spans", E.incremental_repeat_spans_q, E.INCREMENTAL_REPEAT_SPANS_SQL)
+register("scrubbed_corpus", E.scrubbed_corpus_q, E.SCRUBBED_CORPUS_SQL)
+register("fuzzy_key_join", E.fuzzy_key_join_q, E.FUZZY_KEY_JOIN_SQL)
+register("interval_join", E.interval_join_q, E.INTERVAL_JOIN_SQL)
+register("kmv_merge", E.kmv_merge_q, E.KMV_MERGE_SQL)
+register("snapshot_diff", E.snapshot_diff_q, E.SNAPSHOT_DIFF_SQL)
+register("hll_user_counts", E.hll_user_counts_q, E.HLL_USER_COUNTS_SQL)
+register("kmv_overlap", E.kmv_overlap_q, E.KMV_OVERLAP_SQL)
+register("embedding_moments", E.embedding_moments_q, E.EMBEDDING_MOMENTS_SQL)
+register("user_value_trend", EV.user_value_trend, EV.USER_VALUE_TREND_SQL)
+register("event_transitions", EV.event_transitions, EV.EVENT_TRANSITIONS_SQL)
+register("weighted_percentiles", EV.weighted_percentiles, EV.WEIGHTED_PERCENTILES_SQL)
+# iterative doubling/binary-search algorithm: no single-statement
+# oracle — driver records rows-only; exactness pinned by planted
+# overlap/nesting tests (tests/test_suffix.py) + pinned fixture
+register("lrs_exact", E.lrs_exact_q, None)
+register("pagerank_docs", GQ.pagerank_docs, GQ.PAGERANK_DOCS_SQL)
+register("leakage_split", GQ.leakage_split, GQ.LEAKAGE_SPLIT_SQL)
+register("priority_sample", SQ.priority_sample_q, SQ.PRIORITY_SAMPLE_SQL)
+register("dsir_scores", SQ.dsir_scores_q, SQ.DSIR_SCORES_SQL)
+register("novelty_scores", SQ.novelty_scores_q, SQ.NOVELTY_SCORES_SQL)
+register("semdedup_prune", SQ.semdedup_prune_q, SQ.SEMDEDUP_SQL)
+register("mmr_rerank", SQ.mmr_rerank_q, SQ.MMR_RERANK_SQL)
+register("join_view_delta", MQ.join_view_delta_q, MQ.JOIN_VIEW_DELTA_SQL)
+register("cdc_apply", MQ.cdc_apply_q, MQ.CDC_APPLY_SQL)
+register("bloom_semi_join", MQ.bloom_semi_join_q, MQ.BLOOM_SEMI_JOIN_SQL)
+register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
+register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
+register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
+register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
+register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
+register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
+register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
+register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
+register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
+register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
+register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
+register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
+register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
+register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
+register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
+register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
+register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
+register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
+
+# --- streak holders + sibling-covered rows -----------------------------
 # §2 anchors (decide/enqueue/fetch/notes: 4-round streaks; the
 # writeback pair: merge 3 rounds, incremental 2)
 register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
@@ -165,22 +189,6 @@ register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
 register("training_corpus", E.training_corpus_q, E.TRAINING_CORPUS_SQL)
 register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
 register("zorder_key", R.zorder_key_q, R.ZORDER_KEY_SQL)
-# sibling-covered single-green rows (r4): the covering sibling is in
-# the window — audio/video decode re-run inside multimodal_examples;
-# knn_pq/knn_ivfpq's PQ chain re-runs inside knn_ivfpq_res; bm25_rank
-# is embedded verbatim in hybrid_retrieval; temperature_mixture's
-# targets re-derive inside temperature_sample; value_cdf's rank
-# machinery re-runs inside weighted_percentiles; hard_negatives'
-# scored source is knn_bruteforce's (ranked family covered by
-# hybrid_retrieval + mmr_rerank)
-register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
-register("video_decode", E.video_decode_q, E.VIDEO_DECODE_SQL)
-register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)
-register("knn_ivfpq", E.knn_ivfpq_q, E.KNN_IVFPQ_SQL)
-register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
-register("temperature_mixture", E.temperature_mixture_q, E.TEMPERATURE_MIXTURE_SQL)
-register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)
-register("hard_negatives", E.hard_negatives_q, E.HARD_NEGATIVES_SQL)
 # long-streak baselines and the rest of the registry
 register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
 register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
@@ -207,21 +215,8 @@ register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_S
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
-register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
-register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
-register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
-register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
-register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
-register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
-register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
-register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
 register("cosine_near_dups_blocked", E.cosine_near_dups_blocked, E.COSINE_NEAR_DUPS_BLOCKED_SQL)
-register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
-register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
-register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
-register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
-register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
 register(
     "top_orders_per_customer",
     R.top_orders_per_customer,
@@ -238,5 +233,4 @@ register(
     R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
 )
 register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
-register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
 register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)

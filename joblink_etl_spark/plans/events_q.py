@@ -136,8 +136,12 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sessions AS (
-  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS UNBOUNDED PRECEDING) AS session_id
+  -- CAST is load-bearing: DuckDB's windowed sum(INTEGER) returns
+  -- HUGEINT, which surfaces as Arrow decimal128(38,0) vs Spark's
+  -- int64 and fails the driver's dtype-sensitive value hash (the
+  -- r03/r05 session_windows red; see VERDICT round 5 "What's wrong").
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,

@@ -17,9 +17,12 @@ sys.path.insert(0, ".")
 
 
 def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
-    """Sort columns by name, then rows; floats are compared by exact
-    repr() to mirror the driver's raw-value hash — any representation
-    difference between engines fails here just like it would there."""
+    """Sort columns by name, then rows. Values are compared by exact
+    repr() — dtype-sensitively: DuckDB rows come from an Arrow table
+    (``to_pylist``), so a HUGEINT/decimal output surfaces as
+    ``decimal.Decimal`` and fails against Spark's int, exactly like
+    the driver's Arrow-level value hash (the r03/r05 session_windows
+    red that Python ``fetchall()`` coercion used to mask)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def norm_cell(v):
@@ -34,6 +37,66 @@ def normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return out
+
+
+# Arrow type → coarse class shared by the Spark- and DuckDB-side
+# schemas. Classes must MATCH per column; "decimal" is deliberately
+# its own class (no Spark query here emits DecimalType, so a decimal
+# oracle column is always a DuckDB HUGEINT/DECIMAL leak).
+def _arrow_class(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "list<" + _arrow_class(t.value_type) + ">"
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        return "map"
+    return str(t)
+
+
+def _spark_class(t) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.DecimalType):
+        return "decimal"
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(t, T.BooleanType):
+        return "bool"
+    if isinstance(t, T.StringType):
+        return "str"
+    if isinstance(t, T.TimestampType):
+        return "ts"
+    if isinstance(t, T.DateType):
+        return "date"
+    if isinstance(t, T.BinaryType):
+        return "bin"
+    if isinstance(t, T.ArrayType):
+        return "list<" + _spark_class(t.elementType) + ">"
+    if isinstance(t, T.StructType):
+        return "struct"
+    if isinstance(t, T.MapType):
+        return "map"
+    return t.simpleString()
 
 
 def main() -> int:
@@ -82,9 +145,15 @@ def main() -> int:
                 print(f"     WARNING: {name} returned 0 rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # Arrow-level fetch: preserves DuckDB's true output dtypes
+            # (HUGEINT → decimal128) instead of fetchall()'s Python
+            # coercion, mirroring the driver's dtype-sensitive hash
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = tbl.column_names
+            dtypes = {f.name: _arrow_class(f.type) for f in tbl.schema}
+            drows = [
+                tuple(d[c] for c in dcols) for d in tbl.to_pylist()
+            ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -97,6 +166,15 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             ok = False
             print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if ok:
+            stypes = {f.name: _spark_class(f.dataType) for f in sdf.schema.fields}
+            for c in scols:
+                if stypes[c] != dtypes.get(c):
+                    ok = False
+                    print(
+                        f"FAIL {name}: dtype mismatch on '{c}': "
+                        f"spark={stypes[c]} duckdb={dtypes.get(c)}"
+                    )
         if ok:
             ns, nd = normalize(srows, scols), normalize(drows, dcols)
             if ns != nd:
