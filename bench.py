@@ -13,6 +13,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -72,7 +73,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 # totals grow with registry size every round; the
                 # per-query median is the cross-round comparable
-                "median_sec": round(sorted(timings.values())[len(timings) // 2], 3),
+                # (statistics.median: true even-n median, not the
+                # upper-middle element — ADVICE r05)
+                "median_sec": round(statistics.median(timings.values()), 3),
                 "excluded": EXCLUDED_QUADRATIC_BASELINES,
                 "sf": sf,
             }

@@ -98,7 +98,11 @@ def pick_canonical_by_source(
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
         source_col,
     )
-    rank_expr = F.lit(len(priority))
+    # fallback rank must be strictly AFTER every listed rank: with a
+    # 1-based dict, len(priority) would TIE the last listed tier and
+    # let an unlisted source win on smaller id (ADVICE r05)
+    fallback = max(priority.values()) + 1 if priority else 0
+    rank_expr = F.lit(fallback)
     for src, r in sorted(priority.items()):
         rank_expr = F.when(F.col(source_col) == src, F.lit(r)).otherwise(rank_expr)
     w = Window.partitionBy("cluster_id").orderBy("_prio", F.col(id_col))

@@ -109,6 +109,7 @@ def bloom_decontam(
     n: int = 3,
     m: int = BLOOM_BITS,
     k: int = BLOOM_SEEDS,
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Decontamination with a Bloom prefilter: per-document
     (n_grams, n_candidates, n_overlap, contaminated), where
@@ -121,13 +122,26 @@ def bloom_decontam(
     size, which stops working when the eval suite is itself large
     (multi-benchmark contamination sweeps). Here the broadcast is the
     FIXED-size bitmap (8 KiB at defaults, vs ~8 bytes/gram), the
-    membership test is pure scan-side bitwise math, and the exact
-    verify is an ordinary shuffle join that only the bloom-admitted
-    grams ever enter — expected FP rate (1 - e^(-kn/m))^k of the
-    clean grams. Corpus side stays single-scan: explode → bitmap
-    probe → null-key left join (non-candidates carry a NULL join key,
-    which never matches — they ride through the join unprobed) → one
-    groupBy(doc)."""
+    membership test is pure scan-side bitwise math, and only the
+    bloom-admitted grams reach the exact verify — expected FP rate
+    (1 - e^(-kn/m))^k of the clean grams.
+
+    Shuffle shape (the r05 bench regression was getting this wrong:
+    an un-broadcast verify join moved EVERY exploded gram row through
+    the exchange, O(total grams) shuffle volume):
+
+    - ``broadcast_bench=True`` (default): the verify join is a
+      broadcast-hash join, so exploded rows never shuffle; the only
+      exchange is the final groupBy(doc), map-side combined to ONE
+      row per doc. Right whenever the benchmark's distinct gram-hash
+      set fits an executor (the common case even for multi-benchmark
+      sweeps — hashes are 8 bytes/gram).
+    - ``broadcast_bench=False`` (scale path, benchmark too big to
+      broadcast): aggregate per doc FIRST — one map-side-combined
+      shuffle carrying (n_grams, n_candidates, admitted-hash array)
+      per doc — then explode only the admitted hashes into the
+      shuffled verify join. Exchange volume is O(admitted grams)
+      ~= O(contaminated + FP*clean), never O(total grams)."""
     # ONE benchmark pass feeds both derivations: the distinct gram set
     # is pinned lazily (benchmark-sized — small by assumption) and the
     # bitmap + exact hash set read the cache instead of re-tokenizing.
@@ -166,20 +180,45 @@ def bloom_decontam(
     flagged = exploded.withColumn("_maybe", reduce(lambda a, b: a & b, bits_set)).withColumn(
         "_jk", F.when(F.col("_maybe"), md5_int(F.col("gram")))
     )
-    return (
-        flagged.join(bench_hashes, "_jk", "left")
-        .groupBy(id_col, "n_grams")
-        .agg(
-            F.sum(F.when(F.col("_maybe"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
-            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+    if broadcast_bench:
+        # verify join is map-side (broadcast hash): non-candidates'
+        # NULL keys never probe, nothing shuffles until the one-row-
+        # per-doc combined agg
+        return (
+            flagged.join(F.broadcast(bench_hashes), "_jk", "left")
+            .groupBy(id_col, "n_grams")
+            .agg(
+                F.sum(F.when(F.col("_maybe"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
+                F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            )
+            .select(
+                id_col,
+                "n_grams",
+                "n_candidates",
+                "n_overlap",
+                (F.col("n_overlap") > 0).alias("contaminated"),
+            )
         )
-        .select(
-            id_col,
-            "n_grams",
-            "n_candidates",
-            "n_overlap",
-            (F.col("n_overlap") > 0).alias("contaminated"),
-        )
+    # Scale path: doc-level pre-agg (collect_list drops the NULL _jk
+    # of non-admitted grams, so the arrays — and everything downstream
+    # — are FP-rate-sized), then verify only the admitted hashes.
+    doc_level = flagged.groupBy(id_col).agg(
+        F.first("n_grams").alias("n_grams"),
+        F.sum(F.when(F.col("_maybe"), 1).otherwise(0)).cast("bigint").alias("n_candidates"),
+        F.collect_list("_jk").alias("_cand"),
+    )
+    overlap = (
+        doc_level.select(id_col, F.explode("_cand").alias("_jk"))
+        .join(bench_hashes.select("_jk"), "_jk", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return doc_level.join(overlap, id_col, "left").select(
+        id_col,
+        "n_grams",
+        "n_candidates",
+        F.coalesce("n_overlap", F.lit(0).cast("bigint")).alias("n_overlap"),
+        (F.coalesce("n_overlap", F.lit(0).cast("bigint")) > 0).alias("contaminated"),
     )
 
 

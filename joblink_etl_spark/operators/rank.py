@@ -34,6 +34,11 @@ def global_rank(
 ) -> DataFrame:
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    # Persist lifetime: the pin covers the offset-count action AND the
+    # returned plan's ranking pass (both must see the same sampled
+    # range boundaries); the caller releases it with unpersist() /
+    # catalog.clearCache() after the consuming action, same convention
+    # as the other persisting operators (kmeans_codes, bloom_decontam).
     part = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
@@ -43,11 +48,17 @@ def global_rank(
         (r["_pid"], r["cnt"])
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
+    if not counts:
+        # empty input: schema-inference on an empty offsets list would
+        # throw; the correct result is just the input with an empty
+        # rank column
+        # bigint to match the non-empty branch (row_number + _off)
+        return part.withColumn(out_col, F.lit(None).cast("bigint")).drop("_pid")
     offsets, acc = [], 0
     for pid, cnt in counts:
         offsets.append((pid, acc))
         acc += cnt
-    off_df = spark.createDataFrame(offsets, ["_pid", "_off"])
+    off_df = spark.createDataFrame(offsets, "_pid INT, _off BIGINT")
     w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     return (
         part.join(F.broadcast(off_df), "_pid")

@@ -155,9 +155,26 @@ def cosine_near_dup_pairs(
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (all-pairs baseline;
-    for scale, route through knn_ivf cells first)."""
+    """Embedding-cosine near-duplicate pairs — the ALL-PAIRS O(N²)
+    recall yardstick for its two scale siblings
+    (cosine_near_dup_pairs_blocked, cosine_near_dup_pairs_lsh). Never
+    the production path: at 100 TB the theta self-join is a
+    cluster-killer, so inputs larger than `max_rows` raise unless the
+    caller explicitly opts in with ``allow_quadratic=True`` (the r05
+    verdict's baseline guard). The count is one bounded driver-side
+    action at plan-build time."""
+    if not allow_quadratic:
+        n = vectors.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_near_dup_pairs is the O(N²) all-pairs baseline and the "
+                f"input has {n} rows (> max_rows={max_rows}); use "
+                f"cosine_near_dup_pairs_blocked / cosine_near_dup_pairs_lsh for "
+                f"real corpora, or pass allow_quadratic=True to force it"
+            )
     v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     l, r = v.alias("l"), v.alias("r")
     return (
@@ -412,6 +429,8 @@ def kmeans_codes(
     id_col: str = "vec_id",
     codes_col: str = "q_codes",
     k_cap: int | None = None,
+    cell_target: int | None = None,
+    k_min: int = 8,
 ) -> DataFrame:
     """BIT-EXACT distributed k-means (Lloyd's) over integer-quantized
     vectors — the topic/semantic-balancing clustering step of a
@@ -444,6 +463,17 @@ def kmeans_codes(
     Every production entry point passes a cap; None is the
     small-corpus/backwards-compatible default.
 
+    `cell_target` AUTO-SCALES the cap with the data (the r05 verdict's
+    semdedup finding: a FIXED k_cap makes any within-cell O(cell²)
+    consumer O(N²/K) — 6.1x wall-clock at 10x data): k_cap is derived
+    as max(k_min, ceil(n / cell_target)) from a one-row corpus count,
+    so expected cell size stays ~cell_target (executor-sized) however
+    large N grows and downstream Σ O(cell²) stays O(N·cell_target) —
+    linear. The count is ONE bounded driver-side action at plan-build
+    time (it also warms the Lloyd persist), the single deliberate
+    exception to this module's action-free-construction rule.
+    Mutually exclusive with an explicit k_cap.
+
     Returns (id_col, cluster_id, sq_dist).
     """
     # LAZY persists keep the Lloyd chain flat: without them iteration
@@ -457,6 +487,15 @@ def kmeans_codes(
     # (bench.py / oracle_check clear between queries). Construction
     # stays action-free: persist() is lazy.
     vectors = vectors.persist()
+    if cell_target is not None:
+        if k_cap is not None:
+            raise ValueError("pass either k_cap or cell_target, not both")
+        # exact integer ceil(n / cell_target); the oracle spells the
+        # same value greatest(k_min, ceil(count(*) / cell_target)) —
+        # double division is exact-enough here (n < 2^53, quotient
+        # error ~1e-13 cannot cross the 1/cell_target gap to an int)
+        n = vectors.count()
+        k_cap = max(k_min, -(-n // cell_target))
     seed = F.col(id_col) % k_every == 0
     if k_cap is not None:
         seed = seed & (F.col(id_col) < k_every * k_cap)
@@ -1040,9 +1079,10 @@ def semdedup(
     id_col: str = "vec_id",
     k_every: int = 25,
     iters: int = 1,
-    k_cap: int = 100,
+    k_cap: int | None = 100,
     eps_num: int = 95,
     eps_den: int = 100,
+    cell_target: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     clustering embeddings, then pruning within-cluster near-
@@ -1063,10 +1103,21 @@ def semdedup(
     once on cluster_id for the self-join; cluster sizes are bounded
     by k_cap's geometry (K ≈ N/k_every up to k_cap — at 100 TB pick
     k_cap so N/k_cap rows fit an executor, exactly the IVF cell
-    math)."""
+    math). Better: pass cell_target instead of k_cap and the cap is
+    DERIVED as ceil(n/cell_target) from a one-row count, keeping the
+    within-cluster pair stage O(N·cell_target) — linear — as the
+    corpus grows (a fixed cap makes it O(N²/K); the r05 scale probe
+    measured 6.1x wall-clock at 10x data under k_cap=100)."""
+    if cell_target is not None:
+        k_cap = None  # derived inside kmeans_codes from the count
     codes = quantize_embeddings_global(df, vec_col).select(id_col, "q_codes")
     clusters = kmeans_codes(
-        codes, k_every=k_every, iters=iters, id_col=id_col, k_cap=k_cap
+        codes,
+        k_every=k_every,
+        iters=iters,
+        id_col=id_col,
+        k_cap=k_cap,
+        cell_target=cell_target,
     ).select(id_col, "cluster_id")
     sq = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("long") * x),

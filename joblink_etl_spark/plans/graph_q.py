@@ -193,7 +193,7 @@ FROM r2
 # POLICY on top of the mechanics.
 # ---------------------------------------------------------------------------
 
-_PRIORITY = {"src0": 0, "src1": 0, "src2": 1, "src3": 1}  # rest rank 4
+_PRIORITY = {"src0": 0, "src1": 0, "src2": 1, "src3": 1}  # rest rank max+1 = 2
 
 
 def canonical_source_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +234,7 @@ edges AS (
 ), labeled AS (
   SELECT c.doc_id, coalesce(comp.cluster_id, c.doc_id) AS cluster_id, c.source,
          CASE c.source WHEN 'src0' THEN 0 WHEN 'src1' THEN 0
-                       WHEN 'src2' THEN 1 WHEN 'src3' THEN 1 ELSE 4 END AS prio
+                       WHEN 'src2' THEN 1 WHEN 'src3' THEN 1 ELSE 2 END AS prio
   FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id
 )
 SELECT doc_id, cluster_id, source,

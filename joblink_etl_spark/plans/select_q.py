@@ -131,7 +131,9 @@ def _emb_with_clones(emb: DataFrame) -> DataFrame:
 
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_clones(parallelize(table(spark, sf_dir, "embeddings")))
-    return SIM.semdedup(emb, k_every=25, iters=1, k_cap=100, eps_num=95, eps_den=100)
+    return SIM.semdedup(
+        emb, k_every=25, iters=1, eps_num=95, eps_den=100, cell_target=250
+    )
 
 
 def _sd_dist(va: str, vb: str) -> str:
@@ -160,7 +162,11 @@ v AS (
          list_transform(e, x -> floor(x / (CASE WHEN g > 0 THEN g / 127.0 ELSE 1.0 END) + 0.5)::INTEGER) AS codes
   FROM base, gmax
 ),
-c0 AS (SELECT vec_id AS cid, codes FROM v WHERE vec_id % 25 = 0 AND vec_id < 2500),
+-- auto-scaled codebook cap: greatest(8, ceil(n / 250)) mirrors the
+-- Spark side's cell_target derivation (max(8, ceil(n/250)) from one
+-- count), keeping expected cell size ~250 however large n grows
+kcap AS (SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS BIGINT)) AS kc FROM base),
+c0 AS (SELECT vec_id AS cid, codes FROM v, kcap WHERE vec_id % 25 = 0 AND vec_id < 25 * kc),
 a1d AS (SELECT v.vec_id, v.codes, c.cid, {_sd_dist('v.codes', 'c.codes')} AS d2 FROM v, c0 c),
 s1 AS (
   SELECT vec_id, codes, cid FROM (

@@ -773,10 +773,8 @@ def streaming_topk(
     Guarantees (pinned by the equivalence test): every stored count
     obeys true ≤ count ≤ true + err, and any item whose true
     frequency exceeds n/capacity is IN the table after a full drain.
-    Within a micro-batch, rows fold in (item_col asc of arrival
-    groupings) deterministic order: items are processed in the
-    concatenated pdf order after a stable sort on the batch's
-    arrival index column `_i` when present, else by item value —
+    Within a micro-batch, rows fold in a deterministic order: each
+    pandas chunk is stably sorted by item value before folding —
     SpaceSaving's guarantees hold for ANY order; the sort just makes
     reruns reproducible.
 

@@ -55,6 +55,39 @@ def test_bloom_decontam_matches_exact_overlap(spark):
         assert bloomed[i]["n_grams"] == exact[i]["n_grams"], i
         # the prefilter can only over-admit, never under-admit
         assert bloomed[i]["n_candidates"] >= bloomed[i]["n_overlap"], i
+    # the huge-benchmark path (doc-level pre-agg + admitted-only
+    # verify join) must agree row-for-row with the broadcast path
+    scale = {
+        r["doc_id"]: r
+        for r in bloom_decontam(docs, bench, n=3, broadcast_bench=False).collect()
+    }
+    assert set(scale) == set(exact)
+    for i in exact:
+        for c in ("n_grams", "n_overlap", "contaminated"):
+            assert scale[i][c] == exact[i][c], (i, c)
+        assert scale[i]["n_candidates"] == bloomed[i]["n_candidates"], i
+
+
+def test_bloom_decontam_shuffle_shape(spark):
+    """Plan guards for the r05 bench regression: the default verify
+    join must be broadcast (exploded gram rows never shuffle); the
+    scale path's shuffled verify join must consume the admitted-hash
+    arrays, not the raw gram explode."""
+    from joblink_etl_spark.operators.decontam import bloom_decontam
+
+    bench = spark.createDataFrame([(100, "a b c d")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "a b c x y")], ["doc_id", "text"])
+
+    default_plan = bloom_decontam(docs, bench, n=3)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in default_plan
+
+    scale_plan = (
+        bloom_decontam(docs, bench, n=3, broadcast_bench=False)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    # the only explode feeding a shuffled join is the _cand array
+    assert "_cand" in scale_plan
 
 
 def test_build_bloom_bitmap_membership(spark):

@@ -1,0 +1,46 @@
+"""Pinned-expected-output oracles for the two queries whose
+algorithms are iterative (driver-side argmax / doubling search) and
+therefore have no single-statement DuckDB oracle — the driver records
+only a rows-only check for them.
+
+These fixtures close that gap: the full output of `bpe_merges` and
+`lrs_exact` at sf0.001 AND sf0.01 is committed under tests/fixtures/
+and compared value-for-value here, so "no_oracle" no longer means
+"unverified". Both algorithms are deterministic pure functions of the
+input corpus (integer counts, smallest-key tie-breaks), so any diff
+is a real behavior change — regenerate the fixture ONLY after
+deliberately changing the algorithm and re-validating against the
+unit-level semantics tests (tests/test_bpe.py, tests/test_suffix.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _expected(name: str) -> dict:
+    with open(os.path.join(FIXDIR, f"{name}_expected.json")) as f:
+        return json.load(f)
+
+
+def _run(spark, name: str, sf_dir: str):
+    import __spark_entry__ as entrymod
+
+    spark.catalog.clearCache()
+    rows = [list(r) for r in entrymod.queries()[name](spark, sf_dir).collect()]
+    return sorted(rows)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_bpe_merges_pinned(spark, sf):
+    assert _run(spark, "bpe_merges", f"/root/testdata/{sf}") == _expected("bpe_merges")[sf]
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_lrs_exact_pinned(spark, sf):
+    assert _run(spark, "lrs_exact", f"/root/testdata/{sf}") == _expected("lrs_exact")[sf]

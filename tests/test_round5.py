@@ -126,6 +126,25 @@ def test_semdedup_prunes_planted_clone(spark):
     got = {r["vec_id"]: r["kept"] for r in semdedup(emb, k_every=10, k_cap=50).collect()}
     assert all(got[1000 + i] is False for i in range(10))
     assert all(got[i] is True for i in range(10))
+    # cell_target path: cap derived from the corpus count — identical
+    # prune decisions, and passing both knobs is rejected
+    auto = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup(emb, k_every=10, cell_target=10).collect()
+    }
+    assert all(auto[1000 + i] is False for i in range(10))
+    assert all(auto[i] is True for i in range(10))
+    import pytest
+
+    from joblink_etl_spark.operators.similarity import kmeans_codes, quantize_embeddings_global
+
+    codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
+    with pytest.raises(ValueError):
+        kmeans_codes(codes, k_cap=5, cell_target=10).collect()
+    # derived cap: n=70, cell_target=10 → k_cap=7 → seeds are ids
+    # % 10 == 0 below 70: exactly {0,10,...,60}
+    clusters = kmeans_codes(codes, k_every=10, cell_target=10)
+    assert clusters.select("cluster_id").distinct().count() <= 7
 
 
 # ---------------------------------------------------------- maintenance
@@ -484,6 +503,20 @@ def test_canonical_pick_priority_beats_id(spark):
     assert got[2] == (1, True)
     assert got[1][1] is False and got[3][1] is False
     assert got[9] == (9, True)  # singleton keeps itself
+    # 1-based priority dict: an UNLISTED source must rank after the
+    # last listed tier, not tie it and win on smaller id (ADVICE r05:
+    # the old fallback was len(priority) == 2 == crawl's rank)
+    docs2 = spark.createDataFrame(
+        [(1, "mystery"), (2, "crawl")], "doc_id BIGINT, source STRING"
+    )
+    pairs2 = spark.createDataFrame([(1, 2)], "id_a BIGINT, id_b BIGINT")
+    got2 = {
+        r["doc_id"]: r["keep"]
+        for r in pick_canonical_by_source(
+            docs2, pairs2, {"curated": 1, "crawl": 2}
+        ).collect()
+    }
+    assert got2 == {1: False, 2: True}
 
 
 def test_prefix_filter_is_lossless_vs_allpairs(spark):
@@ -606,3 +639,22 @@ def test_contrastive_triplets_margin_and_labels(spark):
     r = got[0]
     assert r["positive_id"] == 1 and r["negative_id"] == 3
     assert r["margin"] == r["pos_score"] - r["neg_score"]
+
+
+def test_cosine_allpairs_baseline_guard(spark):
+    """The O(N^2) baseline refuses oversized inputs unless forced."""
+    import pytest
+
+    from joblink_etl_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    with pytest.raises(ValueError, match="quadratic"):
+        cosine_near_dup_pairs(emb, max_rows=10)
+    # explicit opt-in still runs
+    forced = cosine_near_dup_pairs(emb, max_rows=10, allow_quadratic=True)
+    assert forced.count() > 0
+    # under the cap: no error
+    assert cosine_near_dup_pairs(emb, max_rows=100).count() > 0
