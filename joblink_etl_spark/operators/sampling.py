@@ -314,3 +314,111 @@ def priority_sample(
             ).alias("est_weight"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training shuffle: a reproducible
+    pseudo-random permutation of the corpus plus a balanced shard
+    assignment — what a distributed dataloader consumes. Changing
+    `epoch` re-permutes everything; re-running the same epoch yields
+    the identical order on any engine, partitioning, or rerun (the
+    md5 key is a pure function of (epoch, id), unlike orderBy(rand)).
+
+    epoch_pos is the 1-based position in the permutation; shard is
+    round-robin over that order, so shard sizes differ by at most 1
+    and each shard is itself a uniform sample of the corpus.
+
+    Scale: the permutation is a single distributed range sort
+    (rank.global_rank — range-exchange + per-partition window +
+    broadcast offsets; one bounded driver action for the offsets).
+    No global single-partition window anywhere.
+
+    Returns (id_col, epoch_pos, shard)."""
+    from .rank import global_rank
+
+    keyed = df.select(
+        F.col(id_col),
+        md5_int(
+            F.concat(F.lit(f"epoch{epoch}:"), F.col(id_col).cast("string"))
+        ).alias("_k"),
+    )
+    ranked = global_rank(keyed, ["_k", id_col], out_col="epoch_pos")
+    return ranked.select(
+        id_col,
+        "epoch_pos",
+        F.pmod(F.col("epoch_pos") - 1, F.lit(n_shards)).alias("shard"),
+    )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    batch_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "batch",
+) -> DataFrame:
+    """Length-bucketed batch assignment: group examples of similar
+    token length into fixed-size batches so per-batch padding (every
+    example pads to the batch max) is small — the standard dataloader
+    trick that plain random batching can't give you. Buckets are
+    power-of-two token-length bands (floor(log2(n_tokens)), exact via
+    bit-length); WITHIN a bucket order is a salted-md5 shuffle, so
+    batch composition is deterministic yet unbiased.
+
+    Per batch, reports the exact integer padding economics:
+    waste_tokens = n_examples·max_tokens − sum_tokens (the pad cost
+    of batching these examples together).
+
+    Scale: one distributed range sort over (bucket, key) assigns a
+    global rank (rank.global_rank), so a hot bucket never serializes
+    onto one task the way a per-bucket window would; per-bucket batch
+    numbering subtracts broadcast bucket offsets (one tiny agg).
+
+    Returns (bucket, batch_id, n_examples, max_tokens, sum_tokens,
+    waste_tokens)."""
+    from .rank import global_rank
+    from .textstats import token_count
+
+    toks = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("_nt"),
+        md5_int(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).alias("_k"),
+    ).withColumn(
+        # floor(log2(n)) via bit length (engine-exact; no libm):
+        # empty docs (0 tokens) land in bucket -1, their own band
+        "bucket",
+        F.when(F.col("_nt") > 0, F.length(F.bin(F.col("_nt"))) - 1).otherwise(
+            F.lit(-1)
+        ),
+    )
+    ranked = global_rank(toks, ["bucket", "_k", id_col], out_col="_rnk")
+    starts = ranked.groupBy("bucket").agg(F.min("_rnk").alias("_start"))
+    batched = ranked.join(F.broadcast(starts), "bucket").withColumn(
+        "batch_id",
+        F.expr(f"(_rnk - _start) div {int(batch_size)}"),
+    )
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+            F.max("_nt").cast("bigint").alias("max_tokens"),
+            F.sum("_nt").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_examples",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("n_examples") * F.col("max_tokens") - F.col("sum_tokens")).alias(
+                "waste_tokens"
+            ),
+        )
+    )

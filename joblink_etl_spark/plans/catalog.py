@@ -96,11 +96,16 @@ register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
 register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
 # ---- 50-query driver window ends here --------------------------------
 
-# ROUND-7 ROTATION QUEUE: the remaining r01/r02-only anchors
+# ROUND-7 ROTATION QUEUE: the round-6 additions (epoch_shuffle,
+# length_bucket_batches), the remaining r01/r02-only anchors
 # (cosine_near_dups_blocked, customer_order_coverage,
 # customers_with_open_orders, customers_without_orders,
 # order_priority_rollup, top_orders_per_customer, cosine_near_dups) and
 # re-streaks for the round-5 single greens.
+
+# --- round-6 additions (local oracle + pytest; driver row in r07) ------
+register("epoch_shuffle", SQ.epoch_shuffle_q, SQ.EPOCH_SHUFFLE_SQL)
+register("length_bucket_batches", SQ.length_bucket_batches_q, SQ.LENGTH_BUCKET_BATCHES_SQL)
 
 # --- ceded round-5 window (single greens; local oracle + pytest) -------
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)

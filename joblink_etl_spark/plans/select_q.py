@@ -581,3 +581,70 @@ SELECT p.anchor_id,
        p.score - n.score AS margin
 FROM best p JOIN best n ON n.anchor_id = p.anchor_id AND p.same AND NOT n.same
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch training shuffle (permutation + balanced
+# shards). The oracle replays the salted-md5 permutation in one
+# window — Spark side runs it as a distributed range sort
+# (rank.global_rank), so the green hash proves the two-phase
+# distributed rank equals the single global ORDER BY.
+# ---------------------------------------------------------------------------
+
+
+def epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id")
+    return SA.epoch_shuffle(docs, epoch=7, n_shards=8)
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, {_MD5I.format(x="'epoch7:' || doc_id::VARCHAR")} AS k
+  FROM documents
+)
+SELECT doc_id,
+       row_number() OVER (ORDER BY k, doc_id) AS epoch_pos,
+       (row_number() OVER (ORDER BY k, doc_id) - 1) % 8 AS shard
+FROM keyed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching: power-of-two token-length bands, salted
+# shuffle within band, fixed-size batches, exact integer padding
+# economics per batch.
+# ---------------------------------------------------------------------------
+
+
+def length_bucket_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return SA.length_bucket_batches(docs, batch_size=16, salt="batch")
+
+
+LENGTH_BUCKET_BATCHES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len({_TOKS}) AS nt,
+         {_MD5I.format(x="'batch:' || doc_id::VARCHAR")} AS k
+  FROM documents
+), bucketed AS (
+  -- floor(log2(nt)) via binary length: engine-exact, no libm
+  SELECT doc_id, nt, k,
+         CASE WHEN nt > 0 THEN length(format('{{:b}}', nt)) - 1 ELSE -1 END AS bucket
+  FROM toks
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY bucket, k, doc_id) AS rnk FROM bucketed
+), starts AS (
+  SELECT bucket, min(rnk) AS start FROM ranked GROUP BY bucket
+), batched AS (
+  SELECT r.bucket, r.nt, (r.rnk - s.start) // 16 AS batch_id
+  FROM ranked r JOIN starts s ON r.bucket = s.bucket
+)
+SELECT bucket, batch_id,
+       count(*) AS n_examples,
+       max(nt)::BIGINT AS max_tokens,
+       sum(nt)::BIGINT AS sum_tokens,
+       (count(*) * max(nt) - sum(nt))::BIGINT AS waste_tokens
+FROM batched
+GROUP BY bucket, batch_id
+"""

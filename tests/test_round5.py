@@ -658,3 +658,50 @@ def test_cosine_allpairs_baseline_guard(spark):
     assert forced.count() > 0
     # under the cap: no error
     assert cosine_near_dup_pairs(emb, max_rows=100).count() > 0
+
+
+# ------------------------------------------------------- round-6 ops
+
+def test_epoch_shuffle_contract(spark):
+    """Permutation is a bijection onto 1..n; shards are balanced to
+    within one row; a different epoch yields a different order; the
+    same epoch is partitioning-invariant."""
+    from joblink_etl_spark.operators.sampling import epoch_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(97)], "doc_id BIGINT")
+    out = epoch_shuffle(df, epoch=1, n_shards=4).collect()
+    spark.catalog.clearCache()
+    assert sorted(r["epoch_pos"] for r in out) == list(range(1, 98))
+    sizes = {}
+    for r in out:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    order1 = [r["doc_id"] for r in sorted(out, key=lambda r: r["epoch_pos"])]
+    out2 = epoch_shuffle(df, epoch=2, n_shards=4).collect()
+    spark.catalog.clearCache()
+    order2 = [r["doc_id"] for r in sorted(out2, key=lambda r: r["epoch_pos"])]
+    assert order1 != order2  # re-permuted
+    rerun = epoch_shuffle(df.repartition(7), epoch=1, n_shards=4).collect()
+    spark.catalog.clearCache()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, out))
+
+
+def test_length_bucket_batches_padding_economics(spark):
+    """Every batch holds <= batch_size rows from ONE power-of-two
+    length band; waste is exactly n*max - sum; all rows are batched."""
+    from joblink_etl_spark.operators.sampling import length_bucket_batches
+
+    rows = [(i, " ".join(["w"] * ((i % 37) + 1))) for i in range(120)]
+    rows.append((999, ""))  # empty doc -> bucket -1
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = length_bucket_batches(df, batch_size=8).collect()
+    spark.catalog.clearCache()
+    assert sum(r["n_examples"] for r in out) == 121
+    for r in out:
+        assert 1 <= r["n_examples"] <= 8
+        assert r["waste_tokens"] == r["n_examples"] * r["max_tokens"] - r["sum_tokens"]
+        if r["bucket"] >= 0:
+            # every row in the batch fits the bucket's [2^b, 2^(b+1)) band
+            assert 2 ** r["bucket"] <= r["max_tokens"] < 2 ** (r["bucket"] + 1)
+        else:
+            assert r["max_tokens"] == 0
