@@ -178,3 +178,46 @@ def bpe_segment_words(
     return words.withColumn("tokens", syms).withColumn(
         "n_tokens", F.size(F.col("tokens"))
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level tokenizer APPLICATION — the other half of the
+    train→apply lifecycle (train_bpe learns the merges; this encodes
+    a corpus with them): per document, the exact subword count under
+    the learned merge table, plus the word count and character count
+    the compression ratio is read from.
+
+    Shape: the expensive greedy merge folds run ONCE PER DISTINCT
+    WORD (Zipf: vocab ≪ corpus), then a word-level join carries
+    n_tokens back onto the exploded corpus and one map-side-combined
+    groupBy(doc) collapses it. No Python anywhere — the merge fold is
+    the same codegen'd HOF as training. At 100 TB the vocab join is
+    an ordinary keyed shuffle (AQE broadcasts it when the vocab is
+    small); nothing quadratic, nothing iterative at apply time.
+
+    Returns (id_col, n_words, n_subwords, n_chars); empty documents
+    report zeros."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+        ).alias("word"),
+    )
+    vocab = words.filter(F.col("word").isNotNull()).select("word").distinct()
+    seg = bpe_segment_words(vocab, merges).select(
+        "word", F.col("n_tokens").alias("_nt"), F.length("word").alias("_nc")
+    )
+    return (
+        words.join(seg, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("word").cast("bigint").alias("n_words"),
+            F.coalesce(F.sum("_nt"), F.lit(0)).cast("bigint").alias("n_subwords"),
+            F.coalesce(F.sum("_nc"), F.lit(0)).cast("bigint").alias("n_chars"),
+        )
+    )

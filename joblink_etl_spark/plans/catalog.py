@@ -106,6 +106,9 @@ register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
 # --- round-6 additions (local oracle + pytest; driver row in r07) ------
 register("epoch_shuffle", SQ.epoch_shuffle_q, SQ.EPOCH_SHUFFLE_SQL)
 register("length_bucket_batches", SQ.length_bucket_batches_q, SQ.LENGTH_BUCKET_BATCHES_SQL)
+# tokenizer APPLY (merge table is data-derived via the iterative
+# trainer → rows-only like bpe_merges; full output pinned by fixture)
+register("bpe_encode", E.bpe_encode_q, None)
 
 # --- ceded round-5 window (single greens; local oracle + pytest) -------
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)

@@ -3897,3 +3897,17 @@ FROM (
 ) t
 """
 )
+
+
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode the corpus with the 8 merges learned
+    by bpe_merges_q — per-doc exact subword/word/char counts. The
+    merge table is data-derived (an iterative trainer), so like
+    bpe_merges this is rows-only for the driver; the full output is
+    pinned value-for-value by tests/fixtures/bpe_encode_expected.json
+    and the greedy-apply semantics by tests/test_bpe.py."""
+    from ..operators import bpe as B
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = B.train_bpe(docs, n_merges=8)
+    return B.bpe_encode(docs, merges)

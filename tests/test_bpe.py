@@ -68,3 +68,35 @@ def test_merge_loop_stops_when_no_pairs(spark):
     df = spark.createDataFrame([("a b c a b",)], "text STRING")
     merges = bpe.train_bpe(df, n_merges=4)
     assert merges == []
+
+
+def test_bpe_encode_corpus_counts(spark):
+    """Encoding the Sennrich corpus with its own learned merges:
+    per-doc subword counts equal the sum of each word's segmented
+    length; empty docs report zeros."""
+    from joblink_etl_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low lower"),
+            (2, "newest widest"),
+            (3, ""),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    merges = bpe.train_bpe(docs, n_merges=4)
+    spark.catalog.clearCache()
+    words = spark.createDataFrame(
+        [("low",), ("lower",), ("newest",), ("widest",)], ["word"]
+    )
+    seg = {
+        r["word"]: r["n_tokens"]
+        for r in bpe.bpe_segment_words(words, merges).collect()
+    }
+    got = {r["doc_id"]: r for r in bpe.bpe_encode(docs, merges).collect()}
+    spark.catalog.clearCache()
+    assert got[1]["n_words"] == 3
+    assert got[1]["n_subwords"] == 2 * seg["low"] + seg["lower"]
+    assert got[1]["n_chars"] == len("lowlowlower")
+    assert got[2]["n_subwords"] == seg["newest"] + seg["widest"]
+    assert got[3]["n_words"] == 0 and got[3]["n_subwords"] == 0 and got[3]["n_chars"] == 0

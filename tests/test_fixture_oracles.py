@@ -44,3 +44,8 @@ def test_bpe_merges_pinned(spark, sf):
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
 def test_lrs_exact_pinned(spark, sf):
     assert _run(spark, "lrs_exact", f"/root/testdata/{sf}") == _expected("lrs_exact")[sf]
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_bpe_encode_pinned(spark, sf):
+    assert _run(spark, "bpe_encode", f"/root/testdata/{sf}") == _expected("bpe_encode")[sf]

@@ -51,6 +51,9 @@ FAMILIES = {
     "maintenance": "cdc_apply",
     "bloomjoin": "bloom_semi_join",
     "rerank": "mmr_rerank",
+    # round-6 families
+    "decontam": "bloom_decontam",
+    "dataloader": "length_bucket_batches",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
