@@ -398,3 +398,20 @@ def test_jl_project_is_scan_side(spark):
         if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
     ]
     assert not hash_ex, hash_ex
+
+
+def test_dataloader_queries_use_range_sort_and_broadcast(spark):
+    """epoch_shuffle / length_bucket_batches must run their global
+    ordering as a distributed RANGE sort (two-phase rank), and the
+    bucket-offset join must be broadcast — a hot length band must
+    never serialize onto one task via a plain window."""
+    from joblink_etl_spark.plans import select_q as SQ
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (SQ.epoch_shuffle_q, SQ.length_bucket_batches_q):
+        plan = fn(spark, sf)._jdf.queryExecution().toString()
+        assert "rangepartitioning" in plan.lower()
+        spark.catalog.clearCache()
+    plan = SQ.length_bucket_batches_q(spark, sf)._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    spark.catalog.clearCache()
