@@ -55,22 +55,27 @@ def sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     w = F.window("ts", "10 minutes", "5 minutes")
     return (
-        ev.groupBy(w.alias("w"))
+        # quantize to integer cents BEFORE the sum, then round the
+        # 4-decimal average with EXACT integer round-half-up division
+        # ((2a + b) div 2b). The previous round(round(sum,2)/count,4)
+        # still diverged at sf0.1: quotients like 951.27/24 sit on
+        # exact .xxxx5 midpoints where Spark's HALF_UP-on-double and
+        # DuckDB's rounding disagree — no float round of a float
+        # quotient is portable on midpoints; integer math is.
+        ev.withColumn("_c", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .groupBy(w.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # divide the ROUNDED sum: parallel summation wobbles the
-            # raw sum's last ulp, and avg over power-of-two counts
-            # lands on exact .xxxx5 midpoints where that ulp flips
-            # the rounding — rounding the sum first (2-decimal
-            # inputs → sums sit safely near cent boundaries) makes
-            # the quotient bit-identical across engines.
-            F.round(F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4).alias("avg_value"),
+            F.sum("_c").alias("_sc"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "n_events",
-            "avg_value",
+            (
+                F.expr("(2 * _sc * 100 + n_events) div (2 * n_events)").cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_value"),
         )
     )
 
@@ -85,7 +90,11 @@ WITH assigned AS (
 SELECT window_start,
        window_start + INTERVAL 10 MINUTE AS window_end,
        count(*) AS n_events,
-       round(round(sum(value), 2) / count(*), 4) AS avg_value
+       -- integer round-half-up division (cents scaled to 1e-4), cast
+       -- off HUGEINT before the one IEEE division — bit-identical to
+       -- Spark's div idiom for the non-negative domain
+       ((2 * sum(floor(value * 100 + 0.5)::BIGINT) * 100 + count(*))
+        // (2 * count(*)))::BIGINT::DOUBLE / 10000.0 AS avg_value
 FROM assigned
 GROUP BY 1, 2
 """
