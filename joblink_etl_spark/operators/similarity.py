@@ -422,6 +422,146 @@ def _kmeans_assign(vectors: DataFrame, cents: DataFrame, id_col: str, codes_col:
     )
 
 
+def _kmeans_assign_grouped(
+    pts: DataFrame, cents_g: DataFrame, codes_col: str
+) -> DataFrame:
+    """Fine argmin WITHIN a point's coarse group: `pts` carries
+    `_gid`; `cents_g` is (_cid, _cv, _gid). Group arrays broadcast
+    (one row per gid), so the per-point work is |group| distances —
+    K/√K on average — instead of K. Same (d2, cid) struct-min
+    tie-break as the flat assign."""
+    rows = cents_g.groupBy("_gid").agg(
+        F.sort_array(F.collect_list(F.struct("_cid", "_cv"))).alias("_cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                _sq_dist(F.col(codes_col), c["_cv"]).alias("_d2"),
+                c["_cid"].alias("_cid"),
+            ),
+        )
+    )
+    return (
+        pts.join(F.broadcast(rows), "_gid")
+        .withColumn("_best", best)
+        .withColumn("_d2", F.col("_best._d2"))
+        .withColumn("_cid", F.col("_best._cid"))
+        .drop("_best", "_cents")
+    )
+
+
+def kmeans_codes_2level(
+    vectors: DataFrame,
+    k_every: int = 20,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    codes_col: str = "q_codes",
+    k_cap: int | None = None,
+    cell_target: int | None = None,
+    k_min: int = 8,
+    coarse_stride: int = 5,
+) -> DataFrame:
+    """Two-level (IVF-style) variant of kmeans_codes: assignment cost
+    per point drops from O(K·d) to O((K/stride + avg-group)·d) ≈
+    O(2·√K·d) at stride ≈ √K — closing kmeans_codes' honest scale
+    caveat that with K ∝ N (the cell_target policy) the flat assign
+    is O(N·K·d), quadratic in corpus size. This is the frozen-coarse-
+    quantizer compromise every production IVF index makes (FAISS
+    add-after-train), spelled bit-exactly:
+
+    - coarse quantizer = every `coarse_stride`-th initial centroid by
+      cid rank, FROZEN (never updated by Lloyd's);
+    - every centroid inherits the group of its INITIAL vector (argmin
+      over the coarse set, smallest-gid ties) — frozen grouping means
+      a point's candidate group provably always contains at least one
+      surviving centroid (its own coarse member, or the centroid the
+      point itself fed during the update);
+    - each point's coarse group is computed ONCE (the coarse set is
+      frozen) and reused across Lloyd iterations — per-iteration cost
+      is only the grouped fine assign;
+    - centroid means update exactly as in kmeans_codes (integer
+      floor-mean, smallest-cid ties).
+
+    Same determinism contract as kmeans_codes: a pure function of the
+    input on any engine or partitioning (the DuckDB oracle replays
+    the whole two-level chain). Clustering QUALITY differs from the
+    flat assign (points only see their group's centroids) — that is
+    the documented IVF trade, not drift.
+
+    Returns (id_col, cluster_id, sq_dist)."""
+    vectors = vectors.persist()
+    if cell_target is not None:
+        if k_cap is not None:
+            raise ValueError("pass either k_cap or cell_target, not both")
+        n = vectors.count()
+        k_cap = max(k_min, -(-n // cell_target))
+    seed = F.col(id_col) % k_every == 0
+    if k_cap is not None:
+        seed = seed & (F.col(id_col) < k_every * k_cap)
+    cents = vectors.filter(seed).select(
+        F.col(id_col).alias("_cid"), F.col(codes_col).alias("_cv")
+    )
+    # coarse pick by centroid RANK (not raw id, which may be sparse):
+    # the window is unpartitioned but runs over ≤ k_cap rows — a
+    # bounded-size sort, never corpus-sized
+    wk = Window.orderBy("_cid")
+    coarse = (
+        cents.withColumn("_rn", F.row_number().over(wk))
+        .filter((F.col("_rn") - 1) % coarse_stride == 0)
+        .select(F.col("_cid").alias("_gid"), F.col("_cv").alias("_gv"))
+    )
+    # frozen grouping of centroid ids (argmin of the INITIAL vectors
+    # over the coarse set) — inherited by every Lloyd update
+    grp = _kmeans_assign(
+        cents.select(F.col("_cid").alias("_ccid"), F.col("_cv").alias("_q")),
+        coarse.select(F.col("_gid").alias("_cid"), F.col("_gv").alias("_cv")),
+        "_ccid",
+        "_q",
+    ).select(F.col("_ccid").alias("_cid"), F.col("_cid").alias("_gid"))
+    # per-point coarse group: computed once against the frozen coarse
+    # set, persisted for reuse by every iteration's fine assign
+    pts = (
+        _kmeans_assign(
+            vectors,
+            coarse.select(F.col("_gid").alias("_cid"), F.col("_gv").alias("_cv")),
+            id_col,
+            codes_col,
+        )
+        .select(id_col, codes_col, F.col("_cid").alias("_gid"))
+        .persist()
+    )
+    cents_g = cents.join(grp, "_cid")
+    for _ in range(iters):
+        assigned = _kmeans_assign_grouped(pts, cents_g, codes_col)
+        by_dim = assigned.select(
+            "_cid", F.posexplode(F.col(codes_col)).alias("_pos", "_v")
+        )
+        means = by_dim.groupBy("_cid", "_pos").agg(
+            F.floor(F.sum("_v").cast("double") / F.count(F.lit(1))).cast("int").alias("_m")
+        )
+        new_cents = means.groupBy("_cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+            ).alias("_cv")
+        )
+        # lazy persist keeps the Lloyd chain flat (same convention as
+        # kmeans_codes / _pq_train; ≤ K rows per pin)
+        cents_g = new_cents.join(grp, "_cid").persist()
+    final = _kmeans_assign_grouped(pts, cents_g, codes_col)
+    # lazy persist: the two-level chain is many small stages (coarse
+    # window, grouping assigns, broadcast group arrays) — consumers
+    # like semdedup's pair self-join read the result 3x, and at local
+    # scale re-executing the chain per consumer is stage-latency-bound
+    # (same class as the flat assign's crossJoin+window rewrite, see
+    # PERF.md). Cache lifetime is the caller's responsibility.
+    return final.select(
+        F.col(id_col),
+        F.col("_cid").alias("cluster_id"),
+        F.col("_d2").alias("sq_dist"),
+    ).persist()
+
+
 def kmeans_codes(
     vectors: DataFrame,
     k_every: int = 20,
@@ -1083,6 +1223,7 @@ def semdedup(
     eps_num: int = 95,
     eps_den: int = 100,
     cell_target: int | None = None,
+    coarse_stride: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     clustering embeddings, then pruning within-cluster near-
@@ -1111,14 +1252,27 @@ def semdedup(
     if cell_target is not None:
         k_cap = None  # derived inside kmeans_codes from the count
     codes = quantize_embeddings_global(df, vec_col).select(id_col, "q_codes")
-    clusters = kmeans_codes(
-        codes,
-        k_every=k_every,
-        iters=iters,
-        id_col=id_col,
-        k_cap=k_cap,
-        cell_target=cell_target,
-    ).select(id_col, "cluster_id")
+    if coarse_stride is not None:
+        # IVF-style two-level assign: per-point work O(√K·d) instead
+        # of O(K·d) — the scale path when cell_target makes K ∝ N
+        clusters = kmeans_codes_2level(
+            codes,
+            k_every=k_every,
+            iters=iters,
+            id_col=id_col,
+            k_cap=k_cap,
+            cell_target=cell_target,
+            coarse_stride=coarse_stride,
+        ).select(id_col, "cluster_id")
+    else:
+        clusters = kmeans_codes(
+            codes,
+            k_every=k_every,
+            iters=iters,
+            id_col=id_col,
+            k_cap=k_cap,
+            cell_target=cell_target,
+        ).select(id_col, "cluster_id")
     sq = lambda c: F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x.cast("long") * x),
         F.lit(0).cast("long"),

@@ -648,3 +648,106 @@ SELECT bucket, batch_id,
 FROM batched
 GROUP BY bucket, batch_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup with IVF-style TWO-LEVEL assignment — the 100-TB shape:
+# with cell_target making K ∝ N, flat Lloyd assign is O(N·K·d)
+# (quadratic); the frozen-coarse-quantizer two-level assign is
+# O(N·√K·d). The oracle replays the whole chain: coarse pick by
+# centroid rank, frozen centroid grouping, per-point frozen coarse
+# assign, grouped fine argmin, integer means, inherited groups,
+# final grouped assign, ε-prune. MATERIALIZED hints stop DuckDB
+# from inlining the multiply-referenced CTEs (round-5 lesson).
+# ---------------------------------------------------------------------------
+
+
+def semdedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_clones(parallelize(table(spark, sf_dir, "embeddings")))
+    return SIM.semdedup(
+        emb,
+        k_every=25,
+        iters=1,
+        eps_num=95,
+        eps_den=100,
+        cell_target=250,
+        coarse_stride=3,
+    )
+
+
+SEMDEDUP_IVF_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 5 = 0
+),
+gmax AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS g FROM base),
+v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / (CASE WHEN g > 0 THEN g / 127.0 ELSE 1.0 END) + 0.5)::INTEGER) AS codes
+  FROM base, gmax
+),
+kcap AS (SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS BIGINT)) AS kc FROM base),
+c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, codes FROM v, kcap WHERE vec_id % 25 = 0 AND vec_id < 25 * kc
+),
+coarse AS MATERIALIZED (
+  SELECT cid AS gid, codes AS gcodes
+  FROM (SELECT *, row_number() OVER (ORDER BY cid) AS rn FROM c0)
+  WHERE (rn - 1) % 3 = 0
+),
+cgrp AS MATERIALIZED (
+  SELECT cid, gid FROM (
+    SELECT c.cid, g.gid,
+           row_number() OVER (PARTITION BY c.cid
+                              ORDER BY {_sd_dist('c.codes', 'g.gcodes')}, g.gid) AS rn
+    FROM c0 c, coarse g
+  ) WHERE rn = 1
+),
+pg AS MATERIALIZED (
+  SELECT vec_id, gid FROM (
+    SELECT v.vec_id, g.gid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sd_dist('v.codes', 'g.gcodes')}, g.gid) AS rn
+    FROM v, coarse g
+  ) WHERE rn = 1
+),
+a1 AS (
+  SELECT vec_id, codes, cid FROM (
+    SELECT v.vec_id, v.codes, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_sd_dist('v.codes', 'c.codes')}, c.cid) AS rn
+    FROM v
+    JOIN pg ON pg.vec_id = v.vec_id
+    JOIN cgrp cg ON cg.gid = pg.gid
+    JOIN c0 c ON c.cid = cg.cid
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, u.i - 1 AS pos, floor(sum(codes[u.i])::DOUBLE / count(*))::INT AS m
+  FROM a1, unnest(range(1, len(codes) + 1)) AS u(i)
+  GROUP BY cid, u.i
+),
+c1 AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS codes FROM m1 GROUP BY cid),
+fd AS (
+  SELECT v.vec_id, v.codes, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_sd_dist('v.codes', 'c.codes')}, c.cid) AS rn
+  FROM v
+  JOIN pg ON pg.vec_id = v.vec_id
+  JOIN cgrp cg ON cg.gid = pg.gid
+  JOIN c1 c ON c.cid = cg.cid
+),
+sf AS MATERIALIZED (
+  SELECT vec_id, codes, cid AS cluster_id FROM fd WHERE rn = 1
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM sf a JOIN sf b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_sd_dot('a.codes', 'b.codes')} > 0
+    AND {_sd_dot('a.codes', 'b.codes')} * {_sd_dot('a.codes', 'b.codes')} * 10000
+        >= 9025 * {_sd_dot('a.codes', 'a.codes')} * {_sd_dot('b.codes', 'b.codes')}
+)
+SELECT s.vec_id, s.cluster_id, p.vec_id IS NULL AS kept
+FROM sf s LEFT JOIN pruned p ON p.vec_id = s.vec_id
+"""

@@ -705,3 +705,39 @@ def test_length_bucket_batches_padding_economics(spark):
             assert 2 ** r["bucket"] <= r["max_tokens"] < 2 ** (r["bucket"] + 1)
         else:
             assert r["max_tokens"] == 0
+
+
+def test_semdedup_ivf_two_level_contract(spark):
+    """Two-level (frozen coarse quantizer) semdedup: identical clones
+    still land in the same cluster and get pruned (argmin of equal
+    inputs is equal), every row is assigned (group coverage holds),
+    and the result is partitioning-invariant."""
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            emb, k_every=10, cell_target=20, coarse_stride=3
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert len(out) == 130  # nothing dropped by the group joins
+    assert all(out[1000 + i]["kept"] is False for i in range(10))
+    assert all(out[i]["kept"] is True for i in range(10))
+    assert all(
+        out[1000 + i]["cluster_id"] == out[i]["cluster_id"] for i in range(10)
+    )
+    again = {
+        r["vec_id"]: r
+        for r in semdedup(
+            emb.repartition(7), k_every=10, cell_target=20, coarse_stride=3
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }
