@@ -22,7 +22,7 @@ def test_queries_and_oracles_aligned():
     # except explicitly-registered iterative algorithms (oracle=None
     # → the driver's rows-only check). Keep that list tiny and
     # justified in plans/catalog.py.
-    rows_only = {"lrs_exact", "bpe_merges"}
+    rows_only = {"lrs_exact", "bpe_merges", "bpe_encode"}
     assert set(oracles) == set(qs) - rows_only
 
 

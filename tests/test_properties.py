@@ -510,3 +510,54 @@ def test_mmr_matches_python_greedy(spark_prop, vecs, k):
             s = dot(v, pv)
             max_sim[i] = s if max_sim[i] is None else max(max_sim[i], s)
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    st.integers(1, 5),
+    st.integers(1, 6),
+)
+def test_epoch_shuffle_is_bijection_with_balanced_shards(spark_prop, ids, epoch, shards):
+    """For ANY id set: epoch_pos is a bijection onto 1..n and shard
+    sizes differ by at most one."""
+    from joblink_etl_spark.operators.sampling import epoch_shuffle
+
+    df = spark_prop.createDataFrame([(i,) for i in ids], "doc_id BIGINT")
+    out = epoch_shuffle(df, epoch=epoch, n_shards=shards).collect()
+    spark_prop.catalog.clearCache()
+    assert sorted(r["epoch_pos"] for r in out) == list(range(1, len(ids) + 1))
+    sizes = [0] * shards
+    for r in out:
+        sizes[r["shard"]] += 1
+    assert max(sizes) - min(sizes) <= 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(string.ascii_lowercase + " ", max_size=40),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 9),
+)
+def test_length_bucket_batches_conserves_rows_and_waste(spark_prop, texts, bsz):
+    """For ANY corpus: every row lands in exactly one batch, no batch
+    exceeds batch_size, waste == n*max - sum, and each batch's rows
+    share one power-of-two length band."""
+    from joblink_etl_spark.operators.sampling import length_bucket_batches
+
+    df = spark_prop.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    )
+    out = length_bucket_batches(df, batch_size=bsz).collect()
+    spark_prop.catalog.clearCache()
+    assert sum(r["n_examples"] for r in out) == len(texts)
+    for r in out:
+        assert 1 <= r["n_examples"] <= bsz
+        assert r["waste_tokens"] == r["n_examples"] * r["max_tokens"] - r["sum_tokens"]
+        if r["bucket"] >= 0:
+            assert 2 ** r["bucket"] <= r["max_tokens"] < 2 ** (r["bucket"] + 1)
+        else:
+            assert r["max_tokens"] == 0
