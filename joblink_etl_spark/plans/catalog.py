@@ -97,7 +97,8 @@ register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
 # ---- 50-query driver window ends here --------------------------------
 
 # ROUND-7 ROTATION QUEUE: the round-6 additions (epoch_shuffle,
-# length_bucket_batches), the remaining r01/r02-only anchors
+# length_bucket_batches, bpe_encode, semdedup_ivf — all local-green
+# at sf0.01 AND sf0.1), the remaining r01/r02-only anchors
 # (cosine_near_dups_blocked, customer_order_coverage,
 # customers_with_open_orders, customers_without_orders,
 # order_priority_rollup, top_orders_per_customer, cosine_near_dups) and
