@@ -112,6 +112,8 @@ register("length_bucket_batches", SQ.length_bucket_batches_q, SQ.LENGTH_BUCKET_B
 register("bpe_encode", E.bpe_encode_q, None)
 # IVF-style two-level semdedup (the O(N·√K·d) assign scale path)
 register("semdedup_ivf", SQ.semdedup_ivf_q, SQ.SEMDEDUP_IVF_SQL)
+# dedup-stack self-evaluation (recall vs planted clones per method)
+register("dedup_method_recall", E.dedup_method_recall_q, E.DEDUP_METHOD_RECALL_SQL)
 
 # --- ceded round-5 window (single greens; local oracle + pytest) -------
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)

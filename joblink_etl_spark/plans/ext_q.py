@@ -3911,3 +3911,95 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = B.train_bpe(docs, n_merges=8)
     return B.bpe_encode(docs, merges)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-stack self-evaluation: recall of each near-dup method against
+# the PLANTED clone ground truth (doc_id ↔ doc_id+10000, the same
+# mutation every dedup query uses). The engine measuring its own
+# candidate generators is how a production pipeline tunes thresholds
+# — and the oracle re-embeds each method's PROVEN SQL as a CTE, so a
+# green hash certifies the evaluation itself, not just the methods.
+# ---------------------------------------------------------------------------
+
+
+def dedup_method_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "documents")
+    docs = _docs_with_neardups(parallelize(base))
+    truth = base.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 10000).alias("id_b")
+    )
+
+    def method_row(name: str, pairs: DataFrame, truth_m: DataFrame) -> DataFrame:
+        found = pairs.select("id_a", "id_b")
+        # three one-row aggregates crossed (the curation_funnel
+        # pattern): no driver action, no wide join
+        t = truth_m.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        f = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        h = truth_m.join(found, ["id_a", "id_b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+        return (
+            t.crossJoin(f)
+            .crossJoin(h)
+            .select(
+                F.lit(name).alias("method"),
+                "n_truth",
+                "n_found",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+            )
+        )
+
+    rows = [
+        method_row(
+            "minhash_lsh",
+            D.minhash_candidate_pairs(docs, min_jaccard=0.5),
+            truth,
+        ),
+        method_row(
+            "prefix_jaccard",
+            D.prefix_filter_jaccard_pairs(
+                docs.filter((F.col("doc_id") % 10000) < 80), min_jaccard=0.5
+            ),
+            truth.filter(F.col("id_a") < 80),
+        ),
+        method_row(
+            "ngram_jaccard",
+            D.ngram_jaccard_pairs(
+                docs.filter((F.col("doc_id") % 10000) < 60), min_jaccard=0.3
+            ),
+            truth.filter(F.col("id_a") < 60),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+DEDUP_METHOD_RECALL_SQL = f"""
+WITH mh AS MATERIALIZED ({MINHASH_PAIRS_SQL}),
+pj AS MATERIALIZED ({PREFIX_JACCARD_SQL}),
+nj AS MATERIALIZED ({NGRAM_JACCARD_SQL}),
+truth AS MATERIALIZED (
+  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id % 4 = 0
+),
+rows AS (
+  SELECT 'minhash_lsh' AS method,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM mh) AS n_found,
+         (SELECT count(*) FROM truth t JOIN mh p ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_hit
+  UNION ALL
+  SELECT 'prefix_jaccard',
+         (SELECT count(*) FROM truth WHERE id_a < 80),
+         (SELECT count(*) FROM pj),
+         (SELECT count(*) FROM truth t JOIN pj p ON t.id_a = p.id_a AND t.id_b = p.id_b WHERE t.id_a < 80)
+  UNION ALL
+  SELECT 'ngram_jaccard',
+         (SELECT count(*) FROM truth WHERE id_a < 60),
+         (SELECT count(*) FROM nj),
+         (SELECT count(*) FROM truth t JOIN nj p ON t.id_a = p.id_a AND t.id_b = p.id_b WHERE t.id_a < 60)
+)
+SELECT method, n_truth, n_found, n_hit, n_hit::DOUBLE / n_truth AS recall FROM rows
+"""

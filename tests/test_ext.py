@@ -862,3 +862,20 @@ def test_embedding_moments_match_numpy(spark, sf_dir):
     assert np.array_equal(S, codes.T @ codes)
     sums = {r["i"]: r["sum_i"] for r in rows if r["i"] == r["j"]}
     assert all(sums[i] == codes[:, i].sum() for i in sums)
+
+
+def test_dedup_method_recall_planted_truth(spark):
+    """The self-evaluation must report perfect recall for the exact
+    methods on their subsets and hit/found/truth counts that are
+    internally consistent."""
+    from joblink_etl_spark.plans.ext_q import dedup_method_recall_q
+
+    rows = {r["method"]: r for r in dedup_method_recall_q(spark, "/root/testdata/sf0.001").collect()}
+    spark.catalog.clearCache()
+    assert set(rows) == {"minhash_lsh", "prefix_jaccard", "ngram_jaccard"}
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= min(r["n_truth"], r["n_found"])
+        assert r["recall"] == r["n_hit"] / r["n_truth"]
+    # exact (non-probabilistic) methods must find every planted pair
+    assert rows["ngram_jaccard"]["recall"] == 1.0
+    assert rows["prefix_jaccard"]["recall"] == 1.0
