@@ -114,6 +114,8 @@ register("bpe_encode", E.bpe_encode_q, None)
 register("semdedup_ivf", SQ.semdedup_ivf_q, SQ.SEMDEDUP_IVF_SQL)
 # dedup-stack self-evaluation (recall vs planted clones per method)
 register("dedup_method_recall", E.dedup_method_recall_q, E.DEDUP_METHOD_RECALL_SQL)
+# ANN self-evaluation (recall@10 vs exact brute-force top-k)
+register("ann_method_recall", E.ann_method_recall_q, E.ANN_METHOD_RECALL_SQL)
 
 # --- ceded round-5 window (single greens; local oracle + pytest) -------
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)

@@ -4003,3 +4003,97 @@ rows AS (
 )
 SELECT method, n_truth, n_found, n_hit, n_hit::DOUBLE / n_truth AS recall FROM rows
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN self-evaluation: recall@k of the approximate indexes against
+# the exact brute-force top-k — THE standard ANN quality metric,
+# computed inside the engine. Same certification trick as
+# dedup_method_recall: the oracle re-embeds the methods' proven SQL.
+# knn_pq is omitted to keep the composed bench cost bounded (its PQ
+# chain re-runs inside knn_ivfpq anyway).
+#
+# Expect LOW absolute recall on this synthetic corpus: the test
+# embeddings are uniform random, so there is no cluster structure for
+# IVF cells to exploit — nprobe/n_cells (≈0.15 here) is the chance
+# floor, and the measured 0.3-0.4 (IVF) is what "above chance but no
+# structure" looks like. On real embeddings with locality the same
+# indexes measure 0.9+; surfacing that difference is precisely what
+# this evaluation is for.
+# ---------------------------------------------------------------------------
+
+
+def ann_method_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        knn_bruteforce as _bf,
+        knn_ivf as _ivf,
+        knn_ivfpq as _ivfpq,
+        quantize_embeddings_global,
+    )
+
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = _bf(emb, queries, k=10).select("query_id", "neighbor_id")
+
+    codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
+    qcodes = codes.filter(F.col("vec_id") < 5)
+    methods = [
+        (
+            "knn_ivf",
+            _ivf(emb, queries, k=10, nprobe=3, every=25).select(
+                "query_id", "neighbor_id"
+            ),
+        ),
+        (
+            "knn_ivfpq",
+            # EXACT same config as the registered knn_ivfpq_q, so the
+            # oracle can re-embed KNN_IVFPQ_SQL verbatim
+            _ivfpq(
+                codes, qcodes, k=10, nprobe=3, coarse_every=25,
+                n_sub=4, k_every=50, iters=2, k_cap=100,
+            ).select("query_id", "neighbor_id"),
+        ),
+    ]
+
+    rows = None
+    for name, found in methods:
+        t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        f = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        h = truth.join(found, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+        row = (
+            t.crossJoin(f)
+            .crossJoin(h)
+            .select(
+                F.lit(name).alias("method"),
+                "n_truth",
+                "n_found",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+ANN_METHOD_RECALL_SQL = f"""
+WITH bf AS MATERIALIZED ({KNN_BRUTEFORCE_SQL}),
+ivf AS MATERIALIZED ({KNN_IVF_SQL}),
+ivfpq AS MATERIALIZED ({KNN_IVFPQ_SQL}),
+truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM bf),
+rows AS (
+  SELECT 'knn_ivf' AS method,
+         (SELECT count(*) FROM truth) AS n_truth,
+         (SELECT count(*) FROM ivf) AS n_found,
+         (SELECT count(*) FROM truth t JOIN ivf p
+          ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id) AS n_hit
+  UNION ALL
+  SELECT 'knn_ivfpq',
+         (SELECT count(*) FROM truth),
+         (SELECT count(*) FROM ivfpq),
+         (SELECT count(*) FROM truth t JOIN ivfpq p
+          ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id)
+)
+SELECT method, n_truth, n_found, n_hit, n_hit::DOUBLE / n_truth AS recall FROM rows
+"""

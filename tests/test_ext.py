@@ -879,3 +879,17 @@ def test_dedup_method_recall_planted_truth(spark):
     # exact (non-probabilistic) methods must find every planted pair
     assert rows["ngram_jaccard"]["recall"] == 1.0
     assert rows["prefix_jaccard"]["recall"] == 1.0
+
+
+def test_ann_method_recall_consistency(spark):
+    """recall = hit/truth; hits bounded by both sets; both indexes
+    return a full top-k per query."""
+    from joblink_etl_spark.plans.ext_q import ann_method_recall_q
+
+    rows = {r["method"]: r for r in ann_method_recall_q(spark, "/root/testdata/sf0.001").collect()}
+    spark.catalog.clearCache()
+    assert set(rows) == {"knn_ivf", "knn_ivfpq"}
+    for r in rows.values():
+        assert 0 <= r["n_hit"] <= min(r["n_truth"], r["n_found"])
+        assert r["recall"] == r["n_hit"] / r["n_truth"]
+        assert r["n_truth"] == 50  # 5 queries x k=10 exact neighbors
