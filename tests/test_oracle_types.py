@@ -61,3 +61,37 @@ def test_guard_catches_uncast_windowed_sum(con):
         "DESCRIBE SELECT sum(1) OVER () AS s FROM events LIMIT 1"
     ).fetchall()
     assert any("HUGEINT" in r[1].upper() or "DECIMAL" in r[1].upper() for r in rows)
+
+
+def test_arrow_and_spark_class_lattices_agree():
+    """The two type-class mappers must land matching classes for every
+    type pair the oracles legitimately produce — and decimal must be
+    its own class on BOTH sides so a HUGEINT leak can never alias."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from tools.oracle_check import _arrow_class, _spark_class
+
+    pairs = [
+        (pa.int64(), T.LongType(), "int"),
+        (pa.int32(), T.IntegerType(), "int"),
+        (pa.float64(), T.DoubleType(), "float"),
+        (pa.bool_(), T.BooleanType(), "bool"),
+        (pa.string(), T.StringType(), "str"),
+        (pa.timestamp("us"), T.TimestampType(), "ts"),
+        (pa.date32(), T.DateType(), "date"),
+        (pa.binary(), T.BinaryType(), "bin"),
+        (pa.list_(pa.float32()), T.ArrayType(T.FloatType()), "list<float>"),
+        (
+            pa.struct([("a", pa.int64())]),
+            T.StructType([T.StructField("a", T.LongType())]),
+            "struct",
+        ),
+    ]
+    for at, st, cls in pairs:
+        assert _arrow_class(at) == cls, at
+        assert _spark_class(st) == cls, st
+    assert _arrow_class(pa.decimal128(38, 0)) == "decimal"
+    assert _spark_class(T.DecimalType(38, 0)) == "decimal"
+    # the regression class: decimal must NOT equal int
+    assert _arrow_class(pa.decimal128(38, 0)) != _arrow_class(pa.int64())
