@@ -392,11 +392,14 @@ def length_bucket_batches(
         ).alias("_k"),
     ).withColumn(
         # floor(log2(n)) via bit length (engine-exact; no libm):
-        # empty docs (0 tokens) land in bucket -1, their own band
+        # empty docs (0 tokens) land in bucket -1, their own band.
+        # bigint, not int32: the oracle's length() is BIGINT and the
+        # driver's hash is Arrow-dtype-sensitive (the session_windows
+        # decimal128 lesson) — match widths exactly, not by class.
         "bucket",
-        F.when(F.col("_nt") > 0, F.length(F.bin(F.col("_nt"))) - 1).otherwise(
-            F.lit(-1)
-        ),
+        F.when(F.col("_nt") > 0, F.length(F.bin(F.col("_nt"))) - 1)
+        .otherwise(F.lit(-1))
+        .cast("bigint"),
     )
     ranked = global_rank(toks, ["bucket", "_k", id_col], out_col="_rnk")
     starts = ranked.groupBy("bucket").agg(F.min("_rnk").alias("_start"))

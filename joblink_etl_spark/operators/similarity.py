@@ -164,14 +164,17 @@ def cosine_near_dup_pairs(
     the production path: at 100 TB the theta self-join is a
     cluster-killer, so inputs larger than `max_rows` raise unless the
     caller explicitly opts in with ``allow_quadratic=True`` (the r05
-    verdict's baseline guard). The count is one bounded driver-side
-    action at plan-build time."""
+    verdict's baseline guard). The probe is `LIMIT max_rows+1` then
+    count — it short-circuits as soon as max_rows+1 rows exist
+    instead of executing the full upstream plan (the r06 advice: a
+    derived input was paying a complete second scan just to evaluate
+    the guard, on every plan construction)."""
     if not allow_quadratic:
-        n = vectors.count()
+        n = vectors.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_near_dup_pairs is the O(N²) all-pairs baseline and the "
-                f"input has {n} rows (> max_rows={max_rows}); use "
+                f"input has > max_rows={max_rows} rows; use "
                 f"cosine_near_dup_pairs_blocked / cosine_near_dup_pairs_lsh for "
                 f"real corpora, or pass allow_quadratic=True to force it"
             )
@@ -1213,13 +1216,20 @@ def embedding_second_moments(df: DataFrame, vec_col: str = "embedding") -> DataF
     )
 
 
+# Sentinel for semdedup's k_cap default: distinguishes "caller said
+# nothing" (→ 100, or derived when cell_target is set) from an
+# EXPLICIT k_cap, so k_cap + cell_target together raise the same
+# ValueError as kmeans_codes instead of silently dropping the cap.
+_K_CAP_UNSET = object()
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k_every: int = 25,
     iters: int = 1,
-    k_cap: int | None = 100,
+    k_cap=_K_CAP_UNSET,
     eps_num: int = 95,
     eps_den: int = 100,
     cell_target: int | None = None,
@@ -1250,7 +1260,11 @@ def semdedup(
     corpus grows (a fixed cap makes it O(N²/K); the r05 scale probe
     measured 6.1x wall-clock at 10x data under k_cap=100)."""
     if cell_target is not None:
+        if k_cap is not _K_CAP_UNSET:
+            raise ValueError("pass either k_cap or cell_target, not both")
         k_cap = None  # derived inside kmeans_codes from the count
+    elif k_cap is _K_CAP_UNSET:
+        k_cap = 100  # the documented small-corpus default
     codes = quantize_embeddings_global(df, vec_col).select(id_col, "q_codes")
     if coarse_stride is not None:
         # IVF-style two-level assign: per-point work O(√K·d) instead
@@ -1508,6 +1522,91 @@ def nearest_centroid_classify(
         F.col("_cid").alias("predicted"),
         F.col("_d2").alias("sq_dist"),
         (F.col(label_col) == F.col("_cid")).alias("correct"),
+    )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    codes_col: str = "q_codes",
+    top_n: int = 100,
+) -> DataFrame:
+    """Global-centroid outlier scoring over integer codes — the
+    embedding-space analogue of a quality filter: vectors farthest
+    from the corpus centroid are candidate junk (mis-embedded,
+    off-distribution, or adversarial documents) to route to review
+    or prune before training.
+
+    Engine-exact: the centroid is the per-dim floor(sum/count)
+    integer mean (ONE map-side-combined shuffle on dim — the
+    nearest_centroid_classify update step with a single global
+    class), and the score is the exact bigint squared distance to
+    it, so ranking is reproducible on any engine or partitioning.
+
+    Scale: the centroid is a 1-row broadcast (≤ dims ints); scoring
+    is scan-side; the global top-N is Spark's TakeOrdered (per-
+    partition heaps, no full sort). Returns (id, sq_dist, rank) for
+    the top_n farthest vectors, rank 1 = farthest, ties by id."""
+    by_dim = df.select(F.posexplode(F.col(codes_col)).alias("_pos", "_v"))
+    means = by_dim.groupBy("_pos").agg(
+        F.floor(F.sum("_v").cast("double") / F.count(F.lit(1))).cast("int").alias("_m")
+    )
+    cent = means.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
+        ).alias("_cv")
+    )
+    scored = df.crossJoin(F.broadcast(cent)).withColumn(
+        "sq_dist",
+        F.aggregate(
+            F.zip_with(
+                F.col(codes_col),
+                F.col("_cv"),
+                lambda a, b: (a.cast("long") - b.cast("long"))
+                * (a.cast("long") - b.cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    top = scored.orderBy(F.col("sq_dist").desc(), F.col(id_col)).limit(top_n)
+    # rank over the already-bounded top_n rows only (single tiny task)
+    w = Window.orderBy(F.col("sq_dist").desc(), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        id_col, "sq_dist", "rank"
+    )
+
+
+def cluster_size_profile(
+    assigned: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """One-row health profile of a clustering/IVF assignment — the
+    index-maintenance metric that decides when to re-train an ANN
+    index: cell-size min/max and the skew ratio (max cell vs the
+    uniform expectation N/K). A skew ≫ 1 means probe latency is
+    dominated by one hot cell and the codebook should be re-seeded
+    or the cap re-derived (the cell_target math).
+
+    Exact arithmetic: all counts are bigints; skew is the single
+    double division (max_cell·n_cells)/n_points, deterministic on
+    any engine. One map-side-combinable shuffle on the cluster id,
+    then a 1-row agg."""
+    cells = assigned.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sz")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("_sz").cast("bigint").alias("n_points"),
+        F.min("_sz").cast("bigint").alias("min_cell"),
+        F.max("_sz").cast("bigint").alias("max_cell"),
+    ).select(
+        "n_cells",
+        "n_points",
+        "min_cell",
+        "max_cell",
+        (
+            (F.col("max_cell") * F.col("n_cells")).cast("double") / F.col("n_points")
+        ).alias("skew"),
     )
 
 

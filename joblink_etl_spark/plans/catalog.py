@@ -1,27 +1,35 @@
 """Registers every query plan with the registry.
 
 ORDERING MATTERS: the driver's correctness gate checks the first 50
-registered queries. Rotation policy (rounds 3→4→5→6): queries holding
-a green driver streak cede their slots — the streak is the durable
-record — to queries that have never had a driver row; a single-green
-query may also cede when its operator re-runs verbatim inside an
-in-window sibling, or (round-6 amendment, per the round-5 verdict's
-explicit instruction) when the backlog of never-checked queries fills
-the window — every ceded query remains fully checked by
-tools/oracle_check.py (now Arrow-dtype-sensitive) + pytest each round.
+registered queries. Rotation policy (rounds 3→7): queries holding a
+green driver streak cede their slots — the streak is the durable
+record — to queries that have never had a driver row; ceded queries
+remain fully checked by tools/oracle_check.py (Arrow-dtype-sensitive
+since round 6) + pytest every round.
 
-Round-6 window (50):
-  * the 27 round-5 additions past last round's cap (first driver rows),
-  * the 8 round-3/4 flagships that have waited longest for a driver
-    row (knn_pq, knn_ivfpq, bm25_rank, hard_negatives, audio_decode,
-    video_decode, temperature_mixture, value_cdf),
-  * session_windows — r03/r05 hash-red, root-caused to the oracle's
-    uncast windowed sum (DuckDB HUGEINT → Arrow decimal128 vs Spark
-    int64); the CAST fix landed this round, stays until it streaks,
-  * 14 re-touches of r01/r02-only anchors so old parity claims stay
-    fresh against driver-environment drift.
-Ceded: the whole round-5 green window (47 single greens — local
-oracle + pytest still cover them; re-streak in r07+).
+Round-7 window (50):
+  * jl_project — r06 ERROR row (not a value mismatch: the driver's
+    row canonicalizer can't hash its array column). Re-registered as
+    the exploded scalar projection (vec_id, dim, value) with a
+    matching unnest oracle; stays until it holds a real green.
+    tests/test_round7.py now guards the WHOLE window against
+    non-scalar output columns so this class can't recur.
+  * session_windows — r06 green after the r03/r05 HUGEINT-cast red;
+    held one more round to bank the streak.
+  * the 6 round-6 additions (epoch_shuffle, length_bucket_batches,
+    bpe_encode [rows-only], semdedup_ivf, dedup_method_recall,
+    ann_method_recall) — first driver rows,
+  * 4 new round-7 queries (embedding_outliers, ivf_cell_profile,
+    ngram_coverage, dedup_inflation) — first driver rows,
+  * the 7 r01/r02-only anchors that had not yet been re-touched
+    (cosine_near_dups, cosine_near_dups_blocked,
+    top_orders_per_customer, customers_without_orders,
+    customers_with_open_orders, order_priority_rollup,
+    customer_order_coverage),
+  * 31 re-streaks of the round-5 single greens (ceded in r06; the
+    remaining 18 re-streak in r08).
+Ceded: the whole round-6 window of 47 fresh greens (r06 was 49/50
+green; every green holder cedes per policy).
 """
 
 from __future__ import annotations
@@ -37,74 +45,12 @@ from . import graph_q as GQ  # noqa: E402
 from . import maint_q as MQ  # noqa: E402
 from . import select_q as SQ  # noqa: E402
 
-# --- round-5 additions past last round's cap: first driver rows -------
-register("gap_fill_hourly", EV.gap_fill_hourly, EV.GAP_FILL_HOURLY_SQL)
-register("winsorized_stats", EV.winsorized_stats, EV.WINSORIZED_STATS_SQL)
-register("multi_touch_attribution", EV.multi_touch_attribution, EV.MULTI_TOUCH_ATTRIBUTION_SQL)
-register("snm_pairs", E.snm_pairs_q, E.SNM_PAIRS_SQL)
+# --- r06 error row, re-registered driver-hashable (exploded) ----------
 register("jl_project", SQ.jl_project_q, SQ.JL_PROJECT_SQL)
-register("rocchio_classify", SQ.rocchio_classify_q, SQ.ROCCHIO_CLASSIFY_SQL)
-register("label_separation", SQ.label_separation_q, SQ.LABEL_SEPARATION_SQL)
-register("join_cardinality", MQ.join_cardinality_q, MQ.JOIN_CARDINALITY_SQL)
-register("ann_index_add", MQ.ann_index_add_q, MQ.ANN_INDEX_ADD_SQL)
-register("hilbert_key", R.hilbert_key_q, R.HILBERT_KEY_SQL)
-register("trailing_window_sums", EV.trailing_window_sums, EV.TRAILING_WINDOW_SUMS_SQL)
-register("ppr_docs", GQ.ppr_docs, GQ.PPR_DOCS_SQL)
-register("nb_classify", SQ.nb_classify_q, SQ.NB_CLASSIFY_SQL)
-register("canonical_source_pick", GQ.canonical_source_pick, GQ.CANONICAL_SOURCE_PICK_SQL)
-register("ivf_mmr", SQ.ivf_mmr_q, SQ.IVF_MMR_SQL)
-register("event_matrix_unpivot", EV.event_matrix_unpivot, EV.EVENT_MATRIX_UNPIVOT_SQL)
-register("user_purge_audit", EV.user_purge_audit, EV.USER_PURGE_AUDIT_SQL)
-register("skew_report", EV.skew_report, EV.SKEW_REPORT_SQL)
-register("prefix_jaccard", E.prefix_jaccard_q, E.PREFIX_JACCARD_SQL)
-register("label_propagation", GQ.label_propagation_docs, GQ.LABEL_PROPAGATION_SQL)
-register("pagerank_weighted", GQ.pagerank_weighted_docs, GQ.PAGERANK_WEIGHTED_SQL)
-register("quality_gate", MQ.quality_gate_q, MQ.QUALITY_GATE_SQL)
-register("table_profile", MQ.table_profile_q, MQ.TABLE_PROFILE_SQL)
-register("soft_dedup_weights", GQ.soft_dedup_weights_q, GQ.SOFT_DEDUP_WEIGHTS_SQL)
-register("contrastive_triplets", SQ.contrastive_triplets_q, SQ.CONTRASTIVE_TRIPLETS_SQL)
-register("event_cooccurrence", EV.event_cooccurrence, EV.EVENT_COOCCURRENCE_SQL)
-register("curation_funnel", E.curation_funnel_q, E.CURATION_FUNNEL_SQL)
-
-# --- round-3/4 flagships: longest-waiting never-driver-checked --------
-register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)
-register("knn_ivfpq", E.knn_ivfpq_q, E.KNN_IVFPQ_SQL)
-register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
-register("hard_negatives", E.hard_negatives_q, E.HARD_NEGATIVES_SQL)
-register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
-register("video_decode", E.video_decode_q, E.VIDEO_DECODE_SQL)
-register("temperature_mixture", E.temperature_mixture_q, E.TEMPERATURE_MIXTURE_SQL)
-register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)
-
-# --- r03/r05 red, oracle CAST fix landed this round: stay until streak
+# --- r06 green after r03/r05 red: held until the streak banks --------
 register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
 
-# --- r01/r02-only anchors: freshness re-touch (one driver row) --------
-register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
-register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
-register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
-register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
-register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
-register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
-register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
-register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
-register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
-register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
-register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
-register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
-register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
-register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
-# ---- 50-query driver window ends here --------------------------------
-
-# ROUND-7 ROTATION QUEUE: the round-6 additions (epoch_shuffle,
-# length_bucket_batches, bpe_encode, semdedup_ivf — all local-green
-# at sf0.01 AND sf0.1), the remaining r01/r02-only anchors
-# (cosine_near_dups_blocked, customer_order_coverage,
-# customers_with_open_orders, customers_without_orders,
-# order_priority_rollup, top_orders_per_customer, cosine_near_dups) and
-# re-streaks for the round-5 single greens.
-
-# --- round-6 additions (local oracle + pytest; driver row in r07) ------
+# --- round-6 additions: first driver rows -----------------------------
 register("epoch_shuffle", SQ.epoch_shuffle_q, SQ.EPOCH_SHUFFLE_SQL)
 register("length_bucket_batches", SQ.length_bucket_batches_q, SQ.LENGTH_BUCKET_BATCHES_SQL)
 # tokenizer APPLY (merge table is data-derived via the iterative
@@ -117,7 +63,34 @@ register("dedup_method_recall", E.dedup_method_recall_q, E.DEDUP_METHOD_RECALL_S
 # ANN self-evaluation (recall@10 vs exact brute-force top-k)
 register("ann_method_recall", E.ann_method_recall_q, E.ANN_METHOD_RECALL_SQL)
 
-# --- ceded round-5 window (single greens; local oracle + pytest) -------
+# --- round-7 additions: first driver rows -----------------------------
+register("embedding_outliers", SQ.embedding_outliers_q, SQ.EMBEDDING_OUTLIERS_SQL)
+register("ivf_cell_profile", SQ.ivf_cell_profile_q, SQ.IVF_CELL_PROFILE_SQL)
+register("ngram_coverage", E.ngram_coverage_q, E.NGRAM_COVERAGE_SQL)
+register("dedup_inflation", E.dedup_inflation_q, E.DEDUP_INFLATION_SQL)
+
+# --- r01/r02-only anchors: freshness re-touch (one driver row) --------
+register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
+register("cosine_near_dups_blocked", E.cosine_near_dups_blocked, E.COSINE_NEAR_DUPS_BLOCKED_SQL)
+register(
+    "top_orders_per_customer",
+    R.top_orders_per_customer,
+    R.TOP_ORDERS_PER_CUSTOMER_SQL,
+)
+register(
+    "customers_without_orders",
+    R.customers_without_orders,
+    R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+)
+register(
+    "customers_with_open_orders",
+    R.customers_with_open_orders,
+    R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
+)
+register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
+register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)
+
+# --- round-5 single greens: re-streak (31 of 49; rest in r08) ---------
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
 register("scrub_spans", E.scrub_spans_q, E.SCRUB_SPANS_SQL)
 register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
@@ -156,6 +129,13 @@ register("mmr_rerank", SQ.mmr_rerank_q, SQ.MMR_RERANK_SQL)
 register("join_view_delta", MQ.join_view_delta_q, MQ.JOIN_VIEW_DELTA_SQL)
 register("cdc_apply", MQ.cdc_apply_q, MQ.CDC_APPLY_SQL)
 register("bloom_semi_join", MQ.bloom_semi_join_q, MQ.BLOOM_SEMI_JOIN_SQL)
+# ---- 50-query driver window ends here --------------------------------
+
+# ROUND-8 ROTATION QUEUE: the remaining 18 round-5 single greens
+# (span_unit_repeats … feature_bins below), then re-streaks for the
+# round-6 window's 47 fresh single greens.
+
+# --- round-5 single greens: remaining re-streak backlog (r08) ---------
 register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
 register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
 register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
@@ -174,6 +154,56 @@ register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
 register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
 register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
 register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
+
+# --- ceded round-6 window (fresh single greens; local oracle + pytest)
+register("gap_fill_hourly", EV.gap_fill_hourly, EV.GAP_FILL_HOURLY_SQL)
+register("winsorized_stats", EV.winsorized_stats, EV.WINSORIZED_STATS_SQL)
+register("multi_touch_attribution", EV.multi_touch_attribution, EV.MULTI_TOUCH_ATTRIBUTION_SQL)
+register("snm_pairs", E.snm_pairs_q, E.SNM_PAIRS_SQL)
+register("rocchio_classify", SQ.rocchio_classify_q, SQ.ROCCHIO_CLASSIFY_SQL)
+register("label_separation", SQ.label_separation_q, SQ.LABEL_SEPARATION_SQL)
+register("join_cardinality", MQ.join_cardinality_q, MQ.JOIN_CARDINALITY_SQL)
+register("ann_index_add", MQ.ann_index_add_q, MQ.ANN_INDEX_ADD_SQL)
+register("hilbert_key", R.hilbert_key_q, R.HILBERT_KEY_SQL)
+register("trailing_window_sums", EV.trailing_window_sums, EV.TRAILING_WINDOW_SUMS_SQL)
+register("ppr_docs", GQ.ppr_docs, GQ.PPR_DOCS_SQL)
+register("nb_classify", SQ.nb_classify_q, SQ.NB_CLASSIFY_SQL)
+register("canonical_source_pick", GQ.canonical_source_pick, GQ.CANONICAL_SOURCE_PICK_SQL)
+register("ivf_mmr", SQ.ivf_mmr_q, SQ.IVF_MMR_SQL)
+register("event_matrix_unpivot", EV.event_matrix_unpivot, EV.EVENT_MATRIX_UNPIVOT_SQL)
+register("user_purge_audit", EV.user_purge_audit, EV.USER_PURGE_AUDIT_SQL)
+register("skew_report", EV.skew_report, EV.SKEW_REPORT_SQL)
+register("prefix_jaccard", E.prefix_jaccard_q, E.PREFIX_JACCARD_SQL)
+register("label_propagation", GQ.label_propagation_docs, GQ.LABEL_PROPAGATION_SQL)
+register("pagerank_weighted", GQ.pagerank_weighted_docs, GQ.PAGERANK_WEIGHTED_SQL)
+register("quality_gate", MQ.quality_gate_q, MQ.QUALITY_GATE_SQL)
+register("table_profile", MQ.table_profile_q, MQ.TABLE_PROFILE_SQL)
+register("soft_dedup_weights", GQ.soft_dedup_weights_q, GQ.SOFT_DEDUP_WEIGHTS_SQL)
+register("contrastive_triplets", SQ.contrastive_triplets_q, SQ.CONTRASTIVE_TRIPLETS_SQL)
+register("event_cooccurrence", EV.event_cooccurrence, EV.EVENT_COOCCURRENCE_SQL)
+register("curation_funnel", E.curation_funnel_q, E.CURATION_FUNNEL_SQL)
+register("knn_pq", E.knn_pq_q, E.KNN_PQ_SQL)
+register("knn_ivfpq", E.knn_ivfpq_q, E.KNN_IVFPQ_SQL)
+register("bm25_rank", E.bm25_rank_q, E.BM25_RANK_SQL)
+register("hard_negatives", E.hard_negatives_q, E.HARD_NEGATIVES_SQL)
+register("audio_decode", E.audio_decode_q, E.AUDIO_DECODE_SQL)
+register("video_decode", E.video_decode_q, E.VIDEO_DECODE_SQL)
+register("temperature_mixture", E.temperature_mixture_q, E.TEMPERATURE_MIXTURE_SQL)
+register("value_cdf", EV.value_cdf, EV.VALUE_CDF_SQL)
+register("decide_cascade_mvp", PQ.decide_cascade_mvp, PQ.DECIDE_CASCADE_MVP_SQL)
+register("html_signals", E.html_signals, E.HTML_SIGNALS_SQL)
+register("embedding_quantize", E.embedding_quantize, E.EMBEDDING_QUANTIZE_SQL)
+register("exact_dedup", E.exact_dedup, E.EXACT_DEDUP_SQL)
+register("knn_bruteforce", E.knn_bruteforce, E.KNN_BRUTEFORCE_SQL)
+register("ngram_jaccard", E.ngram_jaccard, E.NGRAM_JACCARD_SQL)
+register("heavy_hitters", E.heavy_hitters, E.HEAVY_HITTERS_SQL)
+register("kmv_distinct_users", E.kmv_distinct_users, E.KMV_DISTINCT_USERS_SQL)
+register("shard_packing", E.shard_packing, E.SHARD_PACKING_SQL)
+register("event_props_json", E.event_props_json, E.EVENT_PROPS_JSON_SQL)
+register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
+register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
+register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
+register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
 
 # --- streak holders + sibling-covered rows -----------------------------
 # §2 anchors (decide/enqueue/fetch/notes: 4-round streaks; the
@@ -230,22 +260,3 @@ register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_S
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
-register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
-register("cosine_near_dups_blocked", E.cosine_near_dups_blocked, E.COSINE_NEAR_DUPS_BLOCKED_SQL)
-register(
-    "top_orders_per_customer",
-    R.top_orders_per_customer,
-    R.TOP_ORDERS_PER_CUSTOMER_SQL,
-)
-register(
-    "customers_without_orders",
-    R.customers_without_orders,
-    R.CUSTOMERS_WITHOUT_ORDERS_SQL,
-)
-register(
-    "customers_with_open_orders",
-    R.customers_with_open_orders,
-    R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
-)
-register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
-register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)

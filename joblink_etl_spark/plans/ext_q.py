@@ -3986,20 +3986,29 @@ truth AS MATERIALIZED (
   SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id % 4 = 0
 ),
 rows AS (
+  -- n_hit via EXISTS, not inner-join count(*): the Spark side is a
+  -- left_semi (each truth row counted at most once), so the oracle
+  -- must stay duplicate-proof even if a future candidate generator
+  -- emits the same (id_a, id_b) pair more than once.
   SELECT 'minhash_lsh' AS method,
          (SELECT count(*) FROM truth) AS n_truth,
          (SELECT count(*) FROM mh) AS n_found,
-         (SELECT count(*) FROM truth t JOIN mh p ON t.id_a = p.id_a AND t.id_b = p.id_b) AS n_hit
+         (SELECT count(*) FROM truth t
+          WHERE EXISTS (SELECT 1 FROM mh p WHERE t.id_a = p.id_a AND t.id_b = p.id_b)) AS n_hit
   UNION ALL
   SELECT 'prefix_jaccard',
          (SELECT count(*) FROM truth WHERE id_a < 80),
          (SELECT count(*) FROM pj),
-         (SELECT count(*) FROM truth t JOIN pj p ON t.id_a = p.id_a AND t.id_b = p.id_b WHERE t.id_a < 80)
+         (SELECT count(*) FROM truth t
+          WHERE t.id_a < 80
+            AND EXISTS (SELECT 1 FROM pj p WHERE t.id_a = p.id_a AND t.id_b = p.id_b))
   UNION ALL
   SELECT 'ngram_jaccard',
          (SELECT count(*) FROM truth WHERE id_a < 60),
          (SELECT count(*) FROM nj),
-         (SELECT count(*) FROM truth t JOIN nj p ON t.id_a = p.id_a AND t.id_b = p.id_b WHERE t.id_a < 60)
+         (SELECT count(*) FROM truth t
+          WHERE t.id_a < 60
+            AND EXISTS (SELECT 1 FROM nj p WHERE t.id_a = p.id_a AND t.id_b = p.id_b))
 )
 SELECT method, n_truth, n_found, n_hit, n_hit::DOUBLE / n_truth AS recall FROM rows
 """
@@ -4096,4 +4105,129 @@ rows AS (
           ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id)
 )
 SELECT method, n_truth, n_found, n_hit, n_hit::DOUBLE / n_truth AS recall FROM rows
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: corpus-economics probes.
+#
+# ngram_coverage — vocabulary coverage curve: what fraction of all
+# token occurrences the top-k most frequent tokens cover (k = 10,
+# 100, 1000). The standard tokenizer/corpus diagnostic — a steep
+# curve means boilerplate-dominated text; a flat one, diverse text.
+#
+# dedup_inflation — token-weighted duplication economics over the
+# exact-dedup clusters: how many tokens the corpus carries vs its
+# deduplicated size (the "1.3x inflated" storage/compute headline
+# number of a dedup pass).
+# ---------------------------------------------------------------------------
+
+
+def ngram_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import global_rank
+
+    docs = parallelize(table(spark, sf_dir, "documents")).select("text")
+    vocab = (
+        docs.select(F.explode(TS.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # frequency-descending unique rank WITHOUT a single-partition
+    # window: distributed range sort on (-count, token)
+    ranked = global_rank(
+        vocab.withColumn("_negc", -F.col("c")), ["_negc", "tok"], out_col="r"
+    )
+    ks = [10, 100, 1000]
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col("r") <= k, F.col("c")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias(f"_cov{k}")
+            for k in ks
+        ],
+    )
+    out = None
+    for k in ks:
+        row = agg.select(
+            F.lit(k).cast("bigint").alias("k"),
+            "vocab_size",
+            "total_tokens",
+            F.col(f"_cov{k}").alias("covered_tokens"),
+            (F.col(f"_cov{k}").cast("double") / F.col("total_tokens")).alias(
+                "coverage"
+            ),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+NGRAM_COVERAGE_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM vocab
+),
+agg AS (
+  SELECT count(*)::BIGINT AS vocab_size,
+         sum(c)::BIGINT AS total_tokens,
+         sum(CASE WHEN r <= 10 THEN c ELSE 0 END)::BIGINT AS cov10,
+         sum(CASE WHEN r <= 100 THEN c ELSE 0 END)::BIGINT AS cov100,
+         sum(CASE WHEN r <= 1000 THEN c ELSE 0 END)::BIGINT AS cov1000
+  FROM ranked
+)
+SELECT t.k::BIGINT AS k, vocab_size, total_tokens,
+       (CASE t.k WHEN 10 THEN cov10 WHEN 100 THEN cov100 ELSE cov1000 END) AS covered_tokens,
+       (CASE t.k WHEN 10 THEN cov10 WHEN 100 THEN cov100 ELSE cov1000 END)::DOUBLE
+         / total_tokens AS coverage
+FROM agg, (VALUES (10), (100), (1000)) t(k)
+"""
+
+
+def dedup_inflation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_clones(parallelize(table(spark, sf_dir, "documents")))
+    d = D.exact_duplicates(docs)
+    per_doc = d.select(
+        "is_duplicate", TS.token_count(F.col("text")).cast("bigint").alias("nt")
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("is_duplicate").cast("int")).cast("bigint").alias("n_dup_docs"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("is_duplicate"), F.col("nt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("dup_tokens"),
+    ).select(
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        "dup_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("total_tokens") - F.col("dup_tokens"))
+        ).alias("inflation"),
+    )
+
+
+DEDUP_INFLATION_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0
+),
+fp AS (
+  SELECT doc_id,
+         len({_TOKS})::BIGINT AS nt,
+         doc_id <> min(doc_id) OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         ) AS is_dup
+  FROM corpus
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       sum(nt)::BIGINT AS total_tokens,
+       sum(CASE WHEN is_dup THEN nt ELSE 0 END)::BIGINT AS dup_tokens,
+       sum(nt)::DOUBLE / (sum(nt) - sum(CASE WHEN is_dup THEN nt ELSE 0 END)) AS inflation
+FROM fp
 """

@@ -12,7 +12,7 @@ from ..operators import sampling as SA
 from ..operators import select as SEL
 from ..operators import similarity as SIM
 from ..sources import parallelize, table
-from .ext_q import _TOKS
+from .ext_q import _TOKS, KMEANS_CLUSTERS_SQL
 
 _MD5I = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
@@ -278,6 +278,13 @@ MMR_RERANK_SQL = _mmr_sql(5, 2, 1)
 # Johnson-Lindenstrauss sign projection: 64-dim global codes → 8
 # exact-bigint components. Oracle re-derives the md5-parity sign
 # matrix inline.
+#
+# Registered output is EXPLODED to (vec_id, dim, value): the r06
+# driver red was not a value mismatch but the driver's row
+# canonicalizer failing on an array column ("unhashable type:
+# 'list'"), so the registered projection must be scalar-only. The
+# array-shaped API (jl_project's `reduced`) is unchanged and stays
+# covered by pytest.
 # ---------------------------------------------------------------------------
 
 
@@ -285,7 +292,10 @@ def jl_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = SIM.quantize_embeddings_global(
         parallelize(table(spark, sf_dir, "embeddings"))
     ).select("vec_id", "q_codes")
-    return SIM.jl_project(codes, dims=64, n_out=8).select("vec_id", "reduced")
+    proj = SIM.jl_project(codes, dims=64, n_out=8)
+    return proj.select(
+        "vec_id", F.posexplode("reduced").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "value")
 
 
 _GLOBAL_CODES_CTES = """base AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
@@ -299,12 +309,12 @@ v AS (
 JL_PROJECT_SQL = f"""
 WITH {_GLOBAL_CODES_CTES}
 SELECT vec_id,
-       list_transform(range(0, 8), p ->
-         (list_sum(list_transform(range(1, len(codes) + 1), i ->
-            codes[i]::BIGINT *
-            (CASE WHEN ('0x' || substr(md5('jl:' || p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
-                  THEN 1 ELSE -1 END))))::BIGINT) AS reduced
-FROM v
+       u.p::BIGINT AS dim,
+       (list_sum(list_transform(range(1, len(codes) + 1), i ->
+          codes[i]::BIGINT *
+          (CASE WHEN ('0x' || substr(md5('jl:' || u.p::VARCHAR || ':' || (i - 1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+                THEN 1 ELSE -1 END))))::BIGINT AS value
+FROM v, unnest(range(0, 8)) AS u(p)
 """
 
 
@@ -750,4 +760,76 @@ pruned AS (
 )
 SELECT s.vec_id, s.cluster_id, p.vec_id IS NULL AS kept
 FROM sf s LEFT JOIN pruned p ON p.vec_id = s.vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 7: embedding-space curation probes.
+#
+# embedding_outliers — global-centroid outlier scoring (the
+# farthest-from-corpus quality filter): integer floor-mean centroid,
+# exact bigint squared distances, top-100 by distance.
+#
+# ivf_cell_profile — clustering/IVF index health (cell-size skew),
+# over the EXACT kmeans_clusters assignment so the oracle can
+# re-embed KMEANS_CLUSTERS_SQL verbatim.
+# ---------------------------------------------------------------------------
+
+
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = SIM.quantize_embeddings_global(
+        parallelize(table(spark, sf_dir, "embeddings"))
+    ).select("vec_id", "q_codes")
+    return SIM.centroid_outliers(codes, top_n=100)
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH {_GLOBAL_CODES_CTES},
+m AS (
+  SELECT u.i AS dim1,
+         floor(sum(codes[u.i])::DOUBLE / count(*))::INT AS mu
+  FROM v, unnest(range(1, len(codes) + 1)) AS u(i)
+  GROUP BY u.i
+),
+d AS (
+  SELECT vec_id,
+         sum((v.codes[m.dim1]::BIGINT - m.mu) * (v.codes[m.dim1]::BIGINT - m.mu))::BIGINT AS sq_dist
+  FROM v, m
+  GROUP BY vec_id
+),
+r AS (
+  SELECT vec_id, sq_dist,
+         row_number() OVER (ORDER BY sq_dist DESC, vec_id) AS rank
+  FROM d
+)
+SELECT vec_id, sq_dist, rank::BIGINT AS rank FROM r WHERE rank <= 100
+"""
+
+
+def ivf_cell_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        cluster_size_profile,
+        kmeans_codes,
+        quantize_embeddings,
+    )
+
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    codes = quantize_embeddings(emb).select("vec_id", "q_codes")
+    # EXACT same config as the registered kmeans_clusters query so
+    # the oracle re-embeds its proven SQL
+    assigned = kmeans_codes(codes, k_every=50, iters=2, k_cap=100)
+    return cluster_size_profile(assigned)
+
+
+IVF_CELL_PROFILE_SQL = f"""
+WITH km AS MATERIALIZED ({KMEANS_CLUSTERS_SQL}),
+cells AS (
+  SELECT cluster_id, count(*) AS sz FROM km GROUP BY cluster_id
+)
+SELECT count(*)::BIGINT AS n_cells,
+       sum(sz)::BIGINT AS n_points,
+       min(sz)::BIGINT AS min_cell,
+       max(sz)::BIGINT AS max_cell,
+       (max(sz) * count(*))::DOUBLE / sum(sz) AS skew
+FROM cells
 """
