@@ -63,24 +63,48 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "n_queries": len(timings),
-                # totals grow with registry size every round; the
-                # per-query median is the cross-round comparable
-                # (statistics.median: true even-n median, not the
-                # upper-middle element — ADVICE r05)
-                "median_sec": round(statistics.median(timings.values()), 3),
-                "excluded": EXCLUDED_QUADRATIC_BASELINES,
-                "sf": sf,
-            }
-        )
-    )
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    print(format_output(timings, sf, detail_path))
+
+
+def format_output(
+    timings: dict[str, float], sf: float | None, detail_path: str, line_budget: int = 1800
+) -> str:
+    """Build the ONE JSON line, keeping it parseable by the driver.
+
+    The driver records only the LAST 2000 chars of stdout and tries to
+    json-parse the final line; with 160+ registered queries the full
+    per-query map is ~5 KB, so rounds 3-6 recorded "parsed": null and
+    the judge had to diff truncated tails by hand. The line inlines
+    only the slowest-K queries (the tail that matters for regression
+    triage) under `line_budget` chars, and the COMPLETE per-query map
+    goes to BENCH_DETAIL.json next to this script — the line's
+    `detail_file` field names it so the judge can read every number.
+    """
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        # totals grow with registry size every round; the
+        # per-query median is the cross-round comparable
+        # (statistics.median: true even-n median, not the
+        # upper-middle element — ADVICE r05)
+        "median_sec": round(statistics.median(timings.values()), 3),
+        "excluded": EXCLUDED_QUADRATIC_BASELINES,
+        "sf": sf,
+        "detail_file": os.path.basename(detail_path),
+    }
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": timings}, f, sort_keys=True)
+        f.write("\n")
+    inline: dict[str, float] = {}
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        inline[name] = sec
+        if len(json.dumps({**summary, "queries": inline})) > line_budget:
+            del inline[name]
+            break
+    return json.dumps({**summary, "queries": inline})
 
 
 if __name__ == "__main__":

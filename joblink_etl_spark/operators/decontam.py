@@ -27,6 +27,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import _bound_ngrams, md5_int
 
@@ -269,5 +270,64 @@ def ngram_overlap(
             "n_grams",
             "n_overlap",
             (F.col("n_overlap") > 0).alias("contaminated"),
+        )
+    )
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    bench: DataFrame,
+    min_cosine: float = 0.99,
+    every: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space test-set decontamination: flag every corpus
+    vector whose cosine similarity to SOME benchmark/eval vector
+    reaches `min_cosine` — the semantic sibling of ngram_overlap /
+    bloom_decontam, catching paraphrased or re-tokenized eval leakage
+    that exact n-gram matching misses.
+
+    Scale design (100 TB):
+    - The all-pairs corpus x bench comparison is blocked by IVF cell
+      (the cosine_near_dup_pairs_blocked machinery): both sides are
+      assigned to their nearest corpus-sampled centroid, and pairs
+      are scored only within a cell. A contaminated pair is
+      near-identical by construction, so both members land in the
+      same cell and blocked recall on true contamination ~ 1.
+    - The benchmark side is eval sets — tiny next to the corpus; its
+      assigned rows broadcast, so the corpus side is one scan +
+      broadcast join + per-id max-agg: NO corpus shuffle at all
+      until the final per-doc aggregation (map-side combinable max).
+    - Scores are IEEE doubles over identical element order on both
+      engines (the documented bit-stable cosine form).
+
+    Returns the flagged set: (id, best_bench_id, best_score), one
+    row per contaminated corpus vector.
+    """
+    from .similarity import cosine, ivf_assign, sample_centroids
+
+    centroids = sample_centroids(corpus, every, id_col, vec_col)
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("corpus_id"), "centroid_id", "v"
+    )
+    b_assigned = ivf_assign(bench, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("bench_id"), "centroid_id", F.col("v").alias("bv")
+    )
+    scored = (
+        c_assigned.join(F.broadcast(b_assigned), "centroid_id")
+        .withColumn("score", cosine(F.col("v"), F.col("bv")))
+        .filter(F.col("score") >= min_cosine)
+    )
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.col("score").desc(), F.col("bench_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("corpus_id").alias(id_col),
+            F.col("bench_id").alias("best_bench_id"),
+            F.col("score").alias("best_score"),
         )
     )

@@ -794,3 +794,70 @@ def soft_dedup_weights(
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size").cast("double")).alias("weight"),
     )
+
+
+def line_level_dedup(
+    docs: DataFrame,
+    max_docs: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal (RefinedWeb/CCNet style): drop
+    every line that occurs in more than `max_docs` DISTINCT documents
+    (navigation menus, cookie banners, subscribe footers — the
+    highest-volume contamination in web crawls), then reassemble each
+    document from its surviving lines in original order.
+
+    Generalizes the reference's whole-row duplicate guard
+    (code-Extractor-withoutLLM.js:103-116 — key-seen-before set) to
+    sub-document granularity over an unbounded corpus.
+
+    Scale design (100 TB):
+    - Lines travel as 60-bit md5 ints, never as strings, through the
+      frequency aggregation — one map-side-combinable count-distinct
+      shuffle keyed by line hash.
+    - The frequency table holds only lines seen in >max_docs docs
+      (the boilerplate set), which is tiny relative to the corpus —
+      left unhinted so AQE's runtime stats pick broadcast when it
+      fits and fall back to a keyed join (with skew split for the
+      hot boilerplate hashes) when it doesn't; a static hint here
+      would OOM the driver on a crawl with a huge boilerplate set.
+    - Reassembly is one groupBy(id) with an ordered conditional
+      collect — partial aggregation collapses line rows per doc
+      before the exchange.
+
+    Returns (id, clean_text, n_kept, n_dropped); clean_text is ''
+    when every line was boilerplate.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_h", md5_int(F.col("line")))
+    boiler = (
+        lines.groupBy("line_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("line_h", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(boiler, "line_h", "left").withColumn(
+        "_keep", F.col("_boiler").isNull()
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("_keep"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        )
+        .select(id_col, "clean_text", "n_kept", "n_dropped")
+    )

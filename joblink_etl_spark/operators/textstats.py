@@ -10,6 +10,8 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -249,4 +251,110 @@ def chunk_documents(
         F.col("_c.chunk_index").alias("chunk_index"),
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )
+
+
+# The Gopher/MassiveText document-quality rule set (Rae et al. 2021,
+# "Scaling Language Models", table A1) — the published heuristics
+# most large-scale web-corpus pipelines apply before dedup. Written
+# in INTEGER arithmetic only (ratio bounds become cross-multiplied
+# comparisons) so the flags are engine-exact — no float ratio ever
+# reaches a compared output.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3  # chars
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORD_TYPES = 2
+
+
+def gopher_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Gopher quality flags + the overall gate.
+
+    Rules (integer-exact forms):
+    - word count in [50, 100000]
+    - mean word length in [3, 10]   (3*n <= chars <= 10*n)
+    - symbol-to-word ratio < 0.1    (10*(n_hash + n_ellipsis) < n)
+    - >= 80% words alphabetic       (5*n_alpha >= 4*n)
+    - >= 2 distinct required stopwords present
+    - < 90% of lines bullet-started (10*bullets < 9*lines)
+    - < 30% of lines ellipsis-ended (10*ellipsis_lines < 3*lines)
+
+    One narrow projection over the scan — no shuffle, no Python; the
+    token array is bound once per row (with_tokens) so every
+    token-derived count is O(tokens)."""
+    text = F.col(text_col)
+
+    def build(t: Column) -> Column:
+        return F.struct(
+            F.size(t).cast("bigint").alias("n_words"),
+            F.aggregate(
+                t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ).alias("word_chars"),
+            F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("bigint").alias(
+                "n_alpha_words"
+            ),
+            reduce(
+                lambda a, b: a + b,
+                [
+                    F.when(F.array_contains(t, w), 1).otherwise(0)
+                    for w in GOPHER_REQUIRED_STOPWORDS
+                ],
+            )
+            .cast("bigint")
+            .alias("n_stopword_types"),
+        )
+
+    lines = F.split(text, "\n")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    out = df.select(
+        F.col(id_col),
+        with_tokens(text, build).alias("_g"),
+        (n_hash + n_ellipsis).cast("bigint").alias("n_symbols"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+        .cast("bigint")
+        .alias("n_bullet_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+        .cast("bigint")
+        .alias("n_ellipsis_lines"),
+    ).select(
+        id_col,
+        F.col("_g.n_words").alias("n_words"),
+        F.col("_g.word_chars").alias("word_chars"),
+        F.col("_g.n_alpha_words").alias("n_alpha_words"),
+        F.col("_g.n_stopword_types").alias("n_stopword_types"),
+        "n_symbols",
+        "n_lines",
+        "n_bullet_lines",
+        "n_ellipsis_lines",
+    )
+    n = F.col("n_words")
+    flags = out.select(
+        "*",
+        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
+        (
+            (F.col("word_chars") >= GOPHER_MIN_MEAN_WORD_LEN * n)
+            & (F.col("word_chars") <= GOPHER_MAX_MEAN_WORD_LEN * n)
+        ).alias("ok_mean_word_len"),
+        (10 * F.col("n_symbols") < n).alias("ok_symbol_ratio"),
+        (5 * F.col("n_alpha_words") >= 4 * n).alias("ok_alpha_ratio"),
+        (F.col("n_stopword_types") >= GOPHER_MIN_STOPWORD_TYPES).alias("ok_stopwords"),
+        (10 * F.col("n_bullet_lines") < 9 * F.col("n_lines")).alias("ok_bullets"),
+        (10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines")).alias("ok_ellipsis"),
+    )
+    return flags.withColumn(
+        "pass_gopher",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_ratio")
+        & F.col("ok_stopwords")
+        & F.col("ok_bullets")
+        & F.col("ok_ellipsis"),
     )

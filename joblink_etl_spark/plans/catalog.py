@@ -260,3 +260,9 @@ register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_S
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
+
+# --- round-7 batch 2 (registered past the window; first driver rows
+# --- in r08 per the rotation policy; oracle_check + pytest cover now)
+register("line_dedup", E.line_dedup, E.LINE_DEDUP_SQL)
+register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
+register("semantic_decontam", E.semantic_decontam, E.SEMANTIC_DECONTAM_SQL)

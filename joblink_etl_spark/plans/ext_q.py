@@ -4231,3 +4231,187 @@ SELECT count(*)::BIGINT AS n_docs,
        sum(nt)::DOUBLE / (sum(nt) - sum(CASE WHEN is_dup THEN nt ELSE 0 END)) AS inflation
 FROM fp
 """
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (RefinedWeb/CCNet style): a crawl is
+# synthesized by wrapping every document in a per-source navigation
+# header and a global subscribe footer — the exact contamination
+# shape line-dedup exists for. Lines occurring in > 20 distinct docs
+# are dropped and documents reassembled in original line order; the
+# oracle replays the md5 line-hash frequency join bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    crawl = docs.select(
+        "doc_id",
+        F.concat(
+            F.upper(F.col("source")),
+            F.lit(" NAVIGATION MENU HOME ABOUT CONTACT\n"),
+            F.col("text"),
+            F.lit("\nSUBSCRIBE TO OUR NEWSLETTER FOR UPDATES"),
+        ).alias("text"),
+    )
+    return D.line_level_dedup(crawl, max_docs=20)
+
+
+LINE_DEDUP_SQL = """
+WITH crawl AS (
+  SELECT doc_id,
+         upper(source) || ' NAVIGATION MENU HOME ABOUT CONTACT' || chr(10)
+           || text || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES' AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM crawl
+), freq AS (
+  SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS line_h,
+         count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY 1
+), flagged AS (
+  SELECT l.doc_id, l.pos, l.line, f.n_docs <= 20 AS keep
+  FROM lines l
+  JOIN freq f ON ('0x' || substr(md5(l.line), 1, 15))::BIGINT = f.line_h
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+       count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
+       count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher/MassiveText quality rules — the published pre-dedup filter
+# set, in integer-exact form. Three planted pathological docs
+# exercise the failure modes (too short / symbol soup / bullet list);
+# the real corpus spreads across the word-count boundary on its own.
+# ---------------------------------------------------------------------------
+
+_GOPHER_PLANTS = [
+    (900001, "the be to of short"),
+    (900002, "# ## ### #### ... ... ..."),
+    (
+        900003,
+        "\n".join(
+            ["- the bullet item be of and that have with words here today"] * 60
+        ),
+    ),
+]
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    plants = spark.createDataFrame(_GOPHER_PLANTS, "doc_id bigint, text string")
+    return TS.gopher_quality(docs.unionAll(plants))
+
+
+_GOPHER_PLANT_ROWS = " UNION ALL ".join(
+    "SELECT {0}::BIGINT AS doc_id, '{1}' AS text".format(i, t.replace("\n", "' || chr(10) || '"))
+    for i, t in _GOPHER_PLANTS
+)
+
+GOPHER_QUALITY_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  {_GOPHER_PLANT_ROWS}
+), stats AS (
+  SELECT doc_id,
+         len({_TOKS})::BIGINT AS n_words,
+         coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0)::BIGINT AS word_chars,
+         len(list_filter({_TOKS}, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha_words,
+         ({" + ".join(f"CASE WHEN list_contains({{toks}}, '{w}') THEN 1 ELSE 0 END".format(toks=_TOKS) for w in ["the", "be", "to", "of", "and", "that", "have", "with"])})::BIGINT AS n_stopword_types,
+         ((length(text) - length(replace(text, '#', '')))
+          + (length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_symbols,
+         len(string_split(text, chr(10)))::BIGINT AS n_lines,
+         len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '^\\s*[-*•]')))::BIGINT AS n_bullet_lines,
+         len(list_filter(string_split(text, chr(10)), l -> regexp_matches(l, '\\.\\.\\.\\s*$')))::BIGINT AS n_ellipsis_lines
+  FROM corpus
+)
+SELECT *,
+       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS ok_mean_word_len,
+       10 * n_symbols < n_words AS ok_symbol_ratio,
+       5 * n_alpha_words >= 4 * n_words AS ok_alpha_ratio,
+       n_stopword_types >= 2 AS ok_stopwords,
+       10 * n_bullet_lines < 9 * n_lines AS ok_bullets,
+       10 * n_ellipsis_lines < 3 * n_lines AS ok_ellipsis,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+         AND (10 * n_symbols < n_words)
+         AND (5 * n_alpha_words >= 4 * n_words)
+         AND (n_stopword_types >= 2)
+         AND (10 * n_bullet_lines < 9 * n_lines)
+         AND (10 * n_ellipsis_lines < 3 * n_lines) AS pass_gopher
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) test-set decontamination: vec_id % 23
+# plays the benchmark; clones of every second benchmark vector are
+# planted into the corpus under +50000 ids, so there IS leakage to
+# find (cosine 1.0). Blocked by the same IVF-cell machinery as
+# cosine_near_dups_blocked; the oracle replays centroid sampling,
+# both assignments, and the within-cell scoring bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontam import semantic_decontam as sd
+
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    bench = emb.filter(F.col("vec_id") % 23 == 0)
+    leaked = bench.filter(F.col("vec_id") % 46 == 0).select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.filter(F.col("vec_id") % 23 != 0).unionAll(leaked)
+    return sd(corpus, bench, min_cosine=0.999)
+
+
+SEMANTIC_DECONTAM_SQL = f"""
+WITH bench AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 23 = 0
+), corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 23 <> 0
+  UNION ALL
+  SELECT vec_id + 50000, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id % 23 = 0 AND vec_id % 46 = 0
+), c AS (
+  SELECT vec_id AS centroid_id, e AS cv FROM corpus WHERE vec_id % 25 = 0
+), c_assigned AS (
+  SELECT vec_id AS corpus_id, e, centroid_id FROM (
+    SELECT corpus.vec_id, corpus.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY corpus.vec_id
+             ORDER BY {_COS.format(a="corpus.e", b="c.cv")} DESC, c.centroid_id) AS crank
+    FROM corpus CROSS JOIN c)
+  WHERE crank = 1
+), b_assigned AS (
+  SELECT vec_id AS bench_id, e AS be, centroid_id FROM (
+    SELECT bench.vec_id, bench.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY bench.vec_id
+             ORDER BY {_COS.format(a="bench.e", b="c.cv")} DESC, c.centroid_id) AS crank
+    FROM bench CROSS JOIN c)
+  WHERE crank = 1
+), scored AS (
+  SELECT l.corpus_id, r.bench_id,
+         {_COS.format(a="l.e", b="r.be")} AS score
+  FROM c_assigned l
+  JOIN b_assigned r ON l.centroid_id = r.centroid_id
+  WHERE {_COS.format(a="l.e", b="r.be")} >= 0.999
+)
+SELECT corpus_id AS vec_id, bench_id AS best_bench_id, score AS best_score
+FROM (
+  SELECT corpus_id, bench_id, score,
+         row_number() OVER (PARTITION BY corpus_id ORDER BY score DESC, bench_id) AS rk
+  FROM scored)
+WHERE rk = 1
+"""

@@ -76,3 +76,94 @@ def test_driver_window_queries_emit_only_hashable_scalars(spark, sf_dir):
     for name in _window_names():
         df = qs[name](spark, sf_dir)
         _assert_scalar_only(df.schema, name)
+
+
+def test_bench_output_line_is_driver_parseable(tmp_path):
+    """The driver keeps only the last 2000 chars of bench stdout and
+    json-parses the final line; rounds 3-6 recorded "parsed": null
+    because the full per-query map outgrew that. The formatter must
+    stay under budget while the complete map lands in the detail
+    file."""
+    import json
+
+    import bench
+
+    timings = {f"query_{i:03d}_with_a_long_name": round(0.1 * i, 3) for i in range(200)}
+    detail = tmp_path / "BENCH_DETAIL.json"
+    line = bench.format_output(timings, 0.1, str(detail))
+    assert len(line) <= 2000
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 200
+    assert parsed["value"] == round(sum(timings.values()), 3)
+    # inline map is the slowest-K prefix
+    inline = parsed["queries"]
+    assert 0 < len(inline) < 200
+    assert min(inline.values()) >= max(v for k, v in timings.items() if k not in inline)
+    full = json.loads(detail.read_text())
+    assert full["queries"] == timings
+    assert parsed["detail_file"] == "BENCH_DETAIL.json"
+
+
+def test_line_dedup_drops_planted_boilerplate(spark, sf_dir):
+    """Every synthesized crawl doc is body + per-source header +
+    global footer; at max_docs=20 both wrappers exceed the threshold
+    while bodies are unique — so every doc must come back as exactly
+    its original body."""
+    from joblink_etl_spark.plans.ext_q import line_dedup
+    from joblink_etl_spark.sources import table
+
+    out = {r["doc_id"]: r for r in line_dedup(spark, sf_dir).collect()}
+    docs = {r["doc_id"]: r["text"] for r in table(spark, sf_dir, "documents").collect()}
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        r = out[doc_id]
+        assert r["clean_text"] == text, doc_id
+        assert (r["n_kept"], r["n_dropped"]) == (1, 2), doc_id
+
+
+def test_line_level_dedup_all_boiler_doc_is_emptied(spark):
+    from joblink_etl_spark.operators.dedup import line_level_dedup
+
+    rows = [(i, "SAME LINE\nunique body %d" % i) for i in range(5)]
+    rows.append((99, "SAME LINE"))  # nothing but boilerplate
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in line_level_dedup(df, max_docs=3).collect()}
+    assert out[99]["clean_text"] == ""
+    assert out[99]["n_kept"] == 0 and out[99]["n_dropped"] == 1
+    assert out[0]["clean_text"] == "unique body 0"
+
+
+def test_gopher_quality_planted_failures(spark, sf_dir):
+    from joblink_etl_spark.plans.ext_q import gopher_quality
+
+    out = {r["doc_id"]: r for r in gopher_quality(spark, sf_dir).collect()}
+    short, symbols, bullets = out[900001], out[900002], out[900003]
+    assert not short["ok_word_count"] and not short["pass_gopher"]
+    assert short["ok_stopwords"]  # 'the be to of' = 4 required types
+    assert not symbols["ok_symbol_ratio"]
+    assert not symbols["ok_alpha_ratio"]
+    assert not symbols["ok_stopwords"]
+    assert not bullets["ok_bullets"] and not bullets["pass_gopher"]
+    assert bullets["ok_word_count"]  # 60 lines x 12 words
+    # the real corpus straddles the 50-word floor: both outcomes occur
+    reals = [r for i, r in out.items() if i < 900000]
+    assert any(r["ok_word_count"] for r in reals)
+    assert any(not r["ok_word_count"] for r in reals)
+    assert all(r["ok_bullets"] and r["ok_ellipsis"] for r in reals)
+
+
+def test_semantic_decontam_finds_exactly_the_planted_leaks(spark, sf_dir):
+    from joblink_etl_spark.plans.ext_q import semantic_decontam
+    from joblink_etl_spark.sources import table
+
+    flagged = semantic_decontam(spark, sf_dir).collect()
+    bench_ids = {
+        r["vec_id"]
+        for r in table(spark, sf_dir, "embeddings")
+        .filter("vec_id % 46 = 0")
+        .collect()
+    }
+    assert {r["vec_id"] for r in flagged} == {i + 50000 for i in bench_ids}
+    for r in flagged:
+        assert r["best_bench_id"] == r["vec_id"] - 50000
+        assert r["best_score"] > 0.999999
