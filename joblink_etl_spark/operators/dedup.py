@@ -829,10 +829,7 @@ def line_level_dedup(
     Returns (id, clean_text, n_kept, n_dropped); clean_text is ''
     when every line was boilerplate.
     """
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("line_h", md5_int(F.col("line")))
+    lines = _doc_lines(docs, id_col, text_col)
     boiler = (
         lines.groupBy("line_h")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -842,6 +839,20 @@ def line_level_dedup(
     flagged = lines.join(boiler, "line_h", "left").withColumn(
         "_keep", F.col("_boiler").isNull()
     )
+    return _reassemble(flagged, id_col)
+
+
+def _doc_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_h", md5_int(F.col("line")))
+
+
+def _reassemble(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Rebuild each doc from its _keep-flagged lines in original
+    order; one groupBy(id) whose conditional collect partial-aggs
+    line rows before the exchange."""
     return (
         flagged.groupBy(id_col)
         .agg(
@@ -861,3 +872,40 @@ def line_level_dedup(
         )
         .select(id_col, "clean_text", "n_kept", "n_dropped")
     )
+
+
+def incremental_line_dedup(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    max_docs: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal for a NEW batch against an
+    EXISTING corpus — the daily-crawl production shape of
+    line_level_dedup: a line is boilerplate when its document
+    frequency across index ∪ batch exceeds `max_docs`, and only the
+    new batch is cleaned.
+
+    Scale: the index side's line frequencies are computed here for
+    self-containment, but at 100 TB they are a stored (line_h,
+    n_docs) table maintained by exactly this aggregation — each
+    incremental run explodes ONLY the new batch, merges its per-line
+    doc counts into the stored state (a sum per touched line), and
+    cleans the batch with one join. Cost per batch is O(new) +
+    O(touched lines), never O(corpus). Same output contract as
+    line_level_dedup, restricted to the new ids."""
+    nl = _doc_lines(new_docs, id_col, text_col)
+    il = _doc_lines(index_docs, id_col, text_col)
+    boiler = (
+        nl.select(id_col, "line_h")
+        .unionAll(il.select(id_col, "line_h"))
+        .groupBy("line_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("line_h", F.lit(True).alias("_boiler"))
+    )
+    flagged = nl.join(boiler, "line_h", "left").withColumn(
+        "_keep", F.col("_boiler").isNull()
+    )
+    return _reassemble(flagged, id_col)

@@ -4415,3 +4415,59 @@ FROM (
   FROM scored)
 WHERE rk = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental line-dedup: doc_id % 5 == 0 plays today's crawl batch,
+# the rest the already-ingested corpus whose line frequencies are the
+# stored state. Boilerplate status comes from the MERGED frequency
+# (index ∪ batch), only the batch is cleaned — O(new) per batch.
+# ---------------------------------------------------------------------------
+
+_CRAWL_TEXT = (
+    "upper(source) || ' NAVIGATION MENU HOME ABOUT CONTACT' || chr(10) "
+    "|| text || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES'"
+)
+
+
+def incremental_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    crawl = docs.select(
+        "doc_id",
+        F.concat(
+            F.upper(F.col("source")),
+            F.lit(" NAVIGATION MENU HOME ABOUT CONTACT\n"),
+            F.col("text"),
+            F.lit("\nSUBSCRIBE TO OUR NEWSLETTER FOR UPDATES"),
+        ).alias("text"),
+    )
+    batch = crawl.filter(F.col("doc_id") % 5 == 0)
+    index = crawl.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_line_dedup(batch, index, max_docs=20)
+
+
+INCREMENTAL_LINE_DEDUP_SQL = f"""
+WITH crawl AS (
+  SELECT doc_id, {_CRAWL_TEXT} AS text FROM documents
+), lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM crawl
+), freq AS (
+  SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS line_h,
+         count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY 1
+), flagged AS (
+  SELECT l.doc_id, l.pos, l.line, f.n_docs <= 20 AS keep
+  FROM lines l
+  JOIN freq f ON ('0x' || substr(md5(l.line), 1, 15))::BIGINT = f.line_h
+  WHERE l.doc_id % 5 = 0
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS clean_text,
+       count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
+       count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
+FROM flagged
+GROUP BY doc_id
+"""

@@ -167,3 +167,42 @@ def test_semantic_decontam_finds_exactly_the_planted_leaks(spark, sf_dir):
     for r in flagged:
         assert r["best_bench_id"] == r["vec_id"] - 50000
         assert r["best_score"] > 0.999999
+
+
+def test_incremental_line_dedup_cleans_only_the_batch(spark, sf_dir):
+    """Boilerplate status comes from the MERGED (index ∪ batch)
+    frequency, but only batch docs are returned — and since the
+    wrappers exceed max_docs corpus-wide, every batch doc comes back
+    as exactly its original body."""
+    from joblink_etl_spark.plans.ext_q import incremental_line_dedup_q
+    from joblink_etl_spark.sources import table
+
+    out = {r["doc_id"]: r for r in incremental_line_dedup_q(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").filter("doc_id % 5 = 0").collect()
+    }
+    assert set(out) == set(docs)
+    for doc_id, text in docs.items():
+        assert out[doc_id]["clean_text"] == text
+        assert (out[doc_id]["n_kept"], out[doc_id]["n_dropped"]) == (1, 2)
+
+
+def test_incremental_line_dedup_uses_index_frequencies(spark):
+    """A line below threshold in the batch alone but above it with
+    the index counted must still be dropped — the state merge is the
+    point of the incremental variant."""
+    from joblink_etl_spark.operators.dedup import incremental_line_dedup
+
+    index = spark.createDataFrame(
+        [(i, "SHARED FOOTER\nindex body %d" % i) for i in range(4)],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, "SHARED FOOTER\nnew body"), (101, "fresh line\nother body")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_line_dedup(batch, index, max_docs=3).collect()}
+    assert out[100]["clean_text"] == "new body"  # 5 docs total > 3
+    assert out[101]["clean_text"] == "fresh line\nother body"  # untouched
+    assert set(out) == {100, 101}  # index docs never returned

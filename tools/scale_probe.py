@@ -54,6 +54,11 @@ FAMILIES = {
     # round-6 families
     "decontam": "bloom_decontam",
     "dataloader": "length_bucket_batches",
+    # round-7 families
+    "curation": "embedding_outliers",
+    "linededup": "line_dedup",
+    "quality": "gopher_quality",
+    "semdecontam": "semantic_decontam",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
