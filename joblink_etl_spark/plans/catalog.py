@@ -267,3 +267,4 @@ register("line_dedup", E.line_dedup, E.LINE_DEDUP_SQL)
 register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
 register("semantic_decontam", E.semantic_decontam, E.SEMANTIC_DECONTAM_SQL)
 register("incremental_line_dedup", E.incremental_line_dedup_q, E.INCREMENTAL_LINE_DEDUP_SQL)
+register("line_registry", E.line_registry_q, E.LINE_REGISTRY_SQL)

@@ -4471,3 +4471,44 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Line-frequency registry (batch spelling of the streaming
+# boilerplate detector — stream-vs-batch equivalence is pinned in
+# tests/test_streaming.py; this oracle proves the batch side's
+# running-count semantics bit-for-bit).
+# ---------------------------------------------------------------------------
+
+
+def line_registry_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import line_registry_batch
+
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    crawl = docs.select(
+        "doc_id",
+        F.concat(
+            F.upper(F.col("source")),
+            F.lit(" NAVIGATION MENU HOME ABOUT CONTACT\n"),
+            F.col("text"),
+            F.lit("\nSUBSCRIBE TO OUR NEWSLETTER FOR UPDATES"),
+        ).alias("text"),
+    )
+    return line_registry_batch(crawl, max_docs=20)
+
+
+LINE_REGISTRY_SQL = f"""
+WITH crawl AS (
+  SELECT doc_id, {_CRAWL_TEXT} AS text FROM documents
+), lines AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, chr(10)))) AS line
+  FROM crawl
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(line), 1, 15))::BIGINT AS line_h
+  FROM lines
+)
+SELECT line_h, doc_id,
+       row_number() OVER (PARTITION BY line_h ORDER BY doc_id) AS n_docs,
+       row_number() OVER (PARTITION BY line_h ORDER BY doc_id) > 20 AS is_boiler
+FROM hashed
+"""

@@ -1016,3 +1016,100 @@ def stream_ingest_curated(
         .start()
         .awaitTermination()
     )
+
+
+def _doc_line_hashes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, line_h) with lines DEDUPED WITHIN each doc scan-side
+    (array_distinct before the explode) — so the stateful counter
+    below counts documents, not occurrences, without a streaming
+    dropDuplicates whose key state would grow with corpus x lines."""
+    from ..operators.dedup import md5_int
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), "\n"))
+            ).alias("line"),
+        )
+        .select("doc_id", md5_int(F.col("line")).alias("line_h"))
+    )
+
+
+def streaming_line_registry(
+    docs: DataFrame,
+    max_docs: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Custom stateful operator: a STREAMING boilerplate detector —
+    the stream twin of line_level_dedup's frequency aggregation, with
+    the line document-frequency table AS state instead of a stored
+    index (the same twin relationship band_registry has to
+    incremental_near_dups). Each incoming doc bumps the per-line
+    distinct-document counter; the emitted row carries the running
+    frequency and the boilerplate verdict AT ARRIVAL TIME, so a
+    downstream consumer can scrub lines the moment they cross
+    `max_docs` without re-scanning history.
+
+    Scale/state design: keyed by line_h (one shuffle); state is ONE
+    long per distinct line — the cardinality a stored-index design
+    pays on disk. Production bounds it with a processing-time TTL
+    matching the boilerplate horizon. Within a micro-batch rows
+    resolve in doc_id order, so a full-history single-batch drain
+    replays exactly like line_registry_batch — pinned in tests."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("line_h", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("n_docs", LongType()),
+            StructField("is_boiler", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_docs", LongType())])
+
+    def count_docs(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdf_iter)).sort_values("doc_id").copy()
+        running, flags = [], []
+        for _ in range(len(pdf)):
+            n += 1
+            running.append(n)
+            flags.append(n > max_docs)
+        pdf["n_docs"] = running
+        pdf["is_boiler"] = flags
+        state.update((int(n),))
+        yield pdf[["line_h", "doc_id", "n_docs", "is_boiler"]]
+
+    return (
+        _doc_line_hashes(docs, id_col, text_col)
+        .groupBy("line_h")
+        .applyInPandasWithState(
+            count_docs, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def line_registry_batch(
+    docs: DataFrame,
+    max_docs: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Driver-checkable batch spelling of streaming_line_registry:
+    over a full history in one pass the running distinct-doc count is
+    a row_number per line hash in doc_id order (lines are already
+    distinct within a doc) — exactly what the stateful loop computes
+    when every row arrives in one micro-batch from empty state."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("line_h").orderBy("doc_id")
+    return (
+        _doc_line_hashes(docs, id_col, text_col)
+        .withColumn("n_docs", F.row_number().over(w).cast("bigint"))
+        .withColumn("is_boiler", F.col("n_docs") > max_docs)
+        .select("line_h", "doc_id", "n_docs", "is_boiler")
+    )

@@ -729,3 +729,63 @@ def test_stream_ingest_curated_matches_per_file_batch(spark, tmp_path):
         ]
     assert got == sorted(want)
     assert len(got) > 0
+
+
+def test_streaming_line_registry_state_across_batches(spark, tmp_path):
+    """Streaming boilerplate detector: the frequency counter carries
+    across micro-batches (a footer crosses max_docs only once enough
+    docs have arrived), and a full-history single-batch drain agrees
+    with the batch twin row-for-row."""
+    from joblink_etl_spark.streaming.pipeline import (
+        line_registry_batch,
+        run_available_now,
+        streaming_line_registry,
+    )
+
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    mk = lambda i: (i, "SHARED FOOTER\nunique body %d" % i)
+    spark.createDataFrame([mk(i) for i in range(3)], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        stream = streaming_line_registry(
+            spark.readStream.schema(schema).parquet(src), max_docs=4
+        )
+        run_available_now(stream, sink, ckpt)
+        return spark.read.parquet(sink).collect()
+
+    first = drain()
+    assert not any(r["is_boiler"] for r in first)  # footer at 3 <= 4
+
+    # two more docs arrive: the footer's count crosses the threshold
+    spark.createDataFrame([mk(3), mk(4)], schema).write.mode("append").parquet(src)
+    rows = drain()
+    footer_rows = [r for r in rows if r["doc_id"] in (3, 4) and r["n_docs"] > 1]
+    boiler = [r for r in footer_rows if r["is_boiler"]]
+    assert len(boiler) == 1 and boiler[0]["doc_id"] == 4  # 5th claim > 4
+    # bodies stay unique forever
+    assert all(r["n_docs"] == 1 for r in rows if r["doc_id"] == 4 and not r["is_boiler"] and r not in footer_rows)
+
+    # twin equivalence: one-batch drain over the full history ==
+    # batch window spelling, row for row
+    hist = spark.createDataFrame([mk(i) for i in range(5)], schema)
+    sink2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    stream = streaming_line_registry(
+        spark.readStream.schema(schema).parquet(src), max_docs=4
+    )
+    run_available_now(stream, sink2, ckpt2)
+    got = sorted(
+        [
+            (r["line_h"], r["doc_id"], r["n_docs"], r["is_boiler"])
+            for r in spark.read.parquet(sink2).collect()
+        ]
+    )
+    want = sorted(
+        [
+            (r["line_h"], r["doc_id"], r["n_docs"], r["is_boiler"])
+            for r in line_registry_batch(hist, max_docs=4).collect()
+        ]
+    )
+    assert got == want
