@@ -358,3 +358,44 @@ def gopher_quality(
         & F.col("ok_bullets")
         & F.col("ok_ellipsis"),
     )
+
+
+# UTF-8-decoded-as-Latin-1 artifact markers (the ftfy class): the
+# lead bytes of common UTF-8 sequences as they appear after a wrong
+# decode, plus the BOM ghost. Each is counted by the engine-exact
+# greedy replace trick, so the counts are portable to any engine
+# with the same non-overlapping left-to-right replace semantics.
+MOJIBAKE_MARKERS = ["\u00c3", "\u00c2", "\u00e2", "\u00ef\u00bb\u00bf"]
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+
+def _occurrences(text: Column, marker: str) -> Column:
+    removed = F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit("")))
+    return (removed / F.lit(len(marker))).cast("bigint")
+
+
+def encoding_artifacts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document encoding-corruption report: mojibake marker count
+    (UTF-8 read as Latin-1 — '\u00c3\u00a9' for '\u00e9', '\u00e2\u20ac\u2122' for a
+    curly quote), U+FFFD replacement characters (lossy transcode),
+    and C0 control characters (binary contamination). `clean` gates
+    on all three — the standard pre-tokenizer hygiene filter in
+    web-corpus curation.
+
+    One narrow projection over the scan: no shuffle, no Python, all
+    counts via character-exact length/replace arithmetic."""
+    text = F.col(text_col)
+    n_moji = reduce(
+        lambda a, b: a + b, [_occurrences(text, m) for m in MOJIBAKE_MARKERS]
+    )
+    n_repl = _occurrences(text, "\ufffd")
+    n_ctrl = (
+        F.length(text) - F.length(F.regexp_replace(text, _CTRL_RE, ""))
+    ).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_moji.alias("n_mojibake"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_control"),
+        ((n_moji == 0) & (n_repl == 0) & (n_ctrl == 0)).alias("clean"),
+    )

@@ -268,3 +268,5 @@ register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
 register("semantic_decontam", E.semantic_decontam, E.SEMANTIC_DECONTAM_SQL)
 register("incremental_line_dedup", E.incremental_line_dedup_q, E.INCREMENTAL_LINE_DEDUP_SQL)
 register("line_registry", E.line_registry_q, E.LINE_REGISTRY_SQL)
+register("encoding_report", E.encoding_report, E.ENCODING_REPORT_SQL)
+register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)

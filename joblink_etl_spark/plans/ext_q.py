@@ -4512,3 +4512,104 @@ SELECT line_h, doc_id,
        row_number() OVER (PARTITION BY line_h ORDER BY doc_id) > 20 AS is_boiler
 FROM hashed
 """
+
+
+# ---------------------------------------------------------------------------
+# Encoding-corruption report (the ftfy class of curation filters):
+# three planted docs carry the classic artifacts — UTF-8 read as
+# Latin-1, U+FFFD replacement chars, embedded C0 control bytes — and
+# the real corpus must come back clean. Counts travel via the
+# engine-exact greedy replace trick on both sides.
+# ---------------------------------------------------------------------------
+
+_ENC_PLANTS = [
+    (900101, "the caf\u00c3\u00a9 clich\u00c3\u00a9 \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d text body"),
+    (900102, "lossy \ufffd transcode \ufffd\ufffd here"),
+    (900103, "binary\u0001 contamination\u0007 in\u001f text"),
+]
+
+
+def encoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    plants = spark.createDataFrame(_ENC_PLANTS, "doc_id bigint, text string")
+    return TS.encoding_artifacts(docs.unionAll(plants))
+
+
+def _sql_lit(s: str) -> str:
+    out = s.replace("'", "''")
+    for ch in set(out):
+        if ord(ch) < 32:
+            out = out.replace(ch, f"' || chr({ord(ch)}) || '")
+    return "'" + out + "'"
+
+
+_ENC_PLANT_ROWS = " UNION ALL ".join(
+    f"SELECT {i}::BIGINT AS doc_id, {_sql_lit(t)} AS text" for i, t in _ENC_PLANTS
+)
+
+_ENC_MOJI = " + ".join(
+    f"(length(text) - length(replace(text, {_sql_lit(m)}, ''))) // {len(m)}"
+    for m in TS.MOJIBAKE_MARKERS
+)
+
+ENCODING_REPORT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  {_ENC_PLANT_ROWS}
+), stats AS (
+  SELECT doc_id,
+         ({_ENC_MOJI})::BIGINT AS n_mojibake,
+         (length(text) - length(replace(text, {_sql_lit(chr(0xFFFD))}, '')))::BIGINT AS n_replacement,
+         (length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')))::BIGINT AS n_control
+  FROM corpus
+)
+SELECT *, n_mojibake = 0 AND n_replacement = 0 AND n_control = 0 AS clean
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher funnel — corpus economics of the quality gate: how many
+# docs each rule rejects and how many survive the whole set. The
+# oracle re-embeds the proven GOPHER_QUALITY_SQL as a CTE, so the
+# green hash certifies the funnel arithmetic on top of the certified
+# per-doc flags.
+# ---------------------------------------------------------------------------
+
+
+def gopher_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = gopher_quality(spark, sf_dir)
+    rules = [
+        "ok_word_count",
+        "ok_mean_word_len",
+        "ok_symbol_ratio",
+        "ok_alpha_ratio",
+        "ok_stopwords",
+        "ok_bullets",
+        "ok_ellipsis",
+    ]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    aggs += [
+        F.sum(F.when(~F.col(r), 1).otherwise(0)).cast("bigint").alias(f"fail_{r[3:]}")
+        for r in rules
+    ]
+    aggs.append(
+        F.sum(F.when(F.col("pass_gopher"), 1).otherwise(0)).cast("bigint").alias("n_pass")
+    )
+    return g.agg(*aggs)
+
+
+GOPHER_FUNNEL_SQL = f"""
+WITH g AS ({GOPHER_QUALITY_SQL})
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN NOT ok_word_count THEN 1 ELSE 0 END)::BIGINT AS fail_word_count,
+       sum(CASE WHEN NOT ok_mean_word_len THEN 1 ELSE 0 END)::BIGINT AS fail_mean_word_len,
+       sum(CASE WHEN NOT ok_symbol_ratio THEN 1 ELSE 0 END)::BIGINT AS fail_symbol_ratio,
+       sum(CASE WHEN NOT ok_alpha_ratio THEN 1 ELSE 0 END)::BIGINT AS fail_alpha_ratio,
+       sum(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END)::BIGINT AS fail_stopwords,
+       sum(CASE WHEN NOT ok_bullets THEN 1 ELSE 0 END)::BIGINT AS fail_bullets,
+       sum(CASE WHEN NOT ok_ellipsis THEN 1 ELSE 0 END)::BIGINT AS fail_ellipsis,
+       sum(CASE WHEN pass_gopher THEN 1 ELSE 0 END)::BIGINT AS n_pass
+FROM g
+"""

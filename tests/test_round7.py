@@ -206,3 +206,26 @@ def test_incremental_line_dedup_uses_index_frequencies(spark):
     assert out[100]["clean_text"] == "new body"  # 5 docs total > 3
     assert out[101]["clean_text"] == "fresh line\nother body"  # untouched
     assert set(out) == {100, 101}  # index docs never returned
+
+
+def test_encoding_report_flags_planted_corruption(spark, sf_dir):
+    from joblink_etl_spark.plans.ext_q import encoding_report
+
+    out = {r["doc_id"]: r for r in encoding_report(spark, sf_dir).collect()}
+    moji, repl, ctrl = out[900101], out[900102], out[900103]
+    assert moji["n_mojibake"] == 4 and not moji["clean"]  # 2x Latin-1 e-acute + 2 quote leads... see plant
+    assert repl["n_replacement"] == 3 and not repl["clean"]
+    assert ctrl["n_control"] == 3 and not ctrl["clean"]
+    reals = [r for i, r in out.items() if i < 900000]
+    assert all(r["clean"] for r in reals)
+
+
+def test_gopher_funnel_is_consistent_with_per_doc_flags(spark, sf_dir):
+    from joblink_etl_spark.plans.ext_q import gopher_funnel, gopher_quality
+
+    row = gopher_funnel(spark, sf_dir).collect()[0]
+    docs = gopher_quality(spark, sf_dir).collect()
+    assert row["n_docs"] == len(docs)
+    assert row["n_pass"] == sum(1 for d in docs if d["pass_gopher"])
+    assert row["fail_word_count"] == sum(1 for d in docs if not d["ok_word_count"])
+    assert row["n_pass"] < row["n_docs"]  # the plants guarantee failures
