@@ -270,3 +270,4 @@ register("incremental_line_dedup", E.incremental_line_dedup_q, E.INCREMENTAL_LIN
 register("line_registry", E.line_registry_q, E.LINE_REGISTRY_SQL)
 register("encoding_report", E.encoding_report, E.ENCODING_REPORT_SQL)
 register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)
+register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)

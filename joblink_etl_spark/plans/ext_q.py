@@ -4613,3 +4613,42 @@ SELECT count(*)::BIGINT AS n_docs,
        sum(CASE WHEN pass_gopher THEN 1 ELSE 0 END)::BIGINT AS n_pass
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language — subword tokens per word per
+# lang bucket, the standard tokenizer-adequacy diagnostic for a
+# multilingual corpus (high fertility = the tokenizer fragments that
+# language). Sums are exact bigints; fertility is ONE final IEEE
+# division of those sums (the documented portable form).
+# ---------------------------------------------------------------------------
+
+
+def fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    st = TS.add_text_stats(docs.select("doc_id", "text"))
+    return st.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
+        F.when(
+            F.sum("n_tokens") > 0,
+            F.sum("n_bpe_tokens").cast("double") / F.sum("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )
+
+
+FERTILITY_BY_LANG_SQL = f"""
+WITH ts AS ({TEXT_STATS_SQL})
+SELECT lang_guess,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS total_words,
+       sum(n_bpe_tokens)::BIGINT AS total_bpe_tokens,
+       CASE WHEN sum(n_tokens) > 0
+            THEN sum(n_bpe_tokens)::BIGINT::DOUBLE / sum(n_tokens)::BIGINT::DOUBLE
+            ELSE 0.0 END AS fertility
+FROM ts
+GROUP BY lang_guess
+"""

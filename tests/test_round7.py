@@ -229,3 +229,14 @@ def test_gopher_funnel_is_consistent_with_per_doc_flags(spark, sf_dir):
     assert row["n_pass"] == sum(1 for d in docs if d["pass_gopher"])
     assert row["fail_word_count"] == sum(1 for d in docs if not d["ok_word_count"])
     assert row["n_pass"] < row["n_docs"]  # the plants guarantee failures
+
+
+def test_fertility_by_lang_consistency(spark, sf_dir):
+    from joblink_etl_spark.plans.ext_q import fertility_by_lang, text_stats
+
+    rows = fertility_by_lang(spark, sf_dir).collect()
+    per_doc = text_stats(spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == len(per_doc)
+    for r in rows:
+        assert r["total_bpe_tokens"] >= r["total_words"]  # subwords never fewer
+        assert r["fertility"] >= 1.0
