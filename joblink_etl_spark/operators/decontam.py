@@ -278,7 +278,7 @@ def semantic_decontam(
     corpus: DataFrame,
     bench: DataFrame,
     min_cosine: float = 0.99,
-    every: int = 25,
+    dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -289,33 +289,48 @@ def semantic_decontam(
     that exact n-gram matching misses.
 
     Scale design (100 TB):
-    - The all-pairs corpus x bench comparison is blocked by IVF cell
-      (the cosine_near_dup_pairs_blocked machinery): both sides are
-      assigned to their nearest corpus-sampled centroid, and pairs
-      are scored only within a cell. A contaminated pair is
-      near-identical by construction, so both members land in the
-      same cell and blocked recall on true contamination ~ 1.
+    - Candidates come from sign-LSH band buckets (the shared
+      lsh_banded front end): both sides get LSH_PLANES sign bits in
+      one narrow scan-side pass — per-corpus-row cost is FIXED
+      (16 dot products), independent of corpus and benchmark size.
+      The first cut of this operator blocked by IVF cell instead;
+      with stride-sampled centroids K ∝ N, that assignment crossJoin
+      is O(N·K) — the 10x scale probe measured 14x wall-clock at 10x
+      data. The LSH front end probes linear (see PERF.md round 7).
+    - Contaminated pairs are near-identical, so their sign bits agree
+      everywhere and they collide in EVERY band — recall on true
+      leakage ~ 1 (exact clones: exactly 1).
     - The benchmark side is eval sets — tiny next to the corpus; its
-      assigned rows broadcast, so the corpus side is one scan +
-      broadcast join + per-id max-agg: NO corpus shuffle at all
-      until the final per-doc aggregation (map-side combinable max).
+      band rows broadcast, so the corpus side never shuffles until
+      the per-id argmax of the (rare) verified hits.
     - Scores are IEEE doubles over identical element order on both
       engines (the documented bit-stable cosine form).
 
     Returns the flagged set: (id, best_bench_id, best_score), one
     row per contaminated corpus vector.
     """
-    from .similarity import cosine, ivf_assign, sample_centroids
+    from .similarity import as_double, cosine, lsh_banded
 
-    centroids = sample_centroids(corpus, every, id_col, vec_col)
-    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("corpus_id"), "centroid_id", "v"
+    c_banded = lsh_banded(corpus, dims, id_col, vec_col).select(
+        F.col("id").alias("corpus_id"), "band", "bucket"
     )
-    b_assigned = ivf_assign(bench, centroids, id_col, vec_col).select(
-        F.col(id_col).alias("bench_id"), "centroid_id", F.col("v").alias("bv")
+    b_banded = lsh_banded(bench, dims, id_col, vec_col).select(
+        F.col("id").alias("bench_id"), "band", "bucket"
+    )
+    cand = (
+        c_banded.join(F.broadcast(b_banded), ["band", "bucket"])
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    bv = bench.select(
+        F.col(id_col).alias("bench_id"), as_double(F.col(vec_col)).alias("bv")
     )
     scored = (
-        c_assigned.join(F.broadcast(b_assigned), "centroid_id")
+        cand.join(cv, "corpus_id")
+        .join(F.broadcast(bv), "bench_id")
         .withColumn("score", cosine(F.col("v"), F.col("bv")))
         .filter(F.col("score") >= min_cosine)
     )

@@ -294,6 +294,49 @@ def lsh_hyperplane(p: int, dims: int) -> list[float]:
     return comps
 
 
+def lsh_banded(
+    vectors: DataFrame,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, band, bucket) sign-LSH band rows — the shared front
+    end of the LSH near-dup and semantic-decontam paths. One narrow
+    scan-side pass: LSH_PLANES fixed-size dot products per vector, no
+    shuffle; the hyperplanes ride along as a broadcast ONE-ROW
+    array-of-arrays (a 1-row crossJoin keeps the 16×dims doubles out
+    of the expression tree — big literal trees stall Catalyst, see
+    PERF.md)."""
+    v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    spark = vectors.sparkSession
+    planes = spark.createDataFrame(
+        [([lsh_hyperplane(p, dims) for p in range(LSH_PLANES)],)],
+        "hs array<array<double>>",
+    )
+    rpb = LSH_ROWS_PER_BAND
+
+    def bucket_expr(band: int) -> Column:
+        # Σ_j bit_j << j folded high-bit-first as acc*2 + bit — the
+        # 16 dot products are UNROLLED in the plan (flat expression
+        # tree, no nested HOF lambdas: higher-order functions are
+        # interpreted, and nesting them re-evaluates inner folds per
+        # outer element — measured 4× slower than this flat form)
+        e: Column = F.lit(0).cast("bigint")
+        for j in range(rpb - 1, -1, -1):
+            e = e * F.lit(2) + (
+                dot(F.col("v"), F.element_at(F.col("hs"), F.lit(band * rpb + j + 1))) >= 0
+            ).cast("bigint")
+        return e
+
+    return v.crossJoin(F.broadcast(planes)).select(
+        "id",
+        "v",
+        F.posexplode(F.array(*[bucket_expr(b) for b in range(LSH_BANDS)])).alias(
+            "band", "bucket"
+        ),
+    )
+
+
 def cosine_near_dup_pairs_lsh(
     vectors: DataFrame,
     min_cosine: float = 0.95,
@@ -324,34 +367,8 @@ def cosine_near_dup_pairs_lsh(
     (band, bucket); the exact verify touches candidate pairs only.
     The corpus is never all-pairs joined.
     """
+    banded = lsh_banded(vectors, dims, id_col, vec_col)
     v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    spark = vectors.sparkSession
-    planes = spark.createDataFrame(
-        [([lsh_hyperplane(p, dims) for p in range(LSH_PLANES)],)],
-        "hs array<array<double>>",
-    )
-    rpb = LSH_ROWS_PER_BAND
-
-    def bucket_expr(band: int) -> Column:
-        # Σ_j bit_j << j folded high-bit-first as acc*2 + bit — the
-        # 16 dot products are UNROLLED in the plan (flat expression
-        # tree, no nested HOF lambdas: higher-order functions are
-        # interpreted, and nesting them re-evaluates inner folds per
-        # outer element — measured 4× slower than this flat form)
-        e: Column = F.lit(0).cast("bigint")
-        for j in range(rpb - 1, -1, -1):
-            e = e * F.lit(2) + (
-                dot(F.col("v"), F.element_at(F.col("hs"), F.lit(band * rpb + j + 1))) >= 0
-            ).cast("bigint")
-        return e
-
-    banded = v.crossJoin(F.broadcast(planes)).select(
-        "id",
-        "v",
-        F.posexplode(F.array(*[bucket_expr(b) for b in range(LSH_BANDS)])).alias(
-            "band", "bucket"
-        ),
-    )
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(

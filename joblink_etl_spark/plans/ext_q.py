@@ -4375,38 +4375,45 @@ def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sd(corpus, bench, min_cosine=0.999)
 
 
+def _lsh_bands_sql(src: str, prefix: str) -> str:
+    """Band-rows CTE body for source CTE `src` (shares the `planes`
+    CTE): {prefix}_bands(id, band, bucket)."""
+    return f"""{prefix}_bits AS (
+  SELECT c.id, pl.p,
+         CASE WHEN list_dot_product(c.v, pl.h) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM {src} c CROSS JOIN planes pl
+), {prefix}_bands AS (
+  SELECT id, p // {SIM.LSH_ROWS_PER_BAND} AS band,
+         sum(bit << (p % {SIM.LSH_ROWS_PER_BAND}))::BIGINT AS bucket
+  FROM {prefix}_bits GROUP BY 1, 2
+)"""
+
+
+_SD_COS = _COS.format(a="cv.v", b="bv.v")
+
 SEMANTIC_DECONTAM_SQL = f"""
 WITH bench AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 23 = 0
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 23 = 0
 ), corpus AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 23 <> 0
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 23 <> 0
   UNION ALL
   SELECT vec_id + 50000, embedding::DOUBLE[] FROM embeddings
   WHERE vec_id % 23 = 0 AND vec_id % 46 = 0
-), c AS (
-  SELECT vec_id AS centroid_id, e AS cv FROM corpus WHERE vec_id % 25 = 0
-), c_assigned AS (
-  SELECT vec_id AS corpus_id, e, centroid_id FROM (
-    SELECT corpus.vec_id, corpus.e, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY corpus.vec_id
-             ORDER BY {_COS.format(a="corpus.e", b="c.cv")} DESC, c.centroid_id) AS crank
-    FROM corpus CROSS JOIN c)
-  WHERE crank = 1
-), b_assigned AS (
-  SELECT vec_id AS bench_id, e AS be, centroid_id FROM (
-    SELECT bench.vec_id, bench.e, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY bench.vec_id
-             ORDER BY {_COS.format(a="bench.e", b="c.cv")} DESC, c.centroid_id) AS crank
-    FROM bench CROSS JOIN c)
-  WHERE crank = 1
+), planes AS (
+  SELECT p,
+         list_transform(range(0, 64),
+           d -> ('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT::DOUBLE
+                / {SIM._LSH_DENOM!r} - 1.0) AS h
+  FROM (SELECT unnest(range(0, {SIM.LSH_PLANES})) AS p)
+), {_lsh_bands_sql("corpus", "c")}, {_lsh_bands_sql("bench", "b")}, cand AS (
+  SELECT DISTINCT c.id AS corpus_id, b.id AS bench_id
+  FROM c_bands c JOIN b_bands b ON c.band = b.band AND c.bucket = b.bucket
 ), scored AS (
-  SELECT l.corpus_id, r.bench_id,
-         {_COS.format(a="l.e", b="r.be")} AS score
-  FROM c_assigned l
-  JOIN b_assigned r ON l.centroid_id = r.centroid_id
-  WHERE {_COS.format(a="l.e", b="r.be")} >= 0.999
+  SELECT cand.corpus_id, cand.bench_id, {_SD_COS} AS score
+  FROM cand
+  JOIN corpus cv ON cv.id = cand.corpus_id
+  JOIN bench bv ON bv.id = cand.bench_id
+  WHERE {_SD_COS} >= 0.999
 )
 SELECT corpus_id AS vec_id, bench_id AS best_bench_id, score AS best_score
 FROM (
