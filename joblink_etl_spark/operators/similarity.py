@@ -299,6 +299,8 @@ def lsh_banded(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
 ) -> DataFrame:
     """(id, v, band, bucket) sign-LSH band rows — the shared front
     end of the LSH near-dup and semantic-decontam paths. One narrow
@@ -306,14 +308,23 @@ def lsh_banded(
     shuffle; the hyperplanes ride along as a broadcast ONE-ROW
     array-of-arrays (a 1-row crossJoin keeps the 16×dims doubles out
     of the expression tree — big literal trees stall Catalyst, see
-    PERF.md)."""
+    PERF.md).
+
+    SCALE KNOB: the per-band bucket space is 2^rows_per_band, so on a
+    corpus with little true near-dup structure the self-join load per
+    bucket grows as N / 2^rpb — at the 4-bit default the 10x probe
+    measured ~8x candidate growth (N²/16 chance collisions). Size
+    rows_per_band ≈ log2(N) - log2(target bucket load) so buckets
+    stay executor-sized, and raise `bands` to hold recall (band
+    collision p^rpb per band; recall ≈ 1-(1-p^rpb)^bands). Exact
+    clones collide in every band at ANY geometry."""
     v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     spark = vectors.sparkSession
     planes = spark.createDataFrame(
-        [([lsh_hyperplane(p, dims) for p in range(LSH_PLANES)],)],
+        [([lsh_hyperplane(p, dims) for p in range(bands * rows_per_band)],)],
         "hs array<array<double>>",
     )
-    rpb = LSH_ROWS_PER_BAND
+    rpb = rows_per_band
 
     def bucket_expr(band: int) -> Column:
         # Σ_j bit_j << j folded high-bit-first as acc*2 + bit — the
@@ -331,7 +342,7 @@ def lsh_banded(
     return v.crossJoin(F.broadcast(planes)).select(
         "id",
         "v",
-        F.posexplode(F.array(*[bucket_expr(b) for b in range(LSH_BANDS)])).alias(
+        F.posexplode(F.array(*[bucket_expr(b) for b in range(bands)])).alias(
             "band", "bucket"
         ),
     )
@@ -343,6 +354,8 @@ def cosine_near_dup_pairs_lsh(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS_PER_BAND,
 ) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH banding —
     the sketch-based scale path (vs the IVF-cell blocked variant).
@@ -367,7 +380,7 @@ def cosine_near_dup_pairs_lsh(
     (band, bucket); the exact verify touches candidate pairs only.
     The corpus is never all-pairs joined.
     """
-    banded = lsh_banded(vectors, dims, id_col, vec_col)
+    banded = lsh_banded(vectors, dims, id_col, vec_col, bands, rows_per_band)
     v = vectors.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (

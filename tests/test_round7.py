@@ -240,3 +240,24 @@ def test_fertility_by_lang_consistency(spark, sf_dir):
     for r in rows:
         assert r["total_bpe_tokens"] >= r["total_words"]  # subwords never fewer
         assert r["fertility"] >= 1.0
+
+
+def test_lsh_geometry_knob_preserves_exact_clone_recall(spark, sf_dir):
+    """Scaling rows_per_band shrinks chance collisions (bucket space
+    2^rpb) but exact clones collide in every band at ANY geometry —
+    the planted pairs must survive a much coarser candidate set."""
+    from pyspark.sql import functions as F
+
+    from joblink_etl_spark.operators.similarity import cosine_near_dup_pairs_lsh
+    from joblink_etl_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    clones = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    n = clones.count()
+    out = cosine_near_dup_pairs_lsh(
+        emb.unionAll(clones), min_cosine=0.95, bands=2, rows_per_band=8
+    )
+    planted = out.filter(F.col("id_b") - F.col("id_a") == 10000).count()
+    assert planted == n
