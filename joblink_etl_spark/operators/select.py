@@ -194,3 +194,66 @@ def nb_train_classify(
         "score",
         (F.col(label_col) == F.col("predicted")).alias("correct"),
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    min_margin: int = 1,
+) -> DataFrame:
+    """Best-vs-worst preference-pair mining: for each group (prompt /
+    query / source), pair the highest-scoring candidate as `chosen`
+    with the lowest-scoring as `rejected` — the standard construction
+    for preference-tuning (RLHF/DPO) training rows from scored
+    candidate pools. Pairs need a strict margin (>= min_margin, so
+    ties never produce a training signal) and at least two distinct
+    candidates.
+
+    Deterministic on any engine/partitioning: both extremes tie-break
+    on id (smallest id among top scores wins chosen; largest id among
+    bottom scores wins rejected — so a group where all scores tie
+    yields chosen_id != rejected_id and is then dropped by the margin
+    gate, not by chance).
+
+    Scale: two row_number windows over ONE shuffle key (group) —
+    partial-agg friendly, no joins bigger than group count; at 100 TB
+    groups are prompt ids (small fan-in per group), so no skew beyond
+    AQE's reach."""
+    from pyspark.sql import Window
+
+    w_top = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_bot = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).desc()
+    )
+    ranked = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("cand_id"),
+        F.col(score_col).alias("score"),
+        F.row_number().over(w_top).alias("_top"),
+        F.row_number().over(w_bot).alias("_bot"),
+    )
+    chosen = ranked.filter(F.col("_top") == 1).select(
+        "group",
+        F.col("cand_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("_bot") == 1).select(
+        "group",
+        F.col("cand_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, "group")
+        .withColumn("margin", F.col("chosen_score") - F.col("rejected_score"))
+        .filter(
+            (F.col("chosen_id") != F.col("rejected_id"))
+            & (F.col("margin") >= min_margin)
+        )
+        .select(
+            "group", "chosen_id", "rejected_id", "chosen_score", "rejected_score", "margin"
+        )
+    )

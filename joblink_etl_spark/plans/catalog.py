@@ -30,6 +30,14 @@ Round-7 window (50):
     remaining 18 re-streak in r08).
 Ceded: the whole round-6 window of 47 fresh greens (r06 was 49/50
 green; every green holder cedes per policy).
+
+Round-7 batch-2/3 additions (registered PAST the window; first
+driver rows in r08 alongside the 18 remaining r05 re-streaks):
+line_dedup, gopher_quality, semantic_decontam,
+incremental_line_dedup, line_registry, encoding_report,
+gopher_funnel, fertility_by_lang, preference_pairs. Registry total
+174 (171 with SQL oracles; bpe_merges / bpe_encode / lrs_exact
+rows-only by design).
 """
 
 from __future__ import annotations
@@ -271,3 +279,4 @@ register("line_registry", E.line_registry_q, E.LINE_REGISTRY_SQL)
 register("encoding_report", E.encoding_report, E.ENCODING_REPORT_SQL)
 register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)
 register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
+register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)

@@ -4659,3 +4659,51 @@ SELECT lang_guess,
 FROM ts
 GROUP BY lang_guess
 """
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair mining — best-vs-worst per source with an
+# integer-exact score (total word chars: the certified Gopher
+# word_chars statistic), the standard construction of DPO/RLHF
+# training rows from scored candidate pools.
+# ---------------------------------------------------------------------------
+
+
+def preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.select import preference_pairs
+
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        TS.with_tokens(
+            F.col("text"),
+            lambda t: F.aggregate(
+                t, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ),
+        ).alias("score"),
+    )
+    return preference_pairs(scored, group_col="source", score_col="score", min_margin=10)
+
+
+PREFERENCE_PAIRS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         coalesce(list_sum(list_transform({_TOKS}, x -> length(x))), 0)::BIGINT AS score
+  FROM documents
+), ranked AS (
+  SELECT source AS grp, doc_id, score,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS top_rn,
+         row_number() OVER (PARTITION BY source ORDER BY score ASC, doc_id DESC) AS bot_rn
+  FROM scored
+)
+SELECT c.grp AS "group",
+       c.doc_id AS chosen_id,
+       r.doc_id AS rejected_id,
+       c.score AS chosen_score,
+       r.score AS rejected_score,
+       c.score - r.score AS margin
+FROM (SELECT * FROM ranked WHERE top_rn = 1) c
+JOIN (SELECT * FROM ranked WHERE bot_rn = 1) r ON c.grp = r.grp
+WHERE c.doc_id <> r.doc_id AND c.score - r.score >= 10
+"""

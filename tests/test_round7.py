@@ -261,3 +261,24 @@ def test_lsh_geometry_knob_preserves_exact_clone_recall(spark, sf_dir):
     )
     planted = out.filter(F.col("id_b") - F.col("id_a") == 10000).count()
     assert planted == n
+
+
+def test_preference_pairs_extremes_and_margin_gate(spark):
+    from joblink_etl_spark.operators.select import preference_pairs
+
+    rows = [
+        # group a: clear preference
+        ("a", 1, 50), ("a", 2, 10), ("a", 3, 30),
+        # group b: all tied — margin gate must drop it
+        ("b", 4, 20), ("b", 5, 20),
+        # group c: single candidate — no pair
+        ("c", 6, 99),
+        # group d: margin below threshold
+        ("d", 7, 12), ("d", 8, 10),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id bigint, score bigint")
+    out = preference_pairs(df, "src", "score", min_margin=5)
+    got = {r["group"]: r for r in out.collect()}
+    assert set(got) == {"a"}
+    assert got["a"]["chosen_id"] == 1 and got["a"]["rejected_id"] == 2
+    assert got["a"]["margin"] == 40
