@@ -425,3 +425,41 @@ def length_bucket_batches(
             ),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 3,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum training order: rank the corpus by a difficulty
+    score, cut it into `n_stages` equal-population stages
+    (easy → hard), and emit a deterministic within-stage shuffle —
+    the standard curriculum-learning dataloader contract (easy
+    examples first, order reproducible per epoch; changing `epoch`
+    re-shuffles within stages but never across stage boundaries).
+
+    Determinism: stage cuts come from the exact global rank (ties by
+    id), the shuffle key is md5(epoch:id) — a pure function of the
+    input on any engine or partitioning, unlike orderBy(rand).
+
+    Scale: two distributed range sorts (rank.global_rank, no global
+    single-partition window); the corpus size joins in as a broadcast
+    one-row aggregate. Returns (id_col, stage, curriculum_pos)."""
+    from .rank import global_rank
+
+    scored = df.select(F.col(id_col), F.col(score_col).alias("_s"))
+    ranked = global_rank(scored, ["_s", id_col], out_col="_rnk")
+    n = scored.agg(F.count(F.lit(1)).alias("_n"))
+    staged = ranked.crossJoin(F.broadcast(n)).select(
+        id_col,
+        F.expr(f"(( _rnk - 1) * {int(n_stages)}) div _n").cast("bigint").alias("stage"),
+    )
+    keyed = staged.withColumn(
+        "_k",
+        md5_int(F.concat(F.lit(f"epoch{epoch}:"), F.col(id_col).cast("string"))),
+    )
+    out = global_rank(keyed, ["stage", "_k", id_col], out_col="curriculum_pos")
+    return out.select(id_col, "stage", "curriculum_pos")

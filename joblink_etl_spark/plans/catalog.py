@@ -35,9 +35,9 @@ Round-7 batch-2/3 additions (registered PAST the window; first
 driver rows in r08 alongside the 18 remaining r05 re-streaks):
 line_dedup, gopher_quality, semantic_decontam,
 incremental_line_dedup, line_registry, encoding_report,
-gopher_funnel, fertility_by_lang, preference_pairs. Registry total
-174 (171 with SQL oracles; bpe_merges / bpe_encode / lrs_exact
-rows-only by design).
+gopher_funnel, fertility_by_lang, preference_pairs,
+curriculum_order. Registry total 175 (172 with SQL oracles;
+bpe_merges / bpe_encode / lrs_exact rows-only by design).
 """
 
 from __future__ import annotations
@@ -280,3 +280,4 @@ register("encoding_report", E.encoding_report, E.ENCODING_REPORT_SQL)
 register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)
 register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
 register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)
+register("curriculum_order", SQ.curriculum_order_q, SQ.CURRICULUM_ORDER_SQL)

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sampling as SA
+from ..operators import textstats as TS
 from ..operators import select as SEL
 from ..operators import similarity as SIM
 from ..sources import parallelize, table
@@ -832,4 +833,39 @@ SELECT count(*)::BIGINT AS n_cells,
        max(sz)::BIGINT AS max_cell,
        (max(sz) * count(*))::DOUBLE / sum(sz) AS skew
 FROM cells
+"""
+
+
+# ---------------------------------------------------------------------------
+# Curriculum order — equal-population difficulty stages (token count
+# as the difficulty proxy) with a deterministic within-stage shuffle.
+# ---------------------------------------------------------------------------
+
+
+def curriculum_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", TS.token_count(F.col("text")).cast("bigint").alias("difficulty")
+    )
+    return SA.curriculum_order(scored, score_col="difficulty", n_stages=3, epoch=5)
+
+
+CURRICULUM_ORDER_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS s FROM documents
+), ranked AS (
+  SELECT doc_id, s,
+         row_number() OVER (ORDER BY s, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM scored
+), staged AS (
+  SELECT doc_id, ((rnk - 1) * 3) // n AS stage FROM ranked
+), keyed AS (
+  SELECT doc_id, stage,
+         {_MD5I.format(x="'epoch5:' || doc_id::VARCHAR")} AS k
+  FROM staged
+)
+SELECT doc_id, stage::BIGINT AS stage,
+       row_number() OVER (ORDER BY stage, k, doc_id) AS curriculum_pos
+FROM keyed
 """

@@ -282,3 +282,21 @@ def test_preference_pairs_extremes_and_margin_gate(spark):
     assert set(got) == {"a"}
     assert got["a"]["chosen_id"] == 1 and got["a"]["rejected_id"] == 2
     assert got["a"]["margin"] == 40
+
+
+def test_curriculum_order_stage_monotone_and_balanced(spark, sf_dir):
+    from joblink_etl_spark.plans.select_q import curriculum_order_q
+
+    rows = curriculum_order_q(spark, sf_dir).collect()
+    n = len(rows)
+    by_pos = sorted(rows, key=lambda r: r["curriculum_pos"])
+    # positions are a dense 1..N permutation and stages never go back
+    assert [r["curriculum_pos"] for r in by_pos] == list(range(1, n + 1))
+    stages = [r["stage"] for r in by_pos]
+    assert stages == sorted(stages)
+    # equal-population cuts (within 1)
+    from collections import Counter
+
+    counts = Counter(stages)
+    assert set(counts) == {0, 1, 2}
+    assert max(counts.values()) - min(counts.values()) <= 1
