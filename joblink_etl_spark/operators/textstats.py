@@ -269,7 +269,11 @@ GOPHER_MIN_STOPWORD_TYPES = 2
 
 
 def gopher_quality(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = GOPHER_MIN_WORDS,
+    min_stopword_types: int = GOPHER_MIN_STOPWORD_TYPES,
 ) -> DataFrame:
     """Per-document Gopher quality flags + the overall gate.
 
@@ -284,7 +288,11 @@ def gopher_quality(
 
     One narrow projection over the scan — no shuffle, no Python; the
     token array is bound once per row (with_tokens) so every
-    token-derived count is O(tokens)."""
+    token-derived count is O(tokens). The word-count floor and
+    stopword-type floor are parameters (published defaults) — real
+    pipelines tune gates per corpus/language, and a corpus whose
+    vocabulary lacks English function words (or is not English at
+    all) needs a lower stopword bar."""
     text = F.col(text_col)
 
     def build(t: Column) -> Column:
@@ -337,14 +345,14 @@ def gopher_quality(
     n = F.col("n_words")
     flags = out.select(
         "*",
-        ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
+        ((n >= min_words) & (n <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
         (
             (F.col("word_chars") >= GOPHER_MIN_MEAN_WORD_LEN * n)
             & (F.col("word_chars") <= GOPHER_MAX_MEAN_WORD_LEN * n)
         ).alias("ok_mean_word_len"),
         (10 * F.col("n_symbols") < n).alias("ok_symbol_ratio"),
         (5 * F.col("n_alpha_words") >= 4 * n).alias("ok_alpha_ratio"),
-        (F.col("n_stopword_types") >= GOPHER_MIN_STOPWORD_TYPES).alias("ok_stopwords"),
+        (F.col("n_stopword_types") >= min_stopword_types).alias("ok_stopwords"),
         (10 * F.col("n_bullet_lines") < 9 * F.col("n_lines")).alias("ok_bullets"),
         (10 * F.col("n_ellipsis_lines") < 3 * F.col("n_lines")).alias("ok_ellipsis"),
     )

@@ -36,8 +36,9 @@ driver rows in r08 alongside the 18 remaining r05 re-streaks):
 line_dedup, gopher_quality, semantic_decontam,
 incremental_line_dedup, line_registry, encoding_report,
 gopher_funnel, fertility_by_lang, preference_pairs,
-curriculum_order. Registry total 175 (172 with SQL oracles;
-bpe_merges / bpe_encode / lrs_exact rows-only by design).
+curriculum_order, web_curation_pipeline. Registry total 176 (173
+with SQL oracles; bpe_merges / bpe_encode / lrs_exact rows-only by
+design).
 """
 
 from __future__ import annotations
@@ -281,3 +282,4 @@ register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)
 register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
 register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)
 register("curriculum_order", SQ.curriculum_order_q, SQ.CURRICULUM_ORDER_SQL)
+register("web_curation_pipeline", E.web_curation_pipeline, E.WEB_CURATION_PIPELINE_SQL)

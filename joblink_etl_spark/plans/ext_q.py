@@ -4707,3 +4707,215 @@ FROM (SELECT * FROM ranked WHERE top_rn = 1) c
 JOIN (SELECT * FROM ranked WHERE bot_rn = 1) r ON c.grp = r.grp
 WHERE c.doc_id <> r.doc_id AND c.score - r.score >= 10
 """
+
+
+# ---------------------------------------------------------------------------
+# Web-curation funnel — the RefinedWeb-style end-to-end chain over
+# the round-7 operators: synthesized crawl (headers/footers + planted
+# clones + planted encoding corruption) → line-level boilerplate
+# removal → encoding gate → Gopher gate → exact dedup → benchmark
+# n-gram decontam, with doc/token accounting per stage. ONE annotated
+# per-doc plan feeds ONE aggregate (stack-unpivoted to stage rows),
+# so the heavy chain is computed once, not once per stage. The oracle
+# chains the already-proven per-stage SQL spellings.
+# ---------------------------------------------------------------------------
+
+
+def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.decontam import ngram_overlap
+    from ..operators.dedup import line_level_dedup
+
+    docs = parallelize(table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "source"
+    )
+    plants = spark.createDataFrame(
+        [(i, t, "src0") for i, t in _ENC_PLANTS], "doc_id bigint, text string, source string"
+    )
+    clones = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 70000).alias("doc_id"), "text", "source"
+    )
+    base = docs.unionAll(plants).unionAll(clones)
+    bench = base.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    corp = base.filter(F.col("doc_id") % 97 != 0)
+    crawl = corp.select(
+        "doc_id",
+        F.concat(
+            F.upper(F.col("source")),
+            F.lit(" NAVIGATION MENU HOME ABOUT CONTACT\n"),
+            F.col("text"),
+            F.lit("\nSUBSCRIBE TO OUR NEWSLETTER FOR UPDATES"),
+        ).alias("text"),
+    )
+    txt = line_level_dedup(crawl, max_docs=20).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    enc = TS.encoding_artifacts(txt).select("doc_id", "clean")
+    # tuned gate: the synthetic vocabulary carries only ONE of the
+    # eight published stopwords, so the published floors reject the
+    # whole corpus — per-corpus gate tuning is the operator's real
+    # contract (thresholds are parameters, published values default)
+    gq = TS.gopher_quality(txt, min_words=30, min_stopword_types=1).select(
+        "doc_id", "pass_gopher"
+    )
+    ann = (
+        txt.join(enc, "doc_id")
+        .join(gq, "doc_id")
+        .withColumn("nt", TS.token_count(F.col("text")).cast("bigint"))
+        .withColumn("alive2", F.col("clean"))
+        .withColumn("alive3", F.col("clean") & F.col("pass_gopher"))
+    )
+    a3 = ann.filter(F.col("alive3")).withColumn("fp", TS.fingerprint(F.col("text")))
+    keep4 = a3.select(
+        "doc_id",
+        (
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp"))
+        ).alias("keep4"),
+    )
+    cont = ngram_overlap(txt, bench, n=3).select("doc_id", "contaminated")
+    annot = (
+        ann.join(keep4, "doc_id", "left")
+        .join(cont, "doc_id")
+        .withColumn("alive4", F.col("alive3") & F.coalesce(F.col("keep4"), F.lit(False)))
+        .withColumn("alive5", F.col("alive4") & ~F.col("contaminated"))
+    )
+    crawl_toks = crawl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d0"),
+        F.sum(TS.token_count(F.col("text"))).cast("bigint").alias("t0"),
+    )
+
+    def _stage(flag: str, k: int):
+        return [
+            F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("bigint").alias(f"d{k}"),
+            F.sum(F.when(F.col(flag), F.col("nt")).otherwise(0)).cast("bigint").alias(f"t{k}"),
+        ]
+
+    wide = annot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d1"),
+        F.sum("nt").cast("bigint").alias("t1"),
+        *_stage("alive2", 2),
+        *_stage("alive3", 3),
+        *_stage("alive4", 4),
+        *_stage("alive5", 5),
+    )
+    names = ["crawl", "line_dedup", "encoding", "gopher", "exact_dedup", "decontam"]
+    stack = ", ".join(
+        f"{k}L, '{names[k]}', d{k}, t{k}" for k in range(6)
+    )
+    return crawl_toks.crossJoin(wide).selectExpr(
+        f"stack(6, {stack}) AS (stage, stage_name, n_docs, n_tokens)"
+    )
+
+
+_WCP_CLEAN_TOKS = "CASE WHEN trim(lower(t.text)) = '' THEN []::VARCHAR[] ELSE string_split_regex(trim(lower(t.text)), '\\s+') END"
+
+WEB_CURATION_PIPELINE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id, text, 'src0' FROM ({_ENC_PLANT_ROWS})
+  UNION ALL
+  SELECT doc_id + 70000, text, source FROM documents WHERE doc_id % 6 = 0
+), bench AS (
+  SELECT doc_id, text FROM base WHERE doc_id % 97 = 0
+), crawl AS (
+  SELECT doc_id, upper(source) || ' NAVIGATION MENU HOME ABOUT CONTACT' || chr(10)
+           || text || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER FOR UPDATES' AS text
+  FROM base WHERE doc_id % 97 <> 0
+), lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM crawl
+), freq AS (
+  SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS line_h,
+         count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY 1
+), flagged AS (
+  SELECT l.doc_id, l.pos, l.line, f.n_docs <= 20 AS keep
+  FROM lines l
+  JOIN freq f ON ('0x' || substr(md5(l.line), 1, 15))::BIGINT = f.line_h
+), txt AS (
+  SELECT doc_id,
+         coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), '') AS text
+  FROM flagged GROUP BY doc_id
+), ann AS (
+  SELECT t.doc_id, t.text,
+         len({_WCP_CLEAN_TOKS})::BIGINT AS nt,
+         ({" + ".join(f"(length(t.text) - length(replace(t.text, {{m}}, ''))) // {len(m)}".format(m=_sql_lit(m)) for m in TS.MOJIBAKE_MARKERS)})
+           + (length(t.text) - length(replace(t.text, {_sql_lit(chr(0xFFFD))}, '')))
+           + (length(t.text) - length(regexp_replace(t.text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))) = 0 AS clean,
+         len({_WCP_CLEAN_TOKS}) AS n_words,
+         coalesce(list_sum(list_transform({_WCP_CLEAN_TOKS}, x -> length(x))), 0) AS word_chars,
+         len(list_filter({_WCP_CLEAN_TOKS}, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         ({" + ".join(f"CASE WHEN list_contains({{toks}}, '{w}') THEN 1 ELSE 0 END".format(toks=_WCP_CLEAN_TOKS) for w in ["the", "be", "to", "of", "and", "that", "have", "with"])}) AS n_stop,
+         ((length(t.text) - length(replace(t.text, '#', '')))
+          + (length(t.text) - length(replace(t.text, '...', ''))) // 3) AS n_sym,
+         len(string_split(t.text, chr(10))) AS n_lines,
+         len(list_filter(string_split(t.text, chr(10)), l -> regexp_matches(l, '^\\s*[-*\u2022]'))) AS n_bul,
+         len(list_filter(string_split(t.text, chr(10)), l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS n_ell
+  FROM txt t
+), ann2 AS (
+  SELECT doc_id, text, nt, clean,
+         (n_words >= 30 AND n_words <= 100000
+          AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+          AND 10 * n_sym < n_words
+          AND 5 * n_alpha >= 4 * n_words
+          AND n_stop >= 1
+          AND 10 * n_bul < 9 * n_lines
+          AND 10 * n_ell < 3 * n_lines) AS pass_gopher
+  FROM ann
+), a3 AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM ann2 WHERE clean AND pass_gopher
+), keep4 AS (
+  SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep4 FROM a3
+), btok AS (
+  SELECT {_TOKS} AS toks FROM bench
+), bgrams AS (
+  SELECT DISTINCT ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram_h
+  FROM (SELECT unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i:i+2], ' ')))) AS gram FROM btok)
+), ctok AS (
+  SELECT doc_id, {_WCP_CLEAN_TOKS} AS toks FROM txt t
+), cont AS (
+  SELECT c.doc_id,
+         count(b.gram_h) > 0 AS contaminated
+  FROM (SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                      i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+        FROM ctok) g
+  RIGHT JOIN ctok c ON c.doc_id = g.doc_id
+  LEFT JOIN bgrams b ON ('0x' || substr(md5(g.gram), 1, 15))::BIGINT = b.gram_h
+  GROUP BY c.doc_id
+), annot AS (
+  SELECT a.doc_id, a.nt, a.clean AS alive2,
+         a.clean AND a.pass_gopher AS alive3,
+         a.clean AND a.pass_gopher AND coalesce(k.keep4, FALSE) AS alive4,
+         a.clean AND a.pass_gopher AND coalesce(k.keep4, FALSE) AND NOT c.contaminated AS alive5
+  FROM ann2 a
+  LEFT JOIN keep4 k ON k.doc_id = a.doc_id
+  JOIN cont c ON c.doc_id = a.doc_id
+), stages AS (
+  SELECT 0::BIGINT AS stage, 'crawl' AS stage_name,
+         count(*)::BIGINT AS n_docs,
+         sum(len({_TOKS}))::BIGINT AS n_tokens
+  FROM crawl
+  UNION ALL
+  SELECT 1, 'line_dedup', count(*)::BIGINT, sum(nt)::BIGINT FROM annot
+  UNION ALL
+  SELECT 2, 'encoding', sum(CASE WHEN alive2 THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN alive2 THEN nt ELSE 0 END)::BIGINT FROM annot
+  UNION ALL
+  SELECT 3, 'gopher', sum(CASE WHEN alive3 THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN alive3 THEN nt ELSE 0 END)::BIGINT FROM annot
+  UNION ALL
+  SELECT 4, 'exact_dedup', sum(CASE WHEN alive4 THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN alive4 THEN nt ELSE 0 END)::BIGINT FROM annot
+  UNION ALL
+  SELECT 5, 'decontam', sum(CASE WHEN alive5 THEN 1 ELSE 0 END)::BIGINT,
+         sum(CASE WHEN alive5 THEN nt ELSE 0 END)::BIGINT FROM annot
+)
+SELECT stage, stage_name, n_docs, n_tokens FROM stages
+"""

@@ -300,3 +300,23 @@ def test_curriculum_order_stage_monotone_and_balanced(spark, sf_dir):
     counts = Counter(stages)
     assert set(counts) == {0, 1, 2}
     assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_web_curation_funnel_shape(spark, sf_dir):
+    from joblink_etl_spark.plans.ext_q import web_curation_pipeline
+
+    rows = {r["stage"]: r for r in web_curation_pipeline(spark, sf_dir).collect()}
+    assert [rows[k]["stage_name"] for k in range(6)] == [
+        "crawl", "line_dedup", "encoding", "gopher", "exact_dedup", "decontam",
+    ]
+    # boilerplate removal strips tokens but keeps every doc
+    assert rows[1]["n_docs"] == rows[0]["n_docs"]
+    assert rows[1]["n_tokens"] < rows[0]["n_tokens"]
+    # the three planted corrupted docs fall exactly at the encoding gate
+    assert rows[2]["n_docs"] == rows[1]["n_docs"] - 3
+    # monotone funnel from there on, with survivors at the end
+    for k in range(2, 5):
+        assert rows[k + 1]["n_docs"] <= rows[k]["n_docs"]
+        assert rows[k + 1]["n_tokens"] <= rows[k]["n_tokens"]
+    assert rows[4]["n_docs"] < rows[3]["n_docs"]  # planted clones deduped
+    assert rows[5]["n_docs"] > 0

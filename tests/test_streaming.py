@@ -789,3 +789,30 @@ def test_streaming_line_registry_state_across_batches(spark, tmp_path):
         ]
     )
     assert got == want
+
+
+def test_quality_gates_are_stream_compatible(spark, tmp_path):
+    """gopher_quality and encoding_artifacts are pure narrow
+    projections, so they must run UNCHANGED on an unbounded stream —
+    an availableNow drain over the same rows matches batch output
+    row-for-row."""
+    from joblink_etl_spark.operators.textstats import encoding_artifacts, gopher_quality
+    from joblink_etl_spark.streaming.pipeline import run_available_now
+
+    src = str(tmp_path / "in")
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "the be to of and words " * 10),
+        (2, "# symbol soup ### ..."),
+        (3, "clean enough body with the and of that have with " * 5),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    batch = spark.read.parquet(src)
+
+    for name, op in [("gopher", gopher_quality), ("enc", encoding_artifacts)]:
+        sink, ckpt = str(tmp_path / f"out_{name}"), str(tmp_path / f"ck_{name}")
+        run_available_now(op(stream), sink, ckpt)
+        got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+        want = sorted(map(tuple, op(batch).collect()))
+        assert got == want
