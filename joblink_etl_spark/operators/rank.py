@@ -26,6 +26,70 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """1-based rank of each row WITHIN its group under a total order
+    (group_cols + order_cols must be a unique key) — without ever
+    putting a whole group on one partition.
+
+    A window `partitionBy(group)` hashes EVERY row of a group to one
+    task — a billion-row language bucket is a straight OOM at corpus
+    scale. This instead range-repartitions on (group, order) so each
+    group's order is contiguous ACROSS partitions, ranks locally per
+    (partition, group) slice, and adds per-(partition, group) offsets.
+    Driver traffic is one count row per (partition × group present in
+    that partition) — bounded by n_partitions · n_groups, fine for
+    group keys like language/source (the intended use); for
+    unbounded group cardinality use a plain window, whose per-group
+    rows then fit a task anyway.
+
+    Same bounded-action + persist-lifetime contract as global_rank:
+    the pin covers the offset-count action and the returned plan;
+    callers release it after the consuming action.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in (*group_cols, *order_cols)]
+    part = (
+        df.repartitionByRange(n, *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = (
+        part.groupBy("_pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    if not counts:
+        return part.withColumn(out_col, F.lit(None).cast("bigint")).drop("_pid")
+    # per-group running offset over partitions in pid order
+    by_group: dict[tuple, list] = {}
+    for r in counts:
+        g = tuple(r[c] for c in group_cols)
+        by_group.setdefault(g, []).append((r["_pid"], r["cnt"]))
+    offsets = []
+    for g, lst in by_group.items():
+        acc = 0
+        for pid, cnt in sorted(lst):
+            offsets.append((pid, *g, acc))
+            acc += cnt
+    gschema = ", ".join(f"{c} {t}" for c, t in df.select(*group_cols).dtypes)
+    off_df = spark.createDataFrame(offsets, f"_pid INT, {gschema}, _off BIGINT")
+    w = Window.partitionBy("_pid", *group_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        part.join(F.broadcast(off_df), ["_pid", *group_cols])
+        .withColumn(out_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],

@@ -223,6 +223,63 @@ def temperature_mixture(
     )
 
 
+def mixture_epochs(
+    df,
+    group_col: str,
+    budget: int,
+    weight_col: str = "n_chars",
+    epoch_cap: int = 4,
+):
+    """Token-budget mixture table with epoch accounting — the
+    "sampling proportion / epochs" table of a pretraining data
+    recipe: given a total token budget and temperature-flattened
+    (α = 1/2) mixture weights, how many tokens does each domain
+    contribute, and how many times does its corpus repeat?
+
+    Per group: n_docs, n_tokens (Σ weight_col), weight =
+    round(sqrt(n_tokens)/Σ sqrt(n_tokens), 8), target_tokens =
+    floor(budget · weight), epochs = round(target/n_tokens, 4), and
+    capped_tokens = min(target, epoch_cap · n_tokens) — the standard
+    guard against over-repeating a small domain (repeating data many
+    epochs degrades quality, so recipes cap epochs and let the
+    surplus budget flow to larger domains).
+
+    Scale: one map-side-combinable aggregate per group, a one-row
+    broadcast total, pure column math after — only |groups| rows
+    move. α is fixed at 1/2 for the same IEEE-sqrt-exactness reason
+    as temperature_mixture."""
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(weight_col).cast("bigint").alias("n_tokens"),
+    )
+    total = per.agg(F.sum(F.sqrt(F.col("n_tokens"))).alias("_tw"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("weight", F.round(F.sqrt(F.col("n_tokens")) / F.col("_tw"), 8))
+        .withColumn(
+            "target_tokens",
+            F.floor(F.lit(float(budget)) * F.col("weight")).cast("bigint"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(
+                F.col("target_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            ),
+        )
+        .withColumn(
+            "capped_tokens",
+            F.least(
+                F.col("target_tokens"), F.lit(epoch_cap) * F.col("n_tokens")
+            ).cast("bigint"),
+        )
+        .drop("_tw")
+    )
+
+
 def temperature_sample(
     df, group_col: str, budget: int, id_col: str = "doc_id", salt: str = "temp"
 ):

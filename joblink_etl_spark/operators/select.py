@@ -257,3 +257,158 @@ def preference_pairs(
             "group", "chosen_id", "rejected_id", "chosen_score", "rejected_score", "margin"
         )
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    group_col: str = "lang",
+    uniform_mix_milli: int = 100,
+    eta_milli: int = 100,
+    exp_cap: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One multiplicative-weights step of DoReMi-style domain
+    reweighting (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures
+    Speeds Up Language Model Pretraining"): up-weight domains whose
+    proxy-model loss exceeds the reference, then mix with uniform.
+
+    The published update is w ∝ w₀·exp(η·excess_loss) under a
+    trained proxy LM. This engine-exact instantiation keeps the
+    mechanics and swaps the unverifiable parts: the "loss" is the
+    corpus-bigram-LM unknown-rate in integer milli-units
+    (floor(1000·Σ(n−known)/Σn) per domain — the same hardness signal
+    a perplexity proxy gives, computed from operators/lmscore.py's
+    exact-integer LM), and exp(η·x) is discretized to
+    2^min(excess_milli // eta_milli, exp_cap) so the multiplier is a
+    bigint shift, bit-identical across engines. The final mix
+    w' = (1−u)·ŵ + u/k is the paper's uniform smoothing.
+
+    Scale: one lmscore pass over the corpus (two shuffles,
+    corpus-linear), then domain aggregates of |groups| rows and a
+    one-row broadcast corpus total — the reweighting itself never
+    touches doc-level data again.
+
+    Output per domain: n_docs, loss_milli, excess_milli, exponent,
+    weight (normalized multiplicative weight, round 8), mixed_weight
+    (uniform-smoothed, round 8).
+    """
+    from .lmscore import ngram_lm_score
+
+    scored = ngram_lm_score(df, min_count=min_count, text_col=text_col, id_col=id_col)
+    dom = (
+        scored.join(df.select(id_col, group_col), id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("sum_bigrams"),
+            F.sum(F.col("n_bigrams") - F.col("known_bigrams"))
+            .cast("bigint")
+            .alias("sum_unknown"),
+        )
+        .withColumn(
+            "loss_milli",
+            F.when(
+                F.col("sum_bigrams") > 0,
+                F.expr("(1000 * sum_unknown) div sum_bigrams"),
+            ).otherwise(F.lit(0)).cast("bigint"),
+        )
+    )
+    corpus = dom.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_k"),
+        F.when(
+            F.sum("sum_bigrams") > 0,
+            F.expr("(1000 * sum(sum_unknown)) div sum(sum_bigrams)"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("_corpus_loss"),
+    )
+    stepped = (
+        dom.crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "excess_milli",
+            F.greatest(F.lit(0).cast("bigint"), F.col("loss_milli") - F.col("_corpus_loss")),
+        )
+        .withColumn(
+            "exponent",
+            F.least(
+                F.expr(f"excess_milli div {int(eta_milli)}"), F.lit(int(exp_cap)).cast("bigint")
+            ).cast("int"),
+        )
+        .withColumn(
+            "_unnorm",
+            F.expr("n_docs * shiftleft(cast(1 as bigint), exponent)").cast("bigint"),
+        )
+    )
+    total = stepped.agg(F.sum("_unnorm").cast("bigint").alias("_tot"))
+    u = uniform_mix_milli / 1000.0
+    return (
+        stepped.crossJoin(F.broadcast(total))
+        .withColumn(
+            "weight",
+            F.round(F.col("_unnorm").cast("double") / F.col("_tot").cast("double"), 8),
+        )
+        .withColumn(
+            "mixed_weight",
+            F.round(
+                F.lit(1.0 - u) * F.col("weight")
+                + F.lit(u) / F.col("_k").cast("double"),
+                8,
+            ),
+        )
+        .select(
+            group_col, "n_docs", "loss_milli", "excess_milli", "exponent",
+            "weight", "mixed_weight",
+        )
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two doc-level
+    signals — the curation diagnostic for "is my quality filter
+    secretly a length filter?" (quality/perplexity scores are known
+    to correlate with document length; a gate that reproduces the
+    length distribution adds nothing over a length cut).
+
+    Ranks are rank-of-record (ties broken deterministically by
+    id_col), so ρ = 1 − 6·Σd²/(n·(n²−1)) is a pure function of
+    integer ranks: Σd² is exact bigint, and the final expression is
+    a fixed dag of correctly-rounded IEEE ops — engine-identical
+    under round(…, 6).
+
+    Scale: each rank pass is operators/rank.py::grouped_rank — a
+    range exchange + per-(partition, group) local window — so no
+    group ever sits on one task (a plain window partitionBy(group)
+    would OOM on a billion-row language bucket). Groups with n ≤ 1
+    return NULL rho."""
+    from .rank import grouped_rank
+
+    slim = df.select(id_col, group_col, x_col, y_col)
+    rx = grouped_rank(slim, [group_col], [x_col, id_col], out_col="_rx")
+    rxy = grouped_rank(rx, [group_col], [y_col, id_col], out_col="_ry")
+    d2 = (F.col("_rx") - F.col("_ry")) * (F.col("_rx") - F.col("_ry"))
+    n_d = F.col("n").cast("double")
+    return (
+        rxy.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(d2).cast("bigint").alias("sum_d2"),
+        )
+        .withColumn(
+            "spearman",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    F.lit(1.0)
+                    - F.lit(6.0) * F.col("sum_d2").cast("double")
+                    / (n_d * (n_d * n_d - F.lit(1.0))),
+                    6,
+                ),
+            ),
+        )
+    )

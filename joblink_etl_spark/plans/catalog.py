@@ -283,3 +283,9 @@ register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
 register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)
 register("curriculum_order", SQ.curriculum_order_q, SQ.CURRICULUM_ORDER_SQL)
 register("web_curation_pipeline", E.web_curation_pipeline, E.WEB_CURATION_PIPELINE_SQL)
+
+# --- round-7 batch 4 (registered past the window; first driver rows
+# in a later round's rotation) ----------------------------------------
+register("mixture_epochs", SQ.mixture_epochs_q, SQ.MIXTURE_EPOCHS_SQL)
+register("doremi_weights", SQ.doremi_weights_q, SQ.DOREMI_WEIGHTS_SQL)
+register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)

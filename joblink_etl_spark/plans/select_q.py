@@ -869,3 +869,143 @@ SELECT doc_id, stage::BIGINT AS stage,
        row_number() OVER (ORDER BY stage, k, doc_id) AS curriculum_pos
 FROM keyed
 """
+
+
+# ---------------------------------------------------------------------------
+# Mixture-epochs table: temperature weights → token budget → epochs
+# per domain with the over-repetition cap (the "sampling prop. /
+# epochs" table of a pretraining recipe).
+# ---------------------------------------------------------------------------
+
+
+def mixture_epochs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return SA.mixture_epochs(docs, "lang", budget=420_000, epoch_cap=2)
+
+
+MIXTURE_EPOCHS_SQL = """
+WITH per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT sum(sqrt(n_tokens)) AS tw FROM per
+), w AS (
+  SELECT lang, n_docs, n_tokens, round(sqrt(n_tokens) / tw, 8) AS weight
+  FROM per, tot
+), t AS (
+  SELECT *, floor(420000.0 * weight)::BIGINT AS target_tokens FROM w
+)
+SELECT lang, n_docs, n_tokens, weight, target_tokens,
+       round(target_tokens::DOUBLE / n_tokens::DOUBLE, 4) AS epochs,
+       least(target_tokens, 2 * n_tokens)::BIGINT AS capped_tokens
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# DoReMi one-step domain reweighting (operators/select.py): hardness
+# = rare-bigram mass (unknown rate under the corpus LM at
+# min_count=32), multiplicative step discretized to bigint shifts.
+# ---------------------------------------------------------------------------
+
+
+def doremi_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    return SEL.doremi_weights(
+        docs, "lang", uniform_mix_milli=100, eta_milli=4, exp_cap=8, min_count=32
+    )
+
+
+_BIGRAM_PERDOC = f"""tok AS (
+  SELECT doc_id AS id, {_TOKS} AS toks FROM documents
+), bgs AS (
+  SELECT id, md5(toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM tok, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS t(i)
+), lm AS (
+  SELECT bg, (length(format('{{{{:b}}}}', count(*))) - 1)::BIGINT AS ilog2
+  FROM bgs GROUP BY bg HAVING count(*) >= {{min_count}}
+), per_doc AS (
+  SELECT b.id, count(*) AS n_bigrams,
+         count(l.ilog2) AS known_bigrams,
+         coalesce(sum(l.ilog2), 0)::BIGINT AS ilog2_sum
+  FROM bgs b LEFT JOIN lm l USING (bg)
+  GROUP BY b.id
+)"""
+
+DOREMI_WEIGHTS_SQL = f"""
+WITH {_BIGRAM_PERDOC.format(min_count=32)},
+docs2 AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(p.n_bigrams, 0)::BIGINT AS nb,
+         coalesce(p.known_bigrams, 0)::BIGINT AS kb
+  FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+), dom AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(nb)::BIGINT AS sb, sum(nb - kb)::BIGINT AS su,
+         (CASE WHEN sum(nb) > 0 THEN (1000 * sum(nb - kb)) // sum(nb)
+               ELSE 0 END)::BIGINT AS loss_milli
+  FROM docs2 GROUP BY lang
+), corpus AS (
+  SELECT count(*)::BIGINT AS k,
+         (CASE WHEN sum(sb) > 0 THEN (1000 * sum(su)) // sum(sb)
+               ELSE 0 END)::BIGINT AS cl
+  FROM dom
+), step AS (
+  SELECT lang, n_docs, loss_milli,
+         greatest(0, loss_milli - cl)::BIGINT AS excess_milli,
+         least(greatest(0, loss_milli - cl) // 4, 8)::INT AS exponent, k
+  FROM dom, corpus
+), un AS (
+  SELECT *, (n_docs * (1::BIGINT << exponent))::BIGINT AS unnorm FROM step
+), tot AS (
+  SELECT sum(unnorm)::BIGINT AS t FROM un
+)
+SELECT lang, n_docs, loss_milli, excess_milli, exponent,
+       round(unnorm::DOUBLE / t::DOUBLE, 8) AS weight,
+       round(0.9 * round(unnorm::DOUBLE / t::DOUBLE, 8) + 0.1 / k::DOUBLE, 8)
+         AS mixed_weight
+FROM un, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bias diagnostic: per-language Spearman between doc length
+# and LM predictability (operators/select.py::spearman_by_group over
+# operators/rank.py::grouped_rank — no one-partition-per-group
+# window anywhere).
+# ---------------------------------------------------------------------------
+
+
+def length_bias_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import lmscore as LM
+
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    scored = LM.ngram_lm_score(docs.select("doc_id", "text"), min_count=2)
+    joined = scored.select("doc_id", "score").join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    return SEL.spearman_by_group(joined, "lang", "n_chars", "score")
+
+
+LENGTH_BIAS_SQL = f"""
+WITH {_BIGRAM_PERDOC.format(min_count=2)},
+scored AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CASE WHEN coalesce(p.n_bigrams, 0) > 0
+              THEN round(p.ilog2_sum::DOUBLE / p.n_bigrams::DOUBLE, 4)
+              ELSE 0.0 END AS score
+  FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+), ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rx,
+         row_number() OVER (PARTITION BY lang ORDER BY score, doc_id) AS ry
+  FROM scored
+)
+SELECT lang, count(*)::BIGINT AS n,
+       sum((rx - ry) * (rx - ry))::BIGINT AS sum_d2,
+       CASE WHEN count(*) > 1 THEN
+         round(1.0 - 6.0 * sum((rx - ry) * (rx - ry))::DOUBLE
+               / (count(*)::DOUBLE * (count(*)::DOUBLE * count(*)::DOUBLE - 1.0)), 6)
+       END AS spearman
+FROM ranked GROUP BY lang
+"""

@@ -320,3 +320,105 @@ def test_web_curation_funnel_shape(spark, sf_dir):
         assert rows[k + 1]["n_tokens"] <= rows[k]["n_tokens"]
     assert rows[4]["n_docs"] < rows[3]["n_docs"]  # planted clones deduped
     assert rows[5]["n_docs"] > 0
+
+
+# --- round-7 batch 4: mixture/reweighting/calibration operators ------
+
+
+def test_grouped_rank_matches_window(spark):
+    """grouped_rank (range exchange + per-slice window + offsets)
+    must equal the plain one-partition-per-group window rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from joblink_etl_spark.operators.rank import grouped_rank
+
+    rows = [(i, "g%d" % (i % 3), (i * 37) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "id INT, grp STRING, x INT")
+    got = {
+        (r["grp"], r["id"]): r["rnk"]
+        for r in grouped_rank(df, ["grp"], ["x", "id"], num_partitions=5).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("x", "id")
+    want = {
+        (r["grp"], r["id"]): r["rnk"]
+        for r in df.withColumn("rnk", F.row_number().over(w)).collect()
+    }
+    assert got == want
+    spark.catalog.clearCache()
+
+
+def test_grouped_rank_empty_input(spark):
+    from joblink_etl_spark.operators.rank import grouped_rank
+
+    df = spark.createDataFrame([], "id INT, grp STRING, x INT")
+    out = grouped_rank(df, ["grp"], ["x", "id"])
+    assert out.count() == 0
+    assert dict(out.dtypes)["rnk"] == "bigint"
+    spark.catalog.clearCache()
+
+
+def test_spearman_known_values(spark):
+    """Perfect agreement → 1; perfect reversal → -1; n=1 → NULL."""
+    from joblink_etl_spark.operators.select import spearman_by_group
+
+    rows = (
+        # group a: y = x (rho 1)
+        [(i, "a", i, float(i)) for i in range(5)]
+        # group b: y = -x (rho -1)
+        + [(i, "b", i, float(-i)) for i in range(5)]
+        # group c: single row (rho NULL)
+        + [(0, "c", 7, 7.0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING, x INT, y DOUBLE")
+    out = {r["lang"]: r for r in spearman_by_group(df, "lang", "x", "y").collect()}
+    assert out["a"]["spearman"] == 1.0
+    assert out["b"]["spearman"] == -1.0
+    assert out["c"]["spearman"] is None
+    assert out["a"]["sum_d2"] == 0
+    spark.catalog.clearCache()
+
+
+def test_mixture_epochs_cap_binds(spark):
+    """A small domain's target is capped at epoch_cap × its tokens;
+    a large domain under the cap keeps floor(budget·weight)."""
+    from joblink_etl_spark.operators.sampling import mixture_epochs
+
+    rows = [(i, "small", 10) for i in range(5)] + [
+        (i + 100, "large", 1000) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, src STRING, n_chars INT")
+    out = {r["src"]: r for r in mixture_epochs(df, "src", budget=6000, epoch_cap=2).collect()}
+    assert out["small"]["n_tokens"] == 50
+    # sqrt weights: sqrt(50)=7.071, sqrt(5000)=70.71 → small w≈0.0909
+    # target ≈ 545 → epochs ≈ 10.9 → capped at 2×50
+    assert out["small"]["capped_tokens"] == 100
+    assert out["small"]["epochs"] > 2.0
+    assert out["large"]["capped_tokens"] == out["large"]["target_tokens"]
+
+
+def test_doremi_upweights_planted_hard_domain(spark):
+    """A domain of unique-bigram gibberish (every bigram below
+    min_count) gets positive excess loss and a larger-than-natural
+    mixed weight; exponent respects exp_cap."""
+    from joblink_etl_spark.operators.select import doremi_weights
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, "easy", common) for i in range(20)] + [
+        (100 + i, "hard", "tok%da tok%db tok%dc tok%dd" % (i, i, i, i))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, lang STRING, text STRING")
+    out = {
+        r["lang"]: r
+        for r in doremi_weights(
+            df, "lang", min_count=2, eta_milli=100, exp_cap=3
+        ).collect()
+    }
+    assert out["hard"]["loss_milli"] == 1000  # every bigram unseen-at-min-count
+    assert out["easy"]["loss_milli"] == 0
+    assert out["hard"]["excess_milli"] > 0
+    assert out["hard"]["exponent"] == 3  # capped
+    assert out["hard"]["mixed_weight"] > out["easy"]["mixed_weight"]
+    w = [r["weight"] for r in out.values()]
+    assert abs(sum(w) - 1.0) < 1e-6
