@@ -59,6 +59,9 @@ FAMILIES = {
     "linededup": "line_dedup",
     "quality": "gopher_quality",
     "semdecontam": "semantic_decontam",
+    # round-7 batch-4 families
+    "mixture": "doremi_weights",
+    "rankcorr": "length_bias",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
