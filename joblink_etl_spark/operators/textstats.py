@@ -407,3 +407,87 @@ def encoding_artifacts(df: DataFrame, text_col: str = "text", id_col: str = "doc
         n_ctrl.alias("n_control"),
         ((n_moji == 0) & (n_repl == 0) & (n_ctrl == 0)).alias("clean"),
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    snap_col: str = "snap",
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus drift monitor: compare the unigram distributions of two
+    corpus snapshots (snap_col values 'base' and 'cur' — e.g. last
+    week's crawl vs this week's) per group, with log-free metrics so
+    every number is engine-exact:
+
+    - tv_micro: total-variation distance in micro-units. Each
+      token's frequency is quantized to p_micro = (1e6·count) div
+      total (exact bigint, bounded by 1e6 regardless of corpus
+      size — no overflow at any scale), and TV = Σ|p−q| // 2.
+      Quantization error is ≤ vocab·1e-6 — report-grade, and the
+      price of bit-reproducibility (a float Σ|p−q| would wobble with
+      summation order; KL/JS need libm logs).
+    - new_mass_micro: probability mass of 'cur' on tokens never seen
+      in 'base' (the neologism/spam-influx signal).
+    - vocab_base/vocab_cur/vocab_common + jaccard: vocabulary
+      overlap (one exact division, round 6).
+
+    Scale: tokens travel as md5-60bit ints; two shuffles — the
+    (group, token) count (map-side combinable) and the |groups|-row
+    final aggregate. Nothing is ever per-doc after the explode, and
+    no driver action.
+    """
+    from .dedup import md5_int
+
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(snap_col).alias("snap"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("grp", "snap", md5_int(F.col("tok")).alias("t"))
+    cts = toks.groupBy("grp", "t").agg(
+        F.sum(F.when(F.col("snap") == "base", 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_ct"),
+        F.sum(F.when(F.col("snap") == "cur", 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_ct"),
+    )
+    tot = cts.groupBy("grp").agg(
+        F.sum("a_ct").cast("bigint").alias("na"),
+        F.sum("b_ct").cast("bigint").alias("nb"),
+    )
+    micro = (
+        cts.join(tot, "grp")
+        .withColumn("pa", F.expr("case when na > 0 then (1000000 * a_ct) div na else 0 end"))
+        .withColumn("pb", F.expr("case when nb > 0 then (1000000 * b_ct) div nb else 0 end"))
+    )
+    out = micro.groupBy("grp").agg(
+        F.max("na").alias("n_tokens_base"),
+        F.max("nb").alias("n_tokens_cur"),
+        F.sum(F.when(F.col("a_ct") > 0, 1).otherwise(0)).cast("bigint").alias("vocab_base"),
+        F.sum(F.when(F.col("b_ct") > 0, 1).otherwise(0)).cast("bigint").alias("vocab_cur"),
+        F.sum(F.when((F.col("a_ct") > 0) & (F.col("b_ct") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("vocab_common"),
+        F.expr("sum(abs(pa - pb)) div 2").cast("bigint").alias("tv_micro"),
+        F.sum(F.when(F.col("a_ct") == 0, F.col("pb")).otherwise(0))
+        .cast("bigint")
+        .alias("new_mass_micro"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_tokens_base",
+        "n_tokens_cur",
+        "vocab_base",
+        "vocab_cur",
+        "vocab_common",
+        F.round(
+            F.col("vocab_common").cast("double")
+            / (F.col("vocab_base") + F.col("vocab_cur") - F.col("vocab_common")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+        "tv_micro",
+        "new_mass_micro",
+    )

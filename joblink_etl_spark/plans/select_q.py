@@ -1009,3 +1009,59 @@ SELECT lang, count(*)::BIGINT AS n,
        END AS spearman
 FROM ranked GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift monitor (operators/textstats.py::distribution_drift):
+# snapshot split = sources src0..src9 ('base') vs the rest ('cur'),
+# log-free engine-exact drift metrics per language.
+# ---------------------------------------------------------------------------
+
+
+def corpus_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select(
+        "lang",
+        "text",
+        F.when(F.length("source") == 4, "base").otherwise("cur").alias("snap"),
+    )
+    return TS.distribution_drift(docs)
+
+
+CORPUS_DRIFT_SQL = f"""
+WITH d AS (
+  SELECT lang AS grp,
+         CASE WHEN length(source) = 4 THEN 'base' ELSE 'cur' END AS snap,
+         {_TOKS} AS toks
+  FROM documents
+), tk AS (
+  SELECT grp, snap, {_MD5I.format(x='t')} AS t
+  FROM (SELECT grp, snap, unnest(toks) AS t FROM d)
+), cts AS (
+  SELECT grp, t,
+         sum(CASE WHEN snap = 'base' THEN 1 ELSE 0 END)::BIGINT AS a_ct,
+         sum(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END)::BIGINT AS b_ct
+  FROM tk GROUP BY grp, t
+), tot AS (
+  SELECT grp, sum(a_ct)::BIGINT AS na, sum(b_ct)::BIGINT AS nb
+  FROM cts GROUP BY grp
+), micro AS (
+  SELECT c.grp, c.a_ct, c.b_ct, t.na, t.nb,
+         CASE WHEN t.na > 0 THEN (1000000 * c.a_ct) // t.na ELSE 0 END AS pa,
+         CASE WHEN t.nb > 0 THEN (1000000 * c.b_ct) // t.nb ELSE 0 END AS pb
+  FROM cts c JOIN tot t USING (grp)
+)
+SELECT grp AS lang,
+       max(na)::BIGINT AS n_tokens_base,
+       max(nb)::BIGINT AS n_tokens_cur,
+       sum(CASE WHEN a_ct > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_base,
+       sum(CASE WHEN b_ct > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_cur,
+       sum(CASE WHEN a_ct > 0 AND b_ct > 0 THEN 1 ELSE 0 END)::BIGINT AS vocab_common,
+       round(sum(CASE WHEN a_ct > 0 AND b_ct > 0 THEN 1 ELSE 0 END)::DOUBLE
+             / (sum(CASE WHEN a_ct > 0 THEN 1 ELSE 0 END)
+                + sum(CASE WHEN b_ct > 0 THEN 1 ELSE 0 END)
+                - sum(CASE WHEN a_ct > 0 AND b_ct > 0 THEN 1 ELSE 0 END))::DOUBLE,
+             6) AS jaccard,
+       (sum(abs(pa - pb))::BIGINT // 2)::BIGINT AS tv_micro,
+       sum(CASE WHEN a_ct = 0 THEN pb ELSE 0 END)::BIGINT AS new_mass_micro
+FROM micro GROUP BY grp
+"""

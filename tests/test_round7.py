@@ -422,3 +422,24 @@ def test_doremi_upweights_planted_hard_domain(spark):
     assert out["hard"]["mixed_weight"] > out["easy"]["mixed_weight"]
     w = [r["weight"] for r in out.values()]
     assert abs(sum(w) - 1.0) < 1e-6
+
+
+def test_distribution_drift_planted(spark):
+    """Identical snapshots → TV 0, jaccard 1; disjoint vocab →
+    TV 1e6, jaccard 0, all cur mass new."""
+    from joblink_etl_spark.operators.textstats import distribution_drift
+
+    same = [(0, "en", "base", "alpha beta gamma"), (1, "en", "cur", "alpha beta gamma")]
+    disj = [(2, "de", "base", "eins zwei drei"), (3, "de", "cur", "vier funf sechs")]
+    df = spark.createDataFrame(
+        same + disj, "doc_id INT, lang STRING, snap STRING, text STRING"
+    )
+    out = {r["lang"]: r for r in distribution_drift(df).collect()}
+    en, de = out["en"], out["de"]
+    assert en["tv_micro"] == 0 and en["jaccard"] == 1.0 and en["new_mass_micro"] == 0
+    # 3 tokens/snapshot, each p = 333333 micro; disjoint → Σ|p-q| =
+    # 6·333333 → TV = 999999 (floor-quantization), all cur mass new
+    assert de["tv_micro"] == 999999
+    assert de["jaccard"] == 0.0
+    assert de["new_mass_micro"] == 999999
+    assert de["vocab_common"] == 0
