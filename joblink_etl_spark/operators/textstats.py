@@ -491,3 +491,69 @@ def distribution_drift(
         "tv_micro",
         "new_mass_micro",
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: distinct-token count
+    after each successive tenth of the corpus in id order — the
+    corpus-side diagnostic for tokenizer/vocab sizing (how fast does
+    the open vocabulary still grow at the corpus tail? a flat tail
+    says a bigger vocab buys nothing; a steep one predicts OOV/
+    fertility pain).
+
+    Mechanics (all exact integers): each distinct token's FIRST
+    document (min doc id over an md5-60bit token key — map-side
+    combinable), each doc's position from operators/rank.py::
+    global_rank (distributed range sort, no single-partition
+    window), bucket = ((rank−1)·n_buckets) div n_docs + 1; then two
+    |buckets|-row cumulative sums give (n_docs, vocab_size,
+    new_tokens) per bucket.
+
+    Scale: one token-count shuffle (the LM/dedup family's shape) +
+    one doc-rank range sort; everything after is bucket-cardinality.
+    Carries global_rank's bounded plan-build action + persist
+    contract."""
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_int
+    from .rank import global_rank
+
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    ).select("_doc", md5_int(F.col("_tok")).alias("_t"))
+    first = toks.groupBy("_t").agg(F.min("_doc").alias("_first_doc"))
+    docs = df.select(F.col(id_col).alias("_doc")).distinct()
+    ranked = global_rank(docs, ["_doc"], out_col="_rnk")
+    n_row = ranked.agg(F.max("_rnk").cast("bigint").alias("_n"))
+    deciled = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "bucket",
+            (F.expr(f"((_rnk - 1) * {int(n_buckets)}) div _n") + 1).cast("bigint"),
+        )
+    )
+    docs_per = deciled.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_bdocs")
+    )
+    new_per = (
+        first.join(
+            deciled.select(F.col("_doc").alias("_d2"), "bucket"),
+            F.col("_first_doc") == F.col("_d2"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("new_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per.join(new_per, "bucket", "left")
+        .withColumn("new_tokens", F.coalesce(F.col("new_tokens"), F.lit(0)).cast("bigint"))
+        .withColumn("n_docs", F.sum("_bdocs").over(w).cast("bigint"))
+        .withColumn("vocab_size", F.sum("new_tokens").over(w).cast("bigint"))
+        .select("bucket", "n_docs", "vocab_size", "new_tokens")
+    )

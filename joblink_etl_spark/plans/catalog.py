@@ -290,3 +290,4 @@ register("mixture_epochs", SQ.mixture_epochs_q, SQ.MIXTURE_EPOCHS_SQL)
 register("doremi_weights", SQ.doremi_weights_q, SQ.DOREMI_WEIGHTS_SQL)
 register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)
 register("corpus_drift", SQ.corpus_drift_q, SQ.CORPUS_DRIFT_SQL)
+register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)

@@ -1065,3 +1065,43 @@ SELECT grp AS lang,
        sum(CASE WHEN a_ct = 0 THEN pb ELSE 0 END)::BIGINT AS new_mass_micro
 FROM micro GROUP BY grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve (operators/textstats.py::
+# vocab_growth): distinct-token count after each tenth of the corpus
+# in id order — the vocab-sizing / OOV-tail diagnostic.
+# ---------------------------------------------------------------------------
+
+
+def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return TS.vocab_growth(docs, n_buckets=10)
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+), tk AS (
+  SELECT doc_id, {_MD5I.format(x='t')} AS t FROM tok
+), frst AS (
+  SELECT t, min(doc_id) AS first_doc FROM tk GROUP BY t
+), ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rnk
+  FROM (SELECT DISTINCT doc_id FROM documents)
+), n AS (
+  SELECT max(rnk)::BIGINT AS n FROM ranked
+), dec AS (
+  SELECT doc_id, (((rnk - 1) * 10) // n + 1)::BIGINT AS bucket FROM ranked, n
+), docs_per AS (
+  SELECT bucket, count(*)::BIGINT AS bdocs FROM dec GROUP BY bucket
+), new_per AS (
+  SELECT d.bucket, count(*)::BIGINT AS new_tokens
+  FROM frst f JOIN dec d ON f.first_doc = d.doc_id GROUP BY d.bucket
+)
+SELECT p.bucket,
+       (sum(p.bdocs) OVER (ORDER BY p.bucket))::BIGINT AS n_docs,
+       (sum(coalesce(np.new_tokens, 0)) OVER (ORDER BY p.bucket))::BIGINT AS vocab_size,
+       coalesce(np.new_tokens, 0)::BIGINT AS new_tokens
+FROM docs_per p LEFT JOIN new_per np USING (bucket)
+"""

@@ -443,3 +443,22 @@ def test_distribution_drift_planted(spark):
     assert de["jaccard"] == 0.0
     assert de["new_mass_micro"] == 999999
     assert de["vocab_common"] == 0
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    """Cumulative columns are monotone; a planted corpus where doc k
+    introduces exactly k new tokens reproduces the curve exactly."""
+    from joblink_etl_spark.operators.textstats import vocab_growth
+
+    # doc i (1-based) contains tokens w1..wi → doc i introduces
+    # exactly one new token (wi); with 4 docs and 2 buckets:
+    rows = [(i, " ".join("w%d" % j for j in range(1, i + 1))) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = sorted(
+        vocab_growth(df, n_buckets=2).collect(), key=lambda r: r["bucket"]
+    )
+    assert [r["bucket"] for r in out] == [1, 2]
+    assert [r["n_docs"] for r in out] == [2, 4]
+    assert [r["vocab_size"] for r in out] == [2, 4]
+    assert [r["new_tokens"] for r in out] == [2, 2]
+    spark.catalog.clearCache()
