@@ -561,3 +561,28 @@ def test_length_bucket_batches_conserves_rows_and_waste(spark_prop, texts, bsz):
             assert 2 ** r["bucket"] <= r["max_tokens"] < 2 ** (r["bucket"] + 1)
         else:
             assert r["max_tokens"] == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_spearman_bounded_and_self_correlated(spark_prop, pairs):
+    """ρ ∈ [-1, 1] for arbitrary integer data; ρ(x, x) = 1 exactly
+    (rank-of-record ranks are identical when x = y and tie-breaks
+    use the same id)."""
+    from joblink_etl_spark.operators.select import spearman_by_group
+
+    rows = [(i, "g", x, y) for i, (x, y) in enumerate(pairs)]
+    df = spark_prop.createDataFrame(rows, "doc_id INT, grp STRING, x INT, y INT")
+    r = spearman_by_group(df, "grp", "x", "y").collect()[0]
+    assert -1.0 <= r["spearman"] <= 1.0
+    same = [(i, "g", x, x) for i, (x, _) in enumerate(pairs)]
+    df2 = spark_prop.createDataFrame(same, "doc_id INT, grp STRING, x INT, y INT")
+    r2 = spearman_by_group(df2, "grp", "x", "y").collect()[0]
+    assert r2["spearman"] == 1.0
+    spark_prop.catalog.clearCache()
