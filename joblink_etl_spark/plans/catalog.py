@@ -36,9 +36,12 @@ driver rows in r08 alongside the 18 remaining r05 re-streaks):
 line_dedup, gopher_quality, semantic_decontam,
 incremental_line_dedup, line_registry, encoding_report,
 gopher_funnel, fertility_by_lang, preference_pairs,
-curriculum_order, web_curation_pipeline. Registry total 176 (173
-with SQL oracles; bpe_merges / bpe_encode / lrs_exact rows-only by
-design).
+curriculum_order, web_curation_pipeline.
+
+Round-7 batch-4 additions (also past the window): mixture_epochs,
+doremi_weights, length_bias, corpus_drift, vocab_growth. Registry
+total 181 (178 with SQL oracles; bpe_merges / bpe_encode /
+lrs_exact rows-only by design).
 """
 
 from __future__ import annotations
