@@ -456,8 +456,11 @@ def distribution_drift(
         F.sum("a_ct").cast("bigint").alias("na"),
         F.sum("b_ct").cast("bigint").alias("nb"),
     )
+    # totals are |groups| rows — broadcast explicitly so the
+    # vocab-sized counts side keeps its (grp, t) partitioning instead
+    # of reshuffling by grp (a skew magnet: one partition per lang)
     micro = (
-        cts.join(tot, "grp")
+        cts.join(F.broadcast(tot), "grp")
         .withColumn("pa", F.expr("case when na > 0 then (1000000 * a_ct) div na else 0 end"))
         .withColumn("pb", F.expr("case when nb > 0 then (1000000 * b_ct) div nb else 0 end"))
     )
