@@ -909,3 +909,42 @@ def incremental_line_dedup(
         "_keep", F.col("_boiler").isNull()
     )
     return _reassemble(flagged, id_col)
+
+
+def template_fingerprint(text: Column) -> Column:
+    """Fingerprint of the DIGIT-MASKED normal form: digit runs
+    collapse to a single '0' before hashing, so documents generated
+    from one template with varying numbers (ids, prices, dates,
+    counters — "Order #123 shipped" vs "Order #456 shipped") share a
+    fingerprint. The masked-boilerplate sibling of fingerprint()."""
+    return F.md5(F.regexp_replace(normalize_text(text), "[0-9]+", "0"))
+
+
+def template_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Template-level dedup: exact_duplicates on the digit-masked
+    fingerprint, plus the exact-fingerprint verdict side by side —
+    `is_duplicate AND NOT is_exact_duplicate` isolates true template
+    instantiations (machine-generated boilerplate families that
+    exact dedup is blind to and near-dup may under-score when the
+    numbers dominate short docs).
+
+    Same one-shuffle-per-fingerprint window shape as
+    exact_duplicates; the salted sibling's rewrite applies unchanged
+    if a template family ever gets hot enough to skew."""
+    from pyspark.sql.window import Window
+
+    wt = Window.partitionBy("template_fp")
+    we = Window.partitionBy("_exact_fp")
+    return (
+        df.withColumn("template_fp", template_fingerprint(F.col(text_col)))
+        .withColumn("_exact_fp", fingerprint(F.col(text_col)))
+        .withColumn("canonical_id", F.min(id_col).over(wt))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+        .withColumn(
+            "is_exact_duplicate",
+            F.col(id_col) != F.min(id_col).over(we),
+        )
+        .drop("_exact_fp")
+    )

@@ -39,8 +39,8 @@ gopher_funnel, fertility_by_lang, preference_pairs,
 curriculum_order, web_curation_pipeline.
 
 Round-7 batch-4 additions (also past the window): mixture_epochs,
-doremi_weights, length_bias, corpus_drift, vocab_growth. Registry
-total 181 (178 with SQL oracles; bpe_merges / bpe_encode /
+doremi_weights, length_bias, corpus_drift, vocab_growth,
+template_dedup. Registry total 182 (179 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design).
 """
 
@@ -294,3 +294,4 @@ register("doremi_weights", SQ.doremi_weights_q, SQ.DOREMI_WEIGHTS_SQL)
 register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)
 register("corpus_drift", SQ.corpus_drift_q, SQ.CORPUS_DRIFT_SQL)
 register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
+register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)

@@ -4919,3 +4919,58 @@ WITH base AS (
 )
 SELECT stage, stage_name, n_docs, n_tokens FROM stages
 """
+
+
+# ---------------------------------------------------------------------------
+# Template-level dedup (operators/dedup.py::template_duplicates):
+# digit-masked fingerprints catch machine-generated boilerplate
+# families ("Order #123 shipped" vs "#456") that exact dedup is
+# blind to. Two template instantiations per planted base (different
+# numbers) prove the is_duplicate-but-not-exact split.
+# ---------------------------------------------------------------------------
+
+
+def template_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 9 == 0)
+    planted = a.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" ticket "), (F.col("doc_id") * 7).cast("string")
+        ).alias("text"),
+    ).unionAll(
+        a.select(
+            (F.col("doc_id") + 40000).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" ticket "), (F.col("doc_id") * 13).cast("string")
+            ).alias("text"),
+        )
+    )
+    return D.template_duplicates(docs.unionAll(planted)).select(
+        "doc_id", "template_fp", "canonical_id", "is_duplicate", "is_exact_duplicate"
+    )
+
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+TEMPLATE_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text || ' ticket ' || (doc_id * 7)::VARCHAR
+  FROM documents WHERE doc_id % 9 = 0
+  UNION ALL
+  SELECT doc_id + 40000, text || ' ticket ' || (doc_id * 13)::VARCHAR
+  FROM documents WHERE doc_id % 9 = 0
+), fps AS (
+  SELECT doc_id,
+         md5(regexp_replace({_NORM}, '[0-9]+', '0', 'g')) AS template_fp,
+         md5({_NORM}) AS exact_fp
+  FROM base
+)
+SELECT doc_id, template_fp,
+       min(doc_id) OVER (PARTITION BY template_fp) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY template_fp) AS is_duplicate,
+       doc_id <> min(doc_id) OVER (PARTITION BY exact_fp) AS is_exact_duplicate
+FROM fps
+"""

@@ -462,3 +462,23 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert [r["vocab_size"] for r in out] == [2, 4]
     assert [r["new_tokens"] for r in out] == [2, 2]
     spark.catalog.clearCache()
+
+
+def test_template_duplicates_splits_template_from_exact(spark):
+    """Two docs differing only in digits are template dups but not
+    exact dups; identical docs are both; unrelated docs neither."""
+    from joblink_etl_spark.operators.dedup import template_duplicates
+
+    rows = [
+        (1, "Order #123 shipped to bay 4"),
+        (2, "Order #456 shipped to bay 9"),   # template dup of 1
+        (3, "Order #123 shipped to bay 4"),   # exact dup of 1
+        (4, "completely different text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in template_duplicates(df).collect()}
+    assert out[1]["is_duplicate"] is False and out[1]["is_exact_duplicate"] is False
+    assert out[2]["is_duplicate"] is True and out[2]["is_exact_duplicate"] is False
+    assert out[3]["is_duplicate"] is True and out[3]["is_exact_duplicate"] is True
+    assert out[4]["is_duplicate"] is False
+    assert out[2]["canonical_id"] == 1 and out[3]["canonical_id"] == 1
