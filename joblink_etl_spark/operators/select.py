@@ -412,3 +412,48 @@ def spearman_by_group(
             ),
         )
     )
+
+
+def render_sft(
+    pairs: DataFrame,
+    system_prompt: str,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """Render (prompt, response) rows into chat-template training
+    strings with the loss-mask boundary precomputed — the SFT data
+    prep step between pair mining (preference_pairs) and packing
+    (pack_shards): tokens before `prompt_tokens` get label −100 so
+    the model trains only on the assistant span.
+
+    Template: <|system|>\\n{sys}\\n<|user|>\\n{prompt}\\n<|assistant|>\\n
+    {response}<|end|>. Boundary metrics are computed ON the rendered
+    prefix (char length + whitespace-token count), so they stay
+    consistent with the rendered string however the template
+    evolves; swap token_count for the BPE regex variant when the
+    downstream tokenizer is subword.
+
+    Scale: pure scan-side string projection — no shuffle, fully
+    codegen."""
+    from .textstats import token_count
+
+    # token boundary counts on the newline-free core: the whitespace
+    # tokenizer (shared trim-splits-only-spaces semantics, both
+    # engines) would otherwise emit a terminal '' token for the
+    # trailing template newline and the boundary would overcount by 1
+    core = F.concat(
+        F.lit("<|system|>\n" + system_prompt + "\n<|user|>\n"),
+        F.col(prompt_col),
+        F.lit("\n<|assistant|>"),
+    )
+    prefix = F.concat(core, F.lit("\n"))
+    rendered = F.concat(prefix, F.col(response_col), F.lit("<|end|>"))
+    return pairs.select(
+        F.col(id_col),
+        rendered.alias("rendered"),
+        F.length(prefix).cast("bigint").alias("prompt_chars"),
+        F.length(rendered).cast("bigint").alias("total_chars"),
+        token_count(core).cast("bigint").alias("prompt_tokens"),
+        token_count(rendered).cast("bigint").alias("total_tokens"),
+    )

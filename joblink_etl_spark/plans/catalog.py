@@ -40,7 +40,7 @@ curriculum_order, web_curation_pipeline.
 
 Round-7 batch-4 additions (also past the window): mixture_epochs,
 doremi_weights, length_bias, corpus_drift, vocab_growth,
-template_dedup. Registry total 182 (179 with SQL oracles; bpe_merges / bpe_encode /
+template_dedup, sft_render. Registry total 183 (180 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design).
 """
 
@@ -295,3 +295,4 @@ register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)
 register("corpus_drift", SQ.corpus_drift_q, SQ.CORPUS_DRIFT_SQL)
 register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
 register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)
+register("sft_render", SQ.sft_render_q, SQ.SFT_RENDER_SQL)

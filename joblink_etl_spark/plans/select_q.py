@@ -1105,3 +1105,57 @@ SELECT p.bucket,
        coalesce(np.new_tokens, 0)::BIGINT AS new_tokens
 FROM docs_per p LEFT JOIN new_per np USING (bucket)
 """
+
+
+# ---------------------------------------------------------------------------
+# SFT chat-template rendering (operators/select.py::render_sft):
+# consecutive-doc pairs stand in for (prompt, response); the loss-
+# mask boundary (prompt_chars / prompt_tokens) is computed on the
+# rendered prefix so labels −100 end exactly where the assistant
+# span begins.
+# ---------------------------------------------------------------------------
+
+
+def sft_render_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        F.col("doc_id").alias("_d"),
+        F.col("text").alias("prompt"),
+    )
+    b = docs.select((F.col("doc_id") - 1).alias("_m"), F.col("text").alias("response"))
+    pairs = a.join(b, F.col("_d") == F.col("_m")).select(
+        "pair_id", "prompt", "response"
+    )
+    return SEL.render_sft(pairs, "You are a helpful assistant.")
+
+
+def _sql_toks(col: str) -> str:
+    return _TOKS.replace("text", col)
+
+
+SFT_RENDER_SQL = f"""
+WITH a AS (
+  SELECT doc_id // 2 AS pair_id, doc_id, text AS prompt
+  FROM documents WHERE doc_id % 2 = 0
+), b AS (
+  SELECT doc_id - 1 AS m, text AS response FROM documents
+), p AS (
+  SELECT pair_id,
+         '<|system|>' || chr(10) || 'You are a helpful assistant.' || chr(10)
+           || '<|user|>' || chr(10) || prompt || chr(10)
+           || '<|assistant|>' AS core,
+         response
+  FROM a JOIN b ON a.doc_id = b.m
+), r AS (
+  SELECT pair_id, core, core || chr(10) AS prefix,
+         core || chr(10) || response || '<|end|>' AS rendered
+  FROM p
+)
+SELECT pair_id, rendered,
+       length(prefix)::BIGINT AS prompt_chars,
+       length(rendered)::BIGINT AS total_chars,
+       len({_sql_toks('core')})::BIGINT AS prompt_tokens,
+       len({_sql_toks('rendered')})::BIGINT AS total_tokens
+FROM r
+"""

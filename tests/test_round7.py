@@ -482,3 +482,22 @@ def test_template_duplicates_splits_template_from_exact(spark):
     assert out[3]["is_duplicate"] is True and out[3]["is_exact_duplicate"] is True
     assert out[4]["is_duplicate"] is False
     assert out[2]["canonical_id"] == 1 and out[3]["canonical_id"] == 1
+
+
+def test_render_sft_boundary_exact(spark):
+    """The loss-mask boundary is exactly the prefix: prompt_chars +
+    len(response) + len('<|end|>') == total_chars, and the rendered
+    string starts with the prefix and ends with the sentinel."""
+    from joblink_etl_spark.operators.select import render_sft
+
+    df = spark.createDataFrame(
+        [(0, "what is two plus two", "four")], "pair_id INT, prompt STRING, response STRING"
+    )
+    r = render_sft(df, "Be terse.").collect()[0]
+    assert r["rendered"].startswith("<|system|>\nBe terse.\n<|user|>\nwhat is two plus two\n<|assistant|>\n")
+    assert r["rendered"].endswith("four<|end|>")
+    assert r["total_chars"] == r["prompt_chars"] + len("four<|end|>")
+    # prefix tokens: 2 (system) + 5 (prompt) + 3 markers = 10;
+    # total adds the 1-token response (its <|end|> glues to 'four')
+    assert r["prompt_tokens"] == 10
+    assert r["total_tokens"] == 11
