@@ -520,3 +520,59 @@ def curriculum_order(
     )
     out = global_rank(keyed, ["stage", "_k", id_col], out_col="curriculum_pos")
     return out.select(id_col, "stage", "curriculum_pos")
+
+
+def packing_contamination(
+    df: DataFrame,
+    weight_col: str = "n_chars",
+    budget: int = 1 << 20,
+    order_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Cross-contamination economics of concat-and-split packing:
+    GPT-style packing (pack_shards) concatenates docs and cuts fixed
+    windows, so windows mix unrelated documents (attention
+    contamination unless the trainer masks cross-doc attention) and
+    boundary docs split across windows. This report quantifies both,
+    per (bucket, window): n_docs touching the window, n_starts
+    beginning in it, n_splits continuing into the next window, and
+    the exact token fill (= budget everywhere but each bucket's tail
+    window — pinned in tests). Feed it beside
+    length_bucket_batches' padding-waste numbers to choose between
+    the two packing regimes.
+
+    Scale: pack_shards' one bucket-key shuffle, then a per-doc
+    window explode (each doc emits ceil(weight/budget)+1 ≤ tiny
+    rows) and one map-side-combinable aggregate. Zero-weight docs
+    touch no window and are excluded (mirrored in the oracle)."""
+    packed = pack_shards(df, weight_col, budget, order_col, n_buckets)
+    spans = (
+        packed.filter(F.col(weight_col) > 0)
+        .withColumn("_e", F.col("offset") + F.col(weight_col))
+        .withColumn("_w0", F.expr(f"offset div {int(budget)}"))
+        .withColumn("_w1", F.expr(f"(_e - 1) div {int(budget)}"))
+    )
+    x = spans.select(
+        "bucket",
+        "offset",
+        "_e",
+        "_w0",
+        "_w1",
+        F.explode(F.sequence("_w0", "_w1")).alias("window_id"),
+    )
+    b = F.lit(int(budget)).cast("bigint")
+    return x.groupBy("bucket", F.col("window_id").cast("bigint").alias("window_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("_w0") == F.col("window_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_starts"),
+        F.sum(F.when(F.col("_w1") > F.col("window_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_splits"),
+        F.sum(
+            F.least(F.col("_e"), (F.col("window_id") + 1) * b)
+            - F.greatest(F.col("offset"), F.col("window_id") * b)
+        )
+        .cast("bigint")
+        .alias("tokens"),
+    )

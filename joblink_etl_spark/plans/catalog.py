@@ -40,7 +40,8 @@ curriculum_order, web_curation_pipeline.
 
 Round-7 batch-4 additions (also past the window): mixture_epochs,
 doremi_weights, length_bias, corpus_drift, vocab_growth,
-template_dedup, sft_render. Registry total 183 (180 with SQL oracles; bpe_merges / bpe_encode /
+template_dedup, sft_render, packing_contamination. Registry
+total 184 (181 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design).
 """
 
@@ -296,3 +297,4 @@ register("corpus_drift", SQ.corpus_drift_q, SQ.CORPUS_DRIFT_SQL)
 register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
 register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)
 register("sft_render", SQ.sft_render_q, SQ.SFT_RENDER_SQL)
+register("packing_contamination", E.packing_contamination_q, E.PACKING_CONTAMINATION_SQL)

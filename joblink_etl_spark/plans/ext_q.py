@@ -4974,3 +4974,45 @@ SELECT doc_id, template_fp,
        doc_id <> min(doc_id) OVER (PARTITION BY exact_fp) AS is_exact_duplicate
 FROM fps
 """
+
+
+# ---------------------------------------------------------------------------
+# Concat-split packing contamination report (operators/sampling.py::
+# packing_contamination): per-window doc/boundary economics of
+# GPT-style packing — the diagnostic that motivates cross-doc
+# attention masking and boundary-aware packers.
+# ---------------------------------------------------------------------------
+
+
+def packing_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import packing_contamination
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return packing_contamination(
+        docs, weight_col="n_chars", budget=10_000, order_col="doc_id", n_buckets=8
+    )
+
+
+PACKING_CONTAMINATION_SQL = """
+WITH packed AS (
+  SELECT doc_id, (doc_id % 8)::INTEGER AS bucket,
+         (sum(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+          - n_chars)::BIGINT AS s,
+         n_chars::BIGINT AS w
+  FROM documents
+), spans AS (
+  SELECT doc_id, bucket, s, s + w AS e,
+         s // 10000 AS w0, (s + w - 1) // 10000 AS w1
+  FROM packed WHERE w > 0
+), x AS (
+  SELECT bucket, s, e, w0, w1, u.wi AS window_id
+  FROM spans, unnest(range(w0, w1 + 1)) AS u(wi)
+)
+SELECT bucket, window_id::BIGINT AS window_id,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN w0 = window_id THEN 1 ELSE 0 END)::BIGINT AS n_starts,
+       sum(CASE WHEN w1 > window_id THEN 1 ELSE 0 END)::BIGINT AS n_splits,
+       sum(least(e, (window_id + 1) * 10000)
+           - greatest(s, window_id * 10000))::BIGINT AS tokens
+FROM x GROUP BY bucket, window_id
+"""

@@ -501,3 +501,28 @@ def test_render_sft_boundary_exact(spark):
     # total adds the 1-token response (its <|end|> glues to 'four')
     assert r["prompt_tokens"] == 10
     assert r["total_tokens"] == 11
+
+
+def test_packing_contamination_invariants(spark):
+    """Every non-tail window is exactly full; starts sum to the doc
+    count; a doc of weight > budget splits across windows."""
+    from pyspark.sql import functions as F
+
+    from joblink_etl_spark.operators.sampling import packing_contamination
+
+    rows = [(i, 30) for i in range(10)] + [(100, 250)]  # one giant doc
+    df = spark.createDataFrame(rows, "doc_id INT, n_chars INT")
+    out = packing_contamination(
+        df, weight_col="n_chars", budget=100, order_col="doc_id", n_buckets=1
+    ).collect()
+    by_w = {r["window_id"]: r for r in sorted(out, key=lambda r: r["window_id"])}
+    total = 10 * 30 + 250
+    n_windows = -(-total // 100)
+    assert set(by_w) == set(range(n_windows))
+    # all but the tail window are exactly full
+    for wid, r in by_w.items():
+        assert r["tokens"] == (100 if wid < n_windows - 1 else total % 100 or 100)
+    assert sum(r["n_starts"] for r in out) == 11
+    # the giant doc spans ≥ 3 windows → at least 2 split flags beyond
+    # the small-doc straddles
+    assert sum(r["n_splits"] for r in out) >= 2
