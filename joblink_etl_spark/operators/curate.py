@@ -174,3 +174,82 @@ def curation_funnel(
             ).alias("selectivity"),
         )
     )
+
+
+def top_frequency_blocklist(
+    docs: DataFrame, text_col: str = "text", top_n: int = 5
+) -> DataFrame:
+    """Derive a blocklist as the corpus's top_n most frequent tokens
+    (ties broken alphabetically) — the data-driven seed a boilerplate
+    blocklist starts from before human review. Returns (word).
+
+    Scale: token counting is one map-side-combinable shuffle on the
+    token; the sort ranks the VOCABULARY (≪ corpus, Heaps-law
+    sublinear), and only top_n rows survive — Spark plans
+    orderBy+limit as TakeOrdered (per-partition heaps, no global
+    sort materialization)."""
+    from .textstats import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("word"))
+        .limit(top_n)
+        .select("word")
+    )
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rate_bp: int = 1000,
+) -> DataFrame:
+    """C4-style wordlist filter: per-document hit accounting against a
+    blocklist relation (word), with a rate gate — keep while blocked
+    tokens are ≤ max_rate_bp basis points of the document (integer
+    arithmetic: 10000·n_blocked ≤ max_rate_bp·n_tokens, float-free).
+
+    Output: (id, n_tokens, n_blocked, n_blocked_types, keep).
+
+    The blocklist is a RELATION, not a literal array, on purpose:
+    real lists are thousands of entries and maintained out-of-band,
+    so the match must be a join. Plan shape at 100 TB: tokenize
+    scan-side, explode, broadcast-hash-join the list (bounded —
+    always ≪ corpus), map-side-combinable per-doc count; docs with
+    zero tokens re-enter via the left join from the doc spine. No
+    Python anywhere."""
+    from .textstats import token_count, tokens
+
+    spine = docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    hits = (
+        tok.join(F.broadcast(blocklist), "word")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocked"),
+            F.count_distinct("word").cast("bigint").alias("n_blocked_types"),
+        )
+    )
+    return (
+        spine.join(hits, "id", "left")
+        .withColumns(
+            {
+                "n_blocked": F.coalesce(F.col("n_blocked"), F.lit(0)).cast("bigint"),
+                "n_blocked_types": F.coalesce(F.col("n_blocked_types"), F.lit(0)).cast(
+                    "bigint"
+                ),
+            }
+        )
+        .withColumn(
+            "keep", F.col("n_blocked") * 10000 <= F.col("n_tokens") * max_rate_bp
+        )
+    )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import fingerprint, normalize_text, tokens
+from .textstats import PUNCT_CLASS, fingerprint, normalize_text, tokens
 
 # MinHash geometry: NUM_HASHES = BANDS * ROWS_PER_BAND
 NUM_HASHES = 16
@@ -941,6 +941,58 @@ def template_duplicates(
         df.withColumn("template_fp", template_fingerprint(F.col(text_col)))
         .withColumn("_exact_fp", fingerprint(F.col(text_col)))
         .withColumn("canonical_id", F.min(id_col).over(wt))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
+        .withColumn(
+            "is_exact_duplicate",
+            F.col(id_col) != F.min(id_col).over(we),
+        )
+        .drop("_exact_fp")
+    )
+
+
+def aggressive_normalize(text: Column) -> Column:
+    """The PUNCTUATION-INSENSITIVE normal form: lower, map every ASCII
+    punctuation char to a space, collapse whitespace, trim. One step
+    stronger than normalize_text (case+whitespace only) — "Foo, bar!"
+    and "foo bar" coincide. This is the fuzzy-exact fingerprint basis
+    most web-corpus pipelines use before hashing (punctuation and
+    casing are the two highest-frequency trivial mutations).
+
+    The class is the explicit ASCII range PUNCT_CLASS so Java regex
+    (Spark) and RE2 (DuckDB oracle) agree byte-for-byte."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), PUNCT_CLASS, " "), r"\s+", " "
+        )
+    )
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """md5 of the punctuation-insensitive normal form."""
+    return F.md5(aggressive_normalize(text))
+
+
+def normalized_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fuzzy-exact dedup on the punctuation-insensitive fingerprint,
+    with the plain exact verdict side by side — `is_duplicate AND NOT
+    is_exact_duplicate` isolates documents that differ ONLY in
+    casing/punctuation/whitespace (the dominant trivial-mutation
+    class in web crawls; near-dup machinery is overkill for them and
+    exact dedup misses them entirely).
+
+    Same one-shuffle-per-fingerprint window shape as
+    exact_duplicates / template_duplicates; the salted sibling's
+    rewrite applies unchanged under fingerprint skew."""
+    from pyspark.sql.window import Window
+
+    wn = Window.partitionBy("norm_fp")
+    we = Window.partitionBy("_exact_fp")
+    return (
+        df.withColumn("norm_fp", normalized_fingerprint(F.col(text_col)))
+        .withColumn("_exact_fp", fingerprint(F.col(text_col)))
+        .withColumn("canonical_id", F.min(id_col).over(wn))
         .withColumn("is_duplicate", F.col(id_col) != F.col("canonical_id"))
         .withColumn(
             "is_exact_duplicate",

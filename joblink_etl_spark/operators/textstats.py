@@ -560,3 +560,60 @@ def vocab_growth(
         .withColumn("vocab_size", F.sum("new_tokens").over(w).cast("bigint"))
         .select("bucket", "n_docs", "vocab_size", "new_tokens")
     )
+
+
+def symbol_density_routing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    math_bp: int = 800,
+    code_bp: int = 500,
+) -> DataFrame:
+    """Route documents to prose/math/code sub-corpora by character-
+    class density — the cheap first-stage router a mixed crawl runs
+    before handing each bucket to its specialized pipeline (math
+    docs keep equations and skip stopword gates; code docs skip
+    punctuation-ratio gates and go to a lexer).
+
+    Densities are integer basis points (10000·count div n_chars) so
+    the thresholds and the oracle comparison stay float-free:
+    - digit_bp / op_bp over [0-9] and [+*/=<>%-]: their sum ≥ math_bp
+      reads as equation-heavy;
+    - code_bp over [{}()\\[\\];]: ≥ code_bp reads as source-code-like
+      (brace/semicolon density separates code from prose an order of
+      magnitude more cleanly than keywords do).
+    Precedence: code beats math beats prose (a doc dense in both is
+    routed to the stricter lexer path).
+
+    Scale: one narrow projection over the scan — regexp_replace
+    length-diff counting is JVM codegen, no shuffle, no Python; the
+    router composes scan-side with any downstream per-bucket filter
+    so Catalyst prunes the other buckets' work entirely.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+
+    def _count(cls: str) -> Column:
+        return (F.length(t) - F.length(F.regexp_replace(t, cls, ""))).cast("bigint")
+
+    # non-negative domain throughout: Spark `div` == DuckDB `//` (floor)
+    out = df.withColumns(
+        {
+            "n_chars": n_chars,
+            "_dig": _count("[0-9]"),
+            "_op": _count("[+*/=<>%-]"),
+            "_code": _count(r"[{}()\[\];]"),
+        }
+    ).withColumns(
+        {
+            "digit_bp": F.expr("CASE WHEN n_chars > 0 THEN (_dig * 10000) div n_chars ELSE 0 END").cast("bigint"),
+            "op_bp": F.expr("CASE WHEN n_chars > 0 THEN (_op * 10000) div n_chars ELSE 0 END").cast("bigint"),
+            "code_bp": F.expr("CASE WHEN n_chars > 0 THEN (_code * 10000) div n_chars ELSE 0 END").cast("bigint"),
+        }
+    )
+    return out.withColumn(
+        "route",
+        F.when(F.col("code_bp") >= code_bp, F.lit("code"))
+        .when(F.col("digit_bp") + F.col("op_bp") >= math_bp, F.lit("math"))
+        .otherwise(F.lit("prose")),
+    ).select(id_col, "n_chars", "digit_bp", "op_bp", "code_bp", "route")

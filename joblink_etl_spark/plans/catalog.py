@@ -40,8 +40,13 @@ curriculum_order, web_curation_pipeline.
 
 Round-7 batch-4 additions (also past the window): mixture_epochs,
 doremi_weights, length_bias, corpus_drift, vocab_growth,
-template_dedup, sft_render, packing_contamination. Registry
-total 184 (181 with SQL oracles; bpe_merges / bpe_encode /
+template_dedup, sft_render, packing_contamination.
+
+Round-7 batch-5 additions (also past the window): normalized_dedup
+(punct/case-insensitive fingerprints), math_code_routing
+(symbol-density sub-corpus router), k_anonymity (QI release audit),
+blocklist_filter (C4-style wordlist rate gate). Registry
+total 188 (185 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design).
 """
 
@@ -298,3 +303,9 @@ register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
 register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)
 register("sft_render", SQ.sft_render_q, SQ.SFT_RENDER_SQL)
 register("packing_contamination", E.packing_contamination_q, E.PACKING_CONTAMINATION_SQL)
+
+# --- round-7 batch 5 (registered past the window) ---------------------
+register("normalized_dedup", E.normalized_dedup_q, E.NORMALIZED_DEDUP_SQL)
+register("math_code_routing", E.math_code_routing_q, E.MATH_CODE_ROUTING_SQL)
+register("k_anonymity", E.k_anonymity_q, E.K_ANONYMITY_SQL)
+register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)

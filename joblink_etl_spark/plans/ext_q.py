@@ -5016,3 +5016,188 @@ SELECT bucket, window_id::BIGINT AS window_id,
            - greatest(s, window_id * 10000))::BIGINT AS tokens
 FROM x GROUP BY bucket, window_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-7 batch 5: normalization-fingerprint dedup, symbol-density
+# routing, k-anonymity audit, blocklist filter.
+# ---------------------------------------------------------------------------
+
+
+def normalized_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation/case-insensitive fuzzy-exact dedup
+    (operators/dedup.py::normalized_duplicates). Two planted mutation
+    classes per 11th doc — an uppercased copy with trailing bangs and
+    a comma-injected copy — are invisible to exact dedup but collapse
+    onto the base doc's normalized fingerprint."""
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 11 == 0)
+    planted = a.select(
+        (F.col("doc_id") + 60000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+    ).unionAll(
+        a.select(
+            (F.col("doc_id") + 80000).alias("doc_id"),
+            F.replace(F.col("text"), F.lit(" "), F.lit(" , ")).alias("text"),
+        )
+    )
+    return D.normalized_duplicates(docs.unionAll(planted)).select(
+        "doc_id", "norm_fp", "canonical_id", "is_duplicate", "is_exact_duplicate"
+    )
+
+
+_AGG_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+NORMALIZED_DEDUP_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 60000, upper(text) || ' !!!'
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 80000, replace(text, ' ', ' , ')
+  FROM documents WHERE doc_id % 11 = 0
+), fps AS (
+  SELECT doc_id,
+         md5({_AGG_NORM}) AS norm_fp,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS exact_fp
+  FROM base
+)
+SELECT doc_id, norm_fp,
+       min(doc_id) OVER (PARTITION BY norm_fp) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY norm_fp) AS is_duplicate,
+       doc_id <> min(doc_id) OVER (PARTITION BY exact_fp) AS is_exact_duplicate
+FROM fps
+"""
+
+
+# Planted routing suffixes: repeated enough that the density clears
+# the threshold even on the longest (~580-char) corpus doc.
+_MATH_SFX = " 12 + 34 = 46" * 8
+_CODE_SFX = " if (x) { y; }" * 8
+
+
+def math_code_routing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol-density corpus routing (operators/textstats.py::
+    symbol_density_routing): every 17th doc gets a code-like suffix,
+    every 13th a math-like one; the router reads the resulting
+    character-class densities back out. Code precedence over math."""
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    suffixed = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 0, F.concat(F.col("text"), F.lit(_CODE_SFX))
+        )
+        .when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(_MATH_SFX)))
+        .otherwise(F.col("text")),
+    )
+    return TS.symbol_density_routing(suffixed)
+
+
+MATH_CODE_ROUTING_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN text || repeat(' if (x) {{ y; }}', 8)
+              WHEN doc_id % 13 = 0 THEN text || repeat(' 12 + 34 = 46', 8)
+              ELSE text END AS text
+  FROM documents
+), cnt AS (
+  SELECT doc_id, len(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '[0-9]'))::BIGINT AS dig,
+         len(regexp_extract_all(text, '[+*/=<>%-]'))::BIGINT AS op,
+         len(regexp_extract_all(text, '[{{}}()\\[\\];]'))::BIGINT AS code
+  FROM base
+), bp AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars > 0 THEN (dig * 10000) // n_chars ELSE 0 END::BIGINT AS digit_bp,
+         CASE WHEN n_chars > 0 THEN (op * 10000) // n_chars ELSE 0 END::BIGINT AS op_bp,
+         CASE WHEN n_chars > 0 THEN (code * 10000) // n_chars ELSE 0 END::BIGINT AS code_bp
+  FROM cnt
+)
+SELECT doc_id, n_chars, digit_bp, op_bp, code_bp,
+       CASE WHEN code_bp >= 500 THEN 'code'
+            WHEN digit_bp + op_bp >= 800 THEN 'math'
+            ELSE 'prose' END AS route
+FROM bp
+"""
+
+
+def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit (operators/privacy.py)
+    over the events table: QI = (event_type, hour-of-day, value
+    decile-bin), sensitive = user_id. Generalization (the hour and
+    value binning) happens scan-side before the one-shuffle audit."""
+    from ..operators.privacy import k_anonymity
+
+    ev = table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour"),
+        F.floor(F.col("value") / 10).cast("bigint").alias("value_bin"),
+        "user_id",
+    )
+    return k_anonymity(qi, ["event_type", "hour", "value_bin"], "user_id", k=5, l_div=2)
+
+
+K_ANONYMITY_SQL = """
+WITH qi AS (
+  SELECT event_type, hour(ts)::BIGINT AS hour,
+         floor(value / 10)::BIGINT AS value_bin, user_id
+  FROM events
+), g AS (
+  SELECT event_type, hour, value_bin,
+         count(*)::BIGINT AS group_n,
+         count(DISTINCT user_id)::BIGINT AS l_distinct
+  FROM qi GROUP BY 1, 2, 3
+)
+SELECT event_type, hour, value_bin, group_n, l_distinct,
+       group_n >= 5 AS is_k_anonymous,
+       l_distinct >= 2 AS is_l_diverse,
+       (CASE WHEN group_n >= 5 AND l_distinct >= 2
+             THEN 0 ELSE group_n END)::BIGINT AS suppressed_rows
+FROM g
+"""
+
+
+def blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist rate gate (operators/curate.py::
+    blocklist_hits) with the list derived in-pipeline as the top-5
+    corpus tokens (top_frequency_blocklist) so hits are guaranteed
+    on any corpus; max 10% blocked-token rate to keep."""
+    from ..operators.curate import blocklist_hits, top_frequency_blocklist
+
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    bl = top_frequency_blocklist(docs, top_n=5)
+    return blocklist_hits(docs, bl, max_rate_bp=1000).select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        "n_blocked",
+        "n_blocked_types",
+        "keep",
+    )
+
+
+BLOCKLIST_FILTER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+), bl AS (
+  SELECT word FROM (
+    SELECT word, count(*) AS c FROM tok GROUP BY word
+    ORDER BY c DESC, word LIMIT 5
+  )
+), spine AS (
+  SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens FROM documents
+), hits AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_blocked,
+         count(DISTINCT t.word)::BIGINT AS n_blocked_types
+  FROM tok t JOIN bl USING (word) GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_tokens,
+       coalesce(h.n_blocked, 0)::BIGINT AS n_blocked,
+       coalesce(h.n_blocked_types, 0)::BIGINT AS n_blocked_types,
+       coalesce(h.n_blocked, 0) * 10000 <= s.n_tokens * 1000 AS keep
+FROM spine s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""

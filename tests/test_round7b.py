@@ -1,0 +1,120 @@
+"""Round-7 batch-5 unit tests: normalization-fingerprint dedup,
+symbol-density routing, k-anonymity audit, blocklist rate gate.
+
+The oracle gate (tools/oracle_check.py) proves whole-query parity;
+these tests pin the operator-level semantics the oracle can't single
+out — threshold boundaries, precedence, degenerate inputs, and the
+argument contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_normalized_duplicates_collapse_punct_and_case(spark):
+    from joblink_etl_spark.operators.dedup import normalized_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (1, "Foo, bar!"),
+            (2, "foo bar"),
+            (3, "foo  bar"),  # whitespace-only mutation: ALSO exact-dup normal form
+            (4, "foobar"),  # no separator — distinct
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in normalized_duplicates(df).collect()}
+    # 1, 2, 3 share the normalized fingerprint; canonical is min id
+    assert rows[1].canonical_id == 1 and not rows[1].is_duplicate
+    assert rows[2].is_duplicate and rows[2].canonical_id == 1
+    assert rows[3].is_duplicate and rows[3].canonical_id == 1
+    assert not rows[4].is_duplicate
+    # 2 vs 3 differ only in whitespace → exact (normalize_text) dedup
+    # already catches 3; the punctuated 1 is fuzzy-only territory
+    assert not rows[2].is_exact_duplicate  # min of the exact group {2,3}
+    assert rows[3].is_exact_duplicate
+    assert not rows[1].is_exact_duplicate
+
+
+def test_symbol_density_routing_precedence_and_empty(spark):
+    from joblink_etl_spark.operators.textstats import symbol_density_routing
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain words only here"),
+            (2, "x = 1 + 2 * 3 / 4"),  # digits+ops dense → math
+            (3, "if (x) { y(); } ; () {}"),  # brace dense → code
+            (4, "{ 1 + 2 } ; ( 3 * 4 ) = { 5 }"),  # both → code wins
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in symbol_density_routing(df).collect()}
+    assert rows[1].route == "prose"
+    assert rows[2].route == "math"
+    assert rows[3].route == "code"
+    assert rows[4].route == "code"  # precedence: code beats math
+    assert rows[5].route == "prose"
+    assert rows[5].n_chars == 0 and rows[5].digit_bp == 0 and rows[5].code_bp == 0
+
+
+def test_k_anonymity_flags_and_suppression(spark):
+    from joblink_etl_spark.operators.privacy import k_anonymity
+
+    # group A: size 3 (fails k=3? no — k=3 passes), 1 sensitive value
+    # (fails l=2); group B: size 2 (fails k=3), 2 sensitive values
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 10), ("a", 1, 10), ("b", 2, 10), ("b", 2, 11)],
+        "qi string, qi2 int, user bigint",
+    )
+    out = {
+        r.qi: r
+        for r in k_anonymity(df, ["qi", "qi2"], "user", k=3, l_div=2).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert a.group_n == 3 and a.is_k_anonymous and not a.is_l_diverse
+    assert a.suppressed_rows == 3  # l-diversity failure suppresses too
+    assert b.group_n == 2 and not b.is_k_anonymous and b.is_l_diverse
+    assert b.suppressed_rows == 2
+
+
+def test_k_anonymity_requires_qi_cols(spark):
+    from joblink_etl_spark.operators.privacy import k_anonymity
+
+    df = spark.createDataFrame([("a", 1)], "qi string, user bigint")
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        k_anonymity(df, [], "user")
+
+
+def test_blocklist_hits_rate_gate_and_empty_doc(spark):
+    from joblink_etl_spark.operators.curate import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bad word bad apple"),  # 2/4 blocked = 50% → drop
+            (2, "bad a b c d e f g h i"),  # 1/10 = exactly 10% → keep (<=)
+            (3, "clean text"),
+            (4, ""),  # zero tokens → keep, zero counts
+        ],
+        "doc_id bigint, text string",
+    )
+    bl = spark.createDataFrame([("bad",), ("word",)], "word string")
+    out = {
+        r.id: r for r in blocklist_hits(docs, bl, max_rate_bp=1000).collect()
+    }
+    assert out[1].n_blocked == 3 and out[1].n_blocked_types == 2 and not out[1].keep
+    assert out[2].n_blocked == 1 and out[2].keep  # boundary: 10000*1 == 1000*10
+    assert out[3].n_blocked == 0 and out[3].keep
+    assert out[4].n_tokens == 0 and out[4].n_blocked == 0 and out[4].keep
+
+
+def test_top_frequency_blocklist_ties_alphabetical(spark):
+    from joblink_etl_spark.operators.curate import top_frequency_blocklist
+
+    docs = spark.createDataFrame(
+        [(1, "zz zz aa aa bb")], "doc_id bigint, text string"
+    )
+    words = [r.word for r in top_frequency_blocklist(docs, top_n=2).collect()]
+    assert words == ["aa", "zz"]  # count desc, then word asc

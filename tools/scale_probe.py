@@ -62,6 +62,11 @@ FAMILIES = {
     # round-7 batch-4 families
     "mixture": "doremi_weights",
     "rankcorr": "length_bias",
+    # round-7 batch-5 families
+    "normdedup": "normalized_dedup",
+    "routing": "math_code_routing",
+    "privacy": "k_anonymity",
+    "blocklist": "blocklist_filter",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
