@@ -276,3 +276,53 @@ def bm25_rank(
             "rank",
         )
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """IR self-evaluation against a relevance truth set — the
+    retrieval sibling of dedup_method_recall / ann_method_recall:
+    given a ranked retrieval result (query, doc, rank) and a truth
+    relation (query, relevant doc), per query report
+
+    - n_relevant / n_hits_at_k: truth size and how many were
+      retrieved within the ranking's cutoff,
+    - first_rel_rank: rank of the first relevant hit (0 = none),
+    - recall_bp: 10000·hits div n_relevant,
+    - rr_ppm: 1000000 div first_rel_rank (the reciprocal-rank term
+      an MRR average is built from; 0 when nothing relevant hit).
+
+    All metrics are integer-scaled rationals (div floors,
+    non-negative domain) so the numbers replay bit-for-bit in the
+    oracle — no float recall/MRR anywhere.
+
+    Scale: truth and ranked are both O(queries·k) — the join and the
+    two groupBys are on the query key; the corpus never appears."""
+    hits = (
+        ranked.join(truth, [query_col, id_col])
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits_at_k"),
+            F.min(rank_col).cast("bigint").alias("_frr"),
+        )
+    )
+    tn = truth.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_relevant")
+    )
+    return tn.join(hits, query_col, "left").select(
+        query_col,
+        "n_relevant",
+        F.coalesce(F.col("n_hits_at_k"), F.lit(0)).cast("bigint").alias("n_hits_at_k"),
+        F.coalesce(F.col("_frr"), F.lit(0)).cast("bigint").alias("first_rel_rank"),
+        F.expr("(coalesce(n_hits_at_k, 0) * 10000) div n_relevant")
+        .cast("bigint")
+        .alias("recall_bp"),
+        F.expr("CASE WHEN _frr IS NULL THEN 0 ELSE 1000000 div _frr END")
+        .cast("bigint")
+        .alias("rr_ppm"),
+    )

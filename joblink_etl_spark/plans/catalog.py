@@ -45,8 +45,9 @@ template_dedup, sft_render, packing_contamination.
 Round-7 batch-5 additions (also past the window): normalized_dedup
 (punct/case-insensitive fingerprints), math_code_routing
 (symbol-density sub-corpus router), k_anonymity (QI release audit),
-blocklist_filter (C4-style wordlist rate gate). Registry
-total 188 (185 with SQL oracles; bpe_merges / bpe_encode /
+blocklist_filter (C4-style wordlist rate gate), retrieval_metrics
+(IR recall@k / reciprocal-rank self-eval vs planted relevance).
+Registry total 189 (186 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design).
 """
 
@@ -309,3 +310,4 @@ register("normalized_dedup", E.normalized_dedup_q, E.NORMALIZED_DEDUP_SQL)
 register("math_code_routing", E.math_code_routing_q, E.MATH_CODE_ROUTING_SQL)
 register("k_anonymity", E.k_anonymity_q, E.K_ANONYMITY_SQL)
 register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)
+register("retrieval_metrics", E.retrieval_metrics_q, E.RETRIEVAL_METRICS_SQL)

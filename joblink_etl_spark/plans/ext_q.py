@@ -2604,10 +2604,12 @@ def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, queries, k=10, max_df_ratio=(1, 1))
 
 
-BM25_RANK_SQL = f"""
-WITH corpus AS (
-  SELECT doc_id AS id, text FROM documents
-), tok AS (
+# The BM25 CTE chain from tokenization through per-(query, doc)
+# scores, shared between BM25_RANK_SQL and RETRIEVAL_METRICS_SQL —
+# prepend a `WITH corpus AS (... id, text ...)` head. Queries are the
+# id < 3 docs; df prune disabled (ratio 1/1) as documented at
+# bm25_rank_q.
+_BM25_CHAIN = f"""tok AS (
   SELECT id, {_TOKS} AS toks FROM corpus
 ), tf AS (
   SELECT id, u.token, count(*)::BIGINT AS tf
@@ -2641,7 +2643,12 @@ WITH corpus AS (
   FROM qterms q JOIN contrib c ON q.token = c.token
   WHERE q.query_id <> c.id
   GROUP BY 1, 2
-)
+)"""
+
+BM25_RANK_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+), {_BM25_CHAIN}
 SELECT query_id, id AS doc_id, shared_terms, score_q,
        round(score_q / 10000.0, 4) AS score, rank
 FROM (
@@ -5200,4 +5207,111 @@ SELECT s.doc_id, s.n_tokens,
        coalesce(h.n_blocked_types, 0)::BIGINT AS n_blocked_types,
        coalesce(h.n_blocked, 0) * 10000 <= s.n_tokens * 1000 AS keep
 FROM spine s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Retrieval self-evaluation: recall@10 / reciprocal rank of BM25
+# against planted relevance — three token-slice clones per query doc
+# (half, two-thirds, tail-offset) are the relevant set; the metrics
+# operator reads back how many the ranker surfaced and where.
+# ---------------------------------------------------------------------------
+
+
+def retrieval_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tfidf import bm25_rank, retrieval_metrics
+
+    docs = parallelize(table(spark, sf_dir, "documents").select("doc_id", "text"))
+    q = docs.filter(F.col("doc_id") < 3)
+    qt = q.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    # near-full-length slices: on a ~31-word vocabulary every doc
+    # shares most TYPES with every query, so a relevant clone must
+    # keep (nearly) the full distinct-term set and win on the
+    # shorter-dl normalization — aggressive truncation buried the
+    # clones below ordinary corpus docs
+    clones = (
+        qt.select(
+            (F.col("doc_id") + 90000).alias("doc_id"),
+            F.expr(
+                "array_join(slice(toks, 1, greatest(size(toks) - 2, 0)), ' ')"
+            ).alias("text"),
+        )
+        .unionAll(
+            qt.select(
+                (F.col("doc_id") + 91000).alias("doc_id"),
+                F.expr(
+                    "array_join(slice(toks, 4, greatest(size(toks) - 3, 0)), ' ')"
+                ).alias("text"),
+            )
+        )
+        .unionAll(
+            qt.select(
+                (F.col("doc_id") + 92000).alias("doc_id"),
+                F.expr(
+                    "array_join(slice(toks, 3, greatest(size(toks) - 4, 0)), ' ')"
+                ).alias("text"),
+            )
+        )
+    )
+    truth = (
+        q.select(F.col("doc_id").alias("query_id"), (F.col("doc_id") + 90000).alias("doc_id"))
+        .unionAll(
+            q.select(
+                F.col("doc_id").alias("query_id"), (F.col("doc_id") + 91000).alias("doc_id")
+            )
+        )
+        .unionAll(
+            q.select(
+                F.col("doc_id").alias("query_id"), (F.col("doc_id") + 92000).alias("doc_id")
+            )
+        )
+    )
+    ranked = bm25_rank(
+        docs.unionAll(clones), q, k=10, max_df_ratio=(1, 1)
+    ).select("query_id", "doc_id", "rank")
+    return retrieval_metrics(ranked, truth)
+
+
+RETRIEVAL_METRICS_SQL = f"""
+WITH qtok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 3
+), corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 90000, array_to_string(list_slice(toks, 1, len(toks) - 2), ' ')
+  FROM qtok
+  UNION ALL
+  SELECT doc_id + 91000, array_to_string(list_slice(toks, 4, len(toks)), ' ')
+  FROM qtok
+  UNION ALL
+  SELECT doc_id + 92000, array_to_string(list_slice(toks, 3, len(toks) - 2), ' ')
+  FROM qtok
+), {_BM25_CHAIN},
+ranked AS (
+  SELECT query_id, id AS doc_id, rank FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+), truth AS (
+  SELECT doc_id AS query_id, doc_id + 90000 AS doc_id FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 91000 FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT doc_id, doc_id + 92000 FROM documents WHERE doc_id < 3
+), hits AS (
+  SELECT t.query_id, count(*)::BIGINT AS n_hits_at_k,
+         min(r.rank)::BIGINT AS first_rel_rank
+  FROM truth t JOIN ranked r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  GROUP BY 1
+), tn AS (
+  SELECT query_id, count(*)::BIGINT AS n_relevant FROM truth GROUP BY 1
+)
+SELECT tn.query_id, tn.n_relevant,
+       coalesce(h.n_hits_at_k, 0)::BIGINT AS n_hits_at_k,
+       coalesce(h.first_rel_rank, 0)::BIGINT AS first_rel_rank,
+       ((coalesce(h.n_hits_at_k, 0) * 10000) // tn.n_relevant)::BIGINT AS recall_bp,
+       (CASE WHEN h.first_rel_rank IS NULL THEN 0
+             ELSE 1000000 // h.first_rel_rank END)::BIGINT AS rr_ppm
+FROM tn LEFT JOIN hits h ON tn.query_id = h.query_id
 """

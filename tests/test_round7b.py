@@ -118,3 +118,23 @@ def test_top_frequency_blocklist_ties_alphabetical(spark):
     )
     words = [r.word for r in top_frequency_blocklist(docs, top_n=2).collect()]
     assert words == ["aa", "zz"]  # count desc, then word asc
+
+
+def test_retrieval_metrics_exact_fractions(spark):
+    from joblink_etl_spark.operators.tfidf import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    truth = spark.createDataFrame(
+        # q1: 2 relevant, both retrieved (ranks 2, 3); q2: 2 relevant,
+        # none retrieved; q3: relevant but q3 absent from ranking
+        [(1, 11), (1, 12), (2, 30), (2, 31), (3, 40)],
+        "query_id bigint, doc_id bigint",
+    )
+    out = {r.query_id: r for r in retrieval_metrics(ranked, truth).collect()}
+    assert out[1].n_hits_at_k == 2 and out[1].recall_bp == 10000
+    assert out[1].first_rel_rank == 2 and out[1].rr_ppm == 500000
+    assert out[2].n_hits_at_k == 0 and out[2].recall_bp == 0 and out[2].rr_ppm == 0
+    assert out[3].n_relevant == 1 and out[3].n_hits_at_k == 0
