@@ -576,3 +576,107 @@ def packing_contamination(
         .cast("bigint")
         .alias("tokens"),
     )
+
+
+
+def waterfill_allocation(
+    df: DataFrame,
+    group_col: str = "grp",
+    budget: int = 1000,
+) -> DataFrame:
+    """Max-min fair (waterfilling) allocation of a row budget across
+    groups: each group is allocated min(its size, T) where the water
+    level T is the largest integer with Σ min(size_g, T) ≤ budget,
+    and the sub-T remainder is topped up one row at a time to the
+    largest capped groups (deterministic ties by group name). The
+    balanced-mixture primitive: small domains keep everything, large
+    domains are capped at a common level instead of swamping the mix.
+
+    Exact integer algorithm. With groups sorted by size ascending
+    (prefix = exclusive running sum, n groups, m = n − i remaining
+    after bracket row i), level c_i is feasible iff
+    prefix_i + c_i·(n−i+1) ≤ budget; for the LAST feasible row i*,
+    T = (budget − prefix_{i*} − c_{i*}) div (n − i*). No feasible
+    row → T = budget div n (flat floor); all rows feasible → the
+    whole corpus fits and alloc = size everywhere. The top-up gives
+    +1 to the first (budget − Σ alloc) capped groups ordered by
+    (size desc, group asc); the remainder is < #capped by T's
+    maximality, so every topped group has headroom.
+
+    Scale: corpus-sized work is ONE map-side-combinable groupBy
+    count; everything downstream (windows, bracket pick, top-up)
+    runs on |groups| rows with one-row broadcast aggregates — the
+    single-partition windows are over the group relation, never the
+    corpus. Output: (group_col, n_docs, alloc), Σ alloc =
+    min(budget, Σ n_docs). Row selection is the caller's
+    deterministic per-group priority (e.g. priority_sample's
+    md5-rank) limited to `alloc`."""
+    from pyspark.sql.window import Window
+
+    budget = int(budget)
+    sizes = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.orderBy("n_docs", "_g")
+    ranked = sizes.withColumns(
+        {
+            "_i": F.row_number().over(w).cast("bigint"),
+            "_prefix": F.coalesce(
+                F.sum("n_docs").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("bigint"),
+        }
+    )
+    nn = sizes.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    bracket = (
+        ranked.crossJoin(F.broadcast(nn))
+        .filter(
+            F.col("_prefix") + F.col("n_docs") * (F.col("_n") - F.col("_i") + 1)
+            <= F.lit(budget)
+        )
+        .agg(
+            F.expr("max_by(_i, _i)").alias("_bi"),
+            F.expr("max_by(_prefix, _i)").alias("_bprefix"),
+            F.expr("max_by(n_docs, _i)").alias("_bc"),
+        )
+    )
+    level = (
+        nn.crossJoin(F.broadcast(bracket))
+        .select(
+            F.expr(
+                f"CASE WHEN _bi IS NULL THEN {budget} div _n"
+                f"     WHEN _bi = _n THEN _bc"
+                f"     ELSE ({budget} - _bprefix - _bc) div (_n - _bi) END"
+            )
+            .cast("bigint")
+            .alias("_T")
+        )
+    )
+    alloc0 = sizes.crossJoin(F.broadcast(level)).select(
+        "_g", "n_docs", F.least(F.col("n_docs"), F.col("_T")).cast("bigint").alias("_a0")
+    )
+    spent = alloc0.agg(F.sum("_a0").cast("bigint").alias("_used"))
+    wc = Window.orderBy(F.col("n_docs").desc(), F.col("_g"))
+    capped = (
+        alloc0.filter(F.col("n_docs") > F.col("_a0"))
+        .withColumn("_cr", F.row_number().over(wc).cast("bigint"))
+        .select("_g", "_cr")
+    )
+    return (
+        alloc0.join(capped, "_g", "left")
+        .crossJoin(F.broadcast(spent))
+        .select(
+            F.col("_g").alias(group_col),
+            "n_docs",
+            (
+                F.col("_a0")
+                + F.when(
+                    F.col("_cr").isNotNull()
+                    & (F.col("_cr") <= F.lit(budget) - F.col("_used")),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("alloc"),
+        )
+    )

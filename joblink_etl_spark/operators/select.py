@@ -457,3 +457,61 @@ def render_sft(
         token_count(core).cast("bigint").alias("prompt_tokens"),
         token_count(rendered).cast("bigint").alias("total_tokens"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-group quantile normalization of a score column: each
+    row's WITHIN-group rank is mapped to the matching position in
+    the POOLED distribution and the pooled value there becomes the
+    normalized score. Afterwards every group's score distribution is
+    (a subsample of) the same pooled one — the standard fix when
+    heterogeneous sources produce incomparable raw quality scores
+    and a single global threshold would drain some sources dry.
+
+    Exact integer mapping (no float quantiles): within-group rank
+    r ∈ [1, n_g] lands at pooled position
+    p = 1 + ((r−1)·(N−1)) div (n_g−1); a singleton group maps to
+    the pooled median position (N+1) div 2. Ties break by id on
+    both sides, so the map replays bit-for-bit in the oracle.
+
+    Scale: the within-group rank is a window partitioned by group
+    (distributed); the pooled ranking uses rank.global_rank's
+    range-partition + per-partition-offset scheme — NO single
+    global-order window over the corpus; the final lookup is a
+    shuffle join on the pooled position. Output:
+    (id, group, raw_score, src_rank, norm_score)."""
+    from pyspark.sql.window import Window
+
+    from .rank import global_rank
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("raw_score"),
+    )
+    pooled = global_rank(
+        base.select("raw_score", "id"), ["raw_score", "id"], "_prnk"
+    ).select(F.col("raw_score").alias("_pv"), F.col("_prnk").alias("_pp"))
+    nn = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    wg = Window.partitionBy("grp").orderBy("raw_score", "id")
+    ranked = base.withColumns(
+        {
+            "src_rank": F.row_number().over(wg).cast("bigint"),
+            "_ng": F.count(F.lit(1)).over(Window.partitionBy("grp")).cast("bigint"),
+        }
+    )
+    pos = ranked.crossJoin(F.broadcast(nn)).withColumn(
+        "_p",
+        F.expr(
+            "CASE WHEN _ng > 1 THEN 1 + ((src_rank - 1) * (_n - 1)) div (_ng - 1) "
+            "ELSE (_n + 1) div 2 END"
+        ).cast("bigint"),
+    )
+    return pos.join(pooled, pos["_p"] == pooled["_pp"]).select(
+        "id", "grp", "raw_score", "src_rank", F.col("_pv").alias("norm_score")
+    )

@@ -46,8 +46,10 @@ Round-7 batch-5 additions (also past the window): normalized_dedup
 (punct/case-insensitive fingerprints), math_code_routing
 (symbol-density sub-corpus router), k_anonymity (QI release audit),
 blocklist_filter (C4-style wordlist rate gate), retrieval_metrics
-(IR recall@k / reciprocal-rank self-eval vs planted relevance).
-Registry total 189 (186 with SQL oracles; bpe_merges / bpe_encode /
+(IR recall@k / reciprocal-rank self-eval vs planted relevance),
+waterfill_alloc (max-min fair budget allocation across domains),
+quantile_norm (cross-source score calibration onto the pooled
+distribution). Registry total 191 (188 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design).
 """
 
@@ -311,3 +313,5 @@ register("math_code_routing", E.math_code_routing_q, E.MATH_CODE_ROUTING_SQL)
 register("k_anonymity", E.k_anonymity_q, E.K_ANONYMITY_SQL)
 register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)
 register("retrieval_metrics", E.retrieval_metrics_q, E.RETRIEVAL_METRICS_SQL)
+register("waterfill_alloc", E.waterfill_alloc_q, E.WATERFILL_ALLOC_SQL)
+register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)

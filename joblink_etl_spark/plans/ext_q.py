@@ -5315,3 +5315,95 @@ SELECT tn.query_id, tn.n_relevant,
              ELSE 1000000 // h.first_rel_rank END)::BIGINT AS rr_ppm
 FROM tn LEFT JOIN hits h ON tn.query_id = h.query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Waterfill budget allocation (operators/sampling.py::
+# waterfill_allocation): max-min fair document budget across
+# (source, lang) cells. The oracle replays the exact integer
+# bracket-scan: feasibility prefix + c_i*(n-i+1) <= B, last feasible
+# row fixes the water level T, remainder tops up the largest capped
+# cells.
+# ---------------------------------------------------------------------------
+
+
+def waterfill_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import waterfill_allocation
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.concat_ws("|", "source", "lang").alias("grp")
+    )
+    return waterfill_allocation(docs, "grp", budget=300)
+
+
+WATERFILL_ALLOC_SQL = """
+WITH sizes AS (
+  SELECT source || '|' || lang AS grp, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+), nn AS (SELECT count(*)::BIGINT AS n FROM sizes),
+ranked AS (
+  SELECT grp, n_docs,
+         row_number() OVER (ORDER BY n_docs, grp)::BIGINT AS i,
+         coalesce(sum(n_docs) OVER (ORDER BY n_docs, grp
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prefix
+  FROM sizes
+), bracket AS (
+  SELECT max_by(i, i) AS bi, max_by(prefix, i) AS bprefix, max_by(n_docs, i) AS bc
+  FROM ranked, nn WHERE prefix + n_docs * (n - i + 1) <= 300
+), lvl AS (
+  SELECT (CASE WHEN b.bi IS NULL THEN 300 // n.n
+               WHEN b.bi = n.n THEN b.bc
+               ELSE (300 - b.bprefix - b.bc) // (n.n - b.bi) END)::BIGINT AS t
+  FROM nn n CROSS JOIN bracket b
+), alloc0 AS (
+  SELECT grp, n_docs, least(n_docs, l.t)::BIGINT AS a0 FROM sizes, lvl l
+), spent AS (SELECT sum(a0)::BIGINT AS used FROM alloc0),
+capped AS (
+  SELECT grp, row_number() OVER (ORDER BY n_docs DESC, grp)::BIGINT AS cr
+  FROM alloc0 WHERE n_docs > a0
+)
+SELECT a.grp, a.n_docs,
+       (a.a0 + CASE WHEN c.cr IS NOT NULL AND c.cr <= 300 - s.used
+                    THEN 1 ELSE 0 END)::BIGINT AS alloc
+FROM alloc0 a LEFT JOIN capped c ON a.grp = c.grp, spent s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (operators/select.py::
+# quantile_normalize): per-source n_chars ranks mapped onto the
+# pooled distribution — integer position arithmetic, id tiebreaks on
+# both sides, so the oracle replays the map exactly.
+# ---------------------------------------------------------------------------
+
+
+def quantile_norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.select import quantile_normalize
+
+    docs = parallelize(
+        table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    )
+    return quantile_normalize(docs, "source", "n_chars", "doc_id")
+
+
+QUANTILE_NORM_SQL = """
+WITH base AS (
+  SELECT doc_id AS id, source AS grp, n_chars::BIGINT AS raw_score FROM documents
+), nn AS (SELECT count(*)::BIGINT AS n FROM base),
+pooled AS (
+  SELECT raw_score AS pv,
+         row_number() OVER (ORDER BY raw_score, id)::BIGINT AS pp
+  FROM base
+), ranked AS (
+  SELECT id, grp, raw_score,
+         row_number() OVER (PARTITION BY grp ORDER BY raw_score, id)::BIGINT AS src_rank,
+         count(*) OVER (PARTITION BY grp)::BIGINT AS ng
+  FROM base
+), pos AS (
+  SELECT r.*, (CASE WHEN ng > 1 THEN 1 + ((src_rank - 1) * (n - 1)) // (ng - 1)
+                    ELSE (n + 1) // 2 END)::BIGINT AS p
+  FROM ranked r, nn
+)
+SELECT pos.id, pos.grp, pos.raw_score, pos.src_rank, pooled.pv AS norm_score
+FROM pos JOIN pooled ON pos.p = pooled.pp
+"""

@@ -138,3 +138,43 @@ def test_retrieval_metrics_exact_fractions(spark):
     assert out[1].first_rel_rank == 2 and out[1].rr_ppm == 500000
     assert out[2].n_hits_at_k == 0 and out[2].recall_bp == 0 and out[2].rr_ppm == 0
     assert out[3].n_relevant == 1 and out[3].n_hits_at_k == 0
+
+
+def test_waterfill_allocation_brackets(spark):
+    from joblink_etl_spark.operators.sampling import waterfill_allocation
+
+    rows = [("a",)] * 10 + [("b",)] * 3 + [("c",)] * 7 + [("d",)] * 1
+    df = spark.createDataFrame(rows, "grp string")
+
+    def run(b):
+        return {
+            r.grp: r.alloc for r in waterfill_allocation(df, "grp", budget=b).collect()
+        }
+
+    # interior bracket: T=4, exact fit
+    assert run(12) == {"a": 4, "b": 3, "c": 4, "d": 1}
+    # remainder +1 goes to the largest capped group first
+    assert run(13) == {"a": 5, "b": 3, "c": 4, "d": 1}
+    # budget below group count: flat floor T=0, top-up by size desc
+    assert run(3) == {"a": 1, "b": 1, "c": 1, "d": 0}
+    # budget above corpus: everything allocated, surplus unused
+    assert run(100) == {"a": 10, "b": 3, "c": 7, "d": 1}
+
+
+def test_quantile_normalize_endpoints_and_singleton(spark):
+    from joblink_etl_spark.operators.select import quantile_normalize
+
+    # group a: 3 rows spanning ranks; group b: singleton → pooled median
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 50), (3, "a", 90), (4, "b", 999)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    out = {r.id: r for r in quantile_normalize(df).collect()}
+    # pooled sorted: 10, 50, 90, 999 (N=4)
+    # a's rank 1 -> p=1 (pooled min), rank 3 -> p=1+(2*3)div 2=4 (pooled max)
+    assert out[1].norm_score == 10
+    assert out[3].norm_score == 999
+    # a's rank 2 -> p = 1 + (1*3) div 2 = 2 -> 50
+    assert out[2].norm_score == 50
+    # singleton b -> median position (4+1) div 2 = 2 -> 50
+    assert out[4].norm_score == 50 and out[4].src_rank == 1
