@@ -49,7 +49,13 @@ blocklist_filter (C4-style wordlist rate gate), retrieval_metrics
 (IR recall@k / reciprocal-rank self-eval vs planted relevance),
 waterfill_alloc (max-min fair budget allocation across domains),
 quantile_norm (cross-source score calibration onto the pooled
-distribution). Registry total 191 (188 with SQL oracles; bpe_merges / bpe_encode /
+distribution).
+
+Round-7 batch-7 additions (past the window): k_anon_gate (the
+driver-checkable batch twin of streaming_k_anon_gate, the stateful
+streaming k-anonymity release gate; streaming_blocklist_gate ships
+alongside, pytest-pinned against the join-based batch operator).
+Registry total 192 (189 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design).
 """
 
@@ -315,3 +321,6 @@ register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)
 register("retrieval_metrics", E.retrieval_metrics_q, E.RETRIEVAL_METRICS_SQL)
 register("waterfill_alloc", E.waterfill_alloc_q, E.WATERFILL_ALLOC_SQL)
 register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)
+
+# --- round-7 batch 7 (registered past the window) ---------------------
+register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)

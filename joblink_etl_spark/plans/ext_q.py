@@ -5169,6 +5169,41 @@ FROM g
 """
 
 
+def k_anon_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-order k-anonymity release gate (streaming/pipeline.py::
+    k_anon_gate_batch, the driver-checkable twin of
+    streaming_k_anon_gate): each event's QI-class size at arrival and
+    whether it was releasable then (class already ≥ k). Same QI
+    generalization as the k_anonymity audit."""
+    from ..streaming.pipeline import k_anon_gate_batch
+
+    ev = table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour"),
+        F.floor(F.col("value") / 10).cast("bigint").alias("value_bin"),
+        "event_id",
+    )
+    return k_anon_gate_batch(qi, ["event_type", "hour", "value_bin"], k=5)
+
+
+K_ANON_GATE_SQL = """
+WITH qi AS (
+  SELECT event_type, hour(ts)::BIGINT AS hour,
+         floor(value / 10)::BIGINT AS value_bin, event_id
+  FROM events
+)
+SELECT event_type, hour, value_bin, event_id,
+       row_number() OVER (
+         PARTITION BY event_type, hour, value_bin ORDER BY event_id
+       ) AS class_n,
+       row_number() OVER (
+         PARTITION BY event_type, hour, value_bin ORDER BY event_id
+       ) >= 5 AS releasable
+FROM qi
+"""
+
+
 def blocklist_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist rate gate (operators/curate.py::
     blocklist_hits) with the list derived in-pipeline as the top-5

@@ -1113,3 +1113,113 @@ def line_registry_batch(
         .withColumn("is_boiler", F.col("n_docs") > max_docs)
         .select("line_h", "doc_id", "n_docs", "is_boiler")
     )
+
+
+def streaming_k_anon_gate(
+    rows: DataFrame,
+    qi_cols: list,
+    k: int = 5,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Custom stateful operator: a STREAMING k-anonymity release gate
+    — the stream twin of privacy.k_anonymity's audit. Rows arrive
+    keyed by their quasi-identifier tuple; state is the running class
+    size. A row is `releasable` only once its QI class has reached k
+    members AT ARRIVAL TIME — the first k-1 rows of every class are
+    held (a downstream release buffer flushes them when a later row
+    of the same class turns releasable), so no released row is ever
+    identifiable within a class smaller than k.
+
+    Scale/state design: keyed by the QI tuple (one shuffle); state is
+    ONE long per distinct QI class — exactly the group_n cardinality
+    the batch audit materializes. Skewed QI classes are by definition
+    the privacy-safe ones, and their per-batch work is a vectorized
+    cumulative count. Within a micro-batch rows resolve in id order,
+    so a full-history single-batch drain replays exactly like
+    k_anon_gate_batch — pinned in tests."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    qi_cols = list(qi_cols)
+    cols = qi_cols + [id_col]
+    base = rows.select(*cols)
+    out_schema = StructType(
+        [base.schema[c] for c in cols]
+        + [
+            StructField("class_n", LongType()),
+            StructField("releasable", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("class_n", LongType())])
+
+    def count_class(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdf_iter)).sort_values(id_col).copy()
+        running = list(range(n + 1, n + 1 + len(pdf)))
+        pdf["class_n"] = running
+        pdf["releasable"] = [c >= k for c in running]
+        state.update((int(n + len(pdf)),))
+        yield pdf[cols + ["class_n", "releasable"]]
+
+    return base.groupBy(*qi_cols).applyInPandasWithState(
+        count_class, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def k_anon_gate_batch(
+    rows: DataFrame,
+    qi_cols: list,
+    k: int = 5,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Driver-checkable batch spelling of streaming_k_anon_gate: over
+    a full history the arrival-time class size is a row_number per QI
+    tuple in id order — what the stateful loop computes when every
+    row arrives in one micro-batch from empty state."""
+    from pyspark.sql.window import Window
+
+    qi_cols = list(qi_cols)
+    w = Window.partitionBy(*qi_cols).orderBy(id_col)
+    return (
+        rows.select(*qi_cols, id_col)
+        .withColumn("class_n", F.row_number().over(w).cast("bigint"))
+        .withColumn("releasable", F.col("class_n") >= k)
+    )
+
+
+def streaming_blocklist_gate(
+    docs: DataFrame,
+    blocklist_words: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rate_bp: int = 1000,
+) -> DataFrame:
+    """Stream-compatible spelling of curate.blocklist_hits — the
+    C4-style wordlist rate gate at the ingestion front door.
+
+    The batch operator joins an exploded token stream against the
+    blocklist RELATION; on an unbounded stream that explode+groupBy
+    would be a stateful aggregation for no reason, because the list
+    is bounded by construction (maintained out-of-band, thousands of
+    entries). So here the list rides along as a literal array and the
+    whole gate collapses to ONE stateless narrow projection — per-doc
+    occurrence counting via a higher-order filter over the token
+    array, nothing for the state store, trivially append-mode. A
+    micro-batch drain matches blocklist_hits row-for-row (pinned in
+    tests)."""
+    from ..operators.textstats import token_count, tokens
+
+    bl = F.array(*[F.lit(w) for w in blocklist_words])
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+        .cast("bigint")
+        .alias("n_blocked"),
+        F.size(F.array_intersect(F.array_distinct(toks), bl))
+        .cast("bigint")
+        .alias("n_blocked_types"),
+    ).withColumn(
+        "keep", F.col("n_blocked") * 10000 <= F.col("n_tokens") * max_rate_bp
+    )

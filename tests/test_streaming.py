@@ -816,3 +816,99 @@ def test_quality_gates_are_stream_compatible(spark, tmp_path):
         got = sorted(map(tuple, spark.read.parquet(sink).collect()))
         want = sorted(map(tuple, op(batch).collect()))
         assert got == want
+
+
+def test_streaming_k_anon_gate_state_across_batches(spark, tmp_path):
+    """Streaming k-anonymity release gate: the QI-class counter
+    carries across micro-batches (a class crosses k only once enough
+    rows have arrived), and a full-history single-batch drain agrees
+    with the batch twin row-for-row."""
+    from joblink_etl_spark.streaming.pipeline import (
+        k_anon_gate_batch,
+        run_available_now,
+        streaming_k_anon_gate,
+    )
+
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "event_id long, zip string, age_band string"
+    mk = lambda i, z: (i, z, "30-40")
+    # batch 1: two rows of class A, one of class B
+    spark.createDataFrame(
+        [mk(1, "A"), mk(2, "A"), mk(3, "B")], schema
+    ).write.mode("append").parquet(src)
+
+    def drain():
+        stream = streaming_k_anon_gate(
+            spark.readStream.schema(schema).parquet(src),
+            ["zip", "age_band"],
+            k=3,
+        )
+        run_available_now(stream, sink, ckpt)
+        return {r["event_id"]: r for r in spark.read.parquet(sink).collect()}
+
+    first = drain()
+    assert len(first) == 3 and not any(r["releasable"] for r in first.values())
+
+    # batch 2: class A reaches k=3 exactly at event 4; B stays at 2
+    spark.createDataFrame([mk(4, "A"), mk(5, "B")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    rows = drain()
+    assert rows[4]["class_n"] == 3 and rows[4]["releasable"]
+    assert rows[5]["class_n"] == 2 and not rows[5]["releasable"]
+
+    # twin equivalence: one-batch drain over the full history ==
+    # batch window spelling, row for row
+    hist = spark.read.parquet(src)
+    sink2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    stream = streaming_k_anon_gate(
+        spark.readStream.schema(schema).parquet(src), ["zip", "age_band"], k=3
+    )
+    run_available_now(stream, sink2, ckpt2)
+    got = sorted(map(tuple, spark.read.parquet(sink2).collect()))
+    want = sorted(
+        map(tuple, k_anon_gate_batch(hist, ["zip", "age_band"], k=3).collect())
+    )
+    assert got == want
+
+
+def test_streaming_blocklist_gate_matches_batch(spark, tmp_path):
+    """The scan-side blocklist gate matches the join-based batch
+    operator row-for-row on an availableNow drain, including the
+    zero-token and over-rate documents."""
+    from joblink_etl_spark.operators.curate import blocklist_hits
+    from joblink_etl_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_blocklist_gate,
+    )
+
+    src = str(tmp_path / "in")
+    schema = "doc_id long, text string"
+    rows = [
+        (1, "spam spam spam ham"),          # 75% blocked -> dropped
+        (2, "clean body of prose text"),    # no hits -> kept
+        (3, "one spam word in ten tokens of otherwise clean prose"),
+        (4, ""),                            # zero tokens -> kept
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    bl_words = ["spam", "eggs"]
+
+    stream = streaming_blocklist_gate(
+        spark.readStream.schema(schema).parquet(src), bl_words, max_rate_bp=2000
+    )
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    run_available_now(stream, sink, ckpt)
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+
+    bl_rel = spark.createDataFrame([(w,) for w in bl_words], "word string")
+    want = sorted(
+        map(
+            tuple,
+            blocklist_hits(
+                spark.read.parquet(src), bl_rel, max_rate_bp=2000
+            ).collect(),
+        )
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert not by_id[1][4] and by_id[2][4] and by_id[4][4]  # keep flags
