@@ -382,6 +382,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_containment_bp: int = 8000,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: containment(A in B) =
+    |grams(A) ∩ grams(B)| / |grams(A)| — the metric that catches
+    quote/subset documents symmetric Jaccard misses (a short doc
+    fully quoted inside a long one has Jaccard ≈ |A|/|B| but
+    containment 1.0; Lee et al. 2022 dedup on both for this reason).
+
+    Output: one row per unordered candidate pair (id_a < id_b) with
+    the shared-gram count, both gram-set sizes, and BOTH directed
+    containments in integer basis points (10000·inter div n) —
+    float-free, so thresholds compare exactly across engines. Pairs
+    survive when either direction reaches min_containment_bp.
+
+    Scale: never all-pairs — candidates and the intersection count
+    come from ONE equi-join on the 60-bit gram hash followed by a
+    map-side-combinable pair count; only docs that actually share a
+    gram ever meet. `max_gram_df` excludes stop-grams (grams in more
+    than max_gram_df documents) from BOTH the intersection and the
+    denominators: ubiquitous boilerplate shingles fan the gram join
+    quadratically while carrying no identity signal, and dropping
+    them relationally keeps the semantics well-defined (containment
+    over the filtered gram space) on Spark and oracle alike."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_bound_ngrams(F.col(text_col), ngram)).alias("g"),
+    ).withColumn("g", md5_int(F.col("g")))
+    if max_gram_df is not None:
+        keep = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_gram_df)
+            .select("g")
+        )
+        grams = grams.join(keep, "g")
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        grams.alias("l")
+        .join(grams.alias("r"), "g")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn("contain_a_bp", F.expr("(10000 * inter) div n_a"))
+        .withColumn("contain_b_bp", F.expr("(10000 * inter) div n_b"))
+        .filter(
+            F.greatest(F.col("contain_a_bp"), F.col("contain_b_bp"))
+            >= F.lit(min_containment_bp)
+        )
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "contain_a_bp", "contain_b_bp")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per document from md5 token hashes.
 

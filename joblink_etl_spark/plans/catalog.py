@@ -324,3 +324,4 @@ register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)
 
 # --- round-7 batch 7 (registered past the window) ---------------------
 register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)
+register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)

@@ -275,6 +275,70 @@ WHERE round(len(list_intersect(l.sh, r.sh))::DOUBLE
             / len(list_distinct(l.sh || r.sh)), 4) >= 0.3
 """
 
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (dedup.py::containment_pairs):
+    every 4th doc gets a planted prefix-quote (first third of its
+    tokens, ≥5) registered under id+20000 — the quote's gram set is a
+    subset of its base's, so containment(quote in base) is exactly
+    10000 bp while Jaccard stays low. Corpus bounded to doc_id < 60
+    (the ngram_jaccard convention): the synthetic 31-word vocabulary
+    makes gram document-frequency unrealistically dense, so the
+    stop-gram knob (max_gram_df), not a corpus cap, is the production
+    lever — exercised in unit tests."""
+    from ..operators import dedup as D
+
+    docs = (
+        parallelize(table(spark, sf_dir, "documents"))
+        .select("doc_id", "text")
+        .filter("doc_id < 60")
+    )
+    qt = docs.select("doc_id", TS.tokens(F.col("text")).alias("toks"))
+    quotes = qt.filter("doc_id % 4 = 0").select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(toks, 1, greatest(size(toks) div 3, 5)), ' ')"
+        ).alias("text"),
+    )
+    corpus = docs.unionAll(quotes)
+    return D.containment_pairs(corpus, ngram=3, min_containment_bp=8000)
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+), toks0 AS (
+  SELECT doc_id, {_TOKS} AS toks FROM base
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 20000,
+         array_to_string(toks[1:greatest(len(toks) // 3, 5)], ' ')
+  FROM toks0 WHERE doc_id % 4 = 0
+), tok AS (
+  SELECT doc_id AS id, {_TOKS} AS toks FROM corpus
+), grams AS (
+  SELECT id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS g FROM (
+    SELECT id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> array_to_string(toks[i:i+2], ' ')))) AS g
+    FROM tok
+  )
+), sizes AS (
+  SELECT id, count(*)::BIGINT AS n FROM grams GROUP BY id
+), ix AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*)::BIGINT AS inter
+  FROM grams l JOIN grams r ON l.g = r.g AND l.id < r.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, a.n AS n_a, b.n AS n_b,
+       ((10000 * inter) // a.n)::BIGINT AS contain_a_bp,
+       ((10000 * inter) // b.n)::BIGINT AS contain_b_bp
+FROM ix JOIN sizes a ON ix.id_a = a.id JOIN sizes b ON ix.id_b = b.id
+WHERE greatest((10000 * inter) // a.n, (10000 * inter) // b.n) >= 8000
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash signatures.
 # ---------------------------------------------------------------------------

@@ -178,3 +178,48 @@ def test_quantile_normalize_endpoints_and_singleton(spark):
     assert out[2].norm_score == 50
     # singleton b -> median position (4+1) div 2 = 2 -> 50
     assert out[4].norm_score == 50 and out[4].src_rank == 1
+
+
+def test_containment_pairs_subset_doc_and_stop_gram_knob(spark):
+    from joblink_etl_spark.operators.dedup import containment_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "alpha beta gamma delta epsilon"),  # prefix quote of 1
+            (3, "totally different words here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {(r.id_a, r.id_b): r for r in containment_pairs(df, ngram=3).collect()}
+    # quote's 3 trigrams all inside base's 8 -> contain_a=10000, b=3750
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert (r.n_a, r.n_b, r.inter) == (8, 3, 3)
+    assert r.contain_b_bp == 10000 and r.contain_a_bp == 3750
+
+    # stop-gram knob: a shingle shared by all three docs fans the
+    # gram join; capping df excludes it from intersection AND sizes
+    footer = " shared footer line"
+    df2 = spark.createDataFrame(
+        [(1, base + footer), (2, "alpha beta gamma delta epsilon" + footer),
+         (3, "totally different words here now" + footer)],
+        "doc_id bigint, text string",
+    )
+    # without the cap doc 3 becomes a candidate via footer grams
+    uncapped = containment_pairs(df2, ngram=3, min_containment_bp=0)
+    assert {(r.id_a, r.id_b) for r in uncapped.collect()} >= {(1, 3), (2, 3)}
+    # df cap 2 drops the ubiquitous footer gram (df=3) -> doc 3 has
+    # no shared grams left at all; the quote pair keeps only its
+    # genuine prefix grams (3 of doc 2's remaining 5: the two
+    # footer-bridge grams differ between the docs)
+    capped = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(
+            df2, ngram=3, min_containment_bp=0, max_gram_df=2
+        ).collect()
+    }
+    assert set(capped) == {(1, 2)}
+    r2 = capped[(1, 2)]
+    assert (r2.inter, r2.n_b, r2.contain_b_bp) == (3, 5, 6000)
