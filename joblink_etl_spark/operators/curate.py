@@ -253,3 +253,41 @@ def blocklist_hits(
             "keep", F.col("n_blocked") * 10000 <= F.col("n_tokens") * max_rate_bp
         )
     )
+
+
+def source_suppression(
+    flagged: DataFrame,
+    source_col: str = "source",
+    flag_col: str = "pass_gopher",
+    min_docs: int = 10,
+    min_pass_bp: int = 5000,
+) -> DataFrame:
+    """Domain-level suppression from doc-level quality flags — the
+    C4/RefinedWeb move from per-document filtering to per-SOURCE
+    policy: a host whose documents overwhelmingly fail the quality
+    gate is dropped wholesale (its passing stragglers are usually
+    boilerplate that slipped the gate, and fetching it again is pure
+    cost). Takes any per-doc boolean flag relation; pairs naturally
+    with textstats.gopher_quality.
+
+    Output per source: (source, n_docs, n_pass, pass_bp, suppressed)
+    where pass_bp = 10000·n_pass div n_docs and a source is
+    suppressed when it has enough evidence (n_docs ≥ min_docs) AND
+    pass_bp < min_pass_bp — small sources are never suppressed on
+    thin evidence, they stay doc-level-filtered.
+
+    Scale: ONE map-side-combinable groupBy; output cardinality is
+    |sources|, and skewed sources are exactly the well-estimated
+    ones. Integer basis points end-to-end."""
+    return (
+        flagged.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col(flag_col).cast("bigint")).cast("bigint").alias("n_pass"),
+        )
+        .withColumn("pass_bp", F.expr("(10000 * n_pass) div n_docs"))
+        .withColumn(
+            "suppressed",
+            (F.col("n_docs") >= min_docs) & (F.col("pass_bp") < min_pass_bp),
+        )
+    )

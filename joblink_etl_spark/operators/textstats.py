@@ -617,3 +617,65 @@ def symbol_density_routing(
         .when(F.col("digit_bp") + F.col("op_bp") >= math_bp, F.lit("math"))
         .otherwise(F.lit("prose")),
     ).select(id_col, "n_chars", "digit_bp", "op_bp", "code_bp", "route")
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    ns: tuple = (1, 2),
+) -> DataFrame:
+    """Distinct-n diversity per group — the corpus-level counterpart
+    of the within-doc repetition ratio, and the standard check that a
+    source (or a synthetic-generation run) isn't mode-collapsed:
+    distinct_bp = 10000·|distinct n-grams| div |total n-grams|. Low
+    distinct-2 with normal distinct-1 is the template-generation
+    signature (same words, same order).
+
+    Output: one row per (group, n) with total/distinct gram counts
+    and the integer-basis-point ratio.
+
+    Scale: tokens explode once per n; the count+count_distinct agg is
+    one shuffle per n on (group, gram) with map-side partial dedup,
+    unioned over the (tiny) ns list. Output cardinality |groups|·|ns|.
+    Grams are counted WITH multiplicity in the denominator — this is
+    deliberately not the deduped shingle set the near-dup family
+    uses."""
+    def _grams(t, n):
+        # non-distinct n-grams: every position, multiplicity kept;
+        # the token array arrives as a bound lambda variable so the
+        # tokenizer runs once per row, not once per element
+        return F.transform(
+            F.slice(t, 1, F.greatest(F.size(t) - (n - 1), F.lit(0))),
+            lambda x, i: F.concat_ws(" ", x, *[F.get(t, i + j) for j in range(1, n)]),
+        )
+
+    def _build(nn):
+        # single-parameter lambda: Spark HOFs infer lambda arity from
+        # the signature, so the loop variable must bind via closure,
+        # not a defaulted second parameter
+        return lambda t: _grams(t, nn)
+
+    out = None
+    for n in ns:
+        if n == 1:
+            grams = tokens(F.col(text_col))
+        else:
+            grams = with_tokens(F.col(text_col), _build(n))
+        part = (
+            docs.select(F.col(group_col).alias("grp"), F.explode(grams).alias("g"))
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("total_grams"),
+                F.count_distinct("g").cast("bigint").alias("distinct_grams"),
+            )
+            .select(
+                "grp",
+                F.lit(n).cast("bigint").alias("n"),
+                "total_grams",
+                "distinct_grams",
+                F.expr("(10000 * distinct_grams) div total_grams").alias("distinct_bp"),
+            )
+        )
+        out = part if out is None else out.unionAll(part)
+    return out

@@ -54,9 +54,14 @@ distribution).
 Round-7 batch-7 additions (past the window): k_anon_gate (the
 driver-checkable batch twin of streaming_k_anon_gate, the stateful
 streaming k-anonymity release gate; streaming_blocklist_gate ships
-alongside, pytest-pinned against the join-based batch operator).
-Registry total 192 (189 with SQL oracles; bpe_merges / bpe_encode /
-lrs_exact rows-only by design).
+alongside, pytest-pinned against the join-based batch operator),
+containment_pairs (asymmetric quote/subset dedup with stop-gram
+exclusion), source_gate (C4-style per-source suppression over the
+Gopher flags), ngram_diversity (distinct-n mode-collapse check).
+Registry total 195 (192 with SQL oracles; bpe_merges / bpe_encode /
+lrs_exact rows-only by design). Full sf0.1 registry sweep green
+this round (191/191 at sweep time + the 4 batch-7 queries checked
+individually at both sfs).
 """
 
 from __future__ import annotations
@@ -325,3 +330,5 @@ register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)
 # --- round-7 batch 7 (registered past the window) ---------------------
 register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)
 register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)
+register("source_gate", E.source_gate_q, E.SOURCE_GATE_SQL)
+register("ngram_diversity", E.ngram_diversity_q, E.NGRAM_DIVERSITY_SQL)

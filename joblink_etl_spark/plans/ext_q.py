@@ -4387,11 +4387,13 @@ _GOPHER_PLANT_ROWS = " UNION ALL ".join(
     for i, t in _GOPHER_PLANTS
 )
 
-GOPHER_QUALITY_SQL = f"""
+def _gopher_sql(corpus_rows: str) -> str:
+    """Gopher flag SQL over a caller-supplied corpus body (doc_id,
+    text) — the one proven flag chain, reused verbatim by every
+    oracle that needs pass_gopher over a different corpus."""
+    return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  {_GOPHER_PLANT_ROWS}
+  {corpus_rows}
 ), stats AS (
   SELECT doc_id,
          len({_TOKS})::BIGINT AS n_words,
@@ -4421,6 +4423,89 @@ SELECT *,
          AND (10 * n_bullet_lines < 9 * n_lines)
          AND (10 * n_ellipsis_lines < 3 * n_lines) AS pass_gopher
 FROM stats
+"""
+
+
+GOPHER_QUALITY_SQL = _gopher_sql(
+    f"""SELECT doc_id, text FROM documents
+  UNION ALL
+  {_GOPHER_PLANT_ROWS}"""
+)
+
+
+def source_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level suppression (curate.py::source_suppression) over
+    the Gopher doc flags: 20 planted docs under source 'spamfarm'
+    fail the word-count floor, so that source crosses the evidence
+    bar (n_docs ≥ 10) with pass_bp 0 and is suppressed wholesale —
+    the C4/RefinedWeb per-host policy step after per-doc filtering.
+    In production the source column rides the narrow flag projection;
+    here it rejoins on doc_id (an AQE-planned doc-keyed equi-join)."""
+    from ..operators.curate import source_suppression
+
+    docs = parallelize(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    plants = spark.range(20).select(
+        (F.col("id") + 700000).alias("doc_id"),
+        F.lit("spamfarm").alias("source"),
+        F.lit("### ### ###").alias("text"),
+    )
+    corpus = docs.unionAll(plants)
+    flags = TS.gopher_quality(corpus.select("doc_id", "text")).select(
+        "doc_id", "pass_gopher"
+    )
+    flagged = flags.join(corpus.select("doc_id", "source"), "doc_id")
+    return source_suppression(flagged, min_docs=10, min_pass_bp=5000)
+
+
+SOURCE_GATE_SQL = f"""
+WITH corpus2 AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT (700000 + r)::BIGINT, 'spamfarm', '### ### ###' FROM range(20) t(r)
+), g AS ({_gopher_sql("SELECT doc_id, text FROM corpus2")}),
+agg AS (
+  SELECT c.source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END)::BIGINT AS n_pass
+  FROM g JOIN corpus2 c USING (doc_id)
+  GROUP BY c.source
+)
+SELECT source, n_docs, n_pass,
+       ((10000 * n_pass) // n_docs)::BIGINT AS pass_bp,
+       n_docs >= 10 AND (10000 * n_pass) // n_docs < 5000 AS suppressed
+FROM agg
+"""
+
+
+def ngram_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (textstats.py::
+    distinct_ngram_diversity): corpus-level mode-collapse check —
+    distinct unigram and bigram mass in integer basis points."""
+    docs = parallelize(table(spark, sf_dir, "documents")).select("source", "text")
+    return TS.distinct_ngram_diversity(docs).withColumnRenamed("grp", "source")
+
+
+NGRAM_DIVERSITY_SQL = f"""
+WITH tok AS (
+  SELECT source, {_TOKS} AS toks FROM documents
+), uni AS (
+  SELECT source, 1::BIGINT AS n, count(*)::BIGINT AS total_grams,
+         count(DISTINCT g)::BIGINT AS distinct_grams
+  FROM (SELECT source, unnest(toks) AS g FROM tok) GROUP BY source
+), bi AS (
+  SELECT source, 2::BIGINT AS n, count(*)::BIGINT AS total_grams,
+         count(DISTINCT g)::BIGINT AS distinct_grams
+  FROM (
+    SELECT source,
+           unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS g
+    FROM tok
+  ) GROUP BY source
+)
+SELECT source, n, total_grams, distinct_grams,
+       ((10000 * distinct_grams) // total_grams)::BIGINT AS distinct_bp
+FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
 """
 
 

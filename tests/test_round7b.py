@@ -223,3 +223,41 @@ def test_containment_pairs_subset_doc_and_stop_gram_knob(spark):
     assert set(capped) == {(1, 2)}
     r2 = capped[(1, 2)]
     assert (r2.inter, r2.n_b, r2.contain_b_bp) == (3, 5, 6000)
+
+
+def test_source_suppression_evidence_floor(spark):
+    from joblink_etl_spark.operators.curate import source_suppression
+
+    rows = (
+        [(i, "bad", False) for i in range(12)]           # 0% pass, 12 docs
+        + [(100 + i, "thin", False) for i in range(3)]   # 0% pass, 3 docs
+        + [(200 + i, "good", i % 4 != 0) for i in range(12)]  # 75% pass
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, pass_gopher boolean")
+    out = {r.source: r for r in source_suppression(df, min_docs=10, min_pass_bp=5000).collect()}
+    assert out["bad"].suppressed and out["bad"].pass_bp == 0
+    # thin evidence: never suppressed wholesale
+    assert not out["thin"].suppressed and out["thin"].n_docs == 3
+    assert not out["good"].suppressed and out["good"].pass_bp == 7500
+
+
+def test_distinct_ngram_diversity_mode_collapse_signature(spark):
+    from joblink_etl_spark.operators.textstats import distinct_ngram_diversity
+
+    df = spark.createDataFrame(
+        [
+            # varied: 6 tokens all distinct, 4 distinct bigrams of 4
+            ("varied", "a b c"), ("varied", "d e f"),
+            # template: same words reshuffled -> unigram diversity ok,
+            # but every doc is the SAME bigram chain -> bigram collapse
+            ("tmpl", "x y x y"), ("tmpl", "x y x y"), ("tmpl", "x y x y"),
+        ],
+        "source string, text string",
+    )
+    out = {(r.grp, r.n): r for r in distinct_ngram_diversity(df).collect()}
+    assert out[("varied", 1)].distinct_bp == 10000
+    assert out[("varied", 2)].distinct_bp == 10000
+    # tmpl: 12 unigrams 2 distinct; 9 bigrams 3 distinct ("x y","y x")
+    assert out[("tmpl", 1)].total_grams == 12 and out[("tmpl", 1)].distinct_grams == 2
+    assert out[("tmpl", 2)].total_grams == 9 and out[("tmpl", 2)].distinct_grams == 2
+    assert out[("tmpl", 2)].distinct_bp == 2222
