@@ -680,3 +680,54 @@ def waterfill_allocation(
             .alias("alloc"),
         )
     )
+
+
+def cluster_balanced_sample(
+    assigned: DataFrame,
+    budget: int,
+    id_col: str = "vec_id",
+    cell_col: str = "cluster_id",
+    salt: str = "cbs",
+) -> DataFrame:
+    """Cluster-balanced (diversity-preserving) subsampling: draw a
+    row budget spread max-min-fairly across embedding clusters — the
+    DataComp/SemDeDup-era alternative to uniform sampling, which
+    mirrors the head of the distribution and starves the tail. Cell
+    quotas come from waterfill_allocation (small clusters keep
+    everything, big clusters cap at a common water level); within a
+    cell the draw is the deterministic salted-md5 rank, so the sample
+    is reproducible in any engine and stable under re-partitioning.
+
+    Input: any (id, cell) assignment — kmeans_codes/IVF cells for
+    embeddings, or any categorical grouping. Output: the picked rows
+    as (id, cell, cell_n, alloc, pick_rank); Σ picked =
+    min(budget, N).
+
+    Scale: quota math runs on |cells| rows (see
+    waterfill_allocation); ranking is ONE row_number window
+    partitioned by cell — the same shuffle shape as exact dedup, no
+    global sort, no driver collect."""
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_int
+
+    quotas = waterfill_allocation(
+        assigned.select(F.col(cell_col).alias("grp")), "grp", budget
+    ).select(
+        F.col("grp").alias(cell_col),
+        F.col("n_docs").alias("cell_n"),
+        "alloc",
+    )
+    w = Window.partitionBy(cell_col).orderBy("_rk", id_col)
+    ranked = (
+        assigned.select(id_col, cell_col)
+        .withColumn(
+            "_rk", md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        )
+        .withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+    )
+    return (
+        ranked.join(quotas, cell_col)
+        .filter(F.col("pick_rank") <= F.col("alloc"))
+        .select(id_col, cell_col, "cell_n", "alloc", "pick_rank")
+    )

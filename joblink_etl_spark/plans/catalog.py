@@ -57,8 +57,9 @@ streaming k-anonymity release gate; streaming_blocklist_gate ships
 alongside, pytest-pinned against the join-based batch operator),
 containment_pairs (asymmetric quote/subset dedup with stop-gram
 exclusion), source_gate (C4-style per-source suppression over the
-Gopher flags), ngram_diversity (distinct-n mode-collapse check).
-Registry total 195 (192 with SQL oracles; bpe_merges / bpe_encode /
+Gopher flags), ngram_diversity (distinct-n mode-collapse check), cluster_sample
+(waterfill-quota diversity subsample over kmeans cells).
+Registry total 196 (193 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -332,3 +333,4 @@ register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)
 register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)
 register("source_gate", E.source_gate_q, E.SOURCE_GATE_SQL)
 register("ngram_diversity", E.ngram_diversity_q, E.NGRAM_DIVERSITY_SQL)
+register("cluster_sample", SQ.cluster_sample_q, SQ.CLUSTER_SAMPLE_SQL)

@@ -5520,10 +5520,15 @@ def waterfill_alloc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_allocation(docs, "grp", budget=300)
 
 
-WATERFILL_ALLOC_SQL = """
+def _waterfill_sql(sizes_body: str, budget: int) -> str:
+    """Waterfill allocation SQL over a caller-supplied (grp, n_docs)
+    sizes body — the one proven bracket-scan chain, reused verbatim
+    by every oracle that needs max-min fair quotas over a different
+    grouping. `grp` keeps the caller's type (ordering ties break on
+    it, so the type must match the Spark side's)."""
+    return f"""
 WITH sizes AS (
-  SELECT source || '|' || lang AS grp, count(*)::BIGINT AS n_docs
-  FROM documents GROUP BY 1
+  {sizes_body}
 ), nn AS (SELECT count(*)::BIGINT AS n FROM sizes),
 ranked AS (
   SELECT grp, n_docs,
@@ -5533,11 +5538,11 @@ ranked AS (
   FROM sizes
 ), bracket AS (
   SELECT max_by(i, i) AS bi, max_by(prefix, i) AS bprefix, max_by(n_docs, i) AS bc
-  FROM ranked, nn WHERE prefix + n_docs * (n - i + 1) <= 300
+  FROM ranked, nn WHERE prefix + n_docs * (n - i + 1) <= {budget}
 ), lvl AS (
-  SELECT (CASE WHEN b.bi IS NULL THEN 300 // n.n
+  SELECT (CASE WHEN b.bi IS NULL THEN {budget} // n.n
                WHEN b.bi = n.n THEN b.bc
-               ELSE (300 - b.bprefix - b.bc) // (n.n - b.bi) END)::BIGINT AS t
+               ELSE ({budget} - b.bprefix - b.bc) // (n.n - b.bi) END)::BIGINT AS t
   FROM nn n CROSS JOIN bracket b
 ), alloc0 AS (
   SELECT grp, n_docs, least(n_docs, l.t)::BIGINT AS a0 FROM sizes, lvl l
@@ -5547,10 +5552,17 @@ capped AS (
   FROM alloc0 WHERE n_docs > a0
 )
 SELECT a.grp, a.n_docs,
-       (a.a0 + CASE WHEN c.cr IS NOT NULL AND c.cr <= 300 - s.used
+       (a.a0 + CASE WHEN c.cr IS NOT NULL AND c.cr <= {budget} - s.used
                     THEN 1 ELSE 0 END)::BIGINT AS alloc
 FROM alloc0 a LEFT JOIN capped c ON a.grp = c.grp, spent s
 """
+
+
+WATERFILL_ALLOC_SQL = _waterfill_sql(
+    """SELECT source || '|' || lang AS grp, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1""",
+    300,
+)
 
 
 # ---------------------------------------------------------------------------

@@ -1159,3 +1159,40 @@ SELECT pair_id, rendered,
        len({_sql_toks('rendered')})::BIGINT AS total_tokens
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Cluster-balanced subsampling: waterfill quotas over the proven
+# kmeans cells + a deterministic salted-md5 draw within each cell.
+# The oracle re-embeds KMEANS_CLUSTERS_SQL and the waterfill bracket
+# chain (ext_q._waterfill_sql) verbatim over the cell sizes.
+# ---------------------------------------------------------------------------
+
+
+def cluster_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-preserving subsample (operators/sampling.py::
+    cluster_balanced_sample): budget 200 spread max-min-fairly across
+    the same kmeans cells as the registered kmeans_clusters query."""
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    codes = SIM.quantize_embeddings(emb).select("vec_id", "q_codes")
+    assigned = SIM.kmeans_codes(codes, k_every=50, iters=2, k_cap=100)
+    return SA.cluster_balanced_sample(assigned, budget=200)
+
+
+from .ext_q import _waterfill_sql  # noqa: E402  (shared oracle builder)
+
+CLUSTER_SAMPLE_SQL = f"""
+WITH km AS MATERIALIZED ({KMEANS_CLUSTERS_SQL}),
+wf AS ({_waterfill_sql(
+    "SELECT cluster_id AS grp, count(*)::BIGINT AS n_docs FROM km GROUP BY 1", 200)}),
+rk AS (
+  SELECT vec_id, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id
+           ORDER BY {_MD5I.format(x="'cbs:' || vec_id::VARCHAR")}, vec_id
+         )::BIGINT AS pick_rank
+  FROM km
+)
+SELECT r.vec_id, r.cluster_id, w.n_docs AS cell_n, w.alloc, r.pick_rank
+FROM rk r JOIN wf w ON r.cluster_id = w.grp
+WHERE r.pick_rank <= w.alloc
+"""

@@ -261,3 +261,23 @@ def test_distinct_ngram_diversity_mode_collapse_signature(spark):
     assert out[("tmpl", 1)].total_grams == 12 and out[("tmpl", 1)].distinct_grams == 2
     assert out[("tmpl", 2)].total_grams == 9 and out[("tmpl", 2)].distinct_grams == 2
     assert out[("tmpl", 2)].distinct_bp == 2222
+
+
+def test_cluster_balanced_sample_quotas_and_determinism(spark):
+    from joblink_etl_spark.operators.sampling import cluster_balanced_sample
+
+    # cells: a=10, b=3, c=1 rows; budget 8 -> waterfill T=... quotas
+    rows = [(i, "a") for i in range(10)] + [(100 + i, "b") for i in range(3)] + [(200, "c")]
+    df = spark.createDataFrame(rows, "vec_id bigint, cluster_id string")
+    out = cluster_balanced_sample(df, budget=8, cell_col="cluster_id").collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cluster_id, []).append(r)
+    # small cells keep everything; the big cell caps at the water level
+    assert len(by_cell["c"]) == 1 and len(by_cell["b"]) == 3
+    assert len(by_cell["a"]) == 4 and sum(len(v) for v in by_cell.values()) == 8
+    assert all(r.alloc == 4 and r.cell_n == 10 for r in by_cell["a"])
+    # deterministic: same draw on re-run, ranks are 1..alloc
+    again = cluster_balanced_sample(df, budget=8, cell_col="cluster_id").collect()
+    assert sorted(r.vec_id for r in out) == sorted(r.vec_id for r in again)
+    assert sorted(r.pick_rank for r in by_cell["a"]) == [1, 2, 3, 4]

@@ -67,6 +67,12 @@ FAMILIES = {
     "routing": "math_code_routing",
     "privacy": "k_anonymity",
     "blocklist": "blocklist_filter",
+    # round-7 batch-7 families
+    "privacygate": "k_anon_gate",
+    "containment": "containment_pairs",
+    "sourcegate": "source_gate",
+    "diversity": "ngram_diversity",
+    "clustersample": "cluster_sample",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
@@ -131,8 +137,11 @@ def main() -> None:
     build(spark, rep, out_dir)
 
     qs = registry.queries()
+    only = set(sys.argv[2:])  # optional family-name filter
     results = {}
     for fam, qname in FAMILIES.items():
+        if only and fam not in only:
+            continue
         fn = qs[qname]
         times = {}
         for label, d in [("sf0.1", BASE), (f"x{rep}", out_dir)]:
