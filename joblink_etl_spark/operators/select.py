@@ -515,3 +515,67 @@ def quantile_normalize(
     return pos.join(pooled, pos["_p"] == pooled["_pp"]).select(
         "id", "grp", "raw_score", "src_rank", F.col("_pv").alias("norm_score")
     )
+
+
+def preference_cycles(
+    prefs: DataFrame,
+    winner_col: str = "winner_id",
+    loser_col: str = "loser_id",
+) -> DataFrame:
+    """Consistency audit of a pairwise-preference relation (the QA
+    step before preference-tuning on judge labels): find the
+    2-cycles (A≻B and B≻A — two judges, or one judge flip-flopping)
+    and 3-cycles (A≻B≻C≻A — intransitivity) that make a preference
+    dataset unlearnable as a ranking. Returns one row per violation:
+    (kind, a, b, c) with kind '2cycle' (a < b, c = 0) or '3cycle'
+    canonicalized to the rotation starting at the smallest node, so
+    each cycle reports exactly once.
+
+    Scale: duplicate edges collapse first (one distinct); 2-cycles
+    are ONE self-equi-join on the reversed (loser, winner) key;
+    3-cycles are two equi-joins chaining winner→loser plus the
+    closing-edge check — worklist size is O(paths of length 2),
+    bounded in practice because preference graphs are per-prompt
+    cliques, not global webs. Self-pairs are excluded defensively."""
+    p = (
+        prefs.select(
+            F.col(winner_col).cast("bigint").alias("w"),
+            F.col(loser_col).cast("bigint").alias("l"),
+        )
+        .filter(F.col("w") != F.col("l"))
+        .distinct()
+    )
+    two = (
+        p.alias("x")
+        .join(
+            p.alias("y"),
+            (F.col("x.w") == F.col("y.l")) & (F.col("x.l") == F.col("y.w")),
+        )
+        .filter(F.col("x.w") < F.col("x.l"))
+        .select(
+            F.lit("2cycle").alias("kind"),
+            F.col("x.w").alias("a"),
+            F.col("x.l").alias("b"),
+            F.lit(0).cast("bigint").alias("c"),
+        )
+    )
+    three = (
+        p.alias("p1")
+        .join(p.alias("p2"), F.col("p1.l") == F.col("p2.w"))
+        .join(
+            p.alias("p3"),
+            (F.col("p2.l") == F.col("p3.w")) & (F.col("p3.l") == F.col("p1.w")),
+        )
+        .filter(
+            (F.col("p1.w") < F.col("p2.w"))
+            & (F.col("p1.w") < F.col("p3.w"))
+            & (F.col("p2.w") != F.col("p3.w"))
+        )
+        .select(
+            F.lit("3cycle").alias("kind"),
+            F.col("p1.w").alias("a"),
+            F.col("p2.w").alias("b"),
+            F.col("p3.w").alias("c"),
+        )
+    )
+    return two.unionAll(three)

@@ -58,8 +58,10 @@ alongside, pytest-pinned against the join-based batch operator),
 containment_pairs (asymmetric quote/subset dedup with stop-gram
 exclusion), source_gate (C4-style per-source suppression over the
 Gopher flags), ngram_diversity (distinct-n mode-collapse check), cluster_sample
-(waterfill-quota diversity subsample over kmeans cells).
-Registry total 196 (193 with SQL oracles; bpe_merges / bpe_encode /
+(waterfill-quota diversity subsample over kmeans cells),
+preference_cycles (2-cycle/intransitivity audit of judge labels),
+pii_source_report (per-source PII compliance rollup).
+Registry total 198 (195 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -334,3 +336,5 @@ register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)
 register("source_gate", E.source_gate_q, E.SOURCE_GATE_SQL)
 register("ngram_diversity", E.ngram_diversity_q, E.NGRAM_DIVERSITY_SQL)
 register("cluster_sample", SQ.cluster_sample_q, SQ.CLUSTER_SAMPLE_SQL)
+register("preference_cycles", SQ.preference_cycles_q, SQ.PREFERENCE_CYCLES_SQL)
+register("pii_source_report", E.pii_source_report_q, E.PII_SOURCE_REPORT_SQL)

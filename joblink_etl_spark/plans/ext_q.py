@@ -964,6 +964,45 @@ FROM injected
 """
 
 
+def pii_source_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII compliance rollup — the report a release review
+    actually reads: per source, how many docs carry any PII, totals
+    per detector class, and the rate in basis points. Composes the
+    proven pii_redaction detectors (same injection, same RE2-safe
+    regexes) with a map-side-combinable per-source aggregate."""
+    per_doc = pii_redaction(spark, sf_dir).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "has_pii"
+    )
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("has_pii").cast("bigint")).cast("bigint").alias("n_pii_docs"),
+            F.sum("n_emails").cast("bigint").alias("n_emails"),
+            F.sum("n_phones").cast("bigint").alias("n_phones"),
+            F.sum("n_ips").cast("bigint").alias("n_ips"),
+        )
+        .withColumn("pii_rate_bp", F.expr("(10000 * n_pii_docs) div n_docs"))
+    )
+
+
+PII_SOURCE_REPORT_SQL = f"""
+WITH g AS ({PII_REDACTION_SQL}),
+agg AS (
+  SELECT d.source, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN g.has_pii THEN 1 ELSE 0 END)::BIGINT AS n_pii_docs,
+         sum(g.n_emails)::BIGINT AS n_emails,
+         sum(g.n_phones)::BIGINT AS n_phones,
+         sum(g.n_ips)::BIGINT AS n_ips
+  FROM g JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT *, ((10000 * n_pii_docs) // n_docs)::BIGINT AS pii_rate_bp FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Token-budget mixture sampling: keep ~budget chars per language via
 # the bucket-cutoff formulation (the corpus never sorts). The kept

@@ -1196,3 +1196,94 @@ SELECT r.vec_id, r.cluster_id, w.n_docs AS cell_n, w.alloc, r.pick_rank
 FROM rk r JOIN wf w ON r.cluster_id = w.grp
 WHERE r.pick_rank <= w.alloc
 """
+
+
+# ---------------------------------------------------------------------------
+# Preference-label consistency audit: two deterministic "judges"
+# (content length on adjacent doc pairs; a salted-md5 coin on skip
+# pairs and on every 5th adjacent pair) disagree by construction, so
+# the relation contains real 2-cycles and intransitive triangles for
+# the audit to find. The oracle replays both judges and the
+# cycle-join chain exactly.
+# ---------------------------------------------------------------------------
+
+
+def preference_cycles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_int
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    a, b = docs.alias("a"), docs.alias("b")
+    by_len = (F.col("a.n_chars") > F.col("b.n_chars")) | (
+        (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    by_coin = (
+        md5_int(
+            F.concat(
+                F.lit("j2:"),
+                F.col("a.doc_id").cast("string"),
+                F.lit(":"),
+                F.col("b.doc_id").cast("string"),
+            )
+        )
+        % 2
+        == 0
+    )
+
+    def judged(pairs, cond):
+        return pairs.select(
+            F.when(cond, F.col("a.doc_id")).otherwise(F.col("b.doc_id")).alias("winner_id"),
+            F.when(cond, F.col("b.doc_id")).otherwise(F.col("a.doc_id")).alias("loser_id"),
+        )
+
+    adj = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    skip = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 2)
+    prefs = (
+        judged(adj, by_len)
+        .unionAll(judged(skip, by_coin))
+        .unionAll(judged(adj.filter(F.col("a.doc_id") % 5 == 0), by_coin))
+    )
+    return SEL.preference_cycles(prefs)
+
+
+PREFERENCE_CYCLES_SQL = f"""
+WITH d AS (SELECT doc_id, n_chars FROM documents),
+adj AS (
+  SELECT a.doc_id AS ai, a.n_chars AS ac, b.doc_id AS bi, b.n_chars AS bc
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+), skip AS (
+  SELECT a.doc_id AS ai, b.doc_id AS bi
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 2
+), ja AS (
+  SELECT CASE WHEN ac > bc OR (ac = bc AND ai < bi) THEN ai ELSE bi END AS w,
+         CASE WHEN ac > bc OR (ac = bc AND ai < bi) THEN bi ELSE ai END AS l
+  FROM adj
+), jb AS (
+  SELECT CASE WHEN {_MD5I.format(x="'j2:' || ai::VARCHAR || ':' || bi::VARCHAR")} % 2 = 0
+              THEN ai ELSE bi END AS w,
+         CASE WHEN {_MD5I.format(x="'j2:' || ai::VARCHAR || ':' || bi::VARCHAR")} % 2 = 0
+              THEN bi ELSE ai END AS l
+  FROM skip
+), jb1 AS (
+  SELECT CASE WHEN {_MD5I.format(x="'j2:' || ai::VARCHAR || ':' || bi::VARCHAR")} % 2 = 0
+              THEN ai ELSE bi END AS w,
+         CASE WHEN {_MD5I.format(x="'j2:' || ai::VARCHAR || ':' || bi::VARCHAR")} % 2 = 0
+              THEN bi ELSE ai END AS l
+  FROM adj WHERE ai % 5 = 0
+), p AS (
+  SELECT DISTINCT w, l FROM (
+    SELECT * FROM ja UNION ALL SELECT * FROM jb UNION ALL SELECT * FROM jb1
+  ) WHERE w <> l
+), two AS (
+  SELECT '2cycle' AS kind, x.w AS a, x.l AS b, 0::BIGINT AS c
+  FROM p x JOIN p y ON x.w = y.l AND x.l = y.w
+  WHERE x.w < x.l
+), three AS (
+  SELECT '3cycle' AS kind, p1.w AS a, p2.w AS b, p3.w AS c
+  FROM p p1
+  JOIN p p2 ON p1.l = p2.w
+  JOIN p p3 ON p2.l = p3.w AND p3.l = p1.w
+  WHERE p1.w < p2.w AND p1.w < p3.w AND p2.w <> p3.w
+)
+SELECT * FROM two UNION ALL SELECT * FROM three
+"""

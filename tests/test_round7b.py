@@ -281,3 +281,21 @@ def test_cluster_balanced_sample_quotas_and_determinism(spark):
     again = cluster_balanced_sample(df, budget=8, cell_col="cluster_id").collect()
     assert sorted(r.vec_id for r in out) == sorted(r.vec_id for r in again)
     assert sorted(r.pick_rank for r in by_cell["a"]) == [1, 2, 3, 4]
+
+
+def test_preference_cycles_kinds_and_canonicalization(spark):
+    from joblink_etl_spark.operators.select import preference_cycles
+
+    prefs = spark.createDataFrame(
+        [
+            (1, 2), (2, 1),          # 2-cycle
+            (3, 4), (4, 5), (5, 3),  # 3-cycle
+            (6, 7), (7, 8), (6, 8),  # transitive triangle: NOT a cycle
+            (9, 9),                  # self-pair: ignored
+            (3, 4),                  # duplicate edge: collapsed
+        ],
+        "winner_id bigint, loser_id bigint",
+    )
+    rows = sorted(map(tuple, preference_cycles(prefs).collect()))
+    # each cycle reported exactly once, 3-cycle anchored at min node
+    assert rows == [("2cycle", 1, 2, 0), ("3cycle", 3, 4, 5)]
