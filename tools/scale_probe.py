@@ -73,6 +73,8 @@ FAMILIES = {
     "sourcegate": "source_gate",
     "diversity": "ngram_diversity",
     "clustersample": "cluster_sample",
+    "prefaudit": "preference_cycles",
+    "piireport": "pii_source_report",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
