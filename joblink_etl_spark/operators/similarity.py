@@ -1841,3 +1841,55 @@ def contrastive_triplets(
         "neg_score",
         (F.col("pos_score") - F.col("neg_score")).alias("margin"),
     )
+
+
+def embedding_drift(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension drift between two embedding snapshots — the
+    embedding-space counterpart of the token-level corpus_drift
+    monitor: has the encoder (or the corpus it embeds) moved? One row
+    per dimension with both snapshots' integer sufficient statistics
+    and the exact mean shift in milli-code units.
+
+    Both snapshots quantize under ONE shared scale (global max-|x|
+    over the union — per-snapshot scales would make the means
+    incomparable and silently absorb the drift being measured). The
+    shift (1000·(sum_a·n_b − sum_b·n_a)) / (n_a·n_b) is emitted as a
+    sign + non-negative magnitude pair, integer end-to-end: a signed
+    single division would hit the floor-vs-truncate divergence
+    between engines.
+
+    Scale: union scan → broadcast one-row max → posexplode → ONE
+    map-side-combinable groupBy on the dimension index; output
+    cardinality = dims."""
+    a = snap_a.select(F.col(vec_col).alias("_v")).withColumn("_snap", F.lit(0))
+    b = snap_b.select(F.col(vec_col).alias("_v")).withColumn("_snap", F.lit(1))
+    u = quantize_embeddings_global(a.unionAll(b), "_v")
+    dims = u.select(
+        "_snap", F.posexplode("q_codes").alias("dim", "c")
+    ).withColumn("dim", F.col("dim").cast("bigint"))
+    agg = dims.groupBy("dim").agg(
+        F.sum(F.when(F.col("_snap") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("_snap") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("_snap") == 0, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_a"),
+        F.sum(F.when(F.col("_snap") == 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_b"),
+    )
+    num = F.lit(1000) * (F.col("sum_a") * F.col("n_b") - F.col("sum_b") * F.col("n_a"))
+    return agg.select(
+        "dim",
+        "n_a",
+        "n_b",
+        "sum_a",
+        "sum_b",
+        F.signum(num).cast("bigint").alias("shift_sign"),
+        F.expr(
+            "(1000 * abs(sum_a * n_b - sum_b * n_a)) div (n_a * n_b)"
+        ).alias("shift_abs_milli"),
+    )

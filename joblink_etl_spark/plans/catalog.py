@@ -60,8 +60,10 @@ exclusion), source_gate (C4-style per-source suppression over the
 Gopher flags), ngram_diversity (distinct-n mode-collapse check), cluster_sample
 (waterfill-quota diversity subsample over kmeans cells),
 preference_cycles (2-cycle/intransitivity audit of judge labels),
-pii_source_report (per-source PII compliance rollup).
-Registry total 198 (195 with SQL oracles; bpe_merges / bpe_encode /
+pii_source_report (per-source PII compliance rollup),
+small_quantity_revenue / sole_returned_supplier (TPC-H Q17/Q21
+shapes, decorrelated), embedding_drift (per-dim snapshot shift).
+Registry total 201 (198 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -338,3 +340,6 @@ register("ngram_diversity", E.ngram_diversity_q, E.NGRAM_DIVERSITY_SQL)
 register("cluster_sample", SQ.cluster_sample_q, SQ.CLUSTER_SAMPLE_SQL)
 register("preference_cycles", SQ.preference_cycles_q, SQ.PREFERENCE_CYCLES_SQL)
 register("pii_source_report", E.pii_source_report_q, E.PII_SOURCE_REPORT_SQL)
+register("small_quantity_revenue", R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL)
+register("sole_returned_supplier", R.sole_returned_supplier, R.SOLE_RETURNED_SUPPLIER_SQL)
+register("embedding_drift", E.embedding_drift_q, E.EMBEDDING_DRIFT_SQL)

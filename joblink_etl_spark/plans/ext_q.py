@@ -3892,6 +3892,48 @@ JOIN sums sj ON sj.i = p.j, nn
 """
 
 
+def embedding_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor (similarity.py::embedding_drift)
+    between the even/odd vec_id halves of the embeddings table —
+    per-dimension mean shift under one shared quantization scale."""
+    from ..operators.similarity import embedding_drift
+
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+    )
+
+
+EMBEDDING_DRIFT_SQL = """
+WITH base AS (
+  SELECT vec_id % 2 AS snap, embedding::DOUBLE[] AS e FROM embeddings
+), g AS (
+  SELECT CASE WHEN max(list_max(list_transform(e, x -> abs(x)))) > 0
+              THEN max(list_max(list_transform(e, x -> abs(x)))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM base
+), v AS (
+  SELECT snap, list_transform(e, x -> floor(x / scale + 0.5)::INTEGER) AS codes
+  FROM base, g
+), d AS (
+  SELECT snap, t.i AS dim, codes[t.i + 1] AS c
+  FROM v, unnest(range(0, len(codes))) AS t(i)
+), agg AS (
+  SELECT dim::BIGINT AS dim,
+         sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         sum(CASE WHEN snap = 0 THEN c ELSE 0 END)::BIGINT AS sum_a,
+         sum(CASE WHEN snap = 1 THEN c ELSE 0 END)::BIGINT AS sum_b
+  FROM d GROUP BY 1
+)
+SELECT dim, n_a, n_b, sum_a, sum_b,
+       sign(1000 * (sum_a * n_b - sum_b * n_a))::BIGINT AS shift_sign,
+       ((1000 * abs(sum_a * n_b - sum_b * n_a)) // (n_a * n_b))::BIGINT
+         AS shift_abs_milli
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sorted-neighborhood dedup (Hernandez-Stolfo): prefix-sorted corpus,
 # window-4 neighbor candidates, exact 3-gram-Jaccard verify. The

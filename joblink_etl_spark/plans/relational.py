@@ -530,3 +530,122 @@ def _hilbert_sql(cols: list[str], bits: int) -> str:
 
 
 HILBERT_KEY_SQL = _hilbert_sql(["l_quantity", "l_extendedprice"], 8)
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: average yearly
+    revenue lost if sub-threshold (qty < 0.2 x the part's average)
+    orders of one brand moved to bulk. The correlated scalar
+    subquery becomes a per-part aggregate joined back to the fact —
+    the Catalyst-friendly decorrelation.
+
+    Cross-engine exactness: l_quantity is integer-valued, so the
+    threshold `qty < 0.2 * avg(qty)` is spelled 5*qty*cnt < sum_qty —
+    all-integer arithmetic in doubles (exact), no float quotient ever
+    compared. The revenue output uses the proven round(round(sum,2)/7, 2)
+    quotient shape (see pricing_summary).
+
+    Scale: part is the small side (broadcast); the per-part agg is
+    map-side-combinable on l_partkey; the fact joins the one-row-
+    per-part threshold relation — two broadcast-ready joins, one
+    corpus-wide agg. No window, no correlated re-scan."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select(
+        "p_partkey"
+    )
+    brand_li = li.join(
+        F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = brand_li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("_sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+    )
+    small = brand_li.join(thresh, "l_partkey").filter(
+        F.lit(5) * F.col("l_quantity") * F.col("_cnt") < F.col("_sum_qty")
+    )
+    return small.agg(
+        F.round(F.round(F.sum("l_extendedprice"), 2) / F.lit(7.0), 2).alias(
+            "avg_yearly"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'
+), thresh AS (
+  SELECT l_partkey, sum(l_quantity) AS sum_qty, count(*)::BIGINT AS cnt
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT round(round(sum(l.l_extendedprice), 2) / 7.0, 2) AS avg_yearly,
+       count(*)::BIGINT AS n_small_lines
+FROM brand_li l JOIN thresh t ON l.l_partkey = t.l_partkey
+WHERE 5 * l.l_quantity * t.cnt < t.sum_qty
+"""
+
+
+def sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style blame query (adapted to this schema's
+    l_returnflag in place of commit/receipt dates): suppliers who
+    were the ONLY supplier with returned ('R') lines in a
+    multi-supplier order — the supplier you chase. The classic
+    EXISTS (another supplier in the order) AND NOT EXISTS (another
+    supplier with a return) pair, decorrelated into two per-order
+    aggregates.
+
+    Scale: both aggregates are map-side-combinable counts over the
+    distinct (order, supplier) projection; no correlated re-scan, no
+    window, and the supplier dimension broadcasts. No LIMIT — the
+    full deterministic set returns (LIMIT over count ties is
+    engine-order-dependent)."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    rpairs = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        pairs.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n_supp"))
+        .filter(F.col("_n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    solo_r = (
+        rpairs.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n_r"))
+        .filter(F.col("_n_r") == 1)
+        .select("l_orderkey")
+    )
+    blamed = rpairs.join(multi, "l_orderkey").join(solo_r, "l_orderkey")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+SOLE_RETURNED_SUPPLIER_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), rpairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+), multi AS (
+  SELECT l_orderkey FROM pairs GROUP BY 1 HAVING count(*) >= 2
+), solo_r AS (
+  SELECT l_orderkey FROM rpairs GROUP BY 1 HAVING count(*) = 1
+)
+SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+FROM rpairs
+JOIN multi USING (l_orderkey)
+JOIN solo_r USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+"""

@@ -299,3 +299,22 @@ def test_preference_cycles_kinds_and_canonicalization(spark):
     rows = sorted(map(tuple, preference_cycles(prefs).collect()))
     # each cycle reported exactly once, 3-cycle anchored at min node
     assert rows == [("2cycle", 1, 2, 0), ("3cycle", 3, 4, 5)]
+
+
+def test_embedding_drift_detects_planted_shift(spark):
+    from joblink_etl_spark.operators.similarity import embedding_drift
+
+    a = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)], "vec_id bigint, embedding array<double>"
+    )
+    # snapshot b shifts dim 1 up to the scale max; dim 0 unchanged
+    b = spark.createDataFrame(
+        [(i, [1.0, 127.0]) for i in range(2)], "vec_id bigint, embedding array<double>"
+    )
+    rows = {r.dim: r for r in embedding_drift(a, b).collect()}
+    # shared scale = 127/127 = 1.0 -> codes are the raw values
+    d0, d1 = rows[0], rows[1]
+    assert (d0.n_a, d0.n_b, d0.sum_a, d0.sum_b) == (4, 2, 4, 2)
+    assert d0.shift_sign == 0 and d0.shift_abs_milli == 0
+    # dim 1: mean_a=0, mean_b=127 -> shift = -127000 milli-codes
+    assert d1.shift_sign == -1 and d1.shift_abs_milli == 127000
