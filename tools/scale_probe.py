@@ -75,6 +75,8 @@ FAMILIES = {
     "clustersample": "cluster_sample",
     "prefaudit": "preference_cycles",
     "piireport": "pii_source_report",
+    "subquery": "sole_returned_supplier",
+    "embdrift": "embedding_drift",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
