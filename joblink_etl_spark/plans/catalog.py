@@ -62,8 +62,9 @@ Gopher flags), ngram_diversity (distinct-n mode-collapse check), cluster_sample
 preference_cycles (2-cycle/intransitivity audit of judge labels),
 pii_source_report (per-source PII compliance rollup),
 small_quantity_revenue / sole_returned_supplier (TPC-H Q17/Q21
-shapes, decorrelated), embedding_drift (per-dim snapshot shift).
-Registry total 201 (198 with SQL oracles; bpe_merges / bpe_encode /
+shapes, decorrelated), embedding_drift (per-dim snapshot shift), top_revenue_supplier
+(TPC-H Q15 shape on exact integer centi-cents).
+Registry total 202 (199 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -343,3 +344,4 @@ register("pii_source_report", E.pii_source_report_q, E.PII_SOURCE_REPORT_SQL)
 register("small_quantity_revenue", R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL)
 register("sole_returned_supplier", R.sole_returned_supplier, R.SOLE_RETURNED_SUPPLIER_SQL)
 register("embedding_drift", E.embedding_drift_q, E.EMBEDDING_DRIFT_SQL)
+register("top_revenue_supplier", R.top_revenue_supplier, R.TOP_REVENUE_SUPPLIER_SQL)

@@ -649,3 +649,57 @@ JOIN solo_r USING (l_orderkey)
 JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_suppkey, s_name
 """
+
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) whose total
+    discounted revenue equals the global maximum — the view + max
+    correlated pattern, decorrelated into one aggregate and a
+    broadcast one-row max join.
+
+    Cross-engine exactness: revenue is accumulated as exact integer
+    CENTI-CENTS — cents = round(l_extendedprice·100) and
+    keep_pct = 100 − round(l_discount·100) are both exact integers,
+    so Σ cents·keep_pct is order-independent where a double sum's
+    last ulp (and therefore an argmax tie at the top) is not. The
+    one float division to display dollars happens after the compare.
+
+    Scale: one map-side-combinable groupBy on l_suppkey; the global
+    max is a broadcast one-row aggregate; supplier broadcasts."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("_cc"),
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("_cc").cast("bigint").alias("rev_cc"))
+    mx = rev.agg(F.max("rev_cc").alias("_mx"))
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_cc") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            "rev_cc",
+            F.round(F.col("rev_cc").cast("double") / F.lit(10000.0), 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+TOP_REVENUE_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS rev_cc
+  FROM lineitem GROUP BY l_suppkey
+), mx AS (SELECT max(rev_cc) AS m FROM rev)
+SELECT s_suppkey, s_name, rev_cc,
+       round(rev_cc::DOUBLE / 10000.0, 2) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx
+WHERE rev_cc = mx.m
+"""
