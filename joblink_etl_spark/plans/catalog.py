@@ -63,8 +63,9 @@ preference_cycles (2-cycle/intransitivity audit of judge labels),
 pii_source_report (per-source PII compliance rollup),
 small_quantity_revenue / sole_returned_supplier (TPC-H Q17/Q21
 shapes, decorrelated), embedding_drift (per-dim snapshot shift), top_revenue_supplier
-(TPC-H Q15 shape on exact integer centi-cents).
-Registry total 202 (199 with SQL oracles; bpe_merges / bpe_encode /
+(TPC-H Q15 shape on exact integer centi-cents), chunk_salvage
+(paragraph-level quality salvage with keep/salvage/drop verdicts).
+Registry total 203 (200 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -345,3 +346,4 @@ register("small_quantity_revenue", R.small_quantity_revenue, R.SMALL_QUANTITY_RE
 register("sole_returned_supplier", R.sole_returned_supplier, R.SOLE_RETURNED_SUPPLIER_SQL)
 register("embedding_drift", E.embedding_drift_q, E.EMBEDDING_DRIFT_SQL)
 register("top_revenue_supplier", R.top_revenue_supplier, R.TOP_REVENUE_SUPPLIER_SQL)
+register("chunk_salvage", E.chunk_salvage_q, E.CHUNK_SALVAGE_SQL)

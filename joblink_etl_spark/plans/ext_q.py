@@ -1653,6 +1653,97 @@ WHERE n_chunks > 0
 """
 
 
+_SALVAGE_JUNK = " ".join(["###"] * 100)
+
+
+def chunk_salvage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level quality salvage — the RefinedWeb move from
+    doc-level to paragraph-level filtering: split each doc into
+    non-overlapping 64-token chunks, run the Gopher gate per chunk,
+    and roll up a per-doc verdict ('keep' all chunks pass, 'salvage'
+    some do, 'drop' none do) with the salvageable share in basis
+    points. Every 9th doc gets a 100-token symbol-soup tail planted
+    (+800000 ids): doc-level Gopher would drop the whole doc; the
+    chunk gate keeps its clean chunks and quarantines the junk ones.
+
+    Scale: chunking is scan-side explode (no shuffle), the gate is a
+    narrow projection per chunk, and the rollup is ONE
+    map-side-combinable groupBy on the doc key. Chunk ids pack as
+    doc_id·10000 + chunk_index (chunk counts ≪ 10000), so the proven
+    single-id-column gopher chain applies unchanged."""
+    from ..operators.textstats import chunk_documents
+
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    mixed = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" " + _SALVAGE_JUNK)).alias("text"),
+    )
+    corpus = docs.unionAll(mixed)
+    chunks = chunk_documents(corpus, chunk_tokens=64, stride=64)
+    flagged = TS.gopher_quality(
+        chunks.select(
+            (F.col("doc_id") * 10000 + F.col("chunk_index")).alias("chunk_id"),
+            F.col("chunk_text").alias("text"),
+        ),
+        id_col="chunk_id",
+        # tuned floors (the operator's documented per-corpus knobs):
+        # the synthetic vocabulary carries ~1 required stopword type
+        # and pre-junk docs run 10-99 tokens
+        min_words=10,
+        min_stopword_types=1,
+    ).select("chunk_id", "pass_gopher")
+    agg = (
+        flagged.groupBy(F.expr("chunk_id div 10000").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.col("pass_gopher").cast("bigint")).cast("bigint").alias("n_pass_chunks"),
+        )
+        .withColumn("salvage_bp", F.expr("(10000 * n_pass_chunks) div n_chunks"))
+    )
+    return agg.withColumn(
+        "verdict",
+        F.when(F.col("n_pass_chunks") == F.col("n_chunks"), F.lit("keep"))
+        .when(F.col("n_pass_chunks") == 0, F.lit("drop"))
+        .otherwise(F.lit("salvage")),
+    )
+
+
+# rendered below, after _gopher_sql is defined
+_CHUNK_SALVAGE_TMPL = f"""
+WITH corpus3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 800000, text || ' {_SALVAGE_JUNK}'
+  FROM documents WHERE doc_id % 9 = 0
+), tok3 AS (
+  SELECT doc_id, {_TOKS} AS toks FROM corpus3
+), meta3 AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 0 THEN 0
+              ELSE 1 + ceil(greatest(len(toks) - 64, 0)::DOUBLE / 64)::INT
+         END AS n_chunks
+  FROM tok3
+), chunks3 AS (
+  SELECT doc_id, u.chunk_index,
+         array_to_string(toks[u.chunk_index*64+1 : u.chunk_index*64+64], ' ') AS chunk_text
+  FROM meta3, unnest(range(0, n_chunks)) AS u(chunk_index)
+  WHERE n_chunks > 0
+), g AS ({{gopher}}),
+agg AS (
+  SELECT doc_id // 10000 AS doc_id,
+         count(*)::BIGINT AS n_chunks,
+         sum(CASE WHEN pass_gopher THEN 1 ELSE 0 END)::BIGINT AS n_pass_chunks
+  FROM g GROUP BY 1
+)
+SELECT doc_id, n_chunks, n_pass_chunks,
+       ((10000 * n_pass_chunks) // n_chunks)::BIGINT AS salvage_bp,
+       CASE WHEN n_pass_chunks = n_chunks THEN 'keep'
+            WHEN n_pass_chunks = 0 THEN 'drop'
+            ELSE 'salvage' END AS verdict
+FROM agg
+"""
+
+
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 tokens per language by frequency — one shuffle on
     (lang, token) with map-side combine, then a window over the tiny
@@ -4468,10 +4559,12 @@ _GOPHER_PLANT_ROWS = " UNION ALL ".join(
     for i, t in _GOPHER_PLANTS
 )
 
-def _gopher_sql(corpus_rows: str) -> str:
+def _gopher_sql(corpus_rows: str, min_words: int = 50, min_stop: int = 2) -> str:
     """Gopher flag SQL over a caller-supplied corpus body (doc_id,
     text) — the one proven flag chain, reused verbatim by every
-    oracle that needs pass_gopher over a different corpus."""
+    oracle that needs pass_gopher over a different corpus. The
+    word-count and stopword-type floors are parameters, mirroring
+    the Spark operator's tunable gates (defaults = published)."""
     return f"""
 WITH corpus AS (
   {corpus_rows}
@@ -4489,18 +4582,18 @@ WITH corpus AS (
   FROM corpus
 )
 SELECT *,
-       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+       n_words >= {min_words} AND n_words <= 100000 AS ok_word_count,
        word_chars >= 3 * n_words AND word_chars <= 10 * n_words AS ok_mean_word_len,
        10 * n_symbols < n_words AS ok_symbol_ratio,
        5 * n_alpha_words >= 4 * n_words AS ok_alpha_ratio,
-       n_stopword_types >= 2 AS ok_stopwords,
+       n_stopword_types >= {min_stop} AS ok_stopwords,
        10 * n_bullet_lines < 9 * n_lines AS ok_bullets,
        10 * n_ellipsis_lines < 3 * n_lines AS ok_ellipsis,
-       (n_words >= 50 AND n_words <= 100000)
+       (n_words >= {min_words} AND n_words <= 100000)
          AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
          AND (10 * n_symbols < n_words)
          AND (5 * n_alpha_words >= 4 * n_words)
-         AND (n_stopword_types >= 2)
+         AND (n_stopword_types >= {min_stop})
          AND (10 * n_bullet_lines < 9 * n_lines)
          AND (10 * n_ellipsis_lines < 3 * n_lines) AS pass_gopher
 FROM stats
@@ -4511,6 +4604,14 @@ GOPHER_QUALITY_SQL = _gopher_sql(
     f"""SELECT doc_id, text FROM documents
   UNION ALL
   {_GOPHER_PLANT_ROWS}"""
+)
+
+CHUNK_SALVAGE_SQL = _CHUNK_SALVAGE_TMPL.format(
+    gopher=_gopher_sql(
+        "SELECT doc_id * 10000 + chunk_index AS doc_id, chunk_text AS text FROM chunks3",
+        min_words=10,
+        min_stop=1,
+    )
 )
 
 

@@ -318,3 +318,22 @@ def test_embedding_drift_detects_planted_shift(spark):
     assert d0.shift_sign == 0 and d0.shift_abs_milli == 0
     # dim 1: mean_a=0, mean_b=127 -> shift = -127000 milli-codes
     assert d1.shift_sign == -1 and d1.shift_abs_milli == 127000
+
+
+def test_chunk_salvage_verdict_classes(spark, sf_dir_001="/root/testdata/sf0.001"):
+    from joblink_etl_spark.plans.ext_q import chunk_salvage_q
+
+    rows = chunk_salvage_q(spark, sf_dir_001).collect()
+    planted = [r for r in rows if r.doc_id >= 800000]
+    normal = [r for r in rows if r.doc_id < 800000]
+    # all three verdicts occur; planted junk-tail docs never 'keep'
+    assert {r.verdict for r in rows} == {"keep", "salvage", "drop"}
+    assert all(r.verdict != "keep" for r in planted)
+    # a salvage verdict means strictly-partial pass, bp consistent
+    for r in rows:
+        if r.verdict == "salvage":
+            assert 0 < r.n_pass_chunks < r.n_chunks
+            assert r.salvage_bp == (10000 * r.n_pass_chunks) // r.n_chunks
+    # long planted docs keep their clean chunks
+    assert any(r.verdict == "salvage" for r in planted)
+    assert any(r.verdict == "keep" for r in normal)
