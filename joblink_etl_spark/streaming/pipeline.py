@@ -1223,3 +1223,70 @@ def streaming_blocklist_gate(
     ).withColumn(
         "keep", F.col("n_blocked") * 10000 <= F.col("n_tokens") * max_rate_bp
     )
+
+
+def streaming_source_gate(
+    flagged: DataFrame,
+    source_col: str = "source",
+    flag_col: str = "pass_gopher",
+    min_docs: int = 10,
+    min_pass_bp: int = 5000,
+) -> DataFrame:
+    """Custom stateful operator: the STREAMING twin of
+    curate.source_suppression — running per-source quality rollups at
+    the ingestion front door, so a crawl source that degrades is
+    suppressed the moment its evidence crosses the bar, not at the
+    next batch audit. Each micro-batch emits one updated row per
+    source seen in that batch, carrying the lifetime (n_docs, n_pass,
+    pass_bp, suppressed) AS OF that batch.
+
+    Scale/state design: keyed by source (one shuffle); state is TWO
+    longs per distinct source — strictly smaller than the batch
+    audit's output relation. Skewed sources are the well-estimated
+    ones; per-batch work is a vectorized sum. A full-history
+    single-batch drain equals source_suppression row-for-row — pinned
+    in tests."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src_field = flagged.schema[source_col]
+    out_schema = StructType(
+        [
+            src_field,
+            StructField("n_docs", LongType()),
+            StructField("n_pass", LongType()),
+            StructField("pass_bp", LongType()),
+            StructField("suppressed", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n_docs", LongType()), StructField("n_pass", LongType())]
+    )
+
+    def roll(key, pdf_iter, state: GroupState):
+        n, p = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            p += int(pdf[flag_col].sum())
+        state.update((int(n), int(p)))
+        bp = (10000 * p) // n if n else 0
+        yield pd.DataFrame(
+            {
+                source_col: [key[0]],
+                "n_docs": [n],
+                "n_pass": [p],
+                "pass_bp": [bp],
+                "suppressed": [n >= min_docs and bp < min_pass_bp],
+            }
+        )
+
+    return (
+        flagged.select(source_col, flag_col)
+        .groupBy(source_col)
+        # append mode: each emission is an EVENT ("the rollup as of
+        # this batch"), so file sinks work; consumers key on the
+        # latest n_docs per source
+        .applyInPandasWithState(
+            roll, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -912,3 +912,59 @@ def test_streaming_blocklist_gate_matches_batch(spark, tmp_path):
     assert got == want
     by_id = {t[0]: t for t in got}
     assert not by_id[1][4] and by_id[2][4] and by_id[4][4]  # keep flags
+
+
+def test_streaming_source_gate_state_across_batches(spark, tmp_path):
+    """Streaming per-source quality rollup: evidence accumulates
+    across micro-batches (a bad source is suppressed only once its
+    lifetime doc count crosses the bar), and a full-history
+    single-batch drain agrees with curate.source_suppression
+    row-for-row."""
+    from joblink_etl_spark.operators.curate import source_suppression
+    from joblink_etl_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_source_gate,
+    )
+
+    src = str(tmp_path / "in")
+    schema = "doc_id long, source string, pass_gopher boolean"
+    batch1 = [(i, "spamfarm", False) for i in range(6)] + [(100, "good", True)]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+
+    def drain(sink, ckpt):
+        stream = streaming_source_gate(
+            spark.readStream.schema(schema).parquet(src), min_docs=10
+        )
+        run_available_now(stream, str(tmp_path / sink), str(tmp_path / ckpt), "append")
+        out = {}
+        for r in spark.read.parquet(str(tmp_path / sink)).collect():
+            # keep the LAST emission per source (highest n_docs)
+            if r.source not in out or r.n_docs > out[r.source].n_docs:
+                out[r.source] = r
+        return out
+
+    first = drain("out1", "ck1")
+    assert first["spamfarm"].n_docs == 6 and not first["spamfarm"].suppressed
+
+    # 5 more bad docs arrive: lifetime 11 >= 10 with 0% pass
+    spark.createDataFrame(
+        [(200 + i, "spamfarm", False) for i in range(5)], schema
+    ).write.mode("append").parquet(src)
+    rows = drain("out2", "ck2")
+    assert rows["spamfarm"].n_docs == 11 and rows["spamfarm"].suppressed
+    assert not rows["good"].suppressed
+
+    # twin equivalence on the full history in one batch
+    hist = spark.read.parquet(src)
+    got = drain("out3", "ck3")
+    want = {
+        r.source: r for r in source_suppression(hist, min_docs=10).collect()
+    }
+    for s in want:
+        g, w = got[s], want[s]
+        assert (g.n_docs, g.n_pass, g.pass_bp, g.suppressed) == (
+            w.n_docs,
+            w.n_pass,
+            w.pass_bp,
+            w.suppressed,
+        )
