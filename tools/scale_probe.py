@@ -77,6 +77,7 @@ FAMILIES = {
     "piireport": "pii_source_report",
     "subquery": "sole_returned_supplier",
     "embdrift": "embedding_drift",
+    "salvage": "chunk_salvage",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
