@@ -731,3 +731,54 @@ def cluster_balanced_sample(
         .filter(F.col("pick_rank") <= F.col("alloc"))
         .select(id_col, cell_col, "cell_n", "alloc", "pick_rank")
     )
+
+
+def grouped_priority_sample(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gpri",
+) -> DataFrame:
+    """Per-group weighted sampling without replacement: the top-k
+    priority-sample rows WITHIN each group — the per-language /
+    per-source hard-cap draw a mixture recipe needs when every
+    stratum must get its own weighted sample (one global k would let
+    a heavy stratum swallow the budget).
+
+    Same integer-exact priority as priority_sample (u from the salted
+    md5 in [1, 2^30], q = (w·2^30) div u — bit-stable selection order
+    in any engine); the per-group top-k is a row_number window over
+    the group key instead of a global TakeOrdered. Output:
+    (group, id, weight, priority, pick_rank), rank 1..min(k, |group|).
+
+    Scale: scan-side priorities + ONE window shuffle partitioned by
+    group — the exact shape of exact-dedup's canonical pick; no
+    global sort, no driver involvement; skewed groups parallelize
+    across their partitions up to the window sort."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .dedup import md5_int
+
+    u = (
+        md5_int(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        % F.lit(1 << 30)
+    ) + 1
+    pri = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("weight"),
+        )
+        .withColumn("_u", u)
+        .withColumn("priority", F.expr(f"(weight * {1 << 30}) div _u"))
+        .drop("_u")
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("priority").desc(), F.col(id_col))
+    return (
+        pri.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick_rank") <= k)
+        .select("grp", id_col, "weight", "priority", "pick_rank")
+    )

@@ -1198,6 +1198,35 @@ WHERE r.pick_rank <= w.alloc
 """
 
 
+def grouped_priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted draw (operators/sampling.py::
+    grouped_priority_sample): top-5 docs per lang by the integer
+    Duffield-Lund-Thorup priority with n_chars weights."""
+    docs = parallelize(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    )
+    return SA.grouped_priority_sample(docs, "lang", "n_chars", k=5)
+
+
+GROUPED_PRIORITY_SAMPLE_SQL = f"""
+WITH pri AS (
+  SELECT lang AS grp, doc_id, n_chars::BIGINT AS weight,
+         (n_chars::BIGINT * {1 << 30})
+           // (({_MD5I.format(x="'gpri:' || doc_id::VARCHAR")} % {1 << 30}) + 1)
+           AS priority
+  FROM documents
+), ranked AS (
+  SELECT grp, doc_id, weight, priority,
+         row_number() OVER (
+           PARTITION BY grp ORDER BY priority DESC, doc_id
+         ) AS pick_rank
+  FROM pri
+)
+SELECT grp, doc_id, weight, priority, pick_rank
+FROM ranked WHERE pick_rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Preference-label consistency audit: two deterministic "judges"
 # (content length on adjacent doc pairs; a salted-md5 coin on skip

@@ -337,3 +337,25 @@ def test_chunk_salvage_verdict_classes(spark, sf_dir_001="/root/testdata/sf0.001
     # long planted docs keep their clean chunks
     assert any(r.verdict == "salvage" for r in planted)
     assert any(r.verdict == "keep" for r in normal)
+
+
+def test_grouped_priority_sample_caps_and_weights(spark):
+    from joblink_etl_spark.operators.sampling import grouped_priority_sample
+
+    rows = [(i, "a", 10) for i in range(20)] + [(100 + i, "b", 10) for i in range(3)]
+    # one heavyweight doc in group a should (almost surely) be picked:
+    # weight 1e6 vs 10 — priority ratio overwhelms any u draw
+    rows.append((999, "a", 1_000_000))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    out = grouped_priority_sample(df, "lang", "n_chars", k=5, id_col="doc_id")
+    got = out.collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert len(by_grp["a"]) == 5          # capped at k
+    assert len(by_grp["b"]) == 3          # below k: whole group
+    assert any(r.doc_id == 999 for r in by_grp["a"])  # weight dominates
+    assert sorted(r.pick_rank for r in by_grp["a"]) == [1, 2, 3, 4, 5]
+    # deterministic across runs
+    again = grouped_priority_sample(df, "lang", "n_chars", k=5, id_col="doc_id")
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
