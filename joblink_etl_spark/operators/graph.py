@@ -308,3 +308,67 @@ def pagerank_weighted(
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+    """Per-node triangle counts via the degree-ordered wedge
+    enumeration (node-iterator++): canonicalize the undirected edge
+    list, orient every edge from its lower-(degree, id) endpoint to
+    the higher, enumerate wedges as pairs of out-neighbors, and close
+    them against the canonical edge set. Each triangle is generated
+    at exactly one vertex (its degree-minimum), so no dedup pass is
+    needed.
+
+    Output: (node, n_triangles) for nodes in ≥1 triangle.
+
+    Scale: orientation bounds every out-degree by O(√E) on any graph
+    (a vertex with out-degree d has d neighbors of degree ≥ its own),
+    so the wedge self-join — the only superlinear step — is
+    Σ out_deg² = O(E^{3/2}) worst-case instead of Σ deg² (which a hot
+    hub makes quadratic). Three keyed shuffles total: degree count,
+    wedge join on the pivot, closing join on the (lo, hi) edge key."""
+    und = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("_dl"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("_dh"))
+    oriented = (
+        und.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(
+                (F.col("_dl") < F.col("_dh"))
+                | ((F.col("_dl") == F.col("_dh")) & (F.col("lo") < F.col("hi"))),
+                F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
+            )
+            .otherwise(F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")))
+            .alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    tris = wedges.join(
+        und,
+        (F.col("x") == F.col("lo")) & (F.col("y") == F.col("hi")),
+    ).select("u", "x", "y")
+    nodes = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

@@ -65,8 +65,9 @@ small_quantity_revenue / sole_returned_supplier (TPC-H Q17/Q21
 shapes, decorrelated), embedding_drift (per-dim snapshot shift), top_revenue_supplier
 (TPC-H Q15 shape on exact integer centi-cents), chunk_salvage
 (paragraph-level quality salvage with keep/salvage/drop verdicts),
-grouped_priority_sample (per-stratum weighted hard-cap draw).
-Registry total 204 (201 with SQL oracles; bpe_merges / bpe_encode /
+grouped_priority_sample (per-stratum weighted hard-cap draw),
+triangle_docs (degree-ordered distributed triangle counting).
+Registry total 205 (202 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -349,3 +350,4 @@ register("embedding_drift", E.embedding_drift_q, E.EMBEDDING_DRIFT_SQL)
 register("top_revenue_supplier", R.top_revenue_supplier, R.TOP_REVENUE_SUPPLIER_SQL)
 register("chunk_salvage", E.chunk_salvage_q, E.CHUNK_SALVAGE_SQL)
 register("grouped_priority_sample", SQ.grouped_priority_sample_q, SQ.GROUPED_PRIORITY_SAMPLE_SQL)
+register("triangle_docs", GQ.triangle_docs_q, GQ.TRIANGLE_DOCS_SQL)

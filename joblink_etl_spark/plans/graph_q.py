@@ -389,3 +389,52 @@ SELECT l.doc_id, l.cluster_id, s.cluster_size,
        1.0 / s.cluster_size::DOUBLE AS weight
 FROM labeled l JOIN sizes s ON s.cluster_id = l.cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered wedge enumeration) over a
+# deterministic doc-chain graph: edges (i, i+1), (i, i+2) make every
+# consecutive triple a triangle, and the sparse (i, i+4) class for
+# i % 6 = 0 closes an extra (i, i+2, i+4) triangle — so per-node
+# counts vary and the oracle's canonical a<b<c three-join checks the
+# oriented algorithm's output exactly.
+# ---------------------------------------------------------------------------
+
+
+def triangle_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def shift(k: int, residue: int | None = None) -> DataFrame:
+        a = docs.select(F.col("doc_id").alias("id_a"))
+        if residue is not None:
+            a = a.filter(F.col("id_a") % residue == 0)
+        b = docs.select(F.col("doc_id").alias("id_b"))
+        return a.join(b, F.col("id_b") == F.col("id_a") + k)
+
+    edges = shift(1).unionAll(shift(2)).unionAll(shift(4, residue=6))
+    return G.triangle_counts(edges)
+
+
+TRIANGLE_DOCS_SQL = """
+WITH d AS (SELECT doc_id FROM documents),
+e AS (
+  SELECT a.doc_id AS lo, b.doc_id AS hi
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 2
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM d a JOIN d b ON b.doc_id = a.doc_id + 4 AND a.doc_id % 6 = 0
+), tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e e1
+  JOIN e e2 ON e2.lo = e1.hi
+  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+), n AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT node, count(*)::BIGINT AS n_triangles FROM n GROUP BY node
+"""

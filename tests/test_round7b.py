@@ -359,3 +359,16 @@ def test_grouped_priority_sample_caps_and_weights(spark):
     # deterministic across runs
     again = grouped_priority_sample(df, "lang", "n_chars", k=5, id_col="doc_id")
     assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_triangle_counts_degree_ordered_exact(spark):
+    from joblink_etl_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: 4 triangles, each node in exactly 3; node 5
+    # hangs off node 1 (no triangle); duplicate + reversed edges
+    # collapse; self-loop ignored
+    edges = [(i, j) for i in range(1, 5) for j in range(1, 5) if i < j]
+    edges += [(2, 1), (1, 5), (3, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
