@@ -679,3 +679,46 @@ def distinct_ngram_diversity(
         )
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# GPT-2-style pre-tokenization, restricted to the RE2 ∩ Java-regex
+# common subset (no lookarounds): a token is an optionally
+# space-prefixed letter run, digit run, or punctuation run, else a
+# whitespace run. Alternation order is load-bearing and identical in
+# both engines (leftmost, first-alternative).
+BPE_ISH_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def regex_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting under a GPT-2-style pre-tokenization regex,
+    side by side with the whitespace count — the budget planner's two
+    denominators (whitespace words for quality gates, pre-tokens as
+    the subword-count proxy). The space-prefixed run classes are what
+    distinguish this from the coarser BPE_TOKEN_RE used in
+    add_text_stats: a leading space fuses into the following token
+    exactly as GPT-2's pre-tokenizer does. Output per doc: n_chars,
+    n_ws_tokens, n_regex_tokens, and regex-per-whitespace fertility
+    in basis points (0 for empty docs).
+
+    Scale: a pure narrow projection — both counts run scan-side in
+    codegen, no shuffle, no Python."""
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars"),
+        token_count(t).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_regex_tokens"),
+    )
+    return base.withColumn(
+        "fertility_bp",
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.expr("(10000 * n_regex_tokens) div n_ws_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )

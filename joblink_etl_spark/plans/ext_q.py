@@ -1653,6 +1653,32 @@ WHERE n_chunks > 0
 """
 
 
+_BPEISH_SQL_RE = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+"
+
+
+def regex_token_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer counts vs whitespace counts
+    (textstats.py::regex_token_stats) — pure narrow scan."""
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return TS.regex_token_stats(docs)
+
+
+REGEX_TOKEN_REPORT_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len({_TOKS})::BIGINT AS n_ws_tokens,
+         len(regexp_extract_all(text, '{_BPEISH_SQL_RE}'))::BIGINT AS n_regex_tokens
+  FROM documents
+)
+SELECT doc_id, n_chars, n_ws_tokens, n_regex_tokens,
+       (CASE WHEN n_ws_tokens > 0
+             THEN (10000 * n_regex_tokens) // n_ws_tokens
+             ELSE 0 END)::BIGINT AS fertility_bp
+FROM base
+"""
+
+
 _SALVAGE_JUNK = " ".join(["###"] * 100)
 
 

@@ -372,3 +372,23 @@ def test_triangle_counts_degree_ordered_exact(spark):
     df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     out = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_regex_token_stats_gpt2_space_fusion(spark):
+    from joblink_etl_spark.operators.textstats import regex_token_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),     # [hello][ world] -> 2 regex, 2 ws
+            (2, "x=1, y=22"),       # [x][=][1][,][ y][=][22] -> 7
+            (3, "a  b"),            # [a][<space>][ b]: double space splits
+            (4, ""),                # empty -> all zero
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in regex_token_stats(df).collect()}
+    assert (rows[1].n_ws_tokens, rows[1].n_regex_tokens) == (2, 2)
+    assert rows[2].n_regex_tokens == 7 and rows[2].n_ws_tokens == 2
+    assert rows[2].fertility_bp == 35000
+    assert rows[3].n_regex_tokens == 3  # "a", " " (lone), " b"
+    assert rows[4].n_regex_tokens == 0 and rows[4].fertility_bp == 0
