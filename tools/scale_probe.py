@@ -78,6 +78,9 @@ FAMILIES = {
     "subquery": "sole_returned_supplier",
     "embdrift": "embedding_drift",
     "salvage": "chunk_salvage",
+    "gsample": "grouped_priority_sample",
+    "triangles": "triangle_docs",
+    "pretoken": "regex_token_report",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
