@@ -586,3 +586,92 @@ def test_spearman_bounded_and_self_correlated(spark_prop, pairs):
     r2 = spearman_by_group(df2, "grp", "x", "y").collect()[0]
     assert r2["spearman"] == 1.0
     spark_prop.catalog.clearCache()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=8),  # group sizes
+    st.integers(0, 400),  # budget
+)
+def test_waterfill_is_max_min_fair(spark_prop, sizes, budget):
+    """Waterfill invariants on arbitrary group profiles: allocations
+    never exceed sizes, the budget binds exactly (Σ alloc =
+    min(budget, N)), and max-min fairness holds — no group could gain
+    without a LARGER-allocated group losing (equivalently: any group
+    below its size is within 1 of the maximum allocation)."""
+    from joblink_etl_spark.operators.sampling import waterfill_allocation
+
+    rows = [(f"g{gi:02d}",) for gi, n in enumerate(sizes) for _ in range(n)]
+    df = spark_prop.createDataFrame(rows, "grp string")
+    out = {r.grp: (r.n_docs, r.alloc) for r in
+           waterfill_allocation(df, "grp", budget=budget).collect()}
+    assert len(out) == len(sizes)
+    total = sum(a for _, a in out.values())
+    assert total == min(budget, sum(sizes))
+    allocs = [a for _, a in out.values()]
+    for n, a in out.values():
+        assert 0 <= a <= n
+        # capped groups (a < n) sit within 1 of the max allocation
+        if a < n:
+            assert a >= max(allocs) - 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12)), min_size=1, max_size=40
+    )
+)
+def test_triangle_counts_match_bruteforce(spark_prop, raw_edges):
+    """Degree-ordered enumeration equals the brute-force triangle
+    count on arbitrary small graphs (self-loops and duplicate edges
+    included in the input)."""
+    from itertools import combinations
+
+    from joblink_etl_spark.operators.graph import triangle_counts
+
+    df = spark_prop.createDataFrame(raw_edges, "id_a bigint, id_b bigint")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+    und = {tuple(sorted(e)) for e in raw_edges if e[0] != e[1]}
+    nodes = {v for e in und for v in e}
+    want = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    st.integers(1, 5),
+)
+def test_grouped_priority_sample_is_per_group_topk(spark_prop, weights, k):
+    """The grouped draw equals, per group, the top-k of the SAME
+    integer priority computed directly — the window spelling adds no
+    selection drift."""
+    from joblink_etl_spark.operators.sampling import grouped_priority_sample
+
+    rows = [(i, f"g{i % 3}", w + 1) for i, w in enumerate(weights)]
+    df = spark_prop.createDataFrame(rows, "doc_id bigint, lang string, n_chars bigint")
+    out = grouped_priority_sample(df, "lang", "n_chars", k=k, id_col="doc_id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.grp, []).append((r.doc_id, r.priority))
+
+    import hashlib
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for i, w in enumerate(weights):
+        g = f"g{i % 3}"
+        u = (md5i(f"gpri:{i}") % (1 << 30)) + 1
+        q = ((w + 1) * (1 << 30)) // u
+        want.setdefault(g, []).append((i, q))
+    for g in want:
+        top = sorted(want[g], key=lambda t: (-t[1], t[0]))[:k]
+        assert sorted(got.get(g, [])) == sorted(top)
