@@ -494,3 +494,65 @@ def decode_video(df: DataFrame, content_col: str = "content", backend: str = "fa
             yield pdf
 
     return df.mapInPandas(gen, out_schema)
+
+
+def patch_grid(
+    df: DataFrame,
+    patch: int = 16,
+    id_col: str = "doc_id",
+    w_col: str = "width",
+    h_col: str = "height",
+) -> DataFrame:
+    """ViT-style patch-grid explode from image METADATA — the
+    coordinate plumbing that runs before any pixel UDF: one row per
+    patch in row-major order, edge patches clipped to the image.
+    Splitting grid generation (cheap, exact, metadata-only) from
+    pixel extraction (the expensive Arrow-batched UDF) is what lets
+    a vision pipeline decode per-PATCH in parallel and prune patches
+    (e.g. letterbox margins) before touching payload bytes.
+
+    Output: (id, patch_id, patch_row, patch_col, x0, y0, pw, ph),
+    all bigint. Pure scan-side integer explode — no shuffle, no
+    Python; row multiplication is (w/patch)·(h/patch) per image,
+    exactly the downstream work count."""
+    w, h = F.col(w_col).cast("bigint"), F.col(h_col).cast("bigint")
+    n_cols = F.expr(f"({w_col} + {patch - 1}) div {patch}").cast("bigint")
+    n_rows = F.expr(f"({h_col} + {patch - 1}) div {patch}").cast("bigint")
+    g = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        h.alias("_h"),
+        n_cols.alias("_nc"),
+        (n_rows * n_cols).alias("_np"),
+    )
+    i = F.col("patch_id")
+    return (
+        g.select(
+            id_col,
+            "_w",
+            "_h",
+            "_nc",
+            # sequence(0, -1) is a DESCENDING two-element array (the
+            # repetition_stats trap) — zero-area images must
+            # short-circuit to an empty patch list
+            F.explode(
+                F.when(
+                    F.col("_np") > 0,
+                    F.sequence(F.lit(0).cast("bigint"), F.col("_np") - 1),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ).alias("patch_id"),
+        )
+        .select(
+            id_col,
+            i,
+            F.expr("patch_id div _nc").alias("patch_row"),
+            (i % F.col("_nc")).alias("patch_col"),
+            ((i % F.col("_nc")) * patch).alias("x0"),
+            (F.expr("patch_id div _nc") * patch).alias("y0"),
+            F.least(F.lit(patch).cast("bigint"), F.col("_w") - (i % F.col("_nc")) * patch).alias("pw"),
+            F.least(
+                F.lit(patch).cast("bigint"),
+                F.col("_h") - F.expr("patch_id div _nc") * patch,
+            ).alias("ph"),
+        )
+    )

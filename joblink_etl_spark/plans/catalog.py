@@ -67,8 +67,9 @@ shapes, decorrelated), embedding_drift (per-dim snapshot shift), top_revenue_sup
 (paragraph-level quality salvage with keep/salvage/drop verdicts),
 grouped_priority_sample (per-stratum weighted hard-cap draw),
 triangle_docs (degree-ordered distributed triangle counting),
-regex_token_report (GPT-2-style pre-tokenizer fertility report).
-Registry total 206 (203 with SQL oracles; bpe_merges / bpe_encode /
+regex_token_report (GPT-2-style pre-tokenizer fertility report),
+patch_grid (ViT patch-coordinate explode from image metadata).
+Registry total 207 (204 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -353,3 +354,4 @@ register("chunk_salvage", E.chunk_salvage_q, E.CHUNK_SALVAGE_SQL)
 register("grouped_priority_sample", SQ.grouped_priority_sample_q, SQ.GROUPED_PRIORITY_SAMPLE_SQL)
 register("triangle_docs", GQ.triangle_docs_q, GQ.TRIANGLE_DOCS_SQL)
 register("regex_token_report", E.regex_token_report_q, E.REGEX_TOKEN_REPORT_SQL)
+register("patch_grid", E.patch_grid_q, E.PATCH_GRID_SQL)

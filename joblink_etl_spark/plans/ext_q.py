@@ -1679,6 +1679,39 @@ FROM base
 """
 
 
+def patch_grid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-grid plumbing (operators/multimodal.py::patch_grid)
+    over the fake-decoded image metadata: one row per 16px patch,
+    edge patches clipped — the exact downstream work count a vision
+    decode stage fans out to."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    meta = M.decode_images(M.attach_fake_payload(docs)).select(
+        "doc_id", "width", "height"
+    )
+    return M.patch_grid(meta, patch=16)
+
+
+PATCH_GRID_SQL = f"""
+WITH m AS ({MULTIMODAL_DECODE_SQL}),
+g AS (
+  SELECT doc_id, width::BIGINT AS w, height::BIGINT AS h,
+         (width + 15) // 16 AS n_cols,
+         ((width + 15) // 16) * ((height + 15) // 16) AS n_patches
+  FROM m
+)
+SELECT doc_id, t.i::BIGINT AS patch_id,
+       (t.i // n_cols)::BIGINT AS patch_row,
+       (t.i % n_cols)::BIGINT AS patch_col,
+       ((t.i % n_cols) * 16)::BIGINT AS x0,
+       ((t.i // n_cols) * 16)::BIGINT AS y0,
+       least(16, w - (t.i % n_cols) * 16)::BIGINT AS pw,
+       least(16, h - (t.i // n_cols) * 16)::BIGINT AS ph
+FROM g, unnest(range(0, n_patches)) AS t(i)
+"""
+
+
 _SALVAGE_JUNK = " ".join(["###"] * 100)
 
 

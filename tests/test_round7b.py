@@ -392,3 +392,27 @@ def test_regex_token_stats_gpt2_space_fusion(spark):
     assert rows[2].fertility_bp == 35000
     assert rows[3].n_regex_tokens == 3  # "a", " " (lone), " b"
     assert rows[4].n_regex_tokens == 0 and rows[4].fertility_bp == 0
+
+
+def test_patch_grid_clipping_and_coverage(spark):
+    from joblink_etl_spark.operators.multimodal import patch_grid
+
+    df = spark.createDataFrame(
+        [(1, 33, 17), (2, 16, 16), (3, 0, 0)],
+        "doc_id bigint, width int, height int",
+    )
+    rows = [r for r in patch_grid(df, patch=16).collect()]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 33x17 -> 3 cols x 2 rows = 6 patches; edge clipped to 1px
+    assert len(by_doc[1]) == 6
+    edge = {(r.patch_row, r.patch_col): (r.pw, r.ph) for r in by_doc[1]}
+    assert edge[(0, 0)] == (16, 16) and edge[(0, 2)] == (1, 16)
+    assert edge[(1, 0)] == (16, 1) and edge[(1, 2)] == (1, 1)
+    # exact 16x16 -> single full patch
+    assert len(by_doc[2]) == 1 and by_doc[2][0].pw == 16 and by_doc[2][0].ph == 16
+    # zero-area -> no patches (the sequence(0,-1) trap)
+    assert 3 not in by_doc
+    # patch area sums to image area
+    assert sum(r.pw * r.ph for r in by_doc[1]) == 33 * 17
