@@ -68,8 +68,9 @@ shapes, decorrelated), embedding_drift (per-dim snapshot shift), top_revenue_sup
 grouped_priority_sample (per-stratum weighted hard-cap draw),
 triangle_docs (degree-ordered distributed triangle counting),
 regex_token_report (GPT-2-style pre-tokenizer fertility report),
-patch_grid (ViT patch-coordinate explode from image metadata).
-Registry total 207 (204 with SQL oracles; bpe_merges / bpe_encode /
+patch_grid (ViT patch-coordinate explode from image metadata),
+shard_manifest (per-shard counts + order-exact content checksums).
+Registry total 208 (205 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -355,3 +356,4 @@ register("grouped_priority_sample", SQ.grouped_priority_sample_q, SQ.GROUPED_PRI
 register("triangle_docs", GQ.triangle_docs_q, GQ.TRIANGLE_DOCS_SQL)
 register("regex_token_report", E.regex_token_report_q, E.REGEX_TOKEN_REPORT_SQL)
 register("patch_grid", E.patch_grid_q, E.PATCH_GRID_SQL)
+register("shard_manifest", E.shard_manifest_q, E.SHARD_MANIFEST_SQL)

@@ -773,6 +773,66 @@ FROM packed
 """
 
 
+def shard_manifest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest — the artifact a dataloader actually
+    consumes: per output shard, doc/char counts, the id range, and a
+    deterministic content checksum (md5 over the doc fingerprints in
+    doc_id order) so a rebuilt shard can be verified byte-free
+    against the manifest. Rides the proven pack_shards assignment;
+    the checksum agg is the array_sort(collect_list(struct))) idiom
+    (order-exact in any engine), one groupBy on the shard key."""
+    from ..operators.sampling import pack_shards
+
+    docs = parallelize(table(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "n_chars"
+    )
+    packed = pack_shards(
+        docs, weight_col="n_chars", budget=10_000, order_col="doc_id", n_buckets=8
+    ).withColumn("fp", TS.fingerprint(F.col("text")))
+    return (
+        packed.groupBy("bucket", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("shard_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "fp"))),
+                        lambda s: s["fp"],
+                    ),
+                )
+            ).alias("checksum"),
+        )
+    )
+
+
+SHARD_MANIFEST_SQL = f"""
+WITH packed AS (
+  SELECT doc_id, n_chars, text,
+         (doc_id % 8)::INTEGER AS bucket,
+         (sum(n_chars) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+          - n_chars)::BIGINT AS off
+  FROM documents
+), assigned AS (
+  SELECT doc_id, n_chars, bucket,
+         floor(off / 10000)::INTEGER AS shard_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM packed
+)
+SELECT bucket, shard_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS shard_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       md5(string_agg(fp, '|' ORDER BY doc_id)) AS checksum
+FROM assigned
+GROUP BY bucket, shard_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Within-doc repetition ratio (duplicate-n-gram quality signal).
 # ---------------------------------------------------------------------------
