@@ -81,6 +81,8 @@ FAMILIES = {
     "gsample": "grouped_priority_sample",
     "triangles": "triangle_docs",
     "pretoken": "regex_token_report",
+    "patchgrid": "patch_grid",
+    "manifest": "shard_manifest",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
