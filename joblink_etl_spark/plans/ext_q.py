@@ -108,6 +108,78 @@ FROM corpus
 """
 
 
+def dedup_ttl_decay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analysis that SIZES a streaming dedup index TTL: for
+    consecutive re-arrivals of the same content (exact fingerprint),
+    the distribution of arrival gaps (doc_id as arrival order) by
+    decimal magnitude, with the cumulative share a TTL of that
+    magnitude would catch. Clones planted at three gap regimes
+    (+40, +600, +7000) so the decay curve has real steps.
+
+    One fingerprint shuffle + a lag window (same exchange), then a
+    |buckets|-row rollup — corpus-linear."""
+    from ..operators.textstats import fingerprint
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs
+    for off, mod in ((40, 7), (600, 11), (7000, 13)):
+        corpus = corpus.unionAll(
+            docs.filter(F.col("doc_id") % mod == 0).select(
+                (F.col("doc_id") + off).alias("doc_id"), "text"
+            )
+        )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    gaps = (
+        corpus.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("gap", F.col("doc_id") - F.lag("doc_id").over(w))
+        .filter(F.col("gap").isNotNull())
+        .select(F.length(F.col("gap").cast("string")).cast("bigint").alias("gap_digits"))
+    )
+    agg = gaps.groupBy("gap_digits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    wc = Window.orderBy("gap_digits").rowsBetween(Window.unboundedPreceding, 0)
+    total = agg.agg(F.sum("n_pairs").cast("bigint").alias("_t"))
+    return (
+        agg.withColumn("cum_pairs", F.sum("n_pairs").over(wc).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "gap_digits",
+            "n_pairs",
+            "cum_pairs",
+            F.expr("(10000 * cum_pairs) div _t").alias("caught_bp"),
+        )
+    )
+
+
+DEDUP_TTL_DECAY_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 600, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 7000, text FROM documents WHERE doc_id % 13 = 0
+), fps AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM corpus
+), gaps AS (
+  SELECT length((doc_id - lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id))::VARCHAR)::BIGINT AS gap_digits
+  FROM fps
+  QUALIFY lag(doc_id) OVER (PARTITION BY fp ORDER BY doc_id) IS NOT NULL
+), agg AS (
+  SELECT gap_digits, count(*)::BIGINT AS n_pairs FROM gaps GROUP BY 1
+), tot AS (SELECT sum(n_pairs)::BIGINT AS t FROM agg)
+SELECT gap_digits, n_pairs,
+       (sum(n_pairs) OVER (ORDER BY gap_digits))::BIGINT AS cum_pairs,
+       ((10000 * sum(n_pairs) OVER (ORDER BY gap_digits)) // t)::BIGINT AS caught_bp
+FROM agg, tot
+"""
+
+
 def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc repeated 8-gram spans over the documents corpus —
     the distributed stand-in for suffix-array exact-substring dedup
@@ -5016,11 +5088,13 @@ _ENC_MOJI = " + ".join(
     for m in TS.MOJIBAKE_MARKERS
 )
 
-ENCODING_REPORT_SQL = f"""
+def _encoding_sql(corpus_rows: str) -> str:
+    """Encoding-artifact flag SQL over a caller-supplied corpus body
+    (doc_id, text) — same builder pattern as _gopher_sql, so gate
+    compositions reuse the proven detector chain verbatim."""
+    return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  {_ENC_PLANT_ROWS}
+  {corpus_rows}
 ), stats AS (
   SELECT doc_id,
          ({_ENC_MOJI})::BIGINT AS n_mojibake,
@@ -5030,6 +5104,114 @@ WITH corpus AS (
 )
 SELECT *, n_mojibake = 0 AND n_replacement = 0 AND n_control = 0 AS clean
 FROM stats
+"""
+
+
+ENCODING_REPORT_SQL = _encoding_sql(
+    f"""SELECT doc_id, text FROM documents
+  UNION ALL
+  {_ENC_PLANT_ROWS}"""
+)
+
+
+_REASON_PLANTS = _ENC_PLANTS + [(900104, "zxqv wvut qqq pqrs")]  # + an 'und' doc
+
+
+def rejection_reasons_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rejection-reason lookup — the debugging table behind
+    'why was my document dropped': the FIRST failing gate in pipeline
+    order (encoding → language → quality → exact-duplicate → kept),
+    composed from the proven per-gate flag chains. Planted rows light
+    every branch: the three encoding plants, one stopword-free 'und'
+    doc, and the %7 clones.
+
+    All four gates are narrow projections or one fingerprint window
+    over the SAME corpus scan; the doc-keyed flag joins are
+    AQE-planned equi-joins. Precedence is a CASE — one pass, no
+    per-gate re-filtering."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    plants = spark.createDataFrame(_REASON_PLANTS, "doc_id bigint, text string")
+    clones = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(plants).unionAll(clones)
+    enc = TS.encoding_artifacts(corpus).select("doc_id", "clean")
+    gq = TS.gopher_quality(
+        corpus, min_words=10, min_stopword_types=1
+    ).select("doc_id", "pass_gopher")
+    base = corpus.select(
+        "doc_id",
+        TS.lang_guess(F.col("text")).alias("lang_guess"),
+        TS.fingerprint(F.col("text")).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    flags = (
+        base.withColumn("is_dup", F.col("doc_id") != F.min("doc_id").over(w))
+        .join(enc, "doc_id")
+        .join(gq, "doc_id")
+    )
+    return flags.select(
+        "doc_id",
+        "clean",
+        "lang_guess",
+        "pass_gopher",
+        "is_dup",
+        F.when(~F.col("clean"), F.lit("encoding"))
+        .when(F.col("lang_guess") == "und", F.lit("lang"))
+        .when(~F.col("pass_gopher"), F.lit("quality"))
+        .when(F.col("is_dup"), F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+    )
+
+
+_REASON_PLANT_ROWS = " UNION ALL ".join(
+    f"SELECT {i}::BIGINT AS doc_id, {_sql_lit(t)} AS text" for i, t in _REASON_PLANTS
+)
+
+_REASON_CORPUS = f"""SELECT doc_id, text FROM documents
+  UNION ALL
+  {_REASON_PLANT_ROWS}
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0"""
+
+REJECTION_REASONS_SQL = f"""
+WITH corpusr AS (
+  {_REASON_CORPUS}
+), e AS ({_encoding_sql("SELECT doc_id, text FROM corpusr")}),
+g AS ({_gopher_sql("SELECT doc_id, text FROM corpusr", min_words=10, min_stop=1)}),
+b AS (
+  SELECT doc_id,
+    CASE
+      WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en >= h_zh THEN 'en'
+      WHEN h_es > 0 AND h_es >= h_en AND h_es >= h_fr AND h_es >= h_de AND h_es >= h_zh THEN 'es'
+      WHEN h_fr > 0 AND h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de AND h_fr >= h_zh THEN 'fr'
+      WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+      WHEN h_zh > 0 AND h_zh >= h_en AND h_zh >= h_es AND h_zh >= h_fr AND h_zh >= h_de THEN 'zh'
+      ELSE 'und'
+    END AS lang_guess,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM (
+    SELECT doc_id, text,
+           {_hits("en")} AS h_en, {_hits("es")} AS h_es, {_hits("fr")} AS h_fr,
+           {_hits("de")} AS h_de, {_hits("zh")} AS h_zh
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM corpusr)
+  )
+), d AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup,
+         lang_guess
+  FROM b
+)
+SELECT d.doc_id, e.clean, d.lang_guess, g.pass_gopher, d.is_dup,
+       CASE WHEN NOT e.clean THEN 'encoding'
+            WHEN d.lang_guess = 'und' THEN 'lang'
+            WHEN NOT g.pass_gopher THEN 'quality'
+            WHEN d.is_dup THEN 'duplicate'
+            ELSE 'kept' END AS reason
+FROM d JOIN e USING (doc_id) JOIN g USING (doc_id)
 """
 
 
