@@ -83,6 +83,8 @@ FAMILIES = {
     "pretoken": "regex_token_report",
     "patchgrid": "patch_grid",
     "manifest": "shard_manifest",
+    "ttldecay": "dedup_ttl_decay",
+    "rejections": "rejection_reasons",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
