@@ -1328,3 +1328,66 @@ JOIN totals ta ON ta.event_type = p.type_a
 JOIN totals tb ON tb.event_type = p.type_b
 CROSS JOIN alln
 """
+
+
+def events_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the warehouse temporal pattern on
+    top of the SCD2 interval builder: every third event per user
+    plays a dimension observation (its validity runs to the user's
+    next observation, open-ended for the last), and the remaining
+    events are facts joined to the version valid AT fact time
+    (half-open [from, to), so boundary facts land in exactly one
+    version; facts before a user's first version drop — inner PIT).
+
+    Plan shape: the dim intervals are one per-user window; the PIT
+    join is an EQUI-join on user_id with range residuals, so it
+    plans as a sort-merge join on the user key, never a nested-loop
+    — at 100 TB this is the partition-friendly spelling (both sides
+    shuffle once on user_id)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    dim0 = ev.filter(F.col("event_id") % 3 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dim = dim0.select(
+        "user_id",
+        F.col("event_type").alias("version_type"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    fact = ev.filter(F.col("event_id") % 3 != 0).select(
+        "user_id", F.col("event_id").alias("fact_id"), F.col("ts_us").alias("fact_ts_us")
+    )
+    return fact.join(
+        dim,
+        (fact["user_id"] == dim["user_id"])
+        & (dim["valid_from_us"] <= fact["fact_ts_us"])
+        & (dim["valid_to_us"].isNull() | (fact["fact_ts_us"] < dim["valid_to_us"])),
+    ).select(
+        fact["user_id"],
+        "fact_id",
+        "fact_ts_us",
+        "version_type",
+        "valid_from_us",
+    )
+
+
+EVENTS_PIT_JOIN_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+), dim AS (
+  SELECT user_id, event_type AS version_type,
+         ts_us AS valid_from_us,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS valid_to_us
+  FROM ev WHERE event_id % 3 = 0
+), fact AS (
+  SELECT user_id, event_id AS fact_id, ts_us AS fact_ts_us
+  FROM ev WHERE event_id % 3 <> 0
+)
+SELECT f.user_id, f.fact_id, f.fact_ts_us, d.version_type, d.valid_from_us
+FROM fact f JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from_us <= f.fact_ts_us
+ AND (d.valid_to_us IS NULL OR f.fact_ts_us < d.valid_to_us)
+"""
