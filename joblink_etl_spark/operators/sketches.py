@@ -468,3 +468,70 @@ def cms_join_size(
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("ip"))
     )
     return j.groupBy().agg(F.min("ip").cast("bigint").alias("est_join_size"))
+
+
+def merged_quantile_summary(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_shards: int = 16,
+    k_per_shard: int = 32,
+    q_pcts: tuple = (10, 25, 50, 75, 90),
+) -> DataFrame:
+    """Mergeable two-level quantile summary — the MRL/GK-family
+    pattern a distributed engine actually runs: each shard keeps an
+    equi-depth summary of k values (rank-boundary rows, integer-exact
+    selection: rank rn is kept iff floor(rn·k/n) advances), summaries
+    union (n_shards·k rows total) and the global weighted rank answers
+    any quantile with rank error ≤ N/k per shard. Deterministic
+    end-to-end: shard = md5(id) mod n_shards, ties break on id, so
+    the summary — and therefore the answer — is engine- and
+    partitioning-reproducible, unlike sampled sketches.
+
+    Output: (q_pct, target_rank, approx_value) per requested
+    percentile, where target_rank = ceil(q·N/100).
+
+    Scale: the corpus is touched by ONE shard-keyed window (rank
+    within shard); everything after runs on the n_shards·k summary —
+    the single-partition global window is over the SUMMARY, never the
+    corpus. Raising k tightens error linearly at linear summary
+    cost."""
+    from pyspark.sql.window import Window
+
+    v, i = F.col(value_col), F.col(id_col)
+    base = df.select(
+        v.alias("val"),
+        i.alias("rid"),
+        F.pmod(md5_int(F.concat(F.lit("qsum:"), i.cast("string"))), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    ws = Window.partitionBy("shard").orderBy("val", "rid")
+    ranked = base.withColumn("rn", F.row_number().over(ws).cast("bigint")).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("shard")).cast("bigint")
+    )
+    sel = ranked.filter(
+        F.expr(f"(rn * {k_per_shard}) div n > ((rn - 1) * {k_per_shard}) div n")
+    )
+    wsel = Window.partitionBy("shard").orderBy("rn")
+    summary = sel.withColumn(
+        "w", (F.col("rn") - F.coalesce(F.lag("rn").over(wsel), F.lit(0))).cast("bigint")
+    )
+    wg = Window.orderBy("val", "shard", "rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = summary.withColumn("cum", F.sum("w").over(wg).cast("bigint"))
+    total = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    targets = None
+    for q in q_pcts:
+        t = total.select(
+            F.lit(q).cast("bigint").alias("q_pct"),
+            F.expr(f"({q} * _n + 99) div 100").alias("target_rank"),
+        )
+        targets = t if targets is None else targets.unionAll(t)
+    return (
+        cum.crossJoin(F.broadcast(targets))
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy("q_pct", "target_rank")
+        .agg(F.expr("min_by(val, cum)").alias("approx_value"))
+    )

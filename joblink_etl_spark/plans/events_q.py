@@ -1391,3 +1391,47 @@ FROM fact f JOIN dim d
  AND d.valid_from_us <= f.fact_ts_us
  AND (d.valid_to_us IS NULL OR f.fact_ts_us < d.valid_to_us)
 """
+
+
+def merged_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable two-level quantile summary over event values
+    (operators/sketches.py::merged_quantile_summary): 16 shards x 32
+    summary rows answer the 10/25/50/75/90th percentiles with rank
+    error <= N/32 per shard, corpus touched by one shard-keyed
+    window only."""
+    from ..operators.sketches import merged_quantile_summary
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    return merged_quantile_summary(ev, "value", "event_id")
+
+
+MERGED_QUANTILES_SQL = """
+WITH base AS (
+  SELECT value AS val, event_id AS rid,
+         (('0x' || substr(md5('qsum:' || event_id::VARCHAR), 1, 15))::BIGINT % 16)::INTEGER AS shard
+  FROM events
+), ranked AS (
+  SELECT val, rid, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY val, rid)::BIGINT AS rn,
+         count(*) OVER (PARTITION BY shard)::BIGINT AS n
+  FROM base
+), sel AS (
+  SELECT * FROM ranked WHERE (rn * 32) // n > ((rn - 1) * 32) // n
+), summary AS (
+  SELECT val, shard, rn,
+         (rn - coalesce(lag(rn) OVER (PARTITION BY shard ORDER BY rn), 0))::BIGINT AS w
+  FROM sel
+), cum AS (
+  SELECT val, shard, rn,
+         sum(w) OVER (ORDER BY val, shard, rn)::BIGINT AS cum
+  FROM summary
+), tot AS (SELECT count(*)::BIGINT AS n FROM base),
+targets AS (
+  SELECT q::BIGINT AS q_pct, ((q * t.n + 99) // 100)::BIGINT AS target_rank
+  FROM (SELECT unnest([10, 25, 50, 75, 90]) AS q), tot t
+)
+SELECT t.q_pct, t.target_rank, min_by(c.val, c.cum) AS approx_value
+FROM cum c, targets t
+WHERE c.cum >= t.target_rank
+GROUP BY t.q_pct, t.target_rank
+"""

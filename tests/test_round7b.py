@@ -416,3 +416,34 @@ def test_patch_grid_clipping_and_coverage(spark):
     assert 3 not in by_doc
     # patch area sums to image area
     assert sum(r.pw * r.ph for r in by_doc[1]) == 33 * 17
+
+
+def test_merged_quantile_summary_error_bound(spark):
+    from joblink_etl_spark.operators.sketches import merged_quantile_summary
+
+    # values 1..1000: true q-th percentile is ~10*q; summary answers
+    # must sit within the guaranteed rank error (N/k per shard,
+    # summed over shards at the merge: <= n_shards * N / (k * ...)
+    # — use the loose practical bound N/k total here)
+    n, shards, k = 1000, 8, 25
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, n + 1)], "event_id bigint, value double"
+    )
+    out = {
+        r.q_pct: r
+        for r in merged_quantile_summary(
+            df, "value", "event_id", n_shards=shards, k_per_shard=k
+        ).collect()
+    }
+    for q in (10, 25, 50, 75, 90):
+        true_rank = -(-q * n // 100)
+        approx_rank = out[q].approx_value  # values ARE their ranks
+        assert abs(approx_rank - true_rank) <= shards * (n / shards / k) + shards
+    # determinism
+    again = {
+        r.q_pct: r.approx_value
+        for r in merged_quantile_summary(
+            df, "value", "event_id", n_shards=shards, k_per_shard=k
+        ).collect()
+    }
+    assert again == {q: r.approx_value for q, r in out.items()}
