@@ -85,6 +85,8 @@ FAMILIES = {
     "manifest": "shard_manifest",
     "ttldecay": "dedup_ttl_decay",
     "rejections": "rejection_reasons",
+    "pitjoin": "events_pit_join",
+    "mergequant": "merged_quantiles",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
