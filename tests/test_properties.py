@@ -675,3 +675,76 @@ def test_grouped_priority_sample_is_per_group_topk(spark_prop, weights, k):
     for g in want:
         top = sorted(want[g], key=lambda t: (-t[1], t[0]))[:k]
         assert sorted(got.get(g, [])) == sorted(top)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=6, max_size=20
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_containment_prefix_quote_is_always_full(spark_prop, token_lists):
+    """For any corpus, a prefix quote of >= ngram tokens has
+    containment exactly 10000 bp inside its base document (its gram
+    set is a subset by construction)."""
+    from joblink_etl_spark.operators.dedup import containment_pairs
+
+    rows, expect = [], set()
+    for i, toks in enumerate(token_lists):
+        base_id = i * 2
+        quote_id = i * 2 + 1
+        rows.append((base_id, " ".join(toks)))
+        keep = max(3, len(toks) // 2)
+        rows.append((quote_id, " ".join(toks[:keep])))
+        expect.add((base_id, quote_id))
+    df = spark_prop.createDataFrame(rows, "doc_id bigint, text string")
+    out = containment_pairs(df, ngram=3, min_containment_bp=0)
+    full = {
+        (r.id_a, r.id_b)
+        for r in out.collect()
+        if max(r.contain_a_bp, r.contain_b_bp) == 10000
+    }
+    # every planted (base, quote) pair reaches full containment
+    # (other cross-doc pairs may too on tiny alphabets — that's fine)
+    assert expect <= full
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(0, 50), min_size=4, max_size=40))
+def test_pit_join_assigns_each_fact_to_at_most_one_version(spark_prop, tss):
+    """PIT semantics: half-open validity intervals partition time, so
+    a fact matches exactly one version row if any version precedes it
+    (and zero otherwise) — even with duplicate timestamps."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(7, i, ts) for i, ts in enumerate(tss)]
+    df = spark_prop.createDataFrame(rows, "user_id bigint, event_id bigint, ts_us bigint")
+    dim0 = df.filter(F.col("event_id") % 3 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dim = dim0.select(
+        "user_id",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    fact = df.filter(F.col("event_id") % 3 != 0).select(
+        "user_id", F.col("event_id").alias("fact_id"), F.col("ts_us").alias("fact_ts")
+    )
+    joined = fact.join(
+        dim,
+        (fact["user_id"] == dim["user_id"])
+        & (dim["valid_from_us"] <= fact["fact_ts"])
+        & (dim["valid_to_us"].isNull() | (fact["fact_ts"] < dim["valid_to_us"])),
+    )
+    counts = [r.n for r in joined.groupBy("fact_id").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert all(n == 1 for n in counts)
+    # facts at/after the first version all match
+    first_version = min(tss[i] for i in range(len(tss)) if i % 3 == 0)
+    expected_matches = sum(
+        1 for i, ts in enumerate(tss) if i % 3 != 0 and ts >= first_version
+    )
+    assert sum(counts) == expected_matches
