@@ -782,3 +782,50 @@ def grouped_priority_sample(
         .filter(F.col("pick_rank") <= k)
         .select("grp", id_col, "weight", "priority", "pick_rank")
     )
+
+
+def ab_assignment_report(
+    events: DataFrame,
+    unit_col: str = "user_id",
+    value_col: str = "value",
+    arms: int = 2,
+    exposure_bp: int = 10000,
+    salt: str = "exp1",
+) -> DataFrame:
+    """Experiment assignment + exposure report — the analytics side
+    of deterministic A/B bucketing: units hash into [0, BUCKETS)
+    with a per-experiment salt; buckets below `exposure_bp` basis
+    points are in the experiment and split across `arms` by bucket
+    residue, the rest are holdout (arm = -1). Deterministic unit-
+    level assignment (same user, same arm, any engine, any run) is
+    the property that makes the report reproducible and lets
+    experiments layer via salts.
+
+    Output per arm: n_units, n_events, sum_cents, mean_centi_cents
+    (exact integer round-half-up division — the portable quotient
+    form). Metric values travel as integer cents from the first
+    projection, so the per-arm sums compare exactly across engines.
+
+    Scale: assignment is scan-side (one md5 per row); the report is
+    ONE map-side-combinable groupBy to |arms|+1 rows."""
+    bucket = hash_bucket(F.col(unit_col), salt=salt)
+    exposed = bucket * 10000 < F.lit(exposure_bp) * F.lit(BUCKETS)
+    arm = F.when(exposed, F.pmod(bucket, F.lit(arms))).otherwise(F.lit(-1))
+    base = events.select(
+        arm.cast("bigint").alias("arm"),
+        F.col(unit_col).alias("unit"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        base.groupBy("arm")
+        .agg(
+            F.count_distinct("unit").cast("bigint").alias("n_units"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        # mean in centi-cents, exact round-half-up: (2*s*100 + n) div (2*n)
+        .withColumn(
+            "mean_centi_cents",
+            F.expr("(2 * sum_cents * 100 + n_events) div (2 * n_events)"),
+        )
+    )

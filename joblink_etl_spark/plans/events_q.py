@@ -1435,3 +1435,35 @@ FROM cum c, targets t
 WHERE c.cum >= t.target_rank
 GROUP BY t.q_pct, t.target_rank
 """
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment report (operators/sampling.py::
+    ab_assignment_report): users hash into a 40%-exposure experiment
+    with 2 arms + holdout; per-arm unit/event counts and exact
+    integer metric means."""
+    from ..operators.sampling import ab_assignment_report
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    return ab_assignment_report(ev, arms=2, exposure_bp=4000, salt="exp1")
+
+
+AB_TEST_REPORT_SQL = """
+WITH base AS (
+  SELECT CASE WHEN (('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 15))::BIGINT % 10000) * 10000 < 4000 * 10000
+              THEN ('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 15))::BIGINT % 10000 % 2
+              ELSE -1 END AS arm,
+         user_id AS unit,
+         round(value * 100)::BIGINT AS cents
+  FROM events
+), agg AS (
+  SELECT arm::BIGINT AS arm,
+         count(DISTINCT unit)::BIGINT AS n_units,
+         count(*)::BIGINT AS n_events,
+         sum(cents)::BIGINT AS sum_cents
+  FROM base GROUP BY 1
+)
+SELECT arm, n_units, n_events, sum_cents,
+       ((2 * sum_cents * 100 + n_events) // (2 * n_events))::BIGINT AS mean_centi_cents
+FROM agg
+"""

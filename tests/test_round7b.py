@@ -447,3 +447,22 @@ def test_merged_quantile_summary_error_bound(spark):
         ).collect()
     }
     assert again == {q: r.approx_value for q, r in out.items()}
+
+
+def test_ab_assignment_deterministic_and_exposure_sized(spark):
+    from joblink_etl_spark.operators.sampling import ab_assignment_report
+
+    rows = [(u, float(u % 7)) for u in range(2000) for _ in range(2)]
+    df = spark.createDataFrame(rows, "user_id bigint, value double")
+    out = {r.arm: r for r in ab_assignment_report(df, exposure_bp=4000).collect()}
+    # holdout + 2 arms, exposure ~40% of units (md5-uniform)
+    assert set(out) == {-1, 0, 1}
+    exposed = out[0].n_units + out[1].n_units
+    assert abs(exposed - 800) < 80
+    # every event counted exactly once across arms
+    assert sum(r.n_events for r in out.values()) == len(rows)
+    # same user never splits across arms: unit totals match distinct users
+    assert sum(r.n_units for r in out.values()) == 2000
+    # deterministic re-run
+    again = {r.arm: r.n_units for r in ab_assignment_report(df, exposure_bp=4000).collect()}
+    assert again == {a: r.n_units for a, r in out.items()}
