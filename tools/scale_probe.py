@@ -87,6 +87,7 @@ FAMILIES = {
     "rejections": "rejection_reasons",
     "pitjoin": "events_pit_join",
     "mergequant": "merged_quantiles",
+    "abtest": "ab_test_report",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
