@@ -1467,3 +1467,54 @@ SELECT arm, n_units, n_events, sum_cents,
        ((2 * sum_cents * 100 + n_events) // (2 * n_events))::BIGINT AS mean_centi_cents
 FROM agg
 """
+
+
+def engagement_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU/WAU stickiness per day — the product-analytics
+    staple, spelled exactly (no HLL): days are integer epoch-day
+    numbers (µs div 86400e6 — engine-exact), each active (day, user)
+    contributes to the 7 trailing WAU windows via a bounded explode,
+    and both counts are distinct-user aggregates. Stickiness in
+    integer basis points.
+
+    Scale: the explode multiplies DISTINCT user-days by 7 (not raw
+    events); both counts are two-phase distinct aggs on day keys —
+    no window over users, no self-join on the event table."""
+    ev = table(spark, sf_dir, "events").select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day_n"),
+        "user_id",
+    )
+    user_days = ev.distinct()
+    dau = user_days.groupBy("day_n").agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    wau = (
+        user_days.select(
+            F.explode(F.sequence(F.col("day_n"), F.col("day_n") + 6)).alias("day_n"),
+            "user_id",
+        )
+        .groupBy("day_n")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day_n")
+        .withColumn("stickiness_bp", F.expr("(10000 * dau) div wau"))
+        .select("day_n", "dau", "wau", "stickiness_bp")
+    )
+
+
+ENGAGEMENT_RATIOS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_n, user_id FROM events
+), dau AS (
+  SELECT day_n, count(DISTINCT user_id)::BIGINT AS dau FROM ud GROUP BY 1
+), contrib AS (
+  SELECT day_n + o AS day_n, user_id
+  FROM ud, unnest(range(0, 7)) AS t(o)
+), wau AS (
+  SELECT day_n, count(DISTINCT user_id)::BIGINT AS wau FROM contrib GROUP BY 1
+)
+SELECT d.day_n::BIGINT AS day_n, d.dau, w.wau,
+       ((10000 * d.dau) // w.wau)::BIGINT AS stickiness_bp
+FROM dau d JOIN wau w USING (day_n)
+"""

@@ -466,3 +466,31 @@ def test_ab_assignment_deterministic_and_exposure_sized(spark):
     # deterministic re-run
     again = {r.arm: r.n_units for r in ab_assignment_report(df, exposure_bp=4000).collect()}
     assert again == {a: r.n_units for a, r in out.items()}
+
+
+def test_engagement_ratios_exact_small_case(spark):
+    from joblink_etl_spark.plans.events_q import engagement_ratios
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # user 1 active days 0 and 3; user 2 active day 3 only
+    for u, d in ((1, 0), (1, 3), (2, 3)):
+        rows.append((u * 100 + d, base + dt.timedelta(days=d), u))
+    df = spark.createDataFrame(rows, "event_id bigint, ts timestamp, user_id bigint")
+    df.createOrReplaceTempView("_eng")
+    import joblink_etl_spark.plans.events_q as EVQ
+    from pyspark.sql import functions as F
+
+    ev = df.select(F.expr("unix_micros(ts) div 86400000000").alias("day_n"), "user_id")
+    ud = ev.distinct()
+    dau = ud.groupBy("day_n").agg(F.count_distinct("user_id").alias("dau"))
+    wau = (
+        ud.select(F.explode(F.sequence(F.col("day_n"), F.col("day_n") + 6)).alias("day_n"), "user_id")
+        .groupBy("day_n").agg(F.count_distinct("user_id").alias("wau"))
+    )
+    out = {r.day_n: r for r in dau.join(wau, "day_n").collect()}
+    days = sorted(out)
+    d0, d3 = days[0], days[1]
+    assert out[d0].dau == 1 and out[d0].wau == 1          # only user 1 so far
+    assert out[d3].dau == 2 and out[d3].wau == 2          # day0 user still in window
