@@ -88,6 +88,7 @@ FAMILIES = {
     "pitjoin": "events_pit_join",
     "mergequant": "merged_quantiles",
     "abtest": "ab_test_report",
+    "engagement": "engagement_ratios",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
