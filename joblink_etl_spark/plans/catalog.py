@@ -75,8 +75,9 @@ dedup TTL), rejection_reasons (per-doc first-failing-gate lookup),
 events_pit_join (SCD2 point-in-time join, SMJ on the user key),
 merged_quantiles (mergeable MRL-style two-level quantile summary),
 ab_test_report (deterministic A/B assignment + exact-cents report),
-engagement_ratios (exact DAU/WAU stickiness via bounded explode).
-Registry total 214 (211 with SQL oracles; bpe_merges / bpe_encode /
+engagement_ratios (exact DAU/WAU stickiness via bounded explode),
+frequent_pairs (a-priori pair supports + integer-ppm lift).
+Registry total 215 (212 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -369,3 +370,4 @@ register("events_pit_join", EV.events_pit_join, EV.EVENTS_PIT_JOIN_SQL)
 register("merged_quantiles", EV.merged_quantiles, EV.MERGED_QUANTILES_SQL)
 register("ab_test_report", EV.ab_test_report, EV.AB_TEST_REPORT_SQL)
 register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
+register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)

@@ -1518,3 +1518,75 @@ SELECT d.day_n::BIGINT AS day_n, d.dau, w.wau,
        ((10000 * d.dau) // w.wau)::BIGINT AS stickiness_bp
 FROM dau d JOIN wau w USING (day_n)
 """
+
+
+def frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset pairs (the a-priori first pass / market-
+    basket capability): baskets are users, items their DISTINCT
+    event types; output every type pair with support ≥ 5 baskets,
+    its per-item supports, and integer-ppm lift
+    (1e6·n_ab·N div (n_a·n_b)).
+
+    Scale: the pair explode runs per user over the DISTINCT item set
+    — C(items_u, 2) with items bounded by the type vocabulary, never
+    C(events, 2); supports are map-side-combinable counts and the
+    item-support joins broadcast (vocabulary-sized)."""
+    ui = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    a = ui.select("user_id", F.col("event_type").alias("type_a"))
+    b = ui.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    supp = ui.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n_users = ui.select("user_id").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
+    )
+    return (
+        pairs.join(
+            F.broadcast(supp.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(supp.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            F.expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").alias("lift_ppm"),
+        )
+    )
+
+
+FREQUENT_PAIRS_SQL = """
+WITH ui AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_ab
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+  HAVING count(*) >= 5
+), supp AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM ui GROUP BY 1
+), nb AS (SELECT count(DISTINCT user_id)::BIGINT AS n_baskets FROM ui)
+SELECT p.type_a, p.type_b, p.n_ab, sa.n AS n_a, sb.n AS n_b, nb.n_baskets,
+       ((1000000 * p.n_ab * nb.n_baskets) // (sa.n * sb.n))::BIGINT AS lift_ppm
+FROM pairs p
+JOIN supp sa ON sa.event_type = p.type_a
+JOIN supp sb ON sb.event_type = p.type_b
+CROSS JOIN nb
+"""
