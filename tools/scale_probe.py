@@ -89,6 +89,7 @@ FAMILIES = {
     "mergequant": "merged_quantiles",
     "abtest": "ab_test_report",
     "engagement": "engagement_ratios",
+    "basket": "frequent_pairs",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
