@@ -76,8 +76,9 @@ events_pit_join (SCD2 point-in-time join, SMJ on the user key),
 merged_quantiles (mergeable MRL-style two-level quantile summary),
 ab_test_report (deterministic A/B assignment + exact-cents report),
 engagement_ratios (exact DAU/WAU stickiness via bounded explode),
-frequent_pairs (a-priori pair supports + integer-ppm lift).
-Registry total 215 (212 with SQL oracles; bpe_merges / bpe_encode /
+frequent_pairs (a-priori pair supports + integer-ppm lift),
+ingestion_islands (islands-and-gaps over the id keyspace).
+Registry total 216 (213 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -371,3 +372,4 @@ register("merged_quantiles", EV.merged_quantiles, EV.MERGED_QUANTILES_SQL)
 register("ab_test_report", EV.ab_test_report, EV.AB_TEST_REPORT_SQL)
 register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
 register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)
+register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)

@@ -1590,3 +1590,60 @@ JOIN supp sa ON sa.event_type = p.type_a
 JOIN supp sb ON sb.event_type = p.type_b
 CROSS JOIN nb
 """
+
+
+def ingestion_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands-and-gaps over the event_id keyspace — the ingestion
+    QA that answers "did we drop a batch?": contiguous id runs
+    collapse to one island row via the id − dense-rank grouping
+    trick; every 1000th id is deleted first so there ARE gaps to
+    find. Output per island: start, end, length, and the gap to the
+    next island (NULL on the last).
+
+    Scale: one distributed range sort (the global rank) + one
+    island-keyed groupBy; no self-join, no window over the whole
+    table beyond the rank."""
+    from ..operators.rank import global_rank
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id")
+        .filter(F.col("event_id") % 1000 != 0)
+        .distinct()
+    )
+    ranked = global_rank(ev, ["event_id"], out_col="rn")
+    islands = (
+        ranked.withColumn("grp", F.col("event_id") - F.col("rn"))
+        .groupBy("grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("island_len"),
+        )
+    )
+    w = Window.orderBy("island_start")
+    return islands.select(
+        "island_start",
+        "island_end",
+        "island_len",
+        (F.lead("island_start").over(w) - F.col("island_end") - 1)
+        .cast("bigint")
+        .alias("gap_to_next"),
+    )
+
+
+INGESTION_ISLANDS_SQL = """
+WITH ev AS (
+  SELECT DISTINCT event_id FROM events WHERE event_id % 1000 <> 0
+), ranked AS (
+  SELECT event_id, row_number() OVER (ORDER BY event_id)::BIGINT AS rn FROM ev
+), islands AS (
+  SELECT min(event_id) AS island_start, max(event_id) AS island_end,
+         count(*)::BIGINT AS island_len
+  FROM ranked GROUP BY event_id - rn
+)
+SELECT island_start, island_end, island_len,
+       (lead(island_start) OVER (ORDER BY island_start) - island_end - 1)::BIGINT
+         AS gap_to_next
+FROM islands
+"""
