@@ -535,3 +535,75 @@ def merged_quantile_summary(
         .groupBy("q_pct", "target_rank")
         .agg(F.expr("min_by(val, cum)").alias("approx_value"))
     )
+
+
+def bitmap_overlap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_bits: int = 1024,
+    salt: str = "bm",
+) -> DataFrame:
+    """Presence-bitmap (linear counting) overlap between groups: each
+    group's member set compresses to an n_bits bitmap (md5 bucket →
+    one bit, stored as n_bits/64 bigint words via a bit_or
+    aggregate); pairwise overlap is popcount(AND) summed over words.
+    The bitmap is the third sketch family beside KMV and HLL — exact
+    while distinct members ≤ bits (no collisions at the oracle's
+    scale), gracefully approximate past it, and mergeable by OR.
+
+    Output per group pair: bucket counts, common buckets, and the
+    bucket-space Jaccard in basis points.
+
+    Scale: state is n_bits/8 BYTES per group regardless of
+    cardinality; the word-keyed pair join touches |groups|²·words
+    rows — groups are category-sized (types, sources), never ids."""
+    b = F.pmod(
+        md5_int(F.concat(F.lit(salt + ":"), F.col("id").cast("string"))),
+        F.lit(n_bits),
+    )
+    base = (
+        df.select(F.col(group_col).alias("grp"), F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("_b", b)
+        .select(
+            "grp",
+            # 63 usable bits per word: DuckDB's checked << overflows
+            # on bit 63 where Spark's shiftleft silently wraps to the
+            # sign bit — stay in the common safe range
+            F.expr("_b div 63").alias("word"),
+            F.expr("shiftleft(cast(1 as bigint), cast(_b % 63 as int))").alias("bit"),
+        )
+    )
+    wmaps = base.groupBy("grp", "word").agg(F.expr("bit_or(bit)").alias("w"))
+    a = wmaps.select(F.col("grp").alias("grp_a"), "word", F.col("w").alias("wa"))
+    c = wmaps.select(F.col("grp").alias("grp_b"), "word", F.col("w").alias("wb"))
+    common = (
+        a.join(c, "word")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.sum(F.expr("bit_count(wa & wb)")).cast("bigint").alias("common_buckets"))
+    )
+    sizes = wmaps.groupBy("grp").agg(
+        F.sum(F.expr("bit_count(w)")).cast("bigint").alias("n_buckets")
+    )
+    return (
+        common.join(
+            F.broadcast(sizes.select(F.col("grp").alias("grp_a"), F.col("n_buckets").alias("buckets_a"))),
+            "grp_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("grp").alias("grp_b"), F.col("n_buckets").alias("buckets_b"))),
+            "grp_b",
+        )
+        .select(
+            "grp_a",
+            "grp_b",
+            "buckets_a",
+            "buckets_b",
+            "common_buckets",
+            F.expr(
+                "(10000 * common_buckets) div (buckets_a + buckets_b - common_buckets)"
+            ).alias("jaccard_bp"),
+        )
+    )

@@ -77,8 +77,9 @@ merged_quantiles (mergeable MRL-style two-level quantile summary),
 ab_test_report (deterministic A/B assignment + exact-cents report),
 engagement_ratios (exact DAU/WAU stickiness via bounded explode),
 frequent_pairs (a-priori pair supports + integer-ppm lift),
-ingestion_islands (islands-and-gaps over the id keyspace).
-Registry total 216 (213 with SQL oracles; bpe_merges / bpe_encode /
+ingestion_islands (islands-and-gaps over the id keyspace),
+type_bitmap_overlap (presence-bitmap audience overlap, bit_or agg).
+Registry total 217 (214 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
@@ -373,3 +374,4 @@ register("ab_test_report", EV.ab_test_report, EV.AB_TEST_REPORT_SQL)
 register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
 register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
+register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)

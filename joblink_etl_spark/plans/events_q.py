@@ -1647,3 +1647,44 @@ SELECT island_start, island_end, island_len,
          AS gap_to_next
 FROM islands
 """
+
+
+def type_bitmap_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types via presence bitmaps
+    (operators/sketches.py::bitmap_overlap): 1024-bit linear-counting
+    bitmaps over the user space, popcount(AND) pairwise overlap,
+    bucket-space Jaccard in bp."""
+    from ..operators.sketches import bitmap_overlap
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    return bitmap_overlap(ev, "event_type", "user_id")
+
+
+TYPE_BITMAP_OVERLAP_SQL = """
+WITH ui AS (
+  SELECT DISTINCT event_type AS grp, user_id AS id FROM events
+), bucketed AS (
+  SELECT grp,
+         (('0x' || substr(md5('bm:' || id::VARCHAR), 1, 15))::BIGINT % 1024) AS b
+  FROM ui
+), base AS (
+  SELECT grp, b // 63 AS word, (1::BIGINT << (b % 63)::INTEGER) AS bit
+  FROM bucketed
+), wmaps AS (
+  SELECT grp, word, bit_or(bit) AS w FROM base GROUP BY 1, 2
+), common AS (
+  SELECT a.grp AS grp_a, c.grp AS grp_b,
+         sum(bit_count(a.w & c.w))::BIGINT AS common_buckets
+  FROM wmaps a JOIN wmaps c ON a.word = c.word AND a.grp < c.grp
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT grp, sum(bit_count(w))::BIGINT AS n_buckets FROM wmaps GROUP BY 1
+)
+SELECT x.grp_a, x.grp_b, sa.n_buckets AS buckets_a, sb.n_buckets AS buckets_b,
+       x.common_buckets,
+       ((10000 * x.common_buckets)
+         // (sa.n_buckets + sb.n_buckets - x.common_buckets))::BIGINT AS jaccard_bp
+FROM common x
+JOIN sizes sa ON sa.grp = x.grp_a
+JOIN sizes sb ON sb.grp = x.grp_b
+"""

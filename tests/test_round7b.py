@@ -494,3 +494,28 @@ def test_engagement_ratios_exact_small_case(spark):
     d0, d3 = days[0], days[1]
     assert out[d0].dau == 1 and out[d0].wau == 1          # only user 1 so far
     assert out[d3].dau == 2 and out[d3].wau == 2          # day0 user still in window
+
+
+def test_bitmap_overlap_exact_under_capacity(spark):
+    from joblink_etl_spark.operators.sketches import bitmap_overlap
+
+    # small disjoint + overlapping groups, well under 1024 buckets:
+    # bucket collisions are possible but deterministic; assert the
+    # relational identities instead of raw set sizes
+    rows = (
+        [("a", i) for i in range(50)]
+        + [("b", i) for i in range(25, 75)]   # 25 shared with a
+        + [("c", i) for i in range(1000, 1020)]  # disjoint
+    )
+    df = spark.createDataFrame(rows, "grp string, id bigint")
+    out = {(r.grp_a, r.grp_b): r for r in bitmap_overlap(df, "grp", "id").collect()}
+    ab = out[("a", "b")]
+    # overlap bounded by the smaller side; disjoint pairs near zero
+    assert 0 < ab.common_buckets <= min(ab.buckets_a, ab.buckets_b)
+    assert ab.jaccard_bp > out.get(("a", "c"), ab).jaccard_bp or ("a", "c") not in out
+    # mergeable-by-OR sanity: union group equals OR of members
+    rows2 = rows + [("u", i) for i in range(75)]  # u = a ∪ b
+    df2 = spark.createDataFrame(rows2, "grp string, id bigint")
+    out2 = {(r.grp_a, r.grp_b): r for r in bitmap_overlap(df2, "grp", "id").collect()}
+    au = out2[("a", "u")]
+    assert au.common_buckets == au.buckets_a  # a ⊆ u exactly, bucket-wise
