@@ -90,6 +90,8 @@ FAMILIES = {
     "abtest": "ab_test_report",
     "engagement": "engagement_ratios",
     "basket": "frequent_pairs",
+    "islands": "ingestion_islands",
+    "bitmap": "type_bitmap_overlap",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
