@@ -48,9 +48,17 @@ def grouped_rank(
     unbounded group cardinality use a plain window, whose per-group
     rows then fit a task anyway.
 
-    Same bounded-action + persist-lifetime contract as global_rank:
-    the pin covers the offset-count action and the returned plan;
-    callers release it after the consuming action.
+    Bounded-action contract as global_rank (one counts action at
+    call time). Unlike global_rank's caller-released persist pin,
+    the range exchange here is pinned with an EAGER localCheckpoint:
+    the offset counts and the ranking pass must see the same sampled
+    range boundaries (a recompute would re-sample), but callers like
+    spearman_by_group invoke this twice per query and hold the
+    result lazily — a persist they must release leaks pinned
+    partitions in practice. localCheckpoint truncates the lineage at
+    materialized blocks whose lifetime is tied to the RDD reference
+    (the ContextCleaner reclaims them on GC), so repeated calls
+    don't accumulate cache entries.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -58,13 +66,24 @@ def grouped_rank(
     part = (
         df.repartitionByRange(n, *keys)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = (
         part.groupBy("_pid", *group_cols)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
+    if len(counts) > 100_000:
+        import warnings
+
+        warnings.warn(
+            f"grouped_rank collected {len(counts)} (partition, group) count "
+            "rows — group cardinality this high belongs in a plain window "
+            "(each group then fits a task anyway); the driver-side offset "
+            "table will not scale with unbounded group keys.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if not counts:
         return part.withColumn(out_col, F.lit(None).cast("bigint")).drop("_pid")
     # per-group running offset over partitions in pid order

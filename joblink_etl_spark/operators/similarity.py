@@ -1290,7 +1290,10 @@ def semdedup(
     corpus grows (a fixed cap makes it O(N²/K); the r05 scale probe
     measured 6.1x wall-clock at 10x data under k_cap=100)."""
     if cell_target is not None:
-        if k_cap is not _K_CAP_UNSET:
+        # An explicit k_cap=None is the documented "uncapped" spelling
+        # and is exactly what cell_target derives anyway — only a
+        # non-None explicit cap conflicts with cell_target.
+        if k_cap is not _K_CAP_UNSET and k_cap is not None:
             raise ValueError("pass either k_cap or cell_target, not both")
         k_cap = None  # derived inside kmeans_codes from the count
     elif k_cap is _K_CAP_UNSET:

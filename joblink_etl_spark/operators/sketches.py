@@ -546,8 +546,10 @@ def bitmap_overlap(
 ) -> DataFrame:
     """Presence-bitmap (linear counting) overlap between groups: each
     group's member set compresses to an n_bits bitmap (md5 bucket →
-    one bit, stored as n_bits/64 bigint words via a bit_or
-    aggregate); pairwise overlap is popcount(AND) summed over words.
+    one bit, stored as ceil(n_bits/63) bigint words — 63 usable bits
+    per word so the oracle's checked shift never touches the sign
+    bit — via a bit_or aggregate); pairwise overlap is
+    popcount(AND) summed over words.
     The bitmap is the third sketch family beside KMV and HLL — exact
     while distinct members ≤ bits (no collisions at the oracle's
     scale), gracefully approximate past it, and mergeable by OR.

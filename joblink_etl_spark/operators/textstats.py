@@ -368,12 +368,30 @@ def gopher_quality(
     )
 
 
-# UTF-8-decoded-as-Latin-1 artifact markers (the ftfy class): the
-# lead bytes of common UTF-8 sequences as they appear after a wrong
-# decode, plus the BOM ghost. Each is counted by the engine-exact
-# greedy replace trick, so the counts are portable to any engine
-# with the same non-overlapping left-to-right replace semantics.
-MOJIBAKE_MARKERS = ["\u00c3", "\u00c2", "\u00e2", "\u00ef\u00bb\u00bf"]
+# UTF-8-decoded-as-Latin-1/cp1252 artifact SEQUENCES (the ftfy
+# class). Full lead+continuation sequences, not bare lead letters:
+# U+00C3/U+00C2/U+00E2 alone are legitimate accented-Latin letters
+# (French/Portuguese/Vietnamese), so counting them as mojibake
+# false-positives correct text. A UTF-8 continuation byte 0x80-0xBF
+# after a wrong decode shows up as U+0080-U+00BF (Latin-1) or as
+# cp1252's printable remappings of bytes 0x80-0x9F — that class
+# immediately after a lead is the actual corruption signature.
+_MOJI_CONT = (
+    "\u0080-\u00bf"  # Latin-1 view of continuation bytes
+    # cp1252 view of bytes 0x80-0x9F (printable remappings)
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+# 2-byte UTF-8 leads C2/C3 + one continuation char; 3-byte lead E2 +
+# two; BOM ghost EF BB BF as a literal. Counted by engine-exact
+# character-removal arithmetic (regexp_replace / replace are
+# non-overlapping left-to-right in both Spark's Java regex and
+# DuckDB's RE2, and every match of one pattern has a fixed
+# character width).
+MOJI_TWO_RE = "[\u00c2\u00c3][" + _MOJI_CONT + "]"
+MOJI_THREE_RE = "\u00e2[" + _MOJI_CONT + "][" + _MOJI_CONT + "]"
+BOM_GHOST = "\u00ef\u00bb\u00bf"
 _CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
 
 
@@ -382,10 +400,20 @@ def _occurrences(text: Column, marker: str) -> Column:
     return (removed / F.lit(len(marker))).cast("bigint")
 
 
+def _re_occurrences(text: Column, pattern: str, width: int) -> Column:
+    """Count non-overlapping regex matches where EVERY match of the
+    pattern is exactly `width` characters, via removal arithmetic
+    (the quotient is always an exact integer)."""
+    removed = F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+    return (removed / F.lit(width)).cast("bigint")
+
+
 def encoding_artifacts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document encoding-corruption report: mojibake marker count
-    (UTF-8 read as Latin-1 — '\u00c3\u00a9' for '\u00e9', '\u00e2\u20ac\u2122' for a
-    curly quote), U+FFFD replacement characters (lossy transcode),
+    """Per-document encoding-corruption report: mojibake sequence count
+    (UTF-8 read as Latin-1/cp1252 — '\u00c3\u00a9' for '\u00e9', '\u00e2\u20ac\u2122' for a
+    curly quote; full lead+continuation SEQUENCES, so bare accented
+    letters in correct French/Portuguese/Vietnamese text do NOT
+    count), U+FFFD replacement characters (lossy transcode),
     and C0 control characters (binary contamination). `clean` gates
     on all three — the standard pre-tokenizer hygiene filter in
     web-corpus curation.
@@ -393,8 +421,10 @@ def encoding_artifacts(df: DataFrame, text_col: str = "text", id_col: str = "doc
     One narrow projection over the scan: no shuffle, no Python, all
     counts via character-exact length/replace arithmetic."""
     text = F.col(text_col)
-    n_moji = reduce(
-        lambda a, b: a + b, [_occurrences(text, m) for m in MOJIBAKE_MARKERS]
+    n_moji = (
+        _re_occurrences(text, MOJI_TWO_RE, 2)
+        + _re_occurrences(text, MOJI_THREE_RE, 3)
+        + _occurrences(text, BOM_GHOST)
     )
     n_repl = _occurrences(text, "\ufffd")
     n_ctrl = (

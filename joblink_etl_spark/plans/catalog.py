@@ -7,7 +7,22 @@ record — to queries that have never had a driver row; ceded queries
 remain fully checked by tools/oracle_check.py (Arrow-dtype-sensitive
 since round 6) + pytest every round.
 
-Round-7 window (50):
+Round-8 window (50): jl_project (r07 green after the r06 ERROR row;
+held one more round to bank the streak, same policy session_windows
+used in r07) + 49 of the 52 round-7 batch-2..7 queries that have
+never had a driver CORRECTNESS row (line_dedup → ab_test_report in
+batch order, 48 of them) + bpe_encode_fixed (new this round: the
+frozen-merge-table hash-oracle twin of rows-only bpe_encode,
+VERDICT r7 item 3). The 4 batch-7 queries that did not fit
+(engagement_ratios, frequent_pairs, ingestion_islands,
+type_bitmap_overlap) queue for the r09 window together with the 18
+r05 re-streaks still owed
+(those 18 were r05 singles that ceded in r06 and were not in the
+r07 re-streak set: span_unit_repeats → feature_bins region in this
+file). Ceded this round: the entire r07 window except jl_project —
+all 47 hash-green + 2 rows-only in CORRECTNESS_r07, streaks banked.
+
+Round-7 window (50) — historical:
   * jl_project — r06 ERROR row (not a value mismatch: the driver's
     row canonicalizer can't hash its array column). Re-registered as
     the exploded scalar projection (vec_id, dim, value) with a
@@ -98,9 +113,69 @@ from . import graph_q as GQ  # noqa: E402
 from . import maint_q as MQ  # noqa: E402
 from . import select_q as SQ  # noqa: E402
 
-# --- r06 error row, re-registered driver-hashable (exploded) ----------
+# --- r07 green after the r06 ERROR row: held one more round to bank
+# --- the streak (same policy as session_windows in r07) ---------------
 register("jl_project", SQ.jl_project_q, SQ.JL_PROJECT_SQL)
-# --- r06 green after r03/r05 red: held until the streak banks --------
+
+# === ROUND-8 WINDOW: 49 first-driver-row queries (r7 batch 2-7) =======
+# --- round-7 batch 2/3 ------------------------------------------------
+register("line_dedup", E.line_dedup, E.LINE_DEDUP_SQL)
+register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
+register("semantic_decontam", E.semantic_decontam, E.SEMANTIC_DECONTAM_SQL)
+register("incremental_line_dedup", E.incremental_line_dedup_q, E.INCREMENTAL_LINE_DEDUP_SQL)
+register("line_registry", E.line_registry_q, E.LINE_REGISTRY_SQL)
+register("encoding_report", E.encoding_report, E.ENCODING_REPORT_SQL)
+register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)
+register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
+register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)
+register("curriculum_order", SQ.curriculum_order_q, SQ.CURRICULUM_ORDER_SQL)
+register("web_curation_pipeline", E.web_curation_pipeline, E.WEB_CURATION_PIPELINE_SQL)
+# --- round-7 batch 4 --------------------------------------------------
+register("mixture_epochs", SQ.mixture_epochs_q, SQ.MIXTURE_EPOCHS_SQL)
+register("doremi_weights", SQ.doremi_weights_q, SQ.DOREMI_WEIGHTS_SQL)
+register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)
+register("corpus_drift", SQ.corpus_drift_q, SQ.CORPUS_DRIFT_SQL)
+register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
+register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)
+register("sft_render", SQ.sft_render_q, SQ.SFT_RENDER_SQL)
+register("packing_contamination", E.packing_contamination_q, E.PACKING_CONTAMINATION_SQL)
+# --- round-7 batch 5 --------------------------------------------------
+register("normalized_dedup", E.normalized_dedup_q, E.NORMALIZED_DEDUP_SQL)
+register("math_code_routing", E.math_code_routing_q, E.MATH_CODE_ROUTING_SQL)
+register("k_anonymity", E.k_anonymity_q, E.K_ANONYMITY_SQL)
+register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)
+register("retrieval_metrics", E.retrieval_metrics_q, E.RETRIEVAL_METRICS_SQL)
+register("waterfill_alloc", E.waterfill_alloc_q, E.WATERFILL_ALLOC_SQL)
+register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)
+# --- round-7 batch 7 --------------------------------------------------
+register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)
+register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)
+register("source_gate", E.source_gate_q, E.SOURCE_GATE_SQL)
+register("ngram_diversity", E.ngram_diversity_q, E.NGRAM_DIVERSITY_SQL)
+register("cluster_sample", SQ.cluster_sample_q, SQ.CLUSTER_SAMPLE_SQL)
+register("preference_cycles", SQ.preference_cycles_q, SQ.PREFERENCE_CYCLES_SQL)
+register("pii_source_report", E.pii_source_report_q, E.PII_SOURCE_REPORT_SQL)
+register("small_quantity_revenue", R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL)
+register("sole_returned_supplier", R.sole_returned_supplier, R.SOLE_RETURNED_SUPPLIER_SQL)
+register("embedding_drift", E.embedding_drift_q, E.EMBEDDING_DRIFT_SQL)
+register("top_revenue_supplier", R.top_revenue_supplier, R.TOP_REVENUE_SUPPLIER_SQL)
+register("chunk_salvage", E.chunk_salvage_q, E.CHUNK_SALVAGE_SQL)
+register("grouped_priority_sample", SQ.grouped_priority_sample_q, SQ.GROUPED_PRIORITY_SAMPLE_SQL)
+register("triangle_docs", GQ.triangle_docs_q, GQ.TRIANGLE_DOCS_SQL)
+register("regex_token_report", E.regex_token_report_q, E.REGEX_TOKEN_REPORT_SQL)
+register("patch_grid", E.patch_grid_q, E.PATCH_GRID_SQL)
+register("shard_manifest", E.shard_manifest_q, E.SHARD_MANIFEST_SQL)
+register("dedup_ttl_decay", E.dedup_ttl_decay_q, E.DEDUP_TTL_DECAY_SQL)
+register("rejection_reasons", E.rejection_reasons_q, E.REJECTION_REASONS_SQL)
+register("events_pit_join", EV.events_pit_join, EV.EVENTS_PIT_JOIN_SQL)
+register("merged_quantiles", EV.merged_quantiles, EV.MERGED_QUANTILES_SQL)
+register("ab_test_report", EV.ab_test_report, EV.AB_TEST_REPORT_SQL)
+# --- new in round 8: tokenizer APPLY under a FROZEN merge table — the
+# --- hash-oracle twin of the rows-only bpe_encode (VERDICT r7 item 3)
+register("bpe_encode_fixed", E.bpe_encode_fixed_q, E.BPE_ENCODE_FIXED_SQL)
+# === END ROUND-8 WINDOW (slot 50 = bpe_encode_fixed) ==================
+
+# --- r07 greens, ceded per policy (streak banked) ---------------------
 register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
 
 # --- round-6 additions: first driver rows -----------------------------
@@ -314,64 +389,24 @@ register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
 
-# --- round-7 batch 2 (registered past the window; first driver rows
-# --- in r08 per the rotation policy; oracle_check + pytest cover now)
-register("line_dedup", E.line_dedup, E.LINE_DEDUP_SQL)
-register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
-register("semantic_decontam", E.semantic_decontam, E.SEMANTIC_DECONTAM_SQL)
-register("incremental_line_dedup", E.incremental_line_dedup_q, E.INCREMENTAL_LINE_DEDUP_SQL)
-register("line_registry", E.line_registry_q, E.LINE_REGISTRY_SQL)
-register("encoding_report", E.encoding_report, E.ENCODING_REPORT_SQL)
-register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)
-register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
-register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)
-register("curriculum_order", SQ.curriculum_order_q, SQ.CURRICULUM_ORDER_SQL)
-register("web_curation_pipeline", E.web_curation_pipeline, E.WEB_CURATION_PIPELINE_SQL)
-
-# --- round-7 batch 4 (registered past the window; first driver rows
-# in a later round's rotation) ----------------------------------------
-register("mixture_epochs", SQ.mixture_epochs_q, SQ.MIXTURE_EPOCHS_SQL)
-register("doremi_weights", SQ.doremi_weights_q, SQ.DOREMI_WEIGHTS_SQL)
-register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)
-register("corpus_drift", SQ.corpus_drift_q, SQ.CORPUS_DRIFT_SQL)
-register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
-register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)
-register("sft_render", SQ.sft_render_q, SQ.SFT_RENDER_SQL)
-register("packing_contamination", E.packing_contamination_q, E.PACKING_CONTAMINATION_SQL)
-
-# --- round-7 batch 5 (registered past the window) ---------------------
-register("normalized_dedup", E.normalized_dedup_q, E.NORMALIZED_DEDUP_SQL)
-register("math_code_routing", E.math_code_routing_q, E.MATH_CODE_ROUTING_SQL)
-register("k_anonymity", E.k_anonymity_q, E.K_ANONYMITY_SQL)
-register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)
-register("retrieval_metrics", E.retrieval_metrics_q, E.RETRIEVAL_METRICS_SQL)
-register("waterfill_alloc", E.waterfill_alloc_q, E.WATERFILL_ALLOC_SQL)
-register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)
-
-# --- round-7 batch 7 (registered past the window) ---------------------
-register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)
-register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)
-register("source_gate", E.source_gate_q, E.SOURCE_GATE_SQL)
-register("ngram_diversity", E.ngram_diversity_q, E.NGRAM_DIVERSITY_SQL)
-register("cluster_sample", SQ.cluster_sample_q, SQ.CLUSTER_SAMPLE_SQL)
-register("preference_cycles", SQ.preference_cycles_q, SQ.PREFERENCE_CYCLES_SQL)
-register("pii_source_report", E.pii_source_report_q, E.PII_SOURCE_REPORT_SQL)
-register("small_quantity_revenue", R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL)
-register("sole_returned_supplier", R.sole_returned_supplier, R.SOLE_RETURNED_SUPPLIER_SQL)
-register("embedding_drift", E.embedding_drift_q, E.EMBEDDING_DRIFT_SQL)
-register("top_revenue_supplier", R.top_revenue_supplier, R.TOP_REVENUE_SUPPLIER_SQL)
-register("chunk_salvage", E.chunk_salvage_q, E.CHUNK_SALVAGE_SQL)
-register("grouped_priority_sample", SQ.grouped_priority_sample_q, SQ.GROUPED_PRIORITY_SAMPLE_SQL)
-register("triangle_docs", GQ.triangle_docs_q, GQ.TRIANGLE_DOCS_SQL)
-register("regex_token_report", E.regex_token_report_q, E.REGEX_TOKEN_REPORT_SQL)
-register("patch_grid", E.patch_grid_q, E.PATCH_GRID_SQL)
-register("shard_manifest", E.shard_manifest_q, E.SHARD_MANIFEST_SQL)
-register("dedup_ttl_decay", E.dedup_ttl_decay_q, E.DEDUP_TTL_DECAY_SQL)
-register("rejection_reasons", E.rejection_reasons_q, E.REJECTION_REASONS_SQL)
-register("events_pit_join", EV.events_pit_join, EV.EVENTS_PIT_JOIN_SQL)
-register("merged_quantiles", EV.merged_quantiles, EV.MERGED_QUANTILES_SQL)
-register("ab_test_report", EV.ab_test_report, EV.AB_TEST_REPORT_SQL)
+# --- round-7 batch 7 tail: the 4 first-timers that did not fit the
+# --- r08 window (50 slots); first driver rows in r09 with the 18
+# --- remaining r05 re-streaks -----------------------------------------
 register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
 register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)
+# --- new in round 8, past the window (first driver rows r09+): the
+# --- consolidated driver face of F10/F19/F20 (VERDICT r7 item 7) ------
+register("scalar_functions_v2", S.scalar_functions_v2, S.SCALAR_FUNCTIONS_V2_SQL)
+# --- round-8 batch 2: TPC-H decorrelation shapes Q7/Q14/Q18/Q19/Q22
+# --- (exact centi-cents, integer-bp quotients, anti-join NOT EXISTS) --
+register("volume_shipping", R.volume_shipping, R.VOLUME_SHIPPING_SQL)
+register("promo_revenue_share", R.promo_revenue_share, R.PROMO_REVENUE_SHARE_SQL)
+register("large_volume_customers", R.large_volume_customers, R.LARGE_VOLUME_CUSTOMERS_SQL)
+register("disjunctive_revenue", R.disjunctive_revenue, R.DISJUNCTIVE_REVENUE_SQL)
+register("acctbal_prospects", R.acctbal_prospects, R.ACCTBAL_PROSPECTS_SQL)
+# --- round-8 batch 3: corpus diagnostics + ANN knob sweep -------------
+register("zipf_fit", E.zipf_fit_q, E.ZIPF_FIT_SQL)
+register("ivf_nprobe_sweep", E.ivf_nprobe_sweep_q, E.IVF_NPROBE_SWEEP_SQL)
+register("ppl_bucket_mixture", E.ppl_bucket_mixture_q, E.PPL_BUCKET_MIXTURE_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
 register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)

@@ -24,6 +24,14 @@ from ..sources import parallelize, table
 # ---------------------------------------------------------------------------
 
 
+
+def _sql_lit(s: str) -> str:
+    out = s.replace("'", "''")
+    for ch in set(out):
+        if ord(ch) < 32:
+            out = out.replace(ch, f"' || chr({ord(ch)}) || '")
+    return "'" + out + "'"
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize(table(spark, sf_dir, "documents"))
     return TS.add_text_stats(docs.select("doc_id", "text")).drop("text")
@@ -4333,6 +4341,106 @@ FROM (
 )
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer APPLY with a FROZEN merge table: same apply operator as
+# bpe_encode, but the merges are a fixture relation instead of the
+# data-derived trainer output — which makes the greedy fold fully
+# SQL-expressible and gives the apply path a hash oracle (bpe_merges
+# / bpe_encode stay rows-only because their merge table is
+# iterative). The frozen table mirrors what the trainer learns on
+# this corpus and deliberately includes a STACKED merge ((a,r) then
+# (p,ar)) and a SAME-SYMBOL merge ((l,l)) so the oracle exercises
+# the greedy run-parity semantics, not just disjoint pair rewrites.
+# ---------------------------------------------------------------------------
+
+FIXED_BPE_MERGES: list[tuple[int, str, str]] = [
+    (0, "e", "r</w>"),
+    (1, "o", "w</w>"),
+    (2, "t", "o"),
+    (3, "a", "r"),
+    (4, "p", "ar"),
+    (5, "l", "l"),
+    (6, "i", "n"),
+    (7, "e", "r"),
+]
+
+
+def bpe_encode_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encode under FIXED_BPE_MERGES — per-doc exact
+    subword/word/char counts, hash-checked against a DuckDB oracle
+    that replays the greedy merge folds step by step (see
+    _bpe_apply_sql)."""
+    from ..operators import bpe as B
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = [(r, l, rt, 0) for r, l, rt in FIXED_BPE_MERGES]
+    return B.bpe_encode(docs, merges)
+
+
+def _bpe_apply_sql(merges: list[tuple[int, str, str]]) -> str:
+    """DuckDB replay of operators/bpe.py::bpe_segment_words under a
+    FIXED merge list. Per merge step the greedy left-to-right fold
+    is rewritten as run-parity window algebra — provably equivalent:
+    a match at position i is consumed iff the pair (syms[i],
+    syms[i+1]) equals (l, r) AND i's rank within its maximal run of
+    consecutive matches is odd (overlapping matches only exist when
+    l = r, and greedy consumption takes every other one). Each step
+    is one unnest + three windows + one list() rebuild over the
+    DISTINCT-word vocab — the oracle-side mirror of the fold running
+    once per distinct word."""
+    steps = []
+    prev = "v0"
+    for k, (_, l, r) in enumerate(merges, 1):
+        ll, rr = _sql_lit(l), _sql_lit(r)
+        steps.append(f"""x{k} AS (
+  SELECT word, sym, pos,
+         coalesce(sym = {ll} AND lead(sym) OVER w = {rr}, false) AS m,
+         lead(sym) OVER w AS nxt
+  FROM (SELECT word, unnest(syms) AS sym, generate_subscripts(syms, 1) AS pos FROM {prev})
+  WINDOW w AS (PARTITION BY word ORDER BY pos)
+), y{k} AS (
+  SELECT word, sym, pos, nxt,
+         CASE WHEN m THEN (row_number() OVER (PARTITION BY word, grp ORDER BY pos)) % 2 = 1
+              ELSE false END AS merged
+  FROM (SELECT *, pos - row_number() OVER (PARTITION BY word, m ORDER BY pos) AS grp FROM x{k})
+), v{k} AS (
+  SELECT word, list(CASE WHEN merged THEN sym || nxt ELSE sym END ORDER BY pos) AS syms
+  FROM (SELECT *, coalesce(lag(merged) OVER (PARTITION BY word ORDER BY pos), false) AS pm
+        FROM y{k})
+  WHERE NOT pm
+  GROUP BY word
+)""")
+        prev = f"v{k}"
+    body = ",\n".join(steps)
+    return f"""
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents)
+  WHERE w <> ''
+), v0 AS (
+  SELECT word,
+         list_transform(string_split(word, ''),
+                        (c, i) -> CASE WHEN i = length(word) THEN c || '</w>' ELSE c END) AS syms
+  FROM (SELECT DISTINCT word FROM words)
+),
+{body},
+seg AS (
+  SELECT word, len(syms)::BIGINT AS nt, length(word)::BIGINT AS nc FROM {prev}
+)
+SELECT d.doc_id,
+       count(w.word)::BIGINT AS n_words,
+       coalesce(sum(s.nt), 0)::BIGINT AS n_subwords,
+       coalesce(sum(s.nc), 0)::BIGINT AS n_chars
+FROM documents d
+LEFT JOIN words w ON d.doc_id = w.doc_id
+LEFT JOIN seg s ON w.word = s.word
+GROUP BY d.doc_id
+"""
+
+
+BPE_ENCODE_FIXED_SQL = _bpe_apply_sql(FIXED_BPE_MERGES)
+
+
 def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY: encode the corpus with the 8 merges learned
     by bpe_merges_q — per-doc exact subword/word/char counts. The
@@ -5071,22 +5179,25 @@ def encoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.encoding_artifacts(docs.unionAll(plants))
 
 
-def _sql_lit(s: str) -> str:
-    out = s.replace("'", "''")
-    for ch in set(out):
-        if ord(ch) < 32:
-            out = out.replace(ch, f"' || chr({ord(ch)}) || '")
-    return "'" + out + "'"
-
-
 _ENC_PLANT_ROWS = " UNION ALL ".join(
     f"SELECT {i}::BIGINT AS doc_id, {_sql_lit(t)} AS text" for i, t in _ENC_PLANTS
 )
 
-_ENC_MOJI = " + ".join(
-    f"(length(text) - length(replace(text, {_sql_lit(m)}, ''))) // {len(m)}"
-    for m in TS.MOJIBAKE_MARKERS
-)
+def _moji_count_sql(col: str) -> str:
+    """Engine-exact mojibake-sequence count over `col` — the DuckDB
+    twin of textstats._re_occurrences over MOJI_TWO_RE /
+    MOJI_THREE_RE plus the literal BOM ghost. regexp_replace needs
+    the 'g' flag in DuckDB (Spark replaces all by default)."""
+    two, three = _sql_lit(TS.MOJI_TWO_RE), _sql_lit(TS.MOJI_THREE_RE)
+    bom = _sql_lit(TS.BOM_GHOST)
+    return (
+        f"((length({col}) - length(regexp_replace({col}, {two}, '', 'g'))) // 2"
+        f" + (length({col}) - length(regexp_replace({col}, {three}, '', 'g'))) // 3"
+        f" + (length({col}) - length(replace({col}, {bom}, ''))) // 3)"
+    )
+
+
+_ENC_MOJI = _moji_count_sql("text")
 
 def _encoding_sql(corpus_rows: str) -> str:
     """Encoding-artifact flag SQL over a caller-supplied corpus body
@@ -5482,7 +5593,7 @@ WITH base AS (
 ), ann AS (
   SELECT t.doc_id, t.text,
          len({_WCP_CLEAN_TOKS})::BIGINT AS nt,
-         ({" + ".join(f"(length(t.text) - length(replace(t.text, {{m}}, ''))) // {len(m)}".format(m=_sql_lit(m)) for m in TS.MOJIBAKE_MARKERS)})
+         {_moji_count_sql("t.text")}
            + (length(t.text) - length(replace(t.text, {_sql_lit(chr(0xFFFD))}, '')))
            + (length(t.text) - length(regexp_replace(t.text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))) = 0 AS clean,
          len({_WCP_CLEAN_TOKS}) AS n_words,
@@ -6085,4 +6196,284 @@ pooled AS (
 )
 SELECT pos.id, pos.grp, pos.raw_score, pos.src_rank, pooled.pv AS norm_score
 FROM pos JOIN pooled ON pos.p = pooled.pp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 8 additions.
+#
+# zipf_fit — rank-frequency (Zipf) profile of the corpus vocabulary
+# in log2-rank buckets: the standard "is this corpus natural text or
+# template spam" diagnostic (natural text decays smoothly; boiler-
+# plate puts a cliff in the curve). All integer: bucket =
+# floor(log2 rank) via the bin-length idiom, decay as integer ppm.
+#
+# ivf_nprobe_sweep — the IVF recall/cost knob measured inside the
+# engine: recall@10 vs exact brute force at nprobe = 1, 2, 4 from
+# ONE shared candidate generation (probe once at the max nprobe,
+# keep the centroid rank, re-rank per setting) — the sweep costs one
+# index probe, not three.
+#
+# ppl_bucket_mixture — perplexity-quartile × language mixture table:
+# bucket docs by corpus-LM score quartile (distributed rank, no
+# global window) and report per-(quartile, lang) doc and char mass —
+# the mixture diagnostic behind "is my perplexity gate secretly a
+# language filter".
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile. Scale: one vocab aggregation +
+    distributed global_rank (range exchange, no one-partition sort);
+    the final lag window runs over ≤ log2(vocab) ≈ 64 bucket rows —
+    bounded, so the unpartitioned window is safe by construction."""
+    from ..operators.rank import global_rank
+    from pyspark.sql.window import Window as W
+
+    docs = parallelize(table(spark, sf_dir, "documents")).select("text")
+    vocab = (
+        docs.select(F.explode(TS.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ranked = global_rank(
+        vocab.withColumn("_negc", -F.col("c")), ["_negc", "tok"], out_col="r"
+    )
+    buckets = ranked.groupBy(
+        (F.length(F.bin(F.col("r"))) - 1).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("bucket_tokens"),
+    )
+    w = W.orderBy("bucket")
+    return (
+        buckets.withColumn("prev_tokens", F.lag("bucket_tokens").over(w))
+        .withColumn(
+            "decay_ppm",
+            F.expr(
+                "CASE WHEN prev_tokens IS NOT NULL"
+                " THEN (1000000 * bucket_tokens) div prev_tokens END"
+            ),
+        )
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM vocab
+),
+b AS (
+  SELECT (length(format('{{:b}}', r)) - 1)::BIGINT AS bucket,
+         count(*)::BIGINT AS n_types,
+         sum(c)::BIGINT AS bucket_tokens
+  FROM ranked GROUP BY 1
+)
+SELECT bucket, n_types, bucket_tokens,
+       lag(bucket_tokens) OVER (ORDER BY bucket) AS prev_tokens,
+       CASE WHEN lag(bucket_tokens) OVER (ORDER BY bucket) IS NOT NULL
+            THEN (1000000 * bucket_tokens) // lag(bucket_tokens) OVER (ORDER BY bucket)
+       END AS decay_ppm
+FROM b
+"""
+
+
+def ivf_nprobe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@10 at nprobe 1/2/4 against exact brute force.
+
+    Shares ONE candidate generation across the sweep: probe the
+    centroid table once at the maximum nprobe keeping each cell's
+    rank (crank), score those candidates once, then each setting is
+    a cheap filter + per-query window over the SAME scored relation
+    — a sweep costs one index probe, not |settings| re-probes (the
+    bench-tail lesson from the r7 self-eval composites)."""
+    from ..operators.similarity import (
+        as_double,
+        cosine,
+        ivf_assign,
+        knn_bruteforce,
+        sample_centroids,
+    )
+    from pyspark.sql.window import Window as W
+
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = knn_bruteforce(emb, queries, k=10).select("query_id", "neighbor_id")
+
+    centroids = sample_centroids(emb, 25)
+    assigned = ivf_assign(emb, centroids)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    c = centroids.select("centroid_id", as_double(F.col("embedding")).alias("cv"))
+    qprobe = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("cscore", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cscore").desc(), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("crank") <= 4)
+        .select("query_id", "qv", "centroid_id", "crank")
+    )
+    scored = (
+        qprobe.join(assigned, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("score", cosine(F.col("qv"), F.col("v")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "score", "crank")
+    )
+    rows = None
+    for n in (1, 2, 4):
+        w = W.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        found = (
+            scored.filter(F.col("crank") <= n)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id")
+        )
+        t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        f = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
+        h = truth.join(found, ["query_id", "neighbor_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+        row = (
+            t.crossJoin(f)
+            .crossJoin(h)
+            .select(
+                F.lit(n).cast("bigint").alias("nprobe"),
+                "n_truth",
+                "n_found",
+                "n_hit",
+                (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+_IVF_COS = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})) > 0 "
+    "THEN list_dot_product({a}, {b}) "
+    "/ (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+    "ELSE 0.0 END"
+)
+
+IVF_NPROBE_SWEEP_SQL = f"""
+WITH bf AS MATERIALIZED ({{KNN_BRUTEFORCE_SQL}}),
+truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM bf),
+v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+c AS MATERIALIZED (SELECT vec_id AS centroid_id, e AS cv FROM v WHERE vec_id % 25 = 0),
+assigned AS MATERIALIZED (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT v.vec_id, v.e, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_IVF_COS.format(a="e", b="cv")} DESC, c.centroid_id) AS crank
+    FROM v CROSS JOIN c)
+  WHERE crank = 1
+),
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+qprobe AS MATERIALIZED (
+  SELECT query_id, qv, centroid_id, crank FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_IVF_COS.format(a="qv", b="cv")} DESC, c.centroid_id) AS crank
+    FROM q CROSS JOIN c)
+  WHERE crank <= 4
+),
+scored AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_IVF_COS.format(a="qv", b="a.e")} AS score, p.crank
+  FROM qprobe p JOIN assigned a USING (centroid_id)
+  WHERE p.query_id <> a.vec_id
+),
+rows AS (
+  {{NPROBE_ROWS}}
+)
+SELECT nprobe::BIGINT AS nprobe, n_truth, n_found, n_hit,
+       n_hit::DOUBLE / n_truth AS recall
+FROM rows
+"""
+
+
+def _nprobe_row_sql(n: int) -> str:
+    return f"""
+  SELECT {n} AS nprobe,
+         (SELECT count(*)::BIGINT FROM truth) AS n_truth,
+         (SELECT count(*)::BIGINT FROM f{n}) AS n_found,
+         (SELECT count(*)::BIGINT FROM truth t
+          WHERE EXISTS (SELECT 1 FROM f{n} p
+                        WHERE t.query_id = p.query_id
+                          AND t.neighbor_id = p.neighbor_id)) AS n_hit"""
+
+
+def _build_ivf_nprobe_sweep_sql() -> str:
+    founds = ",\n".join(
+        f"""f{n} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored WHERE crank <= {n})
+  WHERE rank <= 10
+)"""
+        for n in (1, 2, 4)
+    )
+    rows = "\n  UNION ALL\n".join(_nprobe_row_sql(n) for n in (1, 2, 4))
+    sql = IVF_NPROBE_SWEEP_SQL.format(
+        KNN_BRUTEFORCE_SQL=KNN_BRUTEFORCE_SQL, NPROBE_ROWS=rows
+    )
+    # the f{n} CTEs must be defined before `rows` references them
+    return sql.replace("rows AS (", founds + ",\nrows AS (", 1)
+
+
+IVF_NPROBE_SWEEP_SQL = _build_ivf_nprobe_sweep_sql()
+
+
+def ppl_bucket_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-quartile × language mixture. The quartile is a
+    DISTRIBUTED rank (global_rank range exchange) bucketed as
+    ((r-1)·4) div n — no global ntile window, no single-task sort;
+    the one-row count broadcasts."""
+    from ..operators import lmscore as LM
+    from ..operators.rank import global_rank
+
+    docs = parallelize(table(spark, sf_dir, "documents"))
+    scored = LM.ngram_lm_score(docs.select("doc_id", "text"), min_count=2).select(
+        "doc_id", "score"
+    )
+    ranked = global_rank(scored, ["score", "doc_id"], out_col="r")
+    n = ranked.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("bucket", F.expr("((r - 1) * 4) div _n"))
+        .join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+        .groupBy("bucket", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+PPL_BUCKET_MIXTURE_SQL = f"""
+WITH lm AS MATERIALIZED ({NGRAM_LM_SCORE_SQL}),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score, doc_id) AS r,
+         (SELECT count(*) FROM lm) AS n
+  FROM lm
+)
+SELECT ((r - 1) * 4) // n AS bucket, d.lang,
+       count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS total_chars
+FROM ranked JOIN documents d USING (doc_id)
+GROUP BY 1, 2
 """

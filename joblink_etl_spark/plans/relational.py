@@ -703,3 +703,307 @@ SELECT s_suppkey, s_name, rev_cc,
 FROM rev JOIN supplier ON l_suppkey = s_suppkey, mx
 WHERE rev_cc = mx.m
 """
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: discounted revenue flowing
+    between two trading nations (supplier nation ↔ customer nation,
+    both directions) per ship year.
+
+    Cross-engine exactness: revenue accumulates as exact integer
+    CENTI-CENTS (the Q15 idiom — cents·keep_pct bigints), so the
+    group sums are order-independent; dollars are derived after.
+
+    Scale: the only big shuffle is lineitem⋈orders on the order key;
+    supplier, customer and nation broadcast (the nation-pair filter
+    prunes the dims BEFORE the broadcast, so the lineitem side is
+    filtered by the join itself). Group key is (nation, nation,
+    year) — tiny."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("_cc"),
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(1, 2))
+        .select("s_suppkey", F.col("s_nationkey").alias("_sn"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 2))
+        .select("c_custkey", F.col("c_nationkey").alias("_cn"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("_sn") != F.col("_cn"))
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+            F.col("_sn") == F.col("n_nationkey"),
+        )
+        .drop("n_nationkey")
+        .join(
+            F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+            F.col("_cn") == F.col("n_nationkey"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("_cc").cast("bigint").alias("rev_cc"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.col("l_year").cast("bigint").alias("l_year"),
+            "rev_cc",
+            F.round(F.col("rev_cc").cast("double") / 10000.0, 2).alias("revenue"),
+        )
+    )
+
+
+VOLUME_SHIPPING_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::BIGINT AS l_year,
+       sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS rev_cc,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::DOUBLE / 10000.0, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE s_nationkey IN (1, 2) AND c_nationkey IN (1, 2)
+  AND s_nationkey <> c_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share per ship month: what
+    fraction of discounted revenue came from PROMO-type parts.
+
+    The share is a QUOTIENT — the dangerous class — so it's computed
+    as integer round-half-up basis points over exact centi-cent
+    sums: (2·promo_cc·10000 + total_cc) div (2·total_cc), both
+    operands non-negative (div == floor == the DuckDB // spelling).
+
+    Scale: part broadcasts into the lineitem scan (one projection +
+    map-side-combined groupBy(year, month)); no other shuffle."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.year("l_shipdate").alias("l_year"),
+        F.month("l_shipdate").alias("l_month"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("_cc"),
+    )
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("_promo")
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_year", "l_month")
+        .agg(
+            F.sum(F.when(F.col("_promo"), F.col("_cc")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_cc"),
+            F.sum("_cc").cast("bigint").alias("total_cc"),
+        )
+    )
+    return agg.select(
+        F.col("l_year").cast("bigint").alias("l_year"),
+        F.col("l_month").cast("bigint").alias("l_month"),
+        "promo_cc",
+        "total_cc",
+        F.expr("(2 * promo_cc * 10000 + total_cc) div (2 * total_cc)").alias(
+            "promo_bp"
+        ),
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """
+WITH agg AS (
+  SELECT year(l_shipdate)::BIGINT AS l_year, month(l_shipdate)::BIGINT AS l_month,
+         sum(CASE WHEN p_type = 'PROMO'
+                  THEN round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT)
+                  ELSE 0 END)::BIGINT AS promo_cc,
+         sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS total_cc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT l_year, l_month, promo_cc, total_cc,
+       (2 * promo_cc * 10000 + total_cc) // (2 * total_cc) AS promo_bp
+FROM agg
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total
+    line quantity exceeds 150 units, with the owning customer.
+
+    The IN-(grouped-HAVING-subquery) of the spec is decorrelated
+    into one map-side-combined groupBy(l_orderkey) + threshold
+    filter, then ordinary keyed joins back to orders and customer.
+    l_quantity is integral in this corpus (checked) so the sum is an
+    exact bigint.
+
+    Scale: quantity rollup shuffles on the order key once; the
+    orders join reuses that key; customer broadcasts at test SFs and
+    becomes a keyed shuffle at cluster scale (AQE decides)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round("l_quantity").cast("bigint").alias("_q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("_q").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, sum(round(l_quantity)::BIGINT)::BIGINT AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-range) conjuncts — the classic test
+    that a planner pushes a disjunction into the scan instead of
+    materializing the join first (Catalyst pushes the part-side
+    prefilter `p_size >= 1 AND (brand conjuncts)` below the join and
+    AQE broadcasts the filtered part side).
+
+    One row out: exact centi-cent revenue + the qualifying item
+    count."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("bigint").alias("_q"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("_cc"),
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("_q").between(1, 11))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 25) & F.col("_q").between(10, 20))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 35) & F.col("_q").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum("_cc").cast("bigint").alias("rev_cc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+SELECT sum(round(l_extendedprice * 100)::BIGINT
+           * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS rev_cc,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND round(l_quantity)::BIGINT BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+       AND round(l_quantity)::BIGINT BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+       AND round(l_quantity)::BIGINT BETWEEN 20 AND 30)
+"""
+
+
+def acctbal_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style prospects: customers whose account balance is
+    above the average positive balance AND who have gone DORMANT (no
+    order since 2000-01-01 — every customer in this corpus has
+    ordered at least once, so the spec's never-ordered anti-join
+    would be vacuously empty; dormancy keeps the shape and makes the
+    result non-trivial), rolled up by a synthetic country code
+    (c_custkey % 10 — this corpus has no phone column).
+
+    The correlated scalar-avg compare is spelled WITHOUT a float
+    quotient: bal_c · n_pos > sum_pos_c over exact integer cents —
+    the broadcast one-row aggregate replaces the correlated
+    subquery, and the anti-join replaces NOT EXISTS.
+
+    Scale: one-row positive-balance aggregate broadcasts; the
+    anti-join shuffles customer vs the DISTINCT o_custkey side
+    (both map-side combinable); final rollup is 10 groups."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("_bal_c"),
+    )
+    pos = cust.filter(F.col("_bal_c") > 0).agg(
+        F.sum("_bal_c").cast("bigint").alias("_sum_pos"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_pos"),
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("_bal_c") * F.col("_n_pos") > F.col("_sum_pos"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("_bal_c").cast("bigint").alias("total_bal_c"),
+        )
+        .select(
+            "cntrycode",
+            "n_cust",
+            "total_bal_c",
+            F.round(F.col("total_bal_c").cast("double") / 100.0, 2).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+ACCTBAL_PROSPECTS_SQL = """
+WITH c AS (
+  SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS bal_c FROM customer
+), pos AS (
+  SELECT sum(bal_c)::BIGINT AS sum_pos, count(*)::BIGINT AS n_pos
+  FROM c WHERE bal_c > 0
+)
+SELECT c_custkey % 10 AS cntrycode,
+       count(*)::BIGINT AS n_cust,
+       sum(bal_c)::BIGINT AS total_bal_c,
+       round(sum(bal_c)::DOUBLE / 100.0, 2) AS total_bal
+FROM c, pos
+WHERE bal_c * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""

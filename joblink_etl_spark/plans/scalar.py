@@ -212,3 +212,71 @@ FROM (
   FROM orders
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# scalar_functions_v2: consolidated driver face for the scalar
+# functions that previously rode on pytest + JS-parity only
+# (VERDICT r7 item 7) — F10 stripEmojis_ (explicit
+# Extended-Pictographic ranges incl. the SMP emoji planes, reference
+# code-LLM-intergration.js:569-577), F20 toFixed(2)
+# (functions/text.py::format_conf, reference :846), F19 truncation
+# guards (functions/text.py::truncate). Six title shapes keyed by
+# p_partkey % 6 plant emojis from every EP subrange the class
+# enumerates; conf values are 2-decimal (never a binary formatting
+# midpoint, so Java format_string and C printf agree digit-exactly).
+# ---------------------------------------------------------------------------
+
+
+def _synth_emoji_title(pk, name):
+    return (
+        F.when(pk % 6 == 0, F.concat(name, F.lit(" \U0001F600\U0001F680")))
+        .when(pk % 6 == 1, F.concat(F.lit("☎ "), name, F.lit(" ™")))
+        .when(pk % 6 == 2, F.concat(name, F.lit(" (c) ©®")))
+        .when(pk % 6 == 3, F.concat(F.lit("plain "), name))
+        .when(pk % 6 == 4, F.concat(name, F.lit(" ⭐️")))
+        .otherwise(F.concat(F.lit("❗"), name, F.lit("❗")))
+    )
+
+
+def scalar_functions_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    title = _synth_emoji_title(pk, F.col("p_name"))
+    clean = T.strip_emojis(title)
+    conf = (pk % 101).cast("double") / 100.0
+    return part.select(
+        pk.alias("p_partkey"),
+        title.alias("title"),
+        clean.alias("clean_title"),
+        (F.length(title) - F.length(clean)).cast("bigint").alias("n_stripped"),
+        T.format_conf(conf).alias("conf_str"),
+        T.truncate(clean, 20).alias("preview"),
+    )
+
+
+_SYNTH_EMOJI_SQL = """
+CASE p_partkey % 6
+  WHEN 0 THEN p_name || ' \U0001F600\U0001F680'
+  WHEN 1 THEN '☎ ' || p_name || ' ™'
+  WHEN 2 THEN p_name || ' (c) ©®'
+  WHEN 3 THEN 'plain ' || p_name
+  WHEN 4 THEN p_name || ' ⭐️'
+  ELSE '❗' || p_name || '❗'
+END
+"""
+
+SCALAR_FUNCTIONS_V2_SQL = f"""
+WITH synth AS (
+  SELECT p_partkey, {_SYNTH_EMOJI_SQL} AS title FROM part
+), cleaned AS (
+  SELECT p_partkey, title,
+         regexp_replace(title, '{T.EMOJI_CLASS}', '', 'g') AS clean_title
+  FROM synth
+)
+SELECT p_partkey, title, clean_title,
+       (length(title) - length(clean_title))::BIGINT AS n_stripped,
+       printf('%.2f', (p_partkey % 101) / 100.0) AS conf_str,
+       substr(clean_title, 1, 20) AS preview
+FROM cleaned
+"""

@@ -100,3 +100,55 @@ def test_bpe_encode_corpus_counts(spark):
     assert got[1]["n_chars"] == len("lowlowlower")
     assert got[2]["n_subwords"] == seg["newest"] + seg["widest"]
     assert got[3]["n_words"] == 0 and got[3]["n_subwords"] == 0 and got[3]["n_chars"] == 0
+
+
+def test_bpe_encode_fixed_matches_duckdb_fold_replay(spark):
+    """The frozen-merge apply (bpe_encode_fixed) and its DuckDB
+    run-parity oracle agree on the adversarial cases: same-symbol
+    runs (greedy takes every other pair: lllll -> [ll, ll, l</w>]),
+    a stacked merge ((a,r) then (p,ar): parar -> [par, a, r</w>]),
+    and whitespace-only / empty docs (all-zero rows, not missing)."""
+    import duckdb
+
+    from joblink_etl_spark.operators import bpe
+    from joblink_etl_spark.plans.ext_q import (
+        BPE_ENCODE_FIXED_SQL,
+        FIXED_BPE_MERGES,
+        _sql_lit,
+    )
+
+    rows = [
+        (1, "lower power tower"),
+        (2, "llll lllll ll l llama parallel"),
+        (3, "parar paper part partner era er"),
+        (4, "tomorrow into winter looow"),
+        (5, ""),
+        (6, "   "),
+        (7, "a"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = [(r, l, rt, 0) for r, l, rt in FIXED_BPE_MERGES]
+    got = {
+        r.doc_id: (r.n_words, r.n_subwords, r.n_chars)
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {_sql_lit(t)})" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    exp = {r[0]: (r[1], r[2], r[3]) for r in con.execute(BPE_ENCODE_FIXED_SQL).fetchall()}
+    assert got == exp
+    assert got[5] == (0, 0, 0) and got[6] == (0, 0, 0)
+
+    seg = {
+        r.word: list(r.tokens)
+        for r in bpe.bpe_segment_words(
+            spark.createDataFrame([("lllll",), ("llll",), ("parar",)], ["word"]),
+            merges,
+        ).collect()
+    }
+    assert seg["lllll"] == ["ll", "ll", "l</w>"]
+    assert seg["llll"] == ["ll", "l", "l</w>"]
+    assert seg["parar"] == ["par", "a", "r</w>"]

@@ -34,10 +34,10 @@ def test_semdedup_explicit_k_cap_with_cell_target_raises(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="not both"):
         semdedup(emb, k_cap=10, cell_target=10)
-    # even an explicit None counts as explicit — it used to be the
-    # silent-null path that masked caller mistakes
-    with pytest.raises(ValueError, match="not both"):
-        semdedup(emb, k_cap=None, cell_target=10)
+    # an explicit k_cap=None is the documented 'uncapped' spelling and
+    # is exactly what cell_target derives — compatible, not an error
+    # (r8 ADVICE: only a non-None explicit cap conflicts)
+    semdedup(emb, k_cap=None, cell_target=10)
 
 
 def test_jl_project_output_is_scalar_and_exploded(spark, sf_dir):

@@ -93,7 +93,7 @@ def test_blocklist_hits_rate_gate_and_empty_doc(spark):
 
     docs = spark.createDataFrame(
         [
-            (1, "bad word bad apple"),  # 2/4 blocked = 50% → drop
+            (1, "bad word bad apple"),  # 3/4 blocked = 75% → drop
             (2, "bad a b c d e f g h i"),  # 1/10 = exactly 10% → keep (<=)
             (3, "clean text"),
             (4, ""),  # zero tokens → keep, zero counts
