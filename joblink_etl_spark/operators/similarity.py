@@ -98,12 +98,27 @@ def ivf_assign(
 
 
 def sample_centroids(
-    vectors: DataFrame, every: int = 25, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    every: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_centroids: int | None = None,
 ) -> DataFrame:
     """Deterministic centroid sample: every Nth vector by id (a
     k-means fit would drop in here; sampling keeps the pipeline
-    reproducible for tests)."""
-    return vectors.filter(F.col(id_col) % every == 0).select(
+    reproducible for tests).
+
+    With the default max_centroids=None the centroid count K grows
+    ∝ N, so any single-level assign against the result is O(N²/every)
+    — the quadratic-yardstick shape (knn_ivf keeps it deliberately;
+    its recall is measured against it). Pass max_centroids to CAP K
+    (ids < every·max_centroids): the classic fixed-nlist IVF, whose
+    assign is O(N·K) — linear in the corpus — at the price of larger
+    cells as N grows (the nprobe sweep uses this spelling)."""
+    keep = F.col(id_col) % every == 0
+    if max_centroids is not None:
+        keep = keep & (F.col(id_col) < every * max_centroids)
+    return vectors.filter(keep).select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col)
     )
 

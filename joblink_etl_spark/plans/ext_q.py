@@ -6287,7 +6287,13 @@ def ivf_nprobe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank (crank), score those candidates once, then each setting is
     a cheap filter + per-query window over the SAME scored relation
     — a sweep costs one index probe, not |settings| re-probes (the
-    bench-tail lesson from the r7 self-eval composites)."""
+    bench-tail lesson from the r7 self-eval composites).
+
+    The centroid set is CAPPED (fixed nlist ≤ 128, the classic IVF
+    index shape) so the assign stage is O(N·K) — linear in the
+    corpus — instead of the O(N²/every) that K ∝ N stride sampling
+    produces (measured 9.5x at a 10x probe before the cap; 128
+    cells keep the sweep's recall curve meaningful at every SF)."""
     from ..operators.similarity import (
         as_double,
         cosine,
@@ -6301,7 +6307,7 @@ def ivf_nprobe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5)
     truth = knn_bruteforce(emb, queries, k=10).select("query_id", "neighbor_id")
 
-    centroids = sample_centroids(emb, 25)
+    centroids = sample_centroids(emb, 25, max_centroids=128)
     assigned = ivf_assign(emb, centroids)
     q = queries.select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
@@ -6369,7 +6375,8 @@ IVF_NPROBE_SWEEP_SQL = f"""
 WITH bf AS MATERIALIZED ({{KNN_BRUTEFORCE_SQL}}),
 truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM bf),
 v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-c AS MATERIALIZED (SELECT vec_id AS centroid_id, e AS cv FROM v WHERE vec_id % 25 = 0),
+c AS MATERIALIZED (SELECT vec_id AS centroid_id, e AS cv FROM v
+                   WHERE vec_id % 25 = 0 AND vec_id < 25 * 128),
 assigned AS MATERIALIZED (
   SELECT vec_id, e, centroid_id FROM (
     SELECT v.vec_id, v.e, c.centroid_id,
