@@ -711,6 +711,15 @@ def cluster_balanced_sample(
 
     from .dedup import md5_int
 
+    # Lazy checkpoint of the slim (id, cell) projection: the quota
+    # branch and the ranking branch both read it, and when the
+    # caller's assignment is an expensive chain (kmeans cells) the
+    # un-barriered plan executes that chain once per branch. Narrow
+    # projection first so the checkpoint stores two columns, not the
+    # caller's whole relation; eager=False keeps construction
+    # action-free.
+    assigned = assigned.select(id_col, cell_col).localCheckpoint(eager=False)
+
     quotas = waterfill_allocation(
         assigned.select(F.col(cell_col).alias("grp")), "grp", budget
     ).select(

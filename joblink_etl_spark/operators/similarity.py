@@ -1342,8 +1342,17 @@ def semdedup(
     )
     # self-norms computed ONCE per vector (scan-side) and carried
     # into the pair join — recomputing them per candidate pair would
-    # triple the interpreted-HOF element ops in the O(cell²) stage
-    with_c = codes.join(clusters, id_col).withColumn("_n2", sq(F.col("q_codes")))
+    # triple the interpreted-HOF element ops in the O(cell²) stage.
+    # Lazy checkpoint (eager=False: construction stays action-free):
+    # this relation feeds BOTH sides of the within-cluster self-join
+    # plus the final keep/prune join — without the barrier the whole
+    # quantize+Lloyd+assign chain re-executes up to 3x per action
+    # (measured ~2.5x wall-clock on the bench tail).
+    with_c = (
+        codes.join(clusters, id_col)
+        .withColumn("_n2", sq(F.col("q_codes")))
+        .localCheckpoint(eager=False)
+    )
     a = with_c.select(
         "cluster_id",
         F.col(id_col).alias("_ida"),
