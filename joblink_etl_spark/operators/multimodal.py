@@ -556,3 +556,61 @@ def patch_grid(
             ).alias("ph"),
         )
     )
+
+
+def frame_signatures(
+    frames: DataFrame, id_col: str = "doc_id", salt: str = "scene"
+) -> DataFrame:
+    """Per-sampled-frame scalar signature in [0, 1000) — the stand-in
+    for a decoded frame's luminance/phash (this container ships no
+    codecs; the signature is md5-derived so the whole temporal chain
+    is engine-replayable, and a real decoder drops in as a pandas
+    UDF over the same (doc, frame_index) rows without touching any
+    downstream plan)."""
+    from .dedup import md5_int
+
+    return frames.withColumn(
+        "frame_sig",
+        md5_int(
+            F.concat(
+                F.lit(salt + ":"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                F.col("frame_index").cast("string"),
+            )
+        )
+        % 1000,
+    )
+
+
+def scene_cuts(
+    frames_sig: DataFrame,
+    threshold: int = 600,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scene-cut detection over sampled frame signatures: a cut is a
+    successive-frame signature jump above `threshold` — the standard
+    shot-boundary heuristic, expressed as ONE per-video lag window
+    (bounded: sampling caps frames per video, so no key ever owns
+    more than n_frames/every_n rows).
+
+    Output per video: n_sampled, n_cuts, first_cut (frame index of
+    the first detected cut; NULL when none)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_index")
+    with_prev = frames_sig.withColumn("_prev", F.lag("frame_sig").over(w))
+    cut = F.col("_prev").isNotNull() & (
+        F.abs(F.col("frame_sig") - F.col("_prev")) > threshold
+    )
+    return (
+        with_prev.withColumn("_cut", cut)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum(F.col("_cut").cast("bigint")).cast("bigint").alias("n_cuts"),
+            F.min(F.when(F.col("_cut"), F.col("frame_index")))
+            .cast("bigint")
+            .alias("first_cut"),
+        )
+    )

@@ -408,5 +408,8 @@ register("acctbal_prospects", R.acctbal_prospects, R.ACCTBAL_PROSPECTS_SQL)
 register("zipf_fit", E.zipf_fit_q, E.ZIPF_FIT_SQL)
 register("ivf_nprobe_sweep", E.ivf_nprobe_sweep_q, E.IVF_NPROBE_SWEEP_SQL)
 register("ppl_bucket_mixture", E.ppl_bucket_mixture_q, E.PPL_BUCKET_MIXTURE_SQL)
+# --- round-8 batch 4: model-based quality inference + video temporal -
+register("quality_classifier", E.quality_classifier_q, E.QUALITY_CLASSIFIER_SQL)
+register("scene_cuts", E.scene_cuts_q, E.SCENE_CUTS_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
 register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)

@@ -6484,3 +6484,81 @@ SELECT ((r - 1) * 4) // n AS bucket, d.lang,
 FROM ranked JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 batch 4.
+#
+# quality_classifier — fastText-shaped linear quality model INFERENCE
+# (the DCLM / FineWeb-Edu stage): hashed token-bigram features, the
+# model as a broadcast (bucket, weight) relation, one per-doc sum.
+# The weight table is md5-derived so the oracle rebuilds the whole
+# inference bit-for-bit; a trained model swaps in as data.
+#
+# scene_cuts — video temporal analysis over the multimodal fake-
+# decode chain: sample frames (metadata-first, decode-later), per-
+# frame scalar signature, shot boundaries via one bounded per-video
+# lag window. The decode is the documented deterministic fake; the
+# plumbing (explode shape, window, rollup) is the production plan.
+# ---------------------------------------------------------------------------
+
+
+def quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import classify as CL
+
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    return CL.hashed_linear_score(
+        docs, CL.synthetic_weights(spark, 256), n_buckets=256, threshold_milli=0
+    )
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bgs AS (
+  SELECT doc_id, md5(t[i] || ' ' || t[i + 1]) AS bg
+  FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+),
+w AS (
+  SELECT i::BIGINT AS bucket,
+         (('0x' || substr(md5('w:' || i::VARCHAR), 1, 15))::BIGINT % 2001 - 1000)::BIGINT AS w_milli
+  FROM range(256) r(i)
+),
+f AS (SELECT doc_id, ('0x' || substr(bg, 1, 15))::BIGINT % 256 AS bucket FROM bgs),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n_feats, sum(w_milli)::BIGINT AS score_milli
+  FROM f JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(p.score_milli, 0)::BIGINT AS score_milli,
+       coalesce(p.n_feats, 0) > 0 AND coalesce(p.score_milli, 0) > 0 AS keep
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+def scene_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = M.decode_video(M.attach_fake_payload(docs))
+    frames = M.sample_frames(decoded, every_n=5)
+    return M.scene_cuts(M.frame_signatures(frames), threshold=600)
+
+
+# fake payload = 16-byte md5 digest -> n_frames = 16 % 64 + 8 = 24;
+# every 5th frame -> sampled indices {0, 5, 10, 15, 20}
+SCENE_CUTS_SQL = """
+WITH f AS (
+  SELECT doc_id, i,
+         ('0x' || substr(md5('scene:' || doc_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT % 1000 AS sig
+  FROM documents, (VALUES (0), (5), (10), (15), (20)) v(i)
+), lagged AS (
+  SELECT doc_id, i, sig,
+         lag(sig) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM f
+)
+SELECT doc_id, count(*)::BIGINT AS n_sampled,
+       sum(CASE WHEN prev IS NOT NULL AND abs(sig - prev) > 600 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+       min(CASE WHEN prev IS NOT NULL AND abs(sig - prev) > 600 THEN i END)::BIGINT AS first_cut
+FROM lagged GROUP BY doc_id
+"""

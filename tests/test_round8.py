@@ -1,0 +1,69 @@
+"""Round-8 operator units: hashed-linear quality classifier and
+video scene cuts (oracle queries cover the corpus path; these pin
+edge semantics the oracle's real corpus may not exercise)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_hashed_linear_score_empty_and_sign(spark):
+    from joblink_etl_spark.operators import classify as CL
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),  # 4 bigram occurrences
+            (2, ""),                              # no evidence -> reject
+            (3, "single"),                        # 1 token, 0 bigrams -> reject
+        ],
+        "doc_id bigint, text string",
+    )
+    w = CL.synthetic_weights(spark, 256)
+    out = {r.doc_id: r for r in CL.hashed_linear_score(docs, w).collect()}
+    assert out[1].n_feats == 4
+    # fastText sums occurrences: the repeated 'alpha beta' bigram
+    # counts twice, so the score is divisible by... nothing general —
+    # but determinism is: same input, same score
+    again = {r.doc_id: r for r in CL.hashed_linear_score(docs, w).collect()}
+    assert out[1].score_milli == again[1].score_milli
+    assert out[2].n_feats == 0 and not out[2].keep
+    assert out[3].n_feats == 0 and not out[3].keep
+    assert out[1].keep == (out[1].score_milli > 0)
+
+
+def test_synthetic_weights_range_and_determinism(spark):
+    from joblink_etl_spark.operators import classify as CL
+
+    rows = CL.synthetic_weights(spark, 64).collect()
+    assert len(rows) == 64
+    assert all(-1000 <= r.w_milli <= 1000 for r in rows)
+    assert [r.w_milli for r in CL.synthetic_weights(spark, 64).collect()] == [
+        r.w_milli for r in rows
+    ]
+
+
+def test_scene_cuts_window_is_per_video_and_bounded(spark):
+    from joblink_etl_spark.operators import multimodal as M
+
+    # hand-built frame signatures: doc 1 has one cut (jump 50 -> 900
+    # at frame 10), doc 2 is static (no cuts)
+    frames = spark.createDataFrame(
+        [
+            (1, 0, 40), (1, 5, 50), (1, 10, 900), (1, 15, 880),
+            (2, 0, 500), (2, 5, 510),
+        ],
+        "doc_id bigint, frame_index int, frame_sig bigint",
+    )
+    out = {r.doc_id: r for r in M.scene_cuts(frames, threshold=600).collect()}
+    assert out[1].n_sampled == 4 and out[1].n_cuts == 1 and out[1].first_cut == 10
+    assert out[2].n_sampled == 2 and out[2].n_cuts == 0 and out[2].first_cut is None
+
+
+def test_frame_signatures_deterministic(spark):
+    from joblink_etl_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(7, "text payload")], "doc_id bigint, text string")
+    frames = M.sample_frames(M.decode_video(M.attach_fake_payload(docs)), every_n=5)
+    sigs = {r.frame_index: r.frame_sig for r in M.frame_signatures(frames).collect()}
+    assert set(sigs) == {0, 5, 10, 15, 20}
+    assert all(0 <= v < 1000 for v in sigs.values())

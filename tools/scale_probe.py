@@ -102,6 +102,9 @@ FAMILIES = {
     "pplmix": "ppl_bucket_mixture",
     "tpchq7": "volume_shipping",
     "bpeapply": "bpe_encode_fixed",
+    # round-8 batch-4 families
+    "classify": "quality_classifier",
+    "scenecut": "scene_cuts",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
