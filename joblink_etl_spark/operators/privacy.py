@@ -66,3 +66,52 @@ def k_anonymity(
             F.when(~ok, F.col("group_n")).otherwise(F.lit(0)).cast("bigint"),
         )
     )
+
+
+def sensitive_homogeneity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    k: int = 5,
+    l_div: int = 2,
+    max_share_bp: int = 8000,
+) -> DataFrame:
+    """Homogeneity-attack audit — the known weakness of plain
+    l-diversity: a class can hold l distinct sensitive values while
+    one value covers 95% of rows, so an attacker still learns the
+    sensitive attribute with high confidence. Per equivalence class
+    this reports the TOP sensitive value's share in basis points
+    (round-half-up integer division, the engine-portable quotient
+    spelling) and gates release on k-anonymity AND l-diversity AND
+    the share cap — the practical t-closeness-lite gate.
+
+    Output per QI tuple: group_n, l_distinct, top_n, top_share_bp,
+    safe.
+
+    Scale: two map-side-combinable shuffles — (QI, sensitive) counts
+    then a QI rollup; no window, no distinct-join, no driver state.
+    """
+    if not qi_cols:
+        raise ValueError("sensitive_homogeneity needs at least one QI column")
+    per_value = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_vn")
+    )
+    out = per_value.groupBy(*qi_cols).agg(
+        F.sum("_vn").cast("bigint").alias("group_n"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.max("_vn").cast("bigint").alias("top_n"),
+    )
+    return out.select(
+        *qi_cols,
+        "group_n",
+        "l_distinct",
+        "top_n",
+        F.expr("(2 * top_n * 10000 + group_n) div (2 * group_n)").alias(
+            "top_share_bp"
+        ),
+    ).withColumn(
+        "safe",
+        (F.col("group_n") >= k)
+        & (F.col("l_distinct") >= l_div)
+        & (F.col("top_share_bp") <= max_share_bp),
+    )

@@ -411,5 +411,9 @@ register("ppl_bucket_mixture", E.ppl_bucket_mixture_q, E.PPL_BUCKET_MIXTURE_SQL)
 # --- round-8 batch 4: model-based quality inference + video temporal -
 register("quality_classifier", E.quality_classifier_q, E.QUALITY_CLASSIFIER_SQL)
 register("scene_cuts", E.scene_cuts_q, E.SCENE_CUTS_SQL)
+# --- round-8 batch 5: homogeneity audit, Q2 argmin, judge winrates ----
+register("sensitive_homogeneity", E.sensitive_homogeneity_q, E.SENSITIVE_HOMOGENEITY_SQL)
+register("cheapest_supplier", E.cheapest_supplier_q, E.CHEAPEST_SUPPLIER_SQL)
+register("winrate_matrix", E.winrate_matrix_q, E.WINRATE_MATRIX_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
 register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)

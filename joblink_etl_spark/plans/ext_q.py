@@ -6562,3 +6562,190 @@ SELECT doc_id, count(*)::BIGINT AS n_sampled,
        min(CASE WHEN prev IS NOT NULL AND abs(sig - prev) > 600 THEN i END)::BIGINT AS first_cut
 FROM lagged GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 batch 5.
+#
+# sensitive_homogeneity — the homogeneity-attack audit l-diversity
+# misses: per QI class, the top sensitive value's share in basis
+# points (round-half-up integer division) + the practical release
+# gate (k AND l AND share cap). Two map-side-combinable shuffles.
+#
+# cheapest_supplier — TPC-H Q2's shape on this schema: per part, the
+# ARGMIN-cost supplier (correlated min subquery decorrelated into a
+# per-part window; unit cost as floor-div centi-cents, deterministic
+# tie-break on suppkey).
+#
+# winrate_matrix — arena-style source-vs-source win rates from
+# deterministic judge labels (the same n_chars + md5-coin judge the
+# preference queries use): which SOURCE wins head-to-head matches,
+# per unordered source pair, with the integer-bp rate.
+# ---------------------------------------------------------------------------
+
+
+def sensitive_homogeneity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import sensitive_homogeneity
+
+    ev = table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hour"),
+        F.floor(F.col("value") / 10).cast("bigint").alias("value_bin"),
+        "user_id",
+    )
+    return sensitive_homogeneity(
+        qi, ["event_type", "hour", "value_bin"], "user_id", k=5, l_div=2,
+        max_share_bp=8000,
+    )
+
+
+SENSITIVE_HOMOGENEITY_SQL = """
+WITH qi AS (
+  SELECT event_type, hour(ts)::BIGINT AS hour,
+         floor(value / 10)::BIGINT AS value_bin, user_id
+  FROM events
+), pv AS (
+  SELECT event_type, hour, value_bin, user_id, count(*)::BIGINT AS vn
+  FROM qi GROUP BY 1, 2, 3, 4
+), g AS (
+  SELECT event_type, hour, value_bin,
+         sum(vn)::BIGINT AS group_n,
+         count(*)::BIGINT AS l_distinct,
+         max(vn)::BIGINT AS top_n
+  FROM pv GROUP BY 1, 2, 3
+)
+SELECT event_type, hour, value_bin, group_n, l_distinct, top_n,
+       (2 * top_n * 10000 + group_n) // (2 * group_n) AS top_share_bp,
+       group_n >= 5 AND l_distinct >= 2
+         AND (2 * top_n * 10000 + group_n) // (2 * group_n) <= 8000 AS safe
+FROM g
+"""
+
+
+def cheapest_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: per-part argmin-cost supplier. The per-part window
+    ranks over (min_unit_cc, suppkey) — supplier count per part is
+    bounded, so no key ever owns more than a handful of rows."""
+    from pyspark.sql.window import Window as W
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+            " div CAST(round(l_quantity) AS BIGINT)"
+        ).alias("_unit_cc"),
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("_unit_cc").cast("bigint").alias("min_unit_cc")
+    )
+    w = W.partitionBy("l_partkey").orderBy("min_unit_cc", "l_suppkey")
+    best = (
+        per_ps.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("l_partkey", "s_suppkey", "s_name", "n_name", "min_unit_cc")
+    )
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         min(round(l_extendedprice * 100)::BIGINT // round(l_quantity)::BIGINT)::BIGINT AS min_unit_cc
+  FROM lineitem GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, l_suppkey, min_unit_cc,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY min_unit_cc, l_suppkey) AS rn
+  FROM unit
+)
+SELECT l_partkey, s_suppkey, s_name, n_name, min_unit_cc
+FROM best
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE rn = 1
+"""
+
+
+def winrate_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_int
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).filter(
+        F.col("a.source") != F.col("b.source")
+    )
+    coin = (
+        md5_int(
+            F.concat(
+                F.lit("wr:"),
+                F.col("a.doc_id").cast("string"),
+                F.lit(":"),
+                F.col("b.doc_id").cast("string"),
+            )
+        )
+        % 4
+        == 0
+    )
+    a_wins = (
+        (F.col("a.n_chars") > F.col("b.n_chars"))
+        | ((F.col("a.n_chars") == F.col("b.n_chars")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    ) != coin  # the coin flips 25% of length-judge verdicts
+    judged = pairs.select(
+        F.when(a_wins, F.col("a.source")).otherwise(F.col("b.source")).alias("win_src"),
+        F.when(a_wins, F.col("b.source")).otherwise(F.col("a.source")).alias("lose_src"),
+    )
+    s1 = F.least("win_src", "lose_src")
+    s2 = F.greatest("win_src", "lose_src")
+    return (
+        judged.select(
+            s1.alias("source_a"),
+            s2.alias("source_b"),
+            (F.col("win_src") == s1).cast("bigint").alias("_a_won"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.sum("_a_won").cast("bigint").alias("wins_a"),
+        )
+        .withColumn(
+            "win_bp_a",
+            F.expr("(2 * wins_a * 10000 + n_matches) div (2 * n_matches)"),
+        )
+    )
+
+
+WINRATE_MATRIX_SQL = """
+WITH pairs AS (
+  SELECT a.doc_id AS ai, a.source AS asrc, a.n_chars AS ac,
+         b.doc_id AS bi, b.source AS bsrc, b.n_chars AS bc
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.source <> b.source
+), judged AS (
+  SELECT CASE WHEN ((ac > bc) OR (ac = bc AND ai < bi))
+                   <> (('0x' || substr(md5('wr:' || ai::VARCHAR || ':' || bi::VARCHAR), 1, 15))::BIGINT % 4 = 0)
+              THEN asrc ELSE bsrc END AS win_src,
+         CASE WHEN ((ac > bc) OR (ac = bc AND ai < bi))
+                   <> (('0x' || substr(md5('wr:' || ai::VARCHAR || ':' || bi::VARCHAR), 1, 15))::BIGINT % 4 = 0)
+              THEN bsrc ELSE asrc END AS lose_src
+  FROM pairs
+), m AS (
+  SELECT least(win_src, lose_src) AS source_a,
+         greatest(win_src, lose_src) AS source_b,
+         (win_src = least(win_src, lose_src))::BIGINT AS a_won
+  FROM judged
+)
+SELECT source_a, source_b,
+       count(*)::BIGINT AS n_matches,
+       sum(a_won)::BIGINT AS wins_a,
+       (2 * sum(a_won)::BIGINT * 10000 + count(*)::BIGINT)
+         // (2 * count(*)::BIGINT) AS win_bp_a
+FROM m GROUP BY 1, 2
+"""

@@ -105,6 +105,10 @@ FAMILIES = {
     # round-8 batch-4 families
     "classify": "quality_classifier",
     "scenecut": "scene_cuts",
+    # round-8 batch-5 families
+    "homogeneity": "sensitive_homogeneity",
+    "argmin": "cheapest_supplier",
+    "winrate": "winrate_matrix",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
