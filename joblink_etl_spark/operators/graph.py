@@ -372,3 +372,56 @@ def triangle_counts(edges: DataFrame, a: str = "id_a", b: str = "id_b") -> DataF
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def ancestor_rollup(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    rounds: int = 4,
+) -> DataFrame:
+    """Root + depth for every node of a forest via POINTER JUMPING —
+    the distributed answer to a recursive CTE (Spark has none; a
+    sequential walk is O(depth) dependent joins, and a per-node walk
+    doesn't parallelize). Each round squares the jump length:
+    anc'[x] = anc[anc[x]], dist'[x] = dist[x] + dist[anc[x]] — so
+    `rounds` rounds resolve any depth ≤ 2^rounds. Every round is ONE
+    self-join on the ancestor key plus a lazy checkpoint (the
+    classic O(log d) doubling; at 100 TB each round is an ordinary
+    keyed shuffle, and d is small for real hierarchies).
+
+    Input: (id, parent) rows; a ROOT has parent NULL or parent = id.
+    Output: (id, root, depth) — depth 0 for roots.
+    """
+    a = nodes.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.col(parent_col).isNull() | (F.col(parent_col) == F.col(id_col)),
+            F.col(id_col),
+        )
+        .otherwise(F.col(parent_col))
+        .alias("anc"),
+        F.when(
+            F.col(parent_col).isNull() | (F.col(parent_col) == F.col(id_col)),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("dist"),
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        hop = a.select(
+            F.col("id").alias("_hid"),
+            F.col("anc").alias("_hanc"),
+            F.col("dist").alias("_hdist"),
+        )
+        a = (
+            a.join(hop, a.anc == hop._hid)
+            .select(
+                "id",
+                F.col("_hanc").alias("anc"),
+                (F.col("dist") + F.col("_hdist")).cast("bigint").alias("dist"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return a.select("id", F.col("anc").alias("root"), F.col("dist").alias("depth"))

@@ -415,5 +415,8 @@ register("scene_cuts", E.scene_cuts_q, E.SCENE_CUTS_SQL)
 register("sensitive_homogeneity", E.sensitive_homogeneity_q, E.SENSITIVE_HOMOGENEITY_SQL)
 register("cheapest_supplier", E.cheapest_supplier_q, E.CHEAPEST_SUPPLIER_SQL)
 register("winrate_matrix", E.winrate_matrix_q, E.WINRATE_MATRIX_SQL)
+# --- round-8 batch 6: pointer-jumping hierarchy + canary audit --------
+register("hierarchy_rollup", GQ.hierarchy_rollup_q, GQ.HIERARCHY_ROLLUP_SQL)
+register("canary_scan", E.canary_scan_q, E.CANARY_SCAN_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
 register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)

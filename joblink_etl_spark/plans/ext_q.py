@@ -6749,3 +6749,124 @@ SELECT source_a, source_b,
          // (2 * count(*)::BIGINT) AS win_bp_a
 FROM m GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 batch 6: memorization-canary audit. Unique canary strings
+# are planted into a known slice of the corpus (the Carlini secret-
+# sharer methodology: if a canary's count in the TRAINING corpus is
+# higher than you planted, ingestion is duplicating data; if a model
+# later emits one, you have measured memorization). The scan is the
+# operator: a tiny canary relation broadcast against the corpus scan,
+# occurrences by the engine-exact greedy replace count — no regex,
+# no UDF, one narrow pass.
+# ---------------------------------------------------------------------------
+
+_CANARIES = [
+    (0, "canary-7f3a9d01-secret"),
+    (1, "canary-b52e1c44-secret"),
+    (2, "canary-09ddfa77-secret"),
+    (3, "canary-e6104b2f-secret"),
+    (4, "canary-38c7aa90-secret"),
+]
+
+
+def canary_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = parallelize(table(spark, sf_dir, "documents")).select("doc_id", "text")
+    # plant: every 97th doc carries canary (doc_id % 5); one doc
+    # (doc_id % 485 == 0) carries it TWICE — the duplication signal
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.element_at(
+                    F.array(*[F.lit(c) for _, c in _CANARIES]),
+                    (F.col("doc_id") % 5 + 1).cast("int"),
+                ),
+                F.when(
+                    F.col("doc_id") % 485 == 0,
+                    F.concat(
+                        F.lit(" "),
+                        F.element_at(
+                            F.array(*[F.lit(c) for _, c in _CANARIES]),
+                            (F.col("doc_id") % 5 + 1).cast("int"),
+                        ),
+                    ),
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    canaries = spark.createDataFrame(_CANARIES, "canary_id bigint, canary string")
+    hits = (
+        planted.crossJoin(F.broadcast(canaries))
+        .select(
+            "canary_id",
+            (
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.col("canary"), F.lit("")))
+                )
+                / F.length("canary")
+            )
+            .cast("bigint")
+            .alias("occ"),
+        )
+        .filter(F.col("occ") > 0)
+    )
+    return (
+        canaries.join(
+            hits.groupBy("canary_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("occ").cast("bigint").alias("n_occurrences"),
+            ),
+            "canary_id",
+            "left",
+        )
+        .select(
+            "canary_id",
+            "canary",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("n_occurrences", F.lit(0)).cast("bigint").alias("n_occurrences"),
+        )
+    )
+
+
+_CANARY_ROWS = " UNION ALL ".join(
+    f"SELECT {i}::BIGINT AS canary_id, '{c}' AS canary" for i, c in _CANARIES
+)
+
+CANARY_SCAN_SQL = f"""
+WITH canaries AS ({_CANARY_ROWS}),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN
+           text || ' ' || 'canary-' ||
+             (CASE doc_id % 5 WHEN 0 THEN '7f3a9d01' WHEN 1 THEN 'b52e1c44'
+                              WHEN 2 THEN '09ddfa77' WHEN 3 THEN 'e6104b2f'
+                              ELSE '38c7aa90' END) || '-secret' ||
+           CASE WHEN doc_id % 485 = 0 THEN
+             ' ' || 'canary-' ||
+               (CASE doc_id % 5 WHEN 0 THEN '7f3a9d01' WHEN 1 THEN 'b52e1c44'
+                                WHEN 2 THEN '09ddfa77' WHEN 3 THEN 'e6104b2f'
+                                ELSE '38c7aa90' END) || '-secret'
+           ELSE '' END
+         ELSE text END AS text
+  FROM documents
+), hits AS (
+  SELECT c.canary_id,
+         (length(p.text) - length(replace(p.text, c.canary, ''))) // length(c.canary) AS occ
+  FROM planted p CROSS JOIN canaries c
+), agg AS (
+  SELECT canary_id,
+         count(*) FILTER (WHERE occ > 0)::BIGINT AS n_docs,
+         sum(occ) FILTER (WHERE occ > 0)::BIGINT AS n_occurrences
+  FROM hits GROUP BY canary_id
+)
+SELECT c.canary_id, c.canary,
+       coalesce(a.n_docs, 0)::BIGINT AS n_docs,
+       coalesce(a.n_occurrences, 0)::BIGINT AS n_occurrences
+FROM canaries c LEFT JOIN agg a USING (canary_id)
+"""

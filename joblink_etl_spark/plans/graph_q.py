@@ -438,3 +438,51 @@ e AS (
 )
 SELECT node, count(*)::BIGINT AS n_triangles FROM n GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy rollup via pointer jumping — Spark has no recursive CTE,
+# so the O(log depth) doubling self-join is THE distributed spelling
+# of "walk every node to its root"; the DuckDB oracle answers the
+# same question with an actual WITH RECURSIVE, which is exactly the
+# cross-check that matters: two completely different algorithms, one
+# answer. Parent links derive from the decimal key hierarchy
+# (parent = custkey div 10) through a MEMBERSHIP left-join, so a
+# node whose arithmetic parent is absent from the table is a root —
+# the synthesis stays closed over any key subset (offset replicas in
+# the scale probe included).
+# ---------------------------------------------------------------------------
+
+
+def hierarchy_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import table
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    cand = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.expr("c_custkey div 10").alias("_pcand"),
+    )
+    parents = cust.select(F.col("c_custkey").alias("_pid"))
+    nodes = cand.join(parents, cand._pcand == parents._pid, "left").select(
+        "id", F.col("_pid").alias("parent")
+    )
+    return G.ancestor_rollup(nodes, rounds=4)
+
+
+HIERARCHY_ROLLUP_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT c.c_custkey AS id, p.c_custkey AS parent
+  FROM customer c
+  LEFT JOIN customer p ON c.c_custkey // 10 = p.c_custkey
+), walk AS (
+  -- a root is a node with no parent in the table OR a self-loop
+  -- (custkey 0: 0 // 10 = 0) — same normalization as the operator
+  SELECT id, id AS root, 0::BIGINT AS depth
+  FROM nodes WHERE parent IS NULL OR parent = id
+  UNION ALL
+  SELECT n.id, w.root, w.depth + 1
+  FROM nodes n JOIN walk w ON n.parent = w.id
+  WHERE n.id <> n.parent
+)
+SELECT id, root, depth FROM walk
+"""

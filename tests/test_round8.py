@@ -67,3 +67,16 @@ def test_frame_signatures_deterministic(spark):
     sigs = {r.frame_index: r.frame_sig for r in M.frame_signatures(frames).collect()}
     assert set(sigs) == {0, 5, 10, 15, 20}
     assert all(0 <= v < 1000 for v in sigs.values())
+
+
+def test_ancestor_rollup_resolves_deep_chains(spark):
+    from joblink_etl_spark.operators.graph import ancestor_rollup
+
+    # a 12-deep chain 0 <- 1 <- 2 ... <- 12 plus a self-loop root 100
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 13)] + [(100, 100)]
+    nodes = spark.createDataFrame(rows, "id bigint, parent bigint")
+    out = {r.id: r for r in ancestor_rollup(nodes, rounds=4).collect()}
+    assert out[0].root == 0 and out[0].depth == 0
+    assert out[12].root == 0 and out[12].depth == 12   # 12 <= 2^4
+    assert out[7].root == 0 and out[7].depth == 7
+    assert out[100].root == 100 and out[100].depth == 0

@@ -109,6 +109,9 @@ FAMILIES = {
     "homogeneity": "sensitive_homogeneity",
     "argmin": "cheapest_supplier",
     "winrate": "winrate_matrix",
+    # round-8 batch-6 families
+    "hierarchy": "hierarchy_rollup",
+    "canary": "canary_scan",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
