@@ -28,7 +28,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ..schemas import apply_aliases, validate_or_heal
 
@@ -353,3 +353,41 @@ def hilbert_key(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
         *[f"_hi_{c}" for c in cols],
         *bin_cols.keys(),
     )
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt_record",
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE read split into (good, quarantine) — the dead-letter
+    ingestion pattern for web-scale JSONL/CSV corpora, where some
+    fraction of lines is ALWAYS malformed and silently dropping (or
+    failing the job on) them are both wrong. Parseable rows come back
+    with the caller's schema; unparseable lines land verbatim in the
+    quarantine frame for re-processing.
+
+    The returned frames share one cached PERMISSIVE scan (Spark
+    refuses a filter that references only the internal corrupt-record
+    column on an uncached frame — the documented contract); callers
+    unpersist after materializing both sides.
+    """
+    if fmt not in ("csv", "json"):
+        raise ValueError(f"quarantine read supports csv/json, not {fmt!r}")
+    full = StructType(schema.fields + [StructField(corrupt_col, StringType())])
+    df = read_table(
+        spark,
+        path,
+        fmt,
+        schema=full,
+        columnNameOfCorruptRecord=corrupt_col,
+        **options,
+    ).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, bad

@@ -1290,3 +1290,46 @@ def streaming_source_gate(
             roll, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def streaming_scene_cuts(
+    frames: DataFrame,
+    threshold: int = 600,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Custom stateful operator: STREAMING shot-boundary detection —
+    the stream twin of multimodal.scene_cuts. Frame signatures
+    arrive keyed by video; state is ONE long per video (the last
+    seen signature, -1 sentinel before the first frame), so a cut
+    that straddles a micro-batch boundary is still detected. Within
+    a batch rows resolve in frame_index order, so a full-history
+    single-batch drain aggregates to exactly the batch twin's
+    (n_sampled, n_cuts, first_cut) — pinned in tests.
+
+    Scale/state: keyed by video id (one shuffle); state is one long
+    per live video regardless of frame count; per-batch work is a
+    vectorized diff."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    base = frames.select(id_col, "frame_index", "frame_sig")
+    out_schema = StructType(
+        [base.schema[c] for c in (id_col, "frame_index", "frame_sig")]
+        + [StructField("is_cut", BooleanType())]
+    )
+    state_schema = StructType([StructField("last_sig", LongType())])
+
+    def fold(key, pdf_iter, state: GroupState):
+        last = state.get[0] if state.exists else -1
+        pdf = pd.concat(list(pdf_iter)).sort_values("frame_index").copy()
+        cuts = []
+        for s in pdf["frame_sig"].tolist():
+            cuts.append(last >= 0 and abs(int(s) - last) > threshold)
+            last = int(s)
+        pdf["is_cut"] = cuts
+        state.update((last,))
+        yield pdf[[id_col, "frame_index", "frame_sig", "is_cut"]]
+
+    return base.groupBy(id_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -80,3 +80,96 @@ def test_ancestor_rollup_resolves_deep_chains(spark):
     assert out[12].root == 0 and out[12].depth == 12   # 12 <= 2^4
     assert out[7].root == 0 and out[7].depth == 7
     assert out[100].root == 100 and out[100].depth == 0
+
+
+def test_read_with_quarantine_jsonl_and_csv(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from joblink_etl_spark.sources.io import read_with_quarantine
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    jl = tmp_path / "corpus.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good"}\n'
+        '{"doc_id": "NOT A NUMBER", "text": "type-broken"}\n'
+    )
+    good, bad = read_with_quarantine(spark, str(jl), "json", schema)
+    g = {r.doc_id: r.text for r in good.collect()}
+    b = [r.raw_record for r in bad.collect()]
+    assert g == {1: "good", 2: "also good"}
+    assert len(b) == 2 and any("not json" in r for r in b)
+    spark.catalog.clearCache()
+
+    cs = tmp_path / "corpus.csv"
+    cs.write_text('doc_id,text\n1,alpha\nnotanumber,beta\n3,gamma\n')
+    good2, bad2 = read_with_quarantine(spark, str(cs), "csv", schema)
+    assert {r.doc_id for r in good2.collect()} == {1, 3}
+    assert len(bad2.collect()) == 1
+    spark.catalog.clearCache()
+
+
+def test_streaming_scene_cuts_state_across_batches(spark, tmp_path):
+    from joblink_etl_spark.operators import multimodal as M
+    from joblink_etl_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_scene_cuts,
+    )
+
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "doc_id long, frame_index int, frame_sig long"
+    # batch 1: video 1 frames 0,5 (no cut: 40 -> 50)
+    spark.createDataFrame([(1, 0, 40), (1, 5, 50)], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    def drain():
+        out = streaming_scene_cuts(
+            spark.readStream.schema(schema).parquet(src), threshold=600
+        )
+        run_available_now(out, sink, ckpt)
+        return {
+            (r.doc_id, r.frame_index): r.is_cut
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    first = drain()
+    assert first == {(1, 0): False, (1, 5): False}
+
+    # batch 2: the cut happens ACROSS the micro-batch boundary
+    # (state carries last_sig=50; frame 10 arrives at 900)
+    spark.createDataFrame([(1, 10, 900), (1, 15, 880)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    rows = drain()
+    assert rows[(1, 10)] is True and rows[(1, 15)] is False
+
+    # twin equivalence: aggregate the full-history single-batch drain
+    # == the batch operator's (n_sampled, n_cuts, first_cut)
+    sink2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    out = streaming_scene_cuts(
+        spark.readStream.schema(schema).parquet(src), threshold=600
+    )
+    run_available_now(out, sink2, ckpt2)
+    streamed = spark.read.parquet(sink2)
+    agg = {
+        r.doc_id: (r.n_sampled, r.n_cuts, r.first_cut)
+        for r in streamed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum(F.col("is_cut").cast("bigint")).cast("bigint").alias("n_cuts"),
+            F.min(F.when(F.col("is_cut"), F.col("frame_index")))
+            .cast("bigint")
+            .alias("first_cut"),
+        )
+        .collect()
+    }
+    frames = spark.read.parquet(src)
+    twin = {
+        r.doc_id: (r.n_sampled, r.n_cuts, r.first_cut)
+        for r in M.scene_cuts(frames, threshold=600).collect()
+    }
+    assert agg == twin
