@@ -98,6 +98,18 @@ Registry total 217 (214 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design). Full sf0.1 registry sweep green
 this round (191/191 at sweep time + the 4 batch-7 queries checked
 individually at both sfs).
+
+Round-8 additions (all registered past the window, first driver
+rows r09+ except bpe_encode_fixed which holds window slot 50):
+bpe_encode_fixed, scalar_functions_v2; batch 2 TPC-H shapes
+volume_shipping (Q7) / promo_revenue_share (Q14) /
+large_volume_customers (Q18) / disjunctive_revenue (Q19) /
+acctbal_prospects (Q22, dormancy-adapted); batch 3 zipf_fit /
+ivf_nprobe_sweep (capped nlist) / ppl_bucket_mixture; batch 4
+quality_classifier / scene_cuts; batch 5 sensitive_homogeneity /
+cheapest_supplier (Q2 argmin) / winrate_matrix; batch 6
+hierarchy_rollup (pointer jumping vs WITH RECURSIVE oracle) /
+canary_scan. Registry total 234 (231 with SQL oracles).
 """
 
 from __future__ import annotations
