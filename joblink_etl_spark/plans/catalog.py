@@ -430,5 +430,8 @@ register("winrate_matrix", E.winrate_matrix_q, E.WINRATE_MATRIX_SQL)
 # --- round-8 batch 6: pointer-jumping hierarchy + canary audit --------
 register("hierarchy_rollup", GQ.hierarchy_rollup_q, GQ.HIERARCHY_ROLLUP_SQL)
 register("canary_scan", E.canary_scan_q, E.CANARY_SCAN_SQL)
+# --- round-8 batch 8: Fellegi-Sunter linkage + integer power iteration -
+register("record_linkage", E.record_linkage_q, E.RECORD_LINKAGE_SQL)
+register("pca_power", E.pca_power_q, E.PCA_POWER_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
 register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)

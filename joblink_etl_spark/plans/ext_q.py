@@ -6870,3 +6870,202 @@ SELECT c.canary_id, c.canary,
        coalesce(a.n_occurrences, 0)::BIGINT AS n_occurrences
 FROM canaries c LEFT JOIN agg a USING (canary_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 batch 8.
+#
+# record_linkage — the full Fellegi-Sunter pipeline over a dirty
+# customer feed: deletion-neighborhood blocking (the proven
+# fuzzy-join candidate generator), per-field integer agreement
+# weights (name exact/near, balance within 2 cents, nation equal),
+# summed match weight, three-way match/possible/non_match decision.
+# The synthesized feed exercises all three verdicts: clean-typo rows
+# land 'match', nation-flipped rows land 'possible', and accidental
+# same-variant collisions with the WRONG master row land 'non_match'.
+#
+# pca_power — dominant embedding direction by UNNORMALIZED power
+# iteration on globally-quantized integer codes: two unrolled
+# iterations of y ← Σᵢ cᵢ (cᵢ·y), overflow-controlled by a
+# power-of-two right shift between iterations instead of a float
+# norm — every number is an exact bigint, so the direction (and the
+# driver hash) is partition-order-proof. The corpus is touched once
+# per iteration (one dot-product projection + one dim-keyed sum).
+# ---------------------------------------------------------------------------
+
+
+def record_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzyjoin import fuzzy_key_join
+    from ..operators.linkage import fs_score
+
+    cust = table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    pos = (ck % 10) + 5
+    dirty = cust.filter(ck % 7 == 0).select(
+        (ck + 500000).alias("d_key"),
+        F.concat(
+            F.substring(F.col("c_name"), F.lit(1), pos - 1),
+            F.substring(F.col("c_name"), pos + 1, F.lit(64)),
+        ).alias("d_name"),
+        (F.round(F.col("c_acctbal") * 100).cast("bigint") + (ck % 5 - 2)).alias(
+            "d_bal_c"
+        ),
+        F.when(ck % 21 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .cast("int")
+        .alias("d_nation"),
+    )
+    master = cust.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("m_bal_c"),
+        F.col("c_nationkey").alias("m_nation"),
+    )
+    cand = fuzzy_key_join(dirty, master, "d_name", "c_name")
+    scored = fs_score(
+        cand,
+        {
+            "name_w": F.when(F.col("edit_distance") == 0, F.lit(45)).otherwise(
+                F.lit(20)
+            ),
+            "bal_w": F.when(
+                F.abs(F.col("d_bal_c") - F.col("m_bal_c")) <= 2, F.lit(30)
+            ).otherwise(F.lit(-25)),
+            "nation_w": F.when(
+                F.col("d_nation") == F.col("m_nation"), F.lit(15)
+            ).otherwise(F.lit(-20)),
+        },
+    )
+    return scored.select(
+        "d_key", "c_custkey", "edit_distance",
+        "name_w", "bal_w", "nation_w", "total_weight", "verdict",
+    )
+
+
+RECORD_LINKAGE_SQL = """
+WITH dirty AS (
+  SELECT c_custkey + 500000 AS d_key,
+         substr(c_name, 1, (c_custkey % 10) + 4)
+           || substr(c_name, (c_custkey % 10) + 6) AS d_name,
+         round(c_acctbal * 100)::BIGINT + (c_custkey % 5 - 2) AS d_bal_c,
+         CASE WHEN c_custkey % 21 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS d_nation
+  FROM customer WHERE c_custkey % 7 = 0
+), master AS (
+  SELECT c_custkey, c_name,
+         round(c_acctbal * 100)::BIGINT AS m_bal_c,
+         c_nationkey AS m_nation
+  FROM customer
+), lv AS (
+  SELECT d_key, d_name, d_bal_c, d_nation,
+         unnest(list_distinct(list_prepend(d_name,
+           list_transform(range(1, length(d_name) + 1),
+             i -> substr(d_name, 1, i - 1) || substr(d_name, i + 1))))) AS v
+  FROM dirty
+), rv AS (
+  SELECT c_custkey, c_name, m_bal_c, m_nation,
+         unnest(list_distinct(list_prepend(c_name,
+           list_transform(range(1, length(c_name) + 1),
+             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1))))) AS v
+  FROM lv_src
+), cand AS (
+  SELECT DISTINCT l.d_key, l.d_name, l.d_bal_c, l.d_nation,
+                  r.c_custkey, r.c_name, r.m_bal_c, r.m_nation
+  FROM lv l JOIN rv r ON l.v = r.v
+  WHERE levenshtein(l.d_name, r.c_name) <= 1
+), scored AS (
+  SELECT d_key, c_custkey,
+         levenshtein(d_name, c_name)::BIGINT AS edit_distance,
+         (CASE WHEN levenshtein(d_name, c_name) = 0 THEN 45 ELSE 20 END)::BIGINT AS name_w,
+         (CASE WHEN abs(d_bal_c - m_bal_c) <= 2 THEN 30 ELSE -25 END)::BIGINT AS bal_w,
+         (CASE WHEN d_nation = m_nation THEN 15 ELSE -20 END)::BIGINT AS nation_w
+  FROM cand
+)
+SELECT d_key, c_custkey, edit_distance, name_w, bal_w, nation_w,
+       (name_w + bal_w + nation_w)::BIGINT AS total_weight,
+       CASE WHEN name_w + bal_w + nation_w >= 60 THEN 'match'
+            WHEN name_w + bal_w + nation_w >= 20 THEN 'possible'
+            ELSE 'non_match' END AS verdict
+FROM scored
+"""
+RECORD_LINKAGE_SQL = RECORD_LINKAGE_SQL.replace("FROM lv_src", "FROM master")
+
+
+def pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant embedding direction (top principal component, up to
+    scale) by two unrolled UNNORMALIZED power iterations over
+    globally-quantized integer codes: y ← Σᵢ cᵢ (cᵢ·y), starting
+    from the all-ones vector. Instead of a float norm between
+    iterations (which would be partition-order-sensitive), overflow
+    is controlled by an ARITHMETIC RIGHT SHIFT (shiftright 16 ==
+    floor-division by 2^16 — matching DuckDB's floor `//` on the
+    signed domain), so every intermediate is an exact bigint and the
+    result hash-verifies.
+
+    Scale: each iteration touches the corpus once — a scan-side dot
+    product + one dim-keyed sum (8 groups); the iterate itself is a
+    one-row broadcast. O(iters·N·d), no quadratic term."""
+    from ..operators.similarity import quantize_embeddings_global
+
+    emb = parallelize(table(spark, sf_dir, "embeddings"))
+    codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
+    d0 = codes.withColumn(
+        "_dd",
+        F.expr(
+            "aggregate(q_codes, CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))"
+        ),
+    )
+    y1 = (
+        d0.select(F.posexplode("q_codes").alias("dim", "c"), "_dd")
+        .groupBy((F.col("dim") + 1).cast("bigint").alias("dim"))
+        .agg(F.sum(F.col("c").cast("bigint") * F.col("_dd")).cast("bigint").alias("y1v"))
+    )
+    y1arr = y1.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, y1v))),"
+            " s -> shiftright(s.y1v, 16))"
+        ).alias("_y1s")
+    )
+    d1 = codes.crossJoin(F.broadcast(y1arr)).withColumn(
+        "_dd1",
+        F.expr(
+            "aggregate(zip_with(q_codes, _y1s, (c, y) -> CAST(c AS BIGINT) * y),"
+            " CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ),
+    )
+    y2 = (
+        d1.select(F.posexplode("q_codes").alias("dim", "c"), "_dd1")
+        .groupBy((F.col("dim") + 1).cast("bigint").alias("dim"))
+        .agg(
+            F.sum(F.col("c").cast("bigint") * F.col("_dd1")).cast("bigint").alias("y2v")
+        )
+    )
+    return y1.join(y2, "dim").select("dim", "y1v", "y2v").orderBy("dim")
+
+
+PCA_POWER_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+gmax AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) AS g FROM base),
+v AS (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / (CASE WHEN g > 0 THEN g / 127.0 ELSE 1.0 END) + 0.5)::INTEGER) AS codes
+  FROM base, gmax
+), d0 AS (
+  SELECT vec_id, codes, list_sum(codes)::BIGINT AS dd FROM v
+), y1 AS (
+  SELECT i::BIGINT AS dim, sum(codes[i]::BIGINT * dd)::BIGINT AS y1v
+  FROM (SELECT codes, dd, unnest(codes) AS _c, generate_subscripts(codes, 1) AS i FROM d0)
+  GROUP BY 1
+), y1s AS (
+  SELECT dim, y1v // 65536 AS ys FROM y1
+), d1 AS (
+  SELECT vec_id, codes,
+         (SELECT sum(codes[y.dim]::BIGINT * y.ys)::BIGINT FROM y1s y) AS dd1
+  FROM v
+), y2 AS (
+  SELECT i::BIGINT AS dim, sum(codes[i]::BIGINT * dd1)::BIGINT AS y2v
+  FROM (SELECT codes, dd1, unnest(codes) AS _c, generate_subscripts(codes, 1) AS i FROM d1)
+  GROUP BY 1
+)
+SELECT y1.dim, y1.y1v, y2.y2v FROM y1 JOIN y2 USING (dim) ORDER BY dim
+"""

@@ -112,6 +112,9 @@ FAMILIES = {
     # round-8 batch-6 families
     "hierarchy": "hierarchy_rollup",
     "canary": "canary_scan",
+    # round-8 batch-8 families
+    "linkage": "record_linkage",
+    "powiter": "pca_power",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
