@@ -1062,3 +1062,63 @@ def normalized_duplicates(
         )
         .drop("_exact_fp")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= max_hamming over
+    the 60-bit SimHash — the Manku/Jain/Sarma (WWW'07) web-crawl
+    dedup join, via BLOCK PIGEONHOLE: the hash splits into
+    max_hamming+1 equal blocks, and any pair within the radius must
+    agree EXACTLY on at least one block, so candidates come from an
+    equi-join on (block_index, block_value) — never an all-pairs
+    scan — and one exact popcount(xor) verifies each candidate once.
+
+    Documents with fewer than `min_tokens` tokens are excluded: near-
+    empty docs all hash to ~0, which would put the entire junk tail
+    into one candidate bucket (the known degenerate bucket of the
+    scheme; real crawls drop them long before dedup anyway).
+
+    Output: (id_a, id_b, hamming), id_a < id_b.
+
+    Scale: the join is keyed by 2^15 block values x block index;
+    bucket sizes follow the hash distribution (uniform for natural
+    text). Radius/blocks trade as in the paper — for a larger radius
+    use more blocks (r+1), each correspondingly shorter."""
+    n_blocks = max_hamming + 1
+    block_bits = SIMHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+    eligible = df.filter(F.size(tokens(F.col(text_col))) >= min_tokens)
+    sh = simhash(eligible, text_col, id_col)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("b"),
+    ).withColumn("bval", F.expr(f"shiftright(simhash, b * {block_bits}) & {mask}"))
+    a = blocks.select(
+        F.col("b"),
+        F.col("bval"),
+        F.col("id").alias("id_a"),
+        F.col("simhash").alias("_ha"),
+    )
+    bb = blocks.select(
+        F.col("b"),
+        F.col("bval"),
+        F.col("id").alias("id_b"),
+        F.col("simhash").alias("_hb"),
+    )
+    cand = (
+        a.join(bb, ["b", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(_ha ^ _hb)").cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

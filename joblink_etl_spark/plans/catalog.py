@@ -433,5 +433,7 @@ register("canary_scan", E.canary_scan_q, E.CANARY_SCAN_SQL)
 # --- round-8 batch 8: Fellegi-Sunter linkage + integer power iteration -
 register("record_linkage", E.record_linkage_q, E.RECORD_LINKAGE_SQL)
 register("pca_power", E.pca_power_q, E.PCA_POWER_SQL)
+# --- round-8 batch 9: SimHash Hamming-radius pair join ----------------
+register("simhash_pairs", E.simhash_pairs_q, E.SIMHASH_PAIRS_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
 register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)

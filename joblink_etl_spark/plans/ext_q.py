@@ -7069,3 +7069,67 @@ v AS (
 )
 SELECT y1.dim, y1.y1v, y2.y2v FROM y1 JOIN y2 USING (dim) ORDER BY dim
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 batch 9: SimHash Hamming-radius pair join (Manku et al.,
+# WWW'07) — the web-crawl near-dup method the simhash_docs signature
+# query was missing its JOIN half for. Block pigeonhole (4 x 15-bit
+# blocks for radius 3) makes candidates an equi-join; exact
+# popcount(xor) verifies. The oracle replays signature, blocking,
+# and verification; the near-dup planted clones ('zz end marker'
+# mutation) land at small nonzero Hamming distances and exact %7
+# clones at 0.
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered on a 1-in-3 corpus slice: this synthetic corpus is
+    template-generated, so the Hamming<=3 neighborhood is genuinely
+    DENSE (pair count grows ~quadratically with cluster density —
+    an output property, not a plan property; the operator stays
+    candidate-linear). The slice keeps the driver/bench output
+    bounded, same precedent as prefix_jaccard / ngram_jaccard."""
+    docs = _docs_with_neardups(
+        parallelize(table(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") % 3 == 0
+        )
+    )
+    return D.simhash_hamming_pairs(docs, max_hamming=3)
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zz end marker' FROM documents WHERE doc_id % 4 = 0 AND doc_id % 3 = 0
+), tokd AS (
+  SELECT id, {_TOKS.replace("text", "corpus.text")} AS toks FROM corpus
+), elig AS (
+  SELECT id, toks FROM tokd WHERE len(toks) >= 3
+), tok AS (
+  SELECT id, unnest(list_distinct(toks)) AS tok FROM elig
+), h AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT id, u.bit,
+         CASE WHEN (h >> u.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM h, (SELECT unnest(range({D.SIMHASH_BITS})) AS bit) u
+), votes AS (
+  SELECT id, bit, sum(vote) AS v FROM bits GROUP BY id, bit
+), sig AS (
+  SELECT id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sh
+  FROM votes GROUP BY id
+), blocks AS (
+  SELECT id, sh, b.b, (sh >> (b.b * 15)) & 32767 AS bval
+  FROM sig, (SELECT unnest(range(4)) AS b) b
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b, a.sh AS ha, bb.sh AS hb
+  FROM blocks a JOIN blocks bb ON a.b = bb.b AND a.bval = bb.bval
+  WHERE a.id < bb.id
+)
+SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= 3
+"""

@@ -115,6 +115,8 @@ FAMILIES = {
     # round-8 batch-8 families
     "linkage": "record_linkage",
     "powiter": "pca_power",
+    # round-8 batch-9 family
+    "simhashpairs": "simhash_pairs",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
