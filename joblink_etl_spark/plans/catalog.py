@@ -435,5 +435,7 @@ register("record_linkage", E.record_linkage_q, E.RECORD_LINKAGE_SQL)
 register("pca_power", E.pca_power_q, E.PCA_POWER_SQL)
 # --- round-8 batch 9: SimHash Hamming-radius pair join ----------------
 register("simhash_pairs", E.simhash_pairs_q, E.SIMHASH_PAIRS_SQL)
+# --- round-8 batch 10: LSH band-geometry tuning sweep -----------------
+register("minhash_band_sweep", E.minhash_band_sweep_q, E.MINHASH_BAND_SWEEP_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
 register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)

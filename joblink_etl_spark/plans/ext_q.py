@@ -7133,3 +7133,156 @@ SELECT id_a, id_b, bit_count(xor(ha, hb))::BIGINT AS hamming
 FROM cand
 WHERE bit_count(xor(ha, hb)) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 batch 10: LSH band-geometry sweep — the tuning workflow
+# behind every MinHash deployment: with NUM_HASHES=16 fixed, compare
+# (bands, rows_per_band) ∈ {(8,2), (4,4), (2,8)} on candidate count,
+# verified-true count (exact Jaccard >= 0.5), integer-bp precision,
+# and recall against the planted near-dup truth. ONE shared
+# signature computation; each setting re-slices the SAME signature
+# array into band keys (the nprobe-sweep lesson: a sweep costs one
+# front end, not |settings|).
+# ---------------------------------------------------------------------------
+
+_BAND_CONFIGS = [(8, 2), (4, 4), (2, 8)]
+
+
+def minhash_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_neardups(parallelize(table(spark, sf_dir, "documents")))
+    base, _ = D.minhash_base_and_bands(docs)
+    sh = base.select("id", "shingles")
+    truth = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 10000).alias("id_b"),
+        )
+    )
+    rows = None
+    for bands, rpb in _BAND_CONFIGS:
+        banded = base.select(
+            "id", F.explode(D.band_hashes(F.col("sig"), bands, rpb)).alias("bh")
+        ).select("id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
+        left, right = banded.alias("l"), banded.alias("r")
+        cand = (
+            left.join(
+                right,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        verified = (
+            cand.join(
+                sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+                "id_b",
+            )
+            .filter(D.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        )
+        nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+        nv = verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+        nh = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        )
+        row = (
+            nc.crossJoin(nv)
+            .crossJoin(nt)
+            .crossJoin(nh)
+            .select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.lit(rpb).cast("bigint").alias("rows_per_band"),
+                "n_cand",
+                "n_true",
+                F.expr(
+                    "CASE WHEN n_cand > 0"
+                    " THEN (2 * n_true * 10000 + n_cand) div (2 * n_cand) END"
+                ).alias("precision_bp"),
+                "n_truth",
+                "n_hit",
+                F.expr(
+                    "CASE WHEN n_truth > 0"
+                    " THEN (2 * n_hit * 10000 + n_truth) div (2 * n_truth) END"
+                ).alias("recall_bp"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def _band_sweep_sql() -> str:
+    jac = (
+        "CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0 "
+        "THEN len(list_intersect(a.shingles, b.shingles))::DOUBLE "
+        "/ len(list_distinct(a.shingles || b.shingles)) ELSE 0.0 END"
+    )
+    cfg_ctes, cfg_rows = [], []
+    for bands, rpb in _BAND_CONFIGS:
+        tag = f"{bands}x{rpb}"
+        cfg_ctes.append(f"""bands_{tag} AS (
+  SELECT id, u.b AS band,
+         md5(array_to_string(list_transform(sig[u.b*{rpb}+1 : u.b*{rpb}+{rpb}],
+             v -> v::VARCHAR), ',')) AS bucket
+  FROM sig, (SELECT unnest(range(0, {bands})) AS b) u
+), cand_{tag} AS MATERIALIZED (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands_{tag} l JOIN bands_{tag} r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+), ver_{tag} AS (
+  SELECT count(*)::BIGINT AS n FROM cand_{tag} c
+  JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+  WHERE {jac} >= 0.5
+)""")
+        cfg_rows.append(f"""  SELECT {bands}::BIGINT AS bands, {rpb}::BIGINT AS rows_per_band,
+         (SELECT count(*)::BIGINT FROM cand_{tag}) AS n_cand,
+         (SELECT n FROM ver_{tag}) AS n_true,
+         (SELECT count(*)::BIGINT FROM truth) AS n_truth,
+         (SELECT count(*)::BIGINT FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cand_{tag} c
+                        WHERE c.id_a = t.id_a AND c.id_b = t.id_b)) AS n_hit""")
+    ctes = ",\n".join(cfg_ctes)
+    rows = "\n  UNION ALL\n".join(cfg_rows)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text || ' zz end marker' FROM documents WHERE doc_id % 4 = 0
+), tok AS (
+  SELECT id, {_TOKS} AS toks FROM corpus
+), sh AS MATERIALIZED (
+  SELECT id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM tok
+), sig AS MATERIALIZED (
+  SELECT id, shingles,
+         list_transform(range(0, {D.NUM_HASHES}),
+           i -> list_aggregate(list_transform(shingles,
+                  s -> ('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))::BIGINT), 'min')) AS sig
+  FROM sh WHERE len(shingles) > 0
+),
+truth AS (SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents WHERE doc_id % 4 = 0),
+{ctes},
+rows AS (
+{rows}
+)
+SELECT bands, rows_per_band, n_cand, n_true,
+       CASE WHEN n_cand > 0
+            THEN (2 * n_true * 10000 + n_cand) // (2 * n_cand) END AS precision_bp,
+       n_truth, n_hit,
+       CASE WHEN n_truth > 0
+            THEN (2 * n_hit * 10000 + n_truth) // (2 * n_truth) END AS recall_bp
+FROM rows
+"""
+
+
+MINHASH_BAND_SWEEP_SQL = _band_sweep_sql()

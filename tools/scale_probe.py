@@ -117,6 +117,8 @@ FAMILIES = {
     "powiter": "pca_power",
     # round-8 batch-9 family
     "simhashpairs": "simhash_pairs",
+    # round-8 batch-10 family
+    "bandsweep": "minhash_band_sweep",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
