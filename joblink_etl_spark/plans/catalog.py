@@ -109,7 +109,14 @@ ivf_nprobe_sweep (capped nlist) / ppl_bucket_mixture; batch 4
 quality_classifier / scene_cuts; batch 5 sensitive_homogeneity /
 cheapest_supplier (Q2 argmin) / winrate_matrix; batch 6
 hierarchy_rollup (pointer jumping vs WITH RECURSIVE oracle) /
-canary_scan. Registry total 234 (231 with SQL oracles).
+canary_scan; batch 8 record_linkage (Fellegi-Sunter) / pca_power
+(integer power iteration); batch 9 simhash_pairs (Manku block
+pigeonhole); batch 10 minhash_band_sweep (LSH geometry tuning).
+Registry total 238 (235 with SQL oracles; the same 3 rows-only).
+Round-8 final sweeps: 237/237 green at BOTH sfs (pre-batch-10
+registry) + minhash_band_sweep green individually at both sfs;
+pytest 363; plan audit zero CartesianProduct / zero unjustified
+global windows.
 """
 
 from __future__ import annotations
