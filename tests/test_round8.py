@@ -173,3 +173,31 @@ def test_streaming_scene_cuts_state_across_batches(spark, tmp_path):
         for r in M.scene_cuts(frames, threshold=600).collect()
     }
     assert agg == twin
+
+
+def test_band_sweep_tradeoff_monotone(spark, sf_dir):
+    """LSH theory, checked in-engine: as rows_per_band grows (bands
+    narrow), candidate count and recall are non-increasing (a
+    (b, r)-match at larger r implies more agreeing rows, and with
+    NUM_HASHES fixed the candidate set shrinks toward high-sim
+    pairs) while verified precision is non-decreasing."""
+    from joblink_etl_spark.plans.ext_q import minhash_band_sweep_q
+
+    rows = {r.rows_per_band: r for r in minhash_band_sweep_q(spark, sf_dir).collect()}
+    assert set(rows) == {2, 4, 8}
+    assert rows[2].n_cand >= rows[4].n_cand >= rows[8].n_cand
+    assert rows[2].recall_bp >= rows[4].recall_bp >= rows[8].recall_bp
+    assert rows[2].precision_bp <= rows[4].precision_bp <= rows[8].precision_bp
+    spark.catalog.clearCache()
+
+
+def test_nprobe_sweep_recall_monotone(spark, sf_dir):
+    """IVF recall@10 is non-decreasing in nprobe (probing more cells
+    can only add candidates), and every found set stays <= k per
+    query."""
+    from joblink_etl_spark.plans.ext_q import ivf_nprobe_sweep_q
+
+    rows = {r.nprobe: r for r in ivf_nprobe_sweep_q(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].recall <= rows[2].recall <= rows[4].recall
+    assert all(r.n_found <= r.n_truth for r in rows.values())
