@@ -45,6 +45,7 @@ def fuzzy_key_join(
     right_key: str,
     max_distance: int = 1,
     max_len: int = 64,
+    dedup_keys: list[str] | None = None,
 ) -> DataFrame:
     """All (left, right) row pairs whose keys are within Levenshtein
     distance `max_distance` (currently 1 — the guarantee the
@@ -52,19 +53,25 @@ def fuzzy_key_join(
     columns + `edit_distance`. Candidates come from the variant
     equi-join; the exact distance verifies each candidate once.
 
-    Assumes keys identify rows on both sides (the record-linkage
-    shape): the candidate dedup keys on (left_key, right_key), so two
-    left rows with the SAME key would collapse to one
-    arbitrarily-chosen carrier row. Pre-aggregate to unique keys if
-    the input has duplicates."""
+    A candidate pair collides once per shared deletion variant, so
+    the join output must be deduplicated. `dedup_keys` names the
+    columns that identify a (left row, right row) pair — default
+    [left_key, right_key], which is correct ONLY when the join keys
+    identify rows on both sides. If either side can repeat a key
+    (e.g. two dirty records that happen to share a d_name), pass the
+    true row identifiers instead: with the default, same-key rows
+    would collapse to one arbitrarily-chosen carrier row and the
+    result would be nondeterministic across runs."""
     if max_distance != 1:
         raise ValueError("deletion-1 blocking guarantees distance <= 1 only")
+    if dedup_keys is None:
+        dedup_keys = [left_key, right_key]
     lv = left.withColumn("_lv", F.explode(deletion_variants(F.col(left_key), max_len)))
     rv = right.withColumn("_rv", F.explode(deletion_variants(F.col(right_key), max_len)))
     cand = (
         lv.join(rv, lv["_lv"] == rv["_rv"])
         .drop("_lv", "_rv")
-        .dropDuplicates([left_key, right_key])
+        .dropDuplicates(dedup_keys)
     )
     dist = F.levenshtein(F.col(left_key), F.col(right_key))
     return cand.withColumn("edit_distance", dist.cast("bigint")).filter(

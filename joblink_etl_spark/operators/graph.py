@@ -379,6 +379,7 @@ def ancestor_rollup(
     id_col: str = "id",
     parent_col: str = "parent",
     rounds: int = 4,
+    check_convergence: bool = True,
 ) -> DataFrame:
     """Root + depth for every node of a forest via POINTER JUMPING —
     the distributed answer to a recursive CTE (Spark has none; a
@@ -392,6 +393,16 @@ def ancestor_rollup(
 
     Input: (id, parent) rows; a ROOT has parent NULL or parent = id.
     Output: (id, root, depth) — depth 0 for roots.
+
+    `rounds` caps the resolvable depth at 2^rounds; on a DEEPER
+    chain the loop would silently return a non-root ancestor labeled
+    'root' with an understated depth. `check_convergence` (default
+    on) guards that failure mode: one extra anti-join count of the
+    final ancestors against the root set — O(n) on the already-
+    checkpointed result, and the action it triggers materializes the
+    checkpoint the downstream query reuses — raising ValueError with
+    the unresolved count instead of returning wrong rows. Disable
+    only when the depth bound is proven elsewhere.
     """
     a = nodes.select(
         F.col(id_col).alias("id"),
@@ -424,4 +435,15 @@ def ancestor_rollup(
             )
             .localCheckpoint(eager=False)
         )
+    if check_convergence:
+        roots = nodes.filter(
+            F.col(parent_col).isNull() | (F.col(parent_col) == F.col(id_col))
+        ).select(F.col(id_col).alias("anc"))
+        n_unresolved = a.join(roots, "anc", "left_anti").count()
+        if n_unresolved:
+            raise ValueError(
+                f"ancestor_rollup: {n_unresolved} node(s) unresolved after "
+                f"{rounds} pointer-jumping rounds (chain deeper than "
+                f"2^{rounds}); raise `rounds`"
+            )
     return a.select("id", F.col("anc").alias("root"), F.col("dist").alias("depth"))

@@ -59,6 +59,15 @@ def grouped_rank(
     materialized blocks whose lifetime is tied to the RDD reference
     (the ContextCleaner reclaims them on GC), so repeated calls
     don't accumulate cache entries.
+
+    Fault-tolerance tradeoff: truncated lineage means losing an
+    executor that holds checkpoint blocks mid-query fails the job
+    unrecoverably instead of recomputing — fine on local[n] and for
+    short jobs, a real regression for long cluster-scale jobs on
+    preemptible executors. There, prefer reliable checkpointing
+    (`sc.setCheckpointDir` + `.checkpoint()`, blocks on
+    fault-tolerant storage) or an owner-managed persist/unpersist
+    over this convenience pinning.
     """
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism

@@ -6921,7 +6921,15 @@ def record_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100).cast("bigint").alias("m_bal_c"),
         F.col("c_nationkey").alias("m_nation"),
     )
-    cand = fuzzy_key_join(dirty, master, "d_name", "c_name")
+    # Dedup on the ROW identifiers, not the join keys: two dirty rows
+    # can share a d_name at large SF (e.g. custkey 49 and 70049 both
+    # delete to 'Customer#00000049'), and the default
+    # (d_name, c_name) dedup would collapse them to one arbitrary
+    # carrier row — nondeterministic and diverging from the oracle's
+    # DISTINCT, which keeps both d_keys.
+    cand = fuzzy_key_join(
+        dirty, master, "d_name", "c_name", dedup_keys=["d_key", "c_custkey"]
+    )
     scored = fs_score(
         cand,
         {
@@ -7077,9 +7085,10 @@ SELECT y1.dim, y1.y1v, y2.y2v FROM y1 JOIN y2 USING (dim) ORDER BY dim
 # query was missing its JOIN half for. Block pigeonhole (4 x 15-bit
 # blocks for radius 3) makes candidates an equi-join; exact
 # popcount(xor) verifies. The oracle replays signature, blocking,
-# and verification; the near-dup planted clones ('zz end marker'
-# mutation) land at small nonzero Hamming distances and exact %7
-# clones at 0.
+# and verification; the corpus is built with _docs_with_neardups, so
+# the planted ground truth is the %4 'zz end marker' mutations,
+# which land at small nonzero Hamming distances (plus whatever
+# template-induced collisions the corpus naturally contains).
 # ---------------------------------------------------------------------------
 
 
