@@ -812,9 +812,16 @@ def _pq_train(
     """Lloyd's over pre-built (persisted) subspace slices. Split out
     so knn_pq/knn_ivfpq can train and encode from ONE cached `subs`
     instead of re-deriving the slice (scan + quantize + explode) per
-    consumer. Lazy persists flatten the chain exactly as in
-    kmeans_codes (see its note): each cents pin is ≤ n_sub × K rows,
-    and cache lifetime belongs to the caller."""
+    consumer. Each cents pin is ≤ n_sub × K rows; blocks are
+    GC-reclaimed with the RDD reference.
+
+    BOUNDED-ACTION NOTE (r9): the per-iteration pins are lazy
+    localCheckpoints, which under AQE run the iteration's jobs at
+    BUILD time (same documented tradeoff as semdedup's barrier) —
+    callers of the pq family are exempt from the action-free
+    construction test. The checkpoint (unlike persist) truncates the
+    logical plan, so iteration i+1's analysis no longer re-walks
+    every prior iteration's HOF assign tree."""
     seed = F.col(id_col) % k_every == 0
     if k_cap is not None:
         seed = seed & (F.col(id_col) < k_every * k_cap)
@@ -829,11 +836,18 @@ def _pq_train(
         means = by_dim.groupBy("sub", "_cid", "_pos").agg(
             F.floor(F.sum("_v").cast("double") / F.count(F.lit(1))).cast("int").alias("_m")
         )
+        # lazy localCheckpoint, not persist: the pin must also
+        # TRUNCATE the logical plan — each Lloyd iteration otherwise
+        # re-analyzes the whole HOF-heavy assign tree of every prior
+        # iteration (the round-8 semdedup barrier class), and with
+        # 2 consumers per cents (next assign + final encode) Catalyst
+        # planning dominated knn_ivfpq's wall-clock. ≤ n_sub × K rows
+        # per pin; blocks are GC-reclaimed with the RDD reference.
         cents = means.groupBy("sub", "_cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
             ).alias("_cv")
-        ).persist()
+        ).localCheckpoint(eager=False)
     return cents
 
 
@@ -891,7 +905,9 @@ def knn_pq(
     # builder never sees one.
     vectors = vectors.persist()
     subs = _pq_subspaces(vectors, n_sub, id_col, codes_col).persist()
-    cents = _pq_train(subs, k_every, iters, id_col, k_cap).persist()
+    # _pq_train's output is already checkpoint-pinned; a second
+    # persist layer only adds cache-write cost
+    cents = _pq_train(subs, k_every, iters, id_col, k_cap)
     corpus = _pq_assign(subs, cents, id_col)
     qsubs = _pq_subspaces(
         queries.select(F.col(id_col).alias("query_id"), codes_col),
@@ -1042,7 +1058,9 @@ def knn_ivfpq(
     else:
         subs = _pq_subspaces(vectors, n_sub, id_col, codes_col).persist()
         corpus_src = None
-    cents = _pq_train(subs, k_every, iters, id_col, k_cap).persist()
+    # _pq_train's output is already checkpoint-pinned; a second
+    # persist layer only adds cache-write cost
+    cents = _pq_train(subs, k_every, iters, id_col, k_cap)
     if by_residual:
         corpus = _pq_assign(corpus_src, cents, id_col).select(
             id_col, "cell", "sub", F.col("_cid").alias("code_id")

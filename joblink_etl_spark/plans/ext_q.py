@@ -4584,7 +4584,16 @@ def ann_method_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = parallelize(table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5)
-    truth = _bf(emb, queries, k=10).select("query_id", "neighbor_id")
+    # Each leg below references truth/found 2-3x (count aggs + the
+    # hit semi-join), and Catalyst re-executes a referenced chain per
+    # reference — the kmeans-barrier class (r8 lesson). Lazy
+    # localCheckpoint pins each expensive scored relation so its
+    # chain runs ONCE; construction stays action-free.
+    truth = (
+        _bf(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
 
     codes = quantize_embeddings_global(emb).select("vec_id", "q_codes")
     qcodes = codes.filter(F.col("vec_id") < 5)
@@ -4606,23 +4615,28 @@ def ann_method_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
 
+    # One pass per method: n_found and n_hit come from the SAME left
+    # join against the pinned truth (truth pairs are unique, so the
+    # join preserves found's multiplicity and count(_t) == the old
+    # semi-join count); n_truth is computed once and cross-joined in
+    # (1-row funnel). Before this restructuring each leg re-executed
+    # its ANN chain twice and truth four times — bench 7.5 s; the
+    # barrier + single-reference shape is the kmeans-barrier recipe.
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     rows = None
     for name, found in methods:
-        t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-        f = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
-        h = truth.join(found, ["query_id", "neighbor_id"], "left_semi").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        fh = found.join(
+            truth.withColumn("_t", F.lit(1)), ["query_id", "neighbor_id"], "left"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_found"),
+            F.count("_t").cast("bigint").alias("n_hit"),
         )
-        row = (
-            t.crossJoin(f)
-            .crossJoin(h)
-            .select(
-                F.lit(name).alias("method"),
-                "n_truth",
-                "n_found",
-                "n_hit",
-                (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
-            )
+        row = t.crossJoin(fh).select(
+            F.lit(name).alias("method"),
+            "n_truth",
+            "n_found",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
