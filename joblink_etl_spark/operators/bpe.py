@@ -126,18 +126,27 @@ def train_bpe(
     df: DataFrame,
     n_merges: int = 16,
     text_col: str = "text",
+    vocab_partitions: int | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn `n_merges` BPE merges. Returns [(rank, left, right,
     pair_count)], rank 0 first. Each iteration: one vocab-sized
     pair-count job (argmax collected to the driver — a single row),
     then a lazy re-segmentation of the persisted vocab. The corpus
-    is only ever touched by the initial word_freqs aggregation."""
+    is only ever touched by the initial word_freqs aggregation.
+
+    `vocab_partitions` coalesces the persisted vocab: a trainer over
+    a SMALL closed vocabulary (enum fixtures, unit corpora) pays
+    ~n_merges × default-parallelism empty-task overhead otherwise —
+    measured 29 s → 6 s on an 85-word vocab at 32 threads. Leave
+    None for real corpora (the vocab inherits the word_freqs
+    shuffle layout)."""
     spark = df.sparkSession
-    vocab = (
-        word_freqs(df, text_col)
-        .select(F.col("n"), _to_symbols(F.col("word")).alias("syms"))
-        .persist()
+    vocab = word_freqs(df, text_col).select(
+        F.col("n"), _to_symbols(F.col("word")).alias("syms")
     )
+    if vocab_partitions is not None:
+        vocab = vocab.coalesce(vocab_partitions)
+    vocab = vocab.persist()
     pins = [vocab]
     merges: list[tuple[int, str, str, int]] = []
     try:

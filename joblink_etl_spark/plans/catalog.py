@@ -446,3 +446,6 @@ register("simhash_pairs", E.simhash_pairs_q, E.SIMHASH_PAIRS_SQL)
 register("minhash_band_sweep", E.minhash_band_sweep_q, E.MINHASH_BAND_SWEEP_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
 register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)
+# --- round-9 additions (window slots assigned at the r09 rotation) ----
+register("bpe_merges_fixed", E.bpe_merges_fixed_q, E.BPE_MERGES_FIXED_SQL)
+register("llm_json_extract", S.llm_json_extract, S.LLM_JSON_EXTRACT_SQL)

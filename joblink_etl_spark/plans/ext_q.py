@@ -3491,6 +3491,56 @@ def bpe_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_merges_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-oracle twin of rows-only bpe_merges (r8 verdict item
+    5, same recipe as bpe_encode_fixed): the SAME iterative trainer —
+    per-merge distributed pair-count argmax, greedy vocab
+    re-segmentation — run over the corpus's SF-INVARIANT categorical
+    vocabulary (nation/region names + the part-type and part-brand
+    enums; verified byte-identical at sf0.001/0.01/0.1), so the
+    learned merge table is a deterministic constant the driver can
+    hash against the pinned oracle. documents.text itself differs
+    per SF, which is why plain bpe_merges stays rows-only. The tiny
+    vocab trains at vocab_partitions=1 (see train_bpe) to avoid
+    paying 32-thread task overhead per merge job."""
+    from ..operators import bpe as B
+
+    parts = [
+        table(spark, sf_dir, "nation").select(F.col("n_name").alias("text")),
+        table(spark, sf_dir, "region").select(F.col("r_name").alias("text")),
+        table(spark, sf_dir, "part").select(F.col("p_type").alias("text")).distinct(),
+        table(spark, sf_dir, "part").select(F.col("p_brand").alias("text")).distinct(),
+    ]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    merges = B.train_bpe(corpus, n_merges=10, vocab_partitions=1)
+    return spark.createDataFrame(
+        merges, "rank BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )
+
+
+# the pinned expected merge table — regenerate with
+# `train_bpe(<the corpus above>, n_merges=10, vocab_partitions=1)`
+# if the trainer's greedy/tie-break semantics ever deliberately
+# change (then also re-validate tests/test_bpe.py and the fixtures)
+BPE_MERGES_FIXED_SQL = """
+SELECT "rank"::BIGINT AS rank, left_sym, right_sym, pair_count::BIGINT AS pair_count
+FROM (VALUES
+  (0, 'O', 'N', 26),
+  (1, 'A', 'T', 25),
+  (2, 'AT', 'I', 25),
+  (3, 'ATI', 'ON', 25),
+  (4, 'ATION', '_', 25),
+  (5, 'B', 'r', 25),
+  (6, 'Br', 'a', 25),
+  (7, 'Bra', 'n', 25),
+  (8, 'Bran', 'd', 25),
+  (9, 'Brand', '#', 25)
+) AS t("rank", left_sym, right_sym, pair_count)
+"""
+
+
 # ---------------------------------------------------------------------------
 # corpus bigram-LM scoring (operators/lmscore.py)
 # ---------------------------------------------------------------------------

@@ -280,3 +280,128 @@ SELECT p_partkey, title, clean_title,
        substr(clean_title, 1, 20) AS preview
 FROM cleaned
 """
+
+
+# ---------------------------------------------------------------------------
+# llm_json_extract: the F16 LLM-JSON boundary (reference
+# code-LLM-intergration.js:668-673 extractJson_ + :744-769 rescue
+# semantics) as a DETERMINISTIC driver-checkable query (r8 verdict
+# item 7): canned LLM responses synthesized per doc_id plant every
+# branch — valid JSON in prose, valid-but-empty (the 'no-output'
+# verdict), no JSON object at all, malformed JSON inside the braces,
+# nested braces INSIDE a string value (pins the first-'{'-to-
+# LAST-'}' span rule: a first-'}' cut would split the string and
+# fail the parse), and a company-only object (role backfills '').
+#
+# Cross-engine parse strictness: Spark's Jackson is lenient about
+# TRAILING garbage after a complete object (it would accept
+# '{..} prose {..}' where json.loads / DuckDB try_cast reject), so
+# that class is deliberately NOT planted; in-span malformation is
+# detected on the Spark side via the PERMISSIVE corrupt-record
+# column, which both engines agree on. The production escalation
+# path (real client, asNondeterministic UDF, fill-blanks-only)
+# stays in operators/llm_rescue.py; this query pins the pure
+# span+parse+verdict algebra those UDFs share.
+# ---------------------------------------------------------------------------
+
+
+def _canned_llm_response(d):
+    s = d.cast("string")
+    return (
+        F.when(d % 6 == 0, F.concat(
+            F.lit('Sure - here is the extraction: {"company": "Acme '), s,
+            F.lit('", "role": "Engineer '), s, F.lit('"} Let me know!')))
+        .when(d % 6 == 1, F.lit('Result: {"company": "", "role": ""}'))
+        .when(d % 6 == 2, F.lit("I could not find any structured data on that page."))
+        .when(d % 6 == 3, F.concat(
+            F.lit('Here you go: {"company": "Broken '), s,
+            F.lit('", "role": } oops')))
+        .when(d % 6 == 4, F.concat(
+            F.lit('{"company": "Curly {Braces} Inc '), s,
+            F.lit('", "role": "Dev '), s, F.lit('"}')))
+        .otherwise(F.concat(F.lit('Partial: {"company": "Solo '), s, F.lit('"} done')))
+    )
+
+
+def llm_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    content = _canned_llm_response(d)
+    df = docs.withColumn("_content", content)
+    start = F.instr("_content", "{")
+    end_rev = F.instr(F.reverse(F.col("_content")), "}")
+    end = F.length("_content") - end_rev + 1
+    has_span = (start >= 1) & (end_rev >= 1) & (end > start)
+    js = F.col("_content").substr(start, end - start + 1)
+    parsed = F.from_json(
+        js,
+        "company STRING, role STRING, _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    df = df.withColumn("_p", parsed).withColumn("_has_span", has_span)
+    company0 = F.trim(F.coalesce(F.col("_p.company"), F.lit("")))
+    role0 = F.trim(F.coalesce(F.col("_p.role"), F.lit("")))
+    err = (
+        F.when(~F.col("_has_span"), F.lit("no JSON object in LLM output"))
+        .when(F.col("_p._corrupt").isNotNull(), F.lit("unparseable JSON"))
+        .when((company0 == "") & (role0 == ""), F.lit("no-output"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        df.withColumn("err", err)
+        .select(
+            "doc_id",
+            F.when(F.col("err").isNull(), company0).otherwise(F.lit("")).alias("company"),
+            F.when(F.col("err").isNull(), role0).otherwise(F.lit("")).alias("role"),
+            "err",
+            F.when(F.col("err").isNull(), F.lit("extract:{mode=llm}"))
+            .otherwise(F.concat(F.lit("extract:{mode=llm, err="), F.col("err"), F.lit("}")))
+            .alias("extract_token"),
+        )
+    )
+
+
+LLM_JSON_EXTRACT_SQL = """
+WITH canned AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'Sure - here is the extraction: {"company": "Acme ' || doc_id::VARCHAR || '", "role": "Engineer ' || doc_id::VARCHAR || '"} Let me know!'
+           WHEN 1 THEN 'Result: {"company": "", "role": ""}'
+           WHEN 2 THEN 'I could not find any structured data on that page.'
+           WHEN 3 THEN 'Here you go: {"company": "Broken ' || doc_id::VARCHAR || '", "role": } oops'
+           WHEN 4 THEN '{"company": "Curly {Braces} Inc ' || doc_id::VARCHAR || '", "role": "Dev ' || doc_id::VARCHAR || '"}'
+           ELSE 'Partial: {"company": "Solo ' || doc_id::VARCHAR || '"} done'
+         END AS content
+  FROM documents
+), spans AS (
+  SELECT doc_id, content,
+         strpos(content, '{') AS st,
+         strpos(reverse(content), '}') AS en_rev,
+         length(content) - strpos(reverse(content), '}') + 1 AS en
+  FROM canned
+), parsed AS (
+  SELECT doc_id,
+         (st >= 1 AND en_rev >= 1 AND en > st) AS has_span,
+         try_cast(substr(content, st, en - st + 1) AS JSON) AS pj
+  FROM spans
+), fields AS (
+  SELECT doc_id, has_span, pj,
+         trim(coalesce(json_extract_string(pj, '$.company'), '')) AS company0,
+         trim(coalesce(json_extract_string(pj, '$.role'), '')) AS role0
+  FROM parsed
+), verdicts AS (
+  SELECT doc_id, company0, role0,
+         CASE WHEN NOT has_span THEN 'no JSON object in LLM output'
+              WHEN pj IS NULL THEN 'unparseable JSON'
+              WHEN company0 = '' AND role0 = '' THEN 'no-output'
+              ELSE NULL END AS err
+  FROM fields
+)
+SELECT doc_id,
+       CASE WHEN err IS NULL THEN company0 ELSE '' END AS company,
+       CASE WHEN err IS NULL THEN role0 ELSE '' END AS role,
+       err,
+       CASE WHEN err IS NULL THEN 'extract:{mode=llm}'
+            ELSE 'extract:{mode=llm, err=' || err || '}' END AS extract_token
+FROM verdicts
+"""
