@@ -449,3 +449,9 @@ register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_S
 # --- round-9 additions (window slots assigned at the r09 rotation) ----
 register("bpe_merges_fixed", E.bpe_merges_fixed_q, E.BPE_MERGES_FIXED_SQL)
 register("llm_json_extract", S.llm_json_extract, S.LLM_JSON_EXTRACT_SQL)
+register("t_closeness", E.t_closeness_q, E.T_CLOSENESS_SQL)
+register("forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL)
+register("late_order_priority", R.late_order_priority, R.LATE_ORDER_PRIORITY_SQL)
+register("nation_market_share", R.nation_market_share, R.NATION_MARKET_SHARE_SQL)
+register("returned_item_report", R.returned_item_report, R.RETURNED_ITEM_REPORT_SQL)
+register("shiplag_priority_counts", R.shiplag_priority_counts, R.SHIPLAG_PRIORITY_COUNTS_SQL)

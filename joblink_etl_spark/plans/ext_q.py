@@ -7359,3 +7359,77 @@ FROM rows
 
 
 MINHASH_BAND_SWEEP_SQL = _band_sweep_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round 9 batch 2: t-closeness (Li et al., ICDE 2007) — completes
+# the privacy-release ladder k_anonymity → sensitive_homogeneity →
+# t_closeness: a QI class passes only if its ordered-sensitive
+# distribution stays within EMD t of the global one. Exact-integer
+# cumulative-difference EMD (see operators/privacy.py); the oracle
+# replays the m² bucket cumsum, the class-cumulative range join and
+# the basis-point quotient bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def t_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.privacy import t_closeness
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 150000"
+        ).alias("bal_bucket"),
+    )
+    return t_closeness(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", t_bp_max=2000
+    )
+
+
+T_CLOSENESS_SQL = """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         (round(c_acctbal * 100)::BIGINT + 100000) // 150000 AS bal_bucket
+  FROM customer
+), pv AS (
+  SELECT c_nationkey, c_mktsegment, bal_bucket, count(*)::BIGINT AS nb
+  FROM base GROUP BY 1, 2, 3
+), gb AS (
+  SELECT bal_bucket, count(*)::BIGINT AS g_nb FROM base GROUP BY 1
+), ga AS (
+  SELECT sum(g_nb)::BIGINT AS n_total, count(*)::BIGINT AS m FROM gb
+), cumg AS (
+  SELECT g.bal_bucket, sum(l.g_nb)::BIGINT AS cnb
+  FROM gb g JOIN gb l ON l.bal_bucket <= g.bal_bucket GROUP BY 1
+), groups AS (
+  SELECT c_nationkey, c_mktsegment, sum(nb)::BIGINT AS group_n
+  FROM pv GROUP BY 1, 2
+), grid AS (
+  SELECT gr.c_nationkey, gr.c_mktsegment, gr.group_n,
+         c.bal_bucket, c.cnb, a.n_total, a.m
+  FROM groups gr CROSS JOIN cumg c CROSS JOIN ga a
+), cum AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.bal_bucket, g.group_n,
+         g.cnb, g.n_total, g.m,
+         coalesce(sum(p.nb), 0)::BIGINT AS cgb
+  FROM grid g LEFT JOIN pv p
+    ON p.c_nationkey = g.c_nationkey AND p.c_mktsegment = g.c_mktsegment
+   AND p.bal_bucket <= g.bal_bucket
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+), agg AS (
+  SELECT c_nationkey, c_mktsegment, group_n, m AS m_buckets, n_total,
+         sum(abs(n_total * cgb - group_n * cnb))::BIGINT AS emd_scaled
+  FROM cum GROUP BY 1, 2, 3, 4, 5
+)
+SELECT c_nationkey, c_mktsegment, group_n, m_buckets, emd_scaled,
+       CASE WHEN m_buckets > 1 THEN
+         (2 * emd_scaled * 10000 + group_n * n_total * (m_buckets - 1))
+           // (2 * group_n * n_total * (m_buckets - 1))
+       ELSE 0 END AS t_bp,
+       (CASE WHEN m_buckets > 1 THEN
+         (2 * emd_scaled * 10000 + group_n * n_total * (m_buckets - 1))
+           // (2 * group_n * n_total * (m_buckets - 1))
+       ELSE 0 END) <= 2000 AS is_t_close
+FROM agg
+"""

@@ -1007,3 +1007,305 @@ WHERE bal_c * n_pos > sum_pos
                     AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 9 batch 3: the remaining classic TPC-H shapes expressible on
+# this corpus (no partsupp table; no l_shipmode/commitdate/
+# receiptdate — the Q4/Q12 lateness predicates are adapted onto the
+# l_shipdate − o_orderdate lag). Money stays exact integer
+# centi-cents; every quotient is round-half-up integer basis points.
+# ---------------------------------------------------------------------------
+
+
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: sum(extendedprice * discount)
+    over one ship year, a discount band and a quantity cap — the
+    classic pushed-scan single-aggregate (no join at all; the filter
+    and the 3-column projection must reach the parquet scan).
+    Discounts are exact 0.01 steps in this corpus, so the band is
+    compared on round(discount*100) integers, and revenue
+    accumulates as cents × pct (an exact bigint)."""
+    li = table(spark, sf_dir, "lineitem")
+    d = F.round(F.col("l_discount") * 100).cast("bigint")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & d.between(5, 7)
+        & (F.round("l_quantity").cast("bigint") < 24)
+    )
+    return sel.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint") * d)
+        .cast("bigint")
+        .alias("forecast_cc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    ).select(
+        "forecast_cc",
+        "n_items",
+        F.round(F.col("forecast_cc").cast("double") / 10000.0, 2).alias(
+            "forecast_revenue"
+        ),
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT sum(round(l_extendedprice * 100)::BIGINT
+           * round(l_discount * 100)::BIGINT)::BIGINT AS forecast_cc,
+       count(*)::BIGINT AS n_items,
+       round(sum(round(l_extendedprice * 100)::BIGINT
+                 * round(l_discount * 100)::BIGINT)::DOUBLE / 10000.0, 2)
+         AS forecast_revenue
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND round(l_discount * 100)::BIGINT BETWEEN 5 AND 7
+  AND round(l_quantity)::BIGINT < 24
+"""
+
+
+def late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style order-priority check, lateness adapted to this
+    corpus's columns: count Q1-1997 orders per priority where EXISTS
+    a lineitem shipped more than 60 days after the order date. The
+    EXISTS decorrelates to a LEFT SEMI join whose condition mixes
+    the orderkey equi-key with the lag inequality — Spark plans the
+    equi part as the shuffle key and applies the lag as a join
+    residual, exactly what the spec's correlated subquery needs."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    # derived scan-side prefilter: a line item shipped >60 days after
+    # an order placed on/after 1997-01-01 must ship after 1997-03-02
+    # — implied by the join predicate (semantic no-op), but it reaches
+    # the parquet scan and cuts the semi-join shuffle ~20x
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-03-02"
+    ).select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, orders.o_orderdate) > 60),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_late_orders"))
+    )
+
+
+LATE_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+FROM orders o
+WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND datediff('day', o.o_orderdate, l.l_shipdate) > 60)
+GROUP BY o_orderpriority
+"""
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: within AMERICA-region
+    customers and MEDIUM-type parts, the share of yearly discounted
+    revenue supplied by NATION_1, in round-half-up basis points over
+    exact centi-cent sums.
+
+    Scale: lineitem⋈orders is the one big shuffle (orderkey);
+    part/supplier/customer/nation/region all broadcast, and the
+    region+type filters prune the fact rows through the joins."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("_cc"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "MEDIUM").select(
+        "p_partkey"
+    )
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nat = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", (F.col("n_name") == "NATION_1").alias("_target"))
+    )
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_nat), orders.o_custkey == cust_nat.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(F.when(F.col("_target"), F.col("_cc")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("nation_cc"),
+            F.sum("_cc").cast("bigint").alias("total_cc"),
+        )
+    )
+    return agg.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        "nation_cc",
+        "total_cc",
+        F.expr("(2 * nation_cc * 10000 + total_cc) div (2 * total_cc)").alias(
+            "mkt_share_bp"
+        ),
+    )
+
+
+NATION_MARKET_SHARE_SQL = """
+WITH agg AS (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         sum(CASE WHEN sn.n_name = 'NATION_1'
+                  THEN round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT)
+                  ELSE 0 END)::BIGINT AS nation_cc,
+         sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS total_cc
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region   ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'MEDIUM' AND r_name = 'AMERICA'
+  GROUP BY 1
+)
+SELECT o_year, nation_cc, total_cc,
+       (2 * nation_cc * 10000 + total_cc) // (2 * total_cc) AS mkt_share_bp
+FROM agg
+"""
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: the 20 customers losing
+    the most revenue to returns (l_returnflag = 'R') on orders
+    placed in one quarter, with their nation. Top-k is deterministic
+    (revenue desc, custkey asc tie-break) and exact (centi-cents)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("_cc"),
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("_cc").cast("bigint").alias("lost_cc"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "lost_cc",
+            F.round(F.col("lost_cc").cast("double") / 10000.0, 2).alias(
+                "lost_revenue"
+            ),
+        )
+        .orderBy(F.col("lost_cc").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REPORT_SQL = """
+WITH lost AS (
+  SELECT o_custkey, sum(round(l_extendedprice * 100)::BIGINT
+             * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS lost_cc
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name AS nation,
+       round(c_acctbal, 2) AS c_acctbal, lost_cc,
+       round(lost_cc::DOUBLE / 10000.0, 2) AS lost_revenue
+FROM lost
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY lost_cc DESC, c_custkey
+LIMIT 20
+"""
+
+
+def shiplag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style shipping-delay audit, the shipmode dimension
+    adapted to this corpus's ship-lag buckets (early < 30 days,
+    standard 30-90, late > 90 between order and ship date): per
+    bucket, how many line items belong to critical-priority orders
+    (1-URGENT / 2-HIGH) vs the rest for one ship year — the classic
+    conditional two-count aggregate over one join."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_shipdate")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(lag < 30, F.lit("early"))
+        .when(lag <= 90, F.lit("standard"))
+        .otherwise(F.lit("late"))
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(bucket.alias("lag_bucket"), crit.alias("_crit"))
+        .groupBy("lag_bucket")
+        .agg(
+            F.sum(F.when(F.col("_crit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("critical_count"),
+            F.sum(F.when(F.col("_crit"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("normal_count"),
+        )
+    )
+
+
+SHIPLAG_PRIORITY_COUNTS_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30 THEN 'early'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'standard'
+            ELSE 'late' END AS lag_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS critical_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS normal_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1
+"""

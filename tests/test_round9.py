@@ -41,3 +41,23 @@ def test_ancestor_rollup_raises_when_rounds_too_small(spark):
         for r in ancestor_rollup(nodes, rounds=3, check_convergence=False).collect()
     }
     assert out[12].root != 0 or out[12].depth != 12
+
+
+def test_t_closeness_hand_computed(spark):
+    # global buckets: b0 -> 3 rows, b1 -> 1 row (N=4, m=2).
+    # group A sits entirely in b0: P=(1,0) vs Q=(0.75,0.25) ->
+    # EMD = |1-0.75|/(m-1) = 0.25 exactly; group B is (0.5,0.5) ->
+    # cum diffs |0.5-0.75| = 0.25 too. Integer spelling:
+    # emd_scaled = |N*Cgb - n_g*CNb| summed = 2, den = 2*4*1 = 8.
+    from joblink_etl_spark.operators.privacy import t_closeness
+
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 0), ("B", 0), ("B", 1)], "g STRING, b BIGINT"
+    )
+    out = {r.g: r for r in t_closeness(df, ["g"], "b", t_bp_max=2500).collect()}
+    assert out["A"].group_n == 2 and out["A"].m_buckets == 2
+    assert out["A"].emd_scaled == 2 and out["A"].t_bp == 2500
+    assert out["B"].emd_scaled == 2 and out["B"].t_bp == 2500
+    assert out["A"].is_t_close and out["B"].is_t_close
+    strict = {r.g: r for r in t_closeness(df, ["g"], "b", t_bp_max=2000).collect()}
+    assert not strict["A"].is_t_close

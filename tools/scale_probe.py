@@ -119,6 +119,12 @@ FAMILIES = {
     "simhashpairs": "simhash_pairs",
     # round-8 batch-10 family
     "bandsweep": "minhash_band_sweep",
+    # round-9 families
+    "tcloseness": "t_closeness",
+    "llmboundary": "llm_json_extract",
+    "tpchq8": "nation_market_share",
+    "tpchq10": "returned_item_report",
+    "tpchq4": "late_order_priority",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)
