@@ -1,122 +1,49 @@
 """Registers every query plan with the registry.
 
 ORDERING MATTERS: the driver's correctness gate checks the first 50
-registered queries. Rotation policy (rounds 3→7): queries holding a
+registered queries. Rotation policy (rounds 3→9): queries holding a
 green driver streak cede their slots — the streak is the durable
 record — to queries that have never had a driver row; ceded queries
 remain fully checked by tools/oracle_check.py (Arrow-dtype-sensitive
-since round 6) + pytest every round.
+since round 6) + pytest every round. Rotate at ROUND START only.
 
-Round-8 window (50): jl_project (r07 green after the r06 ERROR row;
-held one more round to bank the streak, same policy session_windows
-used in r07) + 49 of the 52 round-7 batch-2..7 queries that have
-never had a driver CORRECTNESS row (line_dedup → ab_test_report in
-batch order, 48 of them) + bpe_encode_fixed (new this round: the
-frozen-merge-table hash-oracle twin of rows-only bpe_encode,
-VERDICT r7 item 3). The 4 batch-7 queries that did not fit
-(engagement_ratios, frequent_pairs, ingestion_islands,
-type_bitmap_overlap) queue for the r09 window together with the 18
-r05 re-streaks still owed
-(those 18 were r05 singles that ceded in r06 and were not in the
-r07 re-streak set: span_unit_repeats → feature_bins region in this
-file). Ceded this round: the entire r07 window except jl_project —
-all 47 hash-green + 2 rows-only in CORRECTNESS_r07, streaks banked.
+Round-9 window (50) — the verification-debt-clearing window (r8
+verdict item 1: for the first time ALL never-driver-checked queries
++ every owed re-streak fit one window):
+  * the 4 round-7 batch-7 leftovers that never fit a window
+    (engagement_ratios, frequent_pairs, ingestion_islands,
+    type_bitmap_overlap) — first driver rows;
+  * the 20 round-8 additions registered past the r08 window
+    (scalar_functions_v2 → minhash_band_sweep in batch order) —
+    first driver rows;
+  * the 18 round-5 single greens whose re-streak was owed since r06
+    (span_unit_repeats → feature_bins) — re-streaks;
+  * the 8 round-9 additions (bpe_merges_fixed — the frozen
+    enum-vocabulary hash-oracle twin of rows-only bpe_merges, r8
+    item 5; llm_json_extract — the F16 LLM-JSON boundary as a
+    deterministic driver row, r8 item 7; t_closeness — completes
+    the privacy ladder; forecast_revenue / late_order_priority /
+    nation_market_share / returned_item_report /
+    shiplag_priority_counts — the remaining classic TPC-H shapes,
+    Q6/Q4/Q8/Q10/Q12 adapted to this corpus) — first driver rows,
+    exactly filling the window headroom (r8 item 3: every
+    registered query has a driver row or a planned slot).
+After this window lands green, never-driver-checked count = 0.
+Ceded this round: jl_project (banked its streak r07+r08) and the
+entire r08 window of 50 first-timer greens (CORRECTNESS_r08
+50/50); both remain covered by the full-registry oracle sweep +
+pytest every round.
 
-Round-7 window (50) — historical:
-  * jl_project — r06 ERROR row (not a value mismatch: the driver's
-    row canonicalizer can't hash its array column). Re-registered as
-    the exploded scalar projection (vec_id, dim, value) with a
-    matching unnest oracle; stays until it holds a real green.
-    tests/test_round7.py now guards the WHOLE window against
-    non-scalar output columns so this class can't recur.
-  * session_windows — r06 green after the r03/r05 HUGEINT-cast red;
-    held one more round to bank the streak.
-  * the 6 round-6 additions (epoch_shuffle, length_bucket_batches,
-    bpe_encode [rows-only], semdedup_ivf, dedup_method_recall,
-    ann_method_recall) — first driver rows,
-  * 4 new round-7 queries (embedding_outliers, ivf_cell_profile,
-    ngram_coverage, dedup_inflation) — first driver rows,
-  * the 7 r01/r02-only anchors that had not yet been re-touched
-    (cosine_near_dups, cosine_near_dups_blocked,
-    top_orders_per_customer, customers_without_orders,
-    customers_with_open_orders, order_priority_rollup,
-    customer_order_coverage),
-  * 31 re-streaks of the round-5 single greens (ceded in r06; the
-    remaining 18 re-streak in r08).
-Ceded: the whole round-6 window of 47 fresh greens (r06 was 49/50
-green; every green holder cedes per policy).
+Round-8 window (50) — historical: jl_project + 49 round-7
+batch-2..7 first-timers + bpe_encode_fixed (slot 50); landed 50/50
+triple-green in CORRECTNESS_r08. Earlier window history (rounds
+3-7) lives in the git history of this docstring; the standing
+queue after r09: re-streaks for the 49 r08-window greens, then the
+r09-window greens.
 
-Round-7 batch-2/3 additions (registered PAST the window; first
-driver rows in r08 alongside the 18 remaining r05 re-streaks):
-line_dedup, gopher_quality, semantic_decontam,
-incremental_line_dedup, line_registry, encoding_report,
-gopher_funnel, fertility_by_lang, preference_pairs,
-curriculum_order, web_curation_pipeline.
-
-Round-7 batch-4 additions (also past the window): mixture_epochs,
-doremi_weights, length_bias, corpus_drift, vocab_growth,
-template_dedup, sft_render, packing_contamination.
-
-Round-7 batch-5 additions (also past the window): normalized_dedup
-(punct/case-insensitive fingerprints), math_code_routing
-(symbol-density sub-corpus router), k_anonymity (QI release audit),
-blocklist_filter (C4-style wordlist rate gate), retrieval_metrics
-(IR recall@k / reciprocal-rank self-eval vs planted relevance),
-waterfill_alloc (max-min fair budget allocation across domains),
-quantile_norm (cross-source score calibration onto the pooled
-distribution).
-
-Round-7 batch-7 additions (past the window): k_anon_gate (the
-driver-checkable batch twin of streaming_k_anon_gate, the stateful
-streaming k-anonymity release gate; streaming_blocklist_gate ships
-alongside, pytest-pinned against the join-based batch operator),
-containment_pairs (asymmetric quote/subset dedup with stop-gram
-exclusion), source_gate (C4-style per-source suppression over the
-Gopher flags), ngram_diversity (distinct-n mode-collapse check), cluster_sample
-(waterfill-quota diversity subsample over kmeans cells),
-preference_cycles (2-cycle/intransitivity audit of judge labels),
-pii_source_report (per-source PII compliance rollup),
-small_quantity_revenue / sole_returned_supplier (TPC-H Q17/Q21
-shapes, decorrelated), embedding_drift (per-dim snapshot shift), top_revenue_supplier
-(TPC-H Q15 shape on exact integer centi-cents), chunk_salvage
-(paragraph-level quality salvage with keep/salvage/drop verdicts),
-grouped_priority_sample (per-stratum weighted hard-cap draw),
-triangle_docs (degree-ordered distributed triangle counting),
-regex_token_report (GPT-2-style pre-tokenizer fertility report),
-patch_grid (ViT patch-coordinate explode from image metadata),
-shard_manifest (per-shard counts + order-exact content checksums),
-dedup_ttl_decay (arrival-gap decay curve that sizes a streaming
-dedup TTL), rejection_reasons (per-doc first-failing-gate lookup),
-events_pit_join (SCD2 point-in-time join, SMJ on the user key),
-merged_quantiles (mergeable MRL-style two-level quantile summary),
-ab_test_report (deterministic A/B assignment + exact-cents report),
-engagement_ratios (exact DAU/WAU stickiness via bounded explode),
-frequent_pairs (a-priori pair supports + integer-ppm lift),
-ingestion_islands (islands-and-gaps over the id keyspace),
-type_bitmap_overlap (presence-bitmap audience overlap, bit_or agg).
-Registry total 217 (214 with SQL oracles; bpe_merges / bpe_encode /
-lrs_exact rows-only by design). Full sf0.1 registry sweep green
-this round (191/191 at sweep time + the 4 batch-7 queries checked
-individually at both sfs).
-
-Round-8 additions (all registered past the window, first driver
-rows r09+ except bpe_encode_fixed which holds window slot 50):
-bpe_encode_fixed, scalar_functions_v2; batch 2 TPC-H shapes
-volume_shipping (Q7) / promo_revenue_share (Q14) /
-large_volume_customers (Q18) / disjunctive_revenue (Q19) /
-acctbal_prospects (Q22, dormancy-adapted); batch 3 zipf_fit /
-ivf_nprobe_sweep (capped nlist) / ppl_bucket_mixture; batch 4
-quality_classifier / scene_cuts; batch 5 sensitive_homogeneity /
-cheapest_supplier (Q2 argmin) / winrate_matrix; batch 6
-hierarchy_rollup (pointer jumping vs WITH RECURSIVE oracle) /
-canary_scan; batch 8 record_linkage (Fellegi-Sunter) / pca_power
-(integer power iteration); batch 9 simhash_pairs (Manku block
-pigeonhole); batch 10 minhash_band_sweep (LSH geometry tuning).
-Registry total 238 (235 with SQL oracles; the same 3 rows-only).
-Round-8 final sweeps: 237/237 green at BOTH sfs (pre-batch-10
-registry) + minhash_band_sweep green individually at both sfs;
-pytest 363; plan audit zero CartesianProduct / zero unjustified
-global windows.
+Registry total 246 (243 with SQL oracles; bpe_merges / bpe_encode /
+lrs_exact rows-only by design). Round-9 pre-rotation sweeps: full
+registry green at sf0.01 AND sf0.1 (banked in the rotation commit).
 """
 
 from __future__ import annotations
@@ -132,12 +59,68 @@ from . import graph_q as GQ  # noqa: E402
 from . import maint_q as MQ  # noqa: E402
 from . import select_q as SQ  # noqa: E402
 
-# --- r07 green after the r06 ERROR row: held one more round to bank
-# --- the streak (same policy as session_windows in r07) ---------------
-register("jl_project", SQ.jl_project_q, SQ.JL_PROJECT_SQL)
 
-# === ROUND-8 WINDOW: 49 first-driver-row queries (r7 batch 2-7) =======
-# --- round-7 batch 2/3 ------------------------------------------------
+# === ROUND-9 WINDOW (50): verification-debt-clearing =================
+# --- round-7 batch-7 leftovers: first driver rows ---------------------
+register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
+register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)
+register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
+register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)
+# --- round-8 additions: first driver rows (batch order) ---------------
+register("scalar_functions_v2", S.scalar_functions_v2, S.SCALAR_FUNCTIONS_V2_SQL)
+register("volume_shipping", R.volume_shipping, R.VOLUME_SHIPPING_SQL)
+register("promo_revenue_share", R.promo_revenue_share, R.PROMO_REVENUE_SHARE_SQL)
+register("large_volume_customers", R.large_volume_customers, R.LARGE_VOLUME_CUSTOMERS_SQL)
+register("disjunctive_revenue", R.disjunctive_revenue, R.DISJUNCTIVE_REVENUE_SQL)
+register("acctbal_prospects", R.acctbal_prospects, R.ACCTBAL_PROSPECTS_SQL)
+register("zipf_fit", E.zipf_fit_q, E.ZIPF_FIT_SQL)
+register("ivf_nprobe_sweep", E.ivf_nprobe_sweep_q, E.IVF_NPROBE_SWEEP_SQL)
+register("ppl_bucket_mixture", E.ppl_bucket_mixture_q, E.PPL_BUCKET_MIXTURE_SQL)
+register("quality_classifier", E.quality_classifier_q, E.QUALITY_CLASSIFIER_SQL)
+register("scene_cuts", E.scene_cuts_q, E.SCENE_CUTS_SQL)
+register("sensitive_homogeneity", E.sensitive_homogeneity_q, E.SENSITIVE_HOMOGENEITY_SQL)
+register("cheapest_supplier", E.cheapest_supplier_q, E.CHEAPEST_SUPPLIER_SQL)
+register("winrate_matrix", E.winrate_matrix_q, E.WINRATE_MATRIX_SQL)
+register("hierarchy_rollup", GQ.hierarchy_rollup_q, GQ.HIERARCHY_ROLLUP_SQL)
+register("canary_scan", E.canary_scan_q, E.CANARY_SCAN_SQL)
+register("record_linkage", E.record_linkage_q, E.RECORD_LINKAGE_SQL)
+register("pca_power", E.pca_power_q, E.PCA_POWER_SQL)
+register("simhash_pairs", E.simhash_pairs_q, E.SIMHASH_PAIRS_SQL)
+register("minhash_band_sweep", E.minhash_band_sweep_q, E.MINHASH_BAND_SWEEP_SQL)
+# --- round-5 single greens: re-streaks owed since r06 -----------------
+register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
+register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
+register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
+register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
+register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
+register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
+register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
+register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
+register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
+register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
+register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
+register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
+register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
+register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
+register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
+register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
+register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
+register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
+# --- round-9 additions: first driver rows ------------------------------
+register("bpe_merges_fixed", E.bpe_merges_fixed_q, E.BPE_MERGES_FIXED_SQL)
+register("llm_json_extract", S.llm_json_extract, S.LLM_JSON_EXTRACT_SQL)
+register("t_closeness", E.t_closeness_q, E.T_CLOSENESS_SQL)
+register("forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL)
+register("late_order_priority", R.late_order_priority, R.LATE_ORDER_PRIORITY_SQL)
+register("nation_market_share", R.nation_market_share, R.NATION_MARKET_SHARE_SQL)
+register("returned_item_report", R.returned_item_report, R.RETURNED_ITEM_REPORT_SQL)
+register("shiplag_priority_counts", R.shiplag_priority_counts, R.SHIPLAG_PRIORITY_COUNTS_SQL)
+# === END ROUND-9 WINDOW (slot 50 = shiplag_priority_counts) ===========
+
+# --- ceded: jl_project (streak banked r07+r08) + the full r08 window
+# --- (50/50 green in CORRECTNESS_r08) + all earlier streak holders;
+# --- every query below stays in the per-round full oracle sweep -------
+register("jl_project", SQ.jl_project_q, SQ.JL_PROJECT_SQL)
 register("line_dedup", E.line_dedup, E.LINE_DEDUP_SQL)
 register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
 register("semantic_decontam", E.semantic_decontam, E.SEMANTIC_DECONTAM_SQL)
@@ -149,7 +132,6 @@ register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
 register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)
 register("curriculum_order", SQ.curriculum_order_q, SQ.CURRICULUM_ORDER_SQL)
 register("web_curation_pipeline", E.web_curation_pipeline, E.WEB_CURATION_PIPELINE_SQL)
-# --- round-7 batch 4 --------------------------------------------------
 register("mixture_epochs", SQ.mixture_epochs_q, SQ.MIXTURE_EPOCHS_SQL)
 register("doremi_weights", SQ.doremi_weights_q, SQ.DOREMI_WEIGHTS_SQL)
 register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)
@@ -158,7 +140,6 @@ register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
 register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)
 register("sft_render", SQ.sft_render_q, SQ.SFT_RENDER_SQL)
 register("packing_contamination", E.packing_contamination_q, E.PACKING_CONTAMINATION_SQL)
-# --- round-7 batch 5 --------------------------------------------------
 register("normalized_dedup", E.normalized_dedup_q, E.NORMALIZED_DEDUP_SQL)
 register("math_code_routing", E.math_code_routing_q, E.MATH_CODE_ROUTING_SQL)
 register("k_anonymity", E.k_anonymity_q, E.K_ANONYMITY_SQL)
@@ -166,7 +147,6 @@ register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)
 register("retrieval_metrics", E.retrieval_metrics_q, E.RETRIEVAL_METRICS_SQL)
 register("waterfill_alloc", E.waterfill_alloc_q, E.WATERFILL_ALLOC_SQL)
 register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)
-# --- round-7 batch 7 --------------------------------------------------
 register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)
 register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)
 register("source_gate", E.source_gate_q, E.SOURCE_GATE_SQL)
@@ -189,65 +169,31 @@ register("rejection_reasons", E.rejection_reasons_q, E.REJECTION_REASONS_SQL)
 register("events_pit_join", EV.events_pit_join, EV.EVENTS_PIT_JOIN_SQL)
 register("merged_quantiles", EV.merged_quantiles, EV.MERGED_QUANTILES_SQL)
 register("ab_test_report", EV.ab_test_report, EV.AB_TEST_REPORT_SQL)
-# --- new in round 8: tokenizer APPLY under a FROZEN merge table — the
-# --- hash-oracle twin of the rows-only bpe_encode (VERDICT r7 item 3)
 register("bpe_encode_fixed", E.bpe_encode_fixed_q, E.BPE_ENCODE_FIXED_SQL)
-# === END ROUND-8 WINDOW (slot 50 = bpe_encode_fixed) ==================
-
-# --- r07 greens, ceded per policy (streak banked) ---------------------
 register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
-
-# --- round-6 additions: first driver rows -----------------------------
 register("epoch_shuffle", SQ.epoch_shuffle_q, SQ.EPOCH_SHUFFLE_SQL)
 register("length_bucket_batches", SQ.length_bucket_batches_q, SQ.LENGTH_BUCKET_BATCHES_SQL)
-# tokenizer APPLY (merge table is data-derived via the iterative
-# trainer → rows-only like bpe_merges; full output pinned by fixture)
 register("bpe_encode", E.bpe_encode_q, None)
-# IVF-style two-level semdedup (the O(N·√K·d) assign scale path)
 register("semdedup_ivf", SQ.semdedup_ivf_q, SQ.SEMDEDUP_IVF_SQL)
-# dedup-stack self-evaluation (recall vs planted clones per method)
 register("dedup_method_recall", E.dedup_method_recall_q, E.DEDUP_METHOD_RECALL_SQL)
-# ANN self-evaluation (recall@10 vs exact brute-force top-k)
 register("ann_method_recall", E.ann_method_recall_q, E.ANN_METHOD_RECALL_SQL)
-
-# --- round-7 additions: first driver rows -----------------------------
 register("embedding_outliers", SQ.embedding_outliers_q, SQ.EMBEDDING_OUTLIERS_SQL)
 register("ivf_cell_profile", SQ.ivf_cell_profile_q, SQ.IVF_CELL_PROFILE_SQL)
 register("ngram_coverage", E.ngram_coverage_q, E.NGRAM_COVERAGE_SQL)
 register("dedup_inflation", E.dedup_inflation_q, E.DEDUP_INFLATION_SQL)
-
-# --- r01/r02-only anchors: freshness re-touch (one driver row) --------
 register("cosine_near_dups", E.cosine_near_dups, E.COSINE_NEAR_DUPS_SQL)
 register("cosine_near_dups_blocked", E.cosine_near_dups_blocked, E.COSINE_NEAR_DUPS_BLOCKED_SQL)
-register(
-    "top_orders_per_customer",
-    R.top_orders_per_customer,
-    R.TOP_ORDERS_PER_CUSTOMER_SQL,
-)
-register(
-    "customers_without_orders",
-    R.customers_without_orders,
-    R.CUSTOMERS_WITHOUT_ORDERS_SQL,
-)
-register(
-    "customers_with_open_orders",
-    R.customers_with_open_orders,
-    R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,
-)
+register("top_orders_per_customer", R.top_orders_per_customer, R.TOP_ORDERS_PER_CUSTOMER_SQL,)
+register("customers_without_orders", R.customers_without_orders, R.CUSTOMERS_WITHOUT_ORDERS_SQL,)
+register("customers_with_open_orders", R.customers_with_open_orders, R.CUSTOMERS_WITH_OPEN_ORDERS_SQL,)
 register("order_priority_rollup", R.order_priority_rollup, R.ORDER_PRIORITY_ROLLUP_SQL)
 register("customer_order_coverage", R.customer_order_coverage, R.CUSTOMER_ORDER_COVERAGE_SQL)
-
-# --- round-5 single greens: re-streak (31 of 49; rest in r08) ---------
 register("repeat_profile", E.repeat_profile_q, E.REPEAT_PROFILE_SQL)
 register("scrub_spans", E.scrub_spans_q, E.SCRUB_SPANS_SQL)
 register("bpe_pair_counts", E.bpe_pair_counts_q, E.BPE_PAIR_COUNTS_SQL)
-# iterative trainer (one argmax collect per merge): rows-only driver
-# check; merge semantics pinned by tests/test_bpe.py + pinned fixture
 register("bpe_merges", E.bpe_merges_q, None)
 register("ngram_lm_score", E.ngram_lm_score_q, E.NGRAM_LM_SCORE_SQL)
 register("cdc_chunks", E.cdc_chunks_q, E.CDC_CHUNKS_SQL)
-# same oracle as dedup_clusters: the driver hash proves star
-# contraction == label propagation == recursive closure
 register("dedup_clusters_star", E.dedup_clusters_star_q, E.DEDUP_CLUSTERS_SQL)
 register("winnowing_pairs", E.winnowing_pairs_q, E.WINNOWING_PAIRS_SQL)
 register("incremental_repeat_spans", E.incremental_repeat_spans_q, E.INCREMENTAL_REPEAT_SPANS_SQL)
@@ -262,9 +208,6 @@ register("embedding_moments", E.embedding_moments_q, E.EMBEDDING_MOMENTS_SQL)
 register("user_value_trend", EV.user_value_trend, EV.USER_VALUE_TREND_SQL)
 register("event_transitions", EV.event_transitions, EV.EVENT_TRANSITIONS_SQL)
 register("weighted_percentiles", EV.weighted_percentiles, EV.WEIGHTED_PERCENTILES_SQL)
-# iterative doubling/binary-search algorithm: no single-statement
-# oracle — driver records rows-only; exactness pinned by planted
-# overlap/nesting tests (tests/test_suffix.py) + pinned fixture
 register("lrs_exact", E.lrs_exact_q, None)
 register("pagerank_docs", GQ.pagerank_docs, GQ.PAGERANK_DOCS_SQL)
 register("leakage_split", GQ.leakage_split, GQ.LEAKAGE_SPLIT_SQL)
@@ -276,33 +219,6 @@ register("mmr_rerank", SQ.mmr_rerank_q, SQ.MMR_RERANK_SQL)
 register("join_view_delta", MQ.join_view_delta_q, MQ.JOIN_VIEW_DELTA_SQL)
 register("cdc_apply", MQ.cdc_apply_q, MQ.CDC_APPLY_SQL)
 register("bloom_semi_join", MQ.bloom_semi_join_q, MQ.BLOOM_SEMI_JOIN_SQL)
-# ---- 50-query driver window ends here --------------------------------
-
-# ROUND-8 ROTATION QUEUE: the remaining 18 round-5 single greens
-# (span_unit_repeats … feature_bins below), then re-streaks for the
-# round-6 window's 47 fresh single greens.
-
-# --- round-5 single greens: remaining re-streak backlog (r08) ---------
-register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
-register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
-register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
-register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
-register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
-register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
-register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
-register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
-register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
-register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
-register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
-register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
-register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
-register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
-register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
-register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
-register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
-register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
-
-# --- ceded round-6 window (fresh single greens; local oracle + pytest)
 register("gap_fill_hourly", EV.gap_fill_hourly, EV.GAP_FILL_HOURLY_SQL)
 register("winsorized_stats", EV.winsorized_stats, EV.WINSORIZED_STATS_SQL)
 register("multi_touch_attribution", EV.multi_touch_attribution, EV.MULTI_TOUCH_ATTRIBUTION_SQL)
@@ -351,17 +267,12 @@ register("salted_join_agg", R.salted_join_agg, R.SALTED_JOIN_AGG_SQL)
 register("lineitem_cube", R.lineitem_cube, R.LINEITEM_CUBE_SQL)
 register("revenue_by_nation", R.revenue_by_nation, R.REVENUE_BY_NATION_SQL)
 register("top_revenue_orders", R.top_revenue_orders, R.TOP_REVENUE_ORDERS_SQL)
-
-# --- streak holders + sibling-covered rows -----------------------------
-# §2 anchors (decide/enqueue/fetch/notes: 4-round streaks; the
-# writeback pair: merge 3 rounds, incremental 2)
 register("decide_cascade", PQ.decide_cascade, PQ.DECIDE_CASCADE_SQL)
 register("enqueue_antijoin", PQ.enqueue_antijoin, PQ.ENQUEUE_ANTIJOIN_SQL)
 register("fetch_cascade", PQ.fetch_cascade, PQ.FETCH_CASCADE_SQL)
 register("notes_template", PQ.notes_template, PQ.NOTES_TEMPLATE_SQL)
 register("writeback_incremental", PQ.writeback_incremental, PQ.WRITEBACK_INCREMENTAL_SQL)
 register("writeback_merge", PQ.writeback_merge, PQ.WRITEBACK_MERGE_SQL)
-# events set: 2-round streaks (r3+r4)
 register("sliding_avg", EV.sliding_avg, EV.SLIDING_AVG_SQL)
 register("event_dedup", EV.event_dedup, EV.EVENT_DEDUP_SQL)
 register("user_hourly_rates", EV.user_hourly_rates, EV.USER_HOURLY_RATES_SQL)
@@ -372,7 +283,6 @@ register("conversion_funnel", EV.conversion_funnel, EV.CONVERSION_FUNNEL_SQL)
 register("user_activity_scd2", EV.user_activity_scd2, EV.USER_ACTIVITY_SCD2_SQL)
 register("throttled_links", EV.throttled_links_q, EV.THROTTLED_LINKS_SQL)
 register("stream_interval_join", EV.stream_interval_join_q, EV.STREAM_INTERVAL_JOIN_SQL)
-# round-3 singles: 2-round streaks (r3+r4)
 register("exact_dedup_salted", E.exact_dedup_salted, E.EXACT_DEDUP_SALTED_SQL)
 register("repeated_spans", E.repeated_spans_q, E.REPEATED_SPANS_SQL)
 register("kmeans_clusters", E.kmeans_clusters_q, E.KMEANS_CLUSTERS_SQL)
@@ -381,7 +291,6 @@ register("tfidf_top_terms", E.tfidf_top_terms_q, E.TFIDF_TOP_TERMS_SQL)
 register("training_corpus", E.training_corpus_q, E.TRAINING_CORPUS_SQL)
 register("upsample_epochs", E.upsample_epochs_q, E.UPSAMPLE_EPOCHS_SQL)
 register("zorder_key", R.zorder_key_q, R.ZORDER_KEY_SQL)
-# long-streak baselines and the rest of the registry
 register("pricing_summary", R.pricing_summary, R.PRICING_SUMMARY_SQL)
 register("pq_codes", E.pq_codes_q, E.PQ_CODES_SQL)
 register("tfidf_pairs", E.tfidf_pairs, E.TFIDF_PAIRS_SQL)
@@ -407,51 +316,3 @@ register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_S
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
-
-# --- round-7 batch 7 tail: the 4 first-timers that did not fit the
-# --- r08 window (50 slots); first driver rows in r09 with the 18
-# --- remaining r05 re-streaks -----------------------------------------
-register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
-register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)
-# --- new in round 8, past the window (first driver rows r09+): the
-# --- consolidated driver face of F10/F19/F20 (VERDICT r7 item 7) ------
-register("scalar_functions_v2", S.scalar_functions_v2, S.SCALAR_FUNCTIONS_V2_SQL)
-# --- round-8 batch 2: TPC-H decorrelation shapes Q7/Q14/Q18/Q19/Q22
-# --- (exact centi-cents, integer-bp quotients, anti-join NOT EXISTS) --
-register("volume_shipping", R.volume_shipping, R.VOLUME_SHIPPING_SQL)
-register("promo_revenue_share", R.promo_revenue_share, R.PROMO_REVENUE_SHARE_SQL)
-register("large_volume_customers", R.large_volume_customers, R.LARGE_VOLUME_CUSTOMERS_SQL)
-register("disjunctive_revenue", R.disjunctive_revenue, R.DISJUNCTIVE_REVENUE_SQL)
-register("acctbal_prospects", R.acctbal_prospects, R.ACCTBAL_PROSPECTS_SQL)
-# --- round-8 batch 3: corpus diagnostics + ANN knob sweep -------------
-register("zipf_fit", E.zipf_fit_q, E.ZIPF_FIT_SQL)
-register("ivf_nprobe_sweep", E.ivf_nprobe_sweep_q, E.IVF_NPROBE_SWEEP_SQL)
-register("ppl_bucket_mixture", E.ppl_bucket_mixture_q, E.PPL_BUCKET_MIXTURE_SQL)
-# --- round-8 batch 4: model-based quality inference + video temporal -
-register("quality_classifier", E.quality_classifier_q, E.QUALITY_CLASSIFIER_SQL)
-register("scene_cuts", E.scene_cuts_q, E.SCENE_CUTS_SQL)
-# --- round-8 batch 5: homogeneity audit, Q2 argmin, judge winrates ----
-register("sensitive_homogeneity", E.sensitive_homogeneity_q, E.SENSITIVE_HOMOGENEITY_SQL)
-register("cheapest_supplier", E.cheapest_supplier_q, E.CHEAPEST_SUPPLIER_SQL)
-register("winrate_matrix", E.winrate_matrix_q, E.WINRATE_MATRIX_SQL)
-# --- round-8 batch 6: pointer-jumping hierarchy + canary audit --------
-register("hierarchy_rollup", GQ.hierarchy_rollup_q, GQ.HIERARCHY_ROLLUP_SQL)
-register("canary_scan", E.canary_scan_q, E.CANARY_SCAN_SQL)
-# --- round-8 batch 8: Fellegi-Sunter linkage + integer power iteration -
-register("record_linkage", E.record_linkage_q, E.RECORD_LINKAGE_SQL)
-register("pca_power", E.pca_power_q, E.PCA_POWER_SQL)
-# --- round-8 batch 9: SimHash Hamming-radius pair join ----------------
-register("simhash_pairs", E.simhash_pairs_q, E.SIMHASH_PAIRS_SQL)
-# --- round-8 batch 10: LSH band-geometry tuning sweep -----------------
-register("minhash_band_sweep", E.minhash_band_sweep_q, E.MINHASH_BAND_SWEEP_SQL)
-register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
-register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)
-# --- round-9 additions (window slots assigned at the r09 rotation) ----
-register("bpe_merges_fixed", E.bpe_merges_fixed_q, E.BPE_MERGES_FIXED_SQL)
-register("llm_json_extract", S.llm_json_extract, S.LLM_JSON_EXTRACT_SQL)
-register("t_closeness", E.t_closeness_q, E.T_CLOSENESS_SQL)
-register("forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL)
-register("late_order_priority", R.late_order_priority, R.LATE_ORDER_PRIORITY_SQL)
-register("nation_market_share", R.nation_market_share, R.NATION_MARKET_SHARE_SQL)
-register("returned_item_report", R.returned_item_report, R.RETURNED_ITEM_REPORT_SQL)
-register("shiplag_priority_counts", R.shiplag_priority_counts, R.SHIPLAG_PRIORITY_COUNTS_SQL)
