@@ -61,3 +61,30 @@ def test_t_closeness_hand_computed(spark):
     assert out["A"].is_t_close and out["B"].is_t_close
     strict = {r.g: r for r in t_closeness(df, ["g"], "b", t_bp_max=2000).collect()}
     assert not strict["A"].is_t_close
+
+
+def test_debug_helpers_mirror_reference_shapes(spark):
+    # debugRenderer() (:1203-1209) and debugNotesOnce() (:1212-1214)
+    # analogues: same summary dict shape / one-small-batch behavior.
+    from joblink_etl_spark.clients.fakes import FakeRendererClient
+    from joblink_etl_spark.debug import debug_notes_once, debug_renderer
+
+    ok = debug_renderer(FakeRendererClient(), "https://boards.greenhouse.io/acme/jobs/1")
+    assert ok["ok"] and set(ok) == {"ok", "status", "final", "first200"}
+    assert len(ok["first200"] or "") <= 200
+    off = debug_renderer(FakeRendererClient(enabled=False), "https://x.test/")
+    assert off == {"ok": False, "status": None, "final": None, "first200": None}
+
+    tracker = spark.createDataFrame(
+        [
+            (1, "Acme", "Engineer", "", ""),
+            (2, "Mega", "Analyst", "", ""),
+            (3, "Done", "PM", "KEEP", "KEEP"),
+        ],
+        "row_id BIGINT, company_auto STRING, role_auto STRING, "
+        "li_invite STRING, li_followup STRING",
+    )
+    rows = debug_notes_once(spark, tracker, {"headline": "builder"}, limit=1)
+    assert len(rows) == 1
+    assert rows[0]["li_invite"].startswith("Hi there — I applied for")
+    assert "builder" in rows[0]["li_invite"]
