@@ -1333,3 +1333,176 @@ def streaming_scene_cuts(
     return base.groupBy(id_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_t_closeness_gate(
+    rows: DataFrame,
+    qi_cols: list,
+    bucket_col: str,
+    ref_dist: list,
+    t_bp_max: int = 2000,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Custom stateful operator: a STREAMING t-closeness release gate
+    — the stream face of privacy.t_closeness, completing the gate
+    ladder next to streaming_k_anon_gate. Each arriving row updates
+    its QI class's running bucket histogram; the row is `releasable`
+    only if the class's distribution AT ARRIVAL TIME is within EMD
+    t_bp_max (basis points) of a FROZEN reference distribution.
+
+    The reference distribution (`ref_dist`: [(bucket, count), ...])
+    is frozen and broadcast-by-closure, like the blocklist gate's
+    wordlist: the batch operator derives the global distribution
+    from the corpus itself, but per-key stream state cannot see
+    across keys, and the production pattern is exactly this —
+    yesterday's (offline) global histogram gates today's stream.
+
+    State is ONE long vector of m bucket counts per QI class (m is
+    small by the binning contract); the EMD arithmetic is the same
+    exact-integer cumulative-difference spelling as the batch
+    operator, so a full-history single-batch drain replays
+    t_closeness_gate_batch row-for-row (pinned in tests).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    qi_cols = list(qi_cols)
+    ref = sorted((int(b), int(n)) for b, n in ref_dist)
+    if len(ref) < 2:
+        raise ValueError("t-closeness needs >= 2 reference buckets")
+    buckets = [b for b, _ in ref]
+    bucket_pos = {b: i for i, b in enumerate(buckets)}
+    m = len(ref)
+    n_total = sum(n for _, n in ref)
+    cum_ref = []
+    acc = 0
+    for _, n in ref:
+        acc += n
+        cum_ref.append(acc)
+
+    cols = qi_cols + [id_col, bucket_col]
+    base = rows.select(*cols)
+    out_schema = StructType(
+        [base.schema[c] for c in cols]
+        + [
+            StructField("class_n", LongType()),
+            StructField("emd_scaled", LongType()),
+            StructField("t_bp", LongType()),
+            StructField("releasable", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("counts", ArrayType(LongType()))])
+
+    def gate(key, pdf_iter, state: GroupState):
+        counts = list(state.get[0]) if state.exists else [0] * m
+        pdf = pd.concat(list(pdf_iter)).sort_values(id_col).copy()
+        out_n, out_emd, out_bp, out_ok = [], [], [], []
+        for b in pdf[bucket_col]:
+            pos = bucket_pos.get(int(b))
+            if pos is None:
+                # out-of-reference bucket: count it at the nearest
+                # edge so mass is never dropped silently
+                pos = 0 if int(b) < buckets[0] else m - 1
+            counts[pos] += 1
+            n_g = sum(counts)
+            emd = 0
+            cg = 0
+            for i in range(m):
+                cg += counts[i]
+                emd += abs(n_total * cg - n_g * cum_ref[i])
+            den = n_g * n_total * (m - 1)
+            t_bp = (2 * emd * 10000 + den) // (2 * den)
+            out_n.append(n_g)
+            out_emd.append(emd)
+            out_bp.append(t_bp)
+            out_ok.append(t_bp <= t_bp_max)
+        pdf["class_n"] = out_n
+        pdf["emd_scaled"] = out_emd
+        pdf["t_bp"] = out_bp
+        pdf["releasable"] = out_ok
+        state.update(([int(c) for c in counts],))
+        yield pdf[cols + ["class_n", "emd_scaled", "t_bp", "releasable"]]
+
+    return base.groupBy(*qi_cols).applyInPandasWithState(
+        gate, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def t_closeness_gate_batch(
+    rows: DataFrame,
+    qi_cols: list,
+    bucket_col: str,
+    ref_dist: list,
+    t_bp_max: int = 2000,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Driver-checkable batch spelling of streaming_t_closeness_gate:
+    over a full history, a row's arrival-time class histogram is the
+    per-(class, bucket) running count in id order, its cumulative-
+    over-buckets prefix comes from a second small window over the m
+    reference buckets, and the exact-integer EMD/basis-point algebra
+    is identical — what the stateful loop computes when everything
+    arrives in one micro-batch from empty state.
+
+    Plan shape: rows × m after the broadcast reference join; both
+    windows are keyed (class × bucket, then class × row) — never
+    global. Out-of-reference buckets clamp to the nearest edge, as
+    in the stream."""
+    from pyspark.sql.window import Window
+
+    qi_cols = list(qi_cols)
+    ref = sorted((int(b), int(n)) for b, n in ref_dist)
+    if len(ref) < 2:
+        raise ValueError("t-closeness needs >= 2 reference buckets")
+    m = len(ref)
+    n_total = sum(n for _, n in ref)
+    cum = []
+    acc = 0
+    for b, n in ref:
+        acc += n
+        cum.append((b, acc))
+    spark = rows.sparkSession
+    ref_df = spark.createDataFrame(cum, "_rb BIGINT, _cnb BIGINT")
+
+    lo_edge, hi_edge = ref[0][0], ref[-1][0]
+    clamped = (
+        F.when(F.col(bucket_col) < lo_edge, F.lit(lo_edge))
+        .when(F.col(bucket_col) > hi_edge, F.lit(hi_edge))
+        .otherwise(F.col(bucket_col))
+    )
+    base = rows.select(*qi_cols, id_col, bucket_col).withColumn("_cb", clamped)
+    w_class = Window.partitionBy(*qi_cols).orderBy(id_col)
+    base = base.withColumn("_class_n", F.row_number().over(w_class).cast("bigint"))
+
+    grid = base.join(F.broadcast(ref_df))
+    w_bucket = (
+        Window.partitionBy(*qi_cols, "_rb")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counted = grid.withColumn(
+        "_cnt_b",
+        F.sum(F.when(F.col("_cb") == F.col("_rb"), 1).otherwise(0)).over(w_bucket),
+    )
+    w_row = (
+        Window.partitionBy(*qi_cols, id_col)
+        .orderBy("_rb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumulated = counted.withColumn("_cgb", F.sum("_cnt_b").over(w_row))
+    per_row = cumulated.groupBy(*qi_cols, id_col, bucket_col, "_class_n").agg(
+        F.sum(
+            F.abs(F.lit(n_total) * F.col("_cgb") - F.col("_class_n") * F.col("_cnb"))
+        )
+        .cast("bigint")
+        .alias("emd_scaled")
+    )
+    den = f"(_class_n * {n_total} * {m - 1})"
+    return per_row.select(
+        *qi_cols,
+        id_col,
+        bucket_col,
+        F.col("_class_n").alias("class_n"),
+        "emd_scaled",
+        F.expr(f"(2 * emd_scaled * 10000 + {den}) div (2 * {den})").alias("t_bp"),
+    ).withColumn("releasable", F.col("t_bp") <= t_bp_max)

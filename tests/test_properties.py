@@ -748,3 +748,30 @@ def test_pit_join_assigns_each_fact_to_at_most_one_version(spark_prop, tss):
         1 for i, ts in enumerate(tss) if i % 3 != 0 and ts >= first_version
     )
     assert sum(counts) == expected_matches
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 4)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_t_closeness_invariants(spark_prop, rows):
+    """t_bp is a valid basis-point value; a group whose distribution
+    EQUALS the global one (the whole corpus as one group) has EMD
+    exactly 0; emd_scaled is always even-denominator-consistent
+    (non-negative bigint)."""
+    from joblink_etl_spark.operators.privacy import t_closeness
+
+    df = spark_prop.createDataFrame(rows, "g STRING, b BIGINT")
+    out = t_closeness(df, ["g"], "b").collect()
+    assert {r.g for r in out} == {g for g, _ in rows}
+    for r in out:
+        assert 0 <= r.t_bp <= 10000, r
+        assert r.emd_scaled >= 0
+    # one-group corpus == global distribution -> t is exactly 0
+    one = df.select(F.lit("all").alias("g"), "b")
+    solo = t_closeness(one, ["g"], "b").collect()
+    assert len(solo) == 1 and solo[0].emd_scaled == 0 and solo[0].t_bp == 0

@@ -968,3 +968,65 @@ def test_streaming_source_gate_state_across_batches(spark, tmp_path):
             w.pass_bp,
             w.suppressed,
         )
+
+
+def test_streaming_t_closeness_gate_state_and_twin(spark, tmp_path):
+    """Streaming t-closeness release gate: the per-class bucket
+    histogram carries across micro-batches (a skewed class turns
+    releasable only once later arrivals rebalance it toward the
+    frozen reference), and a full-history single-batch drain agrees
+    with the batch twin row-for-row."""
+    from joblink_etl_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_t_closeness_gate,
+        t_closeness_gate_batch,
+    )
+
+    REF = [(0, 50), (1, 50)]  # uniform two-bucket reference
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "event_id long, src string, b long"
+    # batch 1: class A all in bucket 0 (maximally far from uniform)
+    spark.createDataFrame(
+        [(1, "A", 0), (2, "A", 0)], schema
+    ).write.mode("append").parquet(src)
+
+    def drain(sink_dir, ckpt_dir):
+        stream = streaming_t_closeness_gate(
+            spark.readStream.schema(schema).parquet(src),
+            ["src"], "b", REF, t_bp_max=2600,
+        )
+        run_available_now(stream, sink_dir, ckpt_dir)
+        return {r["event_id"]: r for r in spark.read.parquet(sink_dir).collect()}
+
+    first = drain(sink, ckpt)
+    # all-in-one-bucket -> EMD = 0.5 -> 5000 bp: held
+    assert first[2]["t_bp"] == 5000 and not first[2]["releasable"]
+
+    # batch 2: two bucket-1 arrivals rebalance class A to uniform
+    spark.createDataFrame([(3, "A", 1), (4, "A", 1)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    rows = drain(sink, ckpt)
+    assert rows[3]["t_bp"] == 1667  # (1/3 - 0) edge: 2/3,1 vs .5,1
+    assert rows[4]["t_bp"] == 0 and rows[4]["releasable"]
+    assert rows[4]["class_n"] == 4
+
+    # twin equivalence over the full history, incl. the edge-clamp
+    spark.createDataFrame([(5, "B", 7), (6, "B", -3)], schema).write.mode(
+        "append"
+    ).parquet(src)
+    hist = spark.read.parquet(src)
+    sink2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    stream_rows = drain(sink2, ckpt2)
+    # stream state for A persists in ckpt? fresh checkpoint: replay all
+    batch_rows = {
+        r["event_id"]: r
+        for r in t_closeness_gate_batch(hist, ["src"], "b", REF, t_bp_max=2600)
+        .collect()
+    }
+    assert set(stream_rows) == set(batch_rows)
+    for eid in batch_rows:
+        s, b = stream_rows[eid], batch_rows[eid]
+        assert (s["class_n"], s["emd_scaled"], s["t_bp"], s["releasable"]) == (
+            b["class_n"], b["emd_scaled"], b["t_bp"], b["releasable"]
+        ), eid
