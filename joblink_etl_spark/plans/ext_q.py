@@ -3778,10 +3778,15 @@ def scrubbed_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = kept.withColumn("canonical_id", F.min("doc_id").over(w)).filter(
         F.col("doc_id") == F.col("canonical_id")
     )
+    # scrub_repeated_spans references its input 3x (span mining, the
+    # segment-text join, the final pass-through left join) — without
+    # a barrier the whole gates→dedup→decontam chain above re-executes
+    # per reference (the kmeans-barrier class; bench 7.3 s)
     clean = (
         ngram_overlap(canon, bench, n=3, carry=("text",))
         .filter(~F.col("contaminated"))
         .select("doc_id", "text")
+        .localCheckpoint(eager=False)
     )
     scrubbed = scrub_repeated_spans(clean, k=20, min_docs=2)
     return scrubbed.select(
@@ -5562,8 +5567,14 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\nSUBSCRIBE TO OUR NEWSLETTER FOR UPDATES"),
         ).alias("text"),
     )
-    txt = line_level_dedup(crawl, max_docs=20).select(
-        "doc_id", F.col("clean_text").alias("text")
+    # the line-dedup chain feeds three consumers (encoding gate,
+    # gopher gate, the annotation join) — barrier it so the chain
+    # runs once per action instead of once per consumer (solo-warm
+    # median 8.2 -> 7.6 s; the kmeans-barrier class)
+    txt = (
+        line_level_dedup(crawl, max_docs=20)
+        .select("doc_id", F.col("clean_text").alias("text"))
+        .localCheckpoint(eager=False)
     )
     enc = TS.encoding_artifacts(txt).select("doc_id", "clean")
     # tuned gate: the synthetic vocabulary carries only ONE of the
@@ -7250,7 +7261,14 @@ def minhash_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
         )
-        verified = (
+        # ONE pass per config (r9, same restructure as
+        # ann_method_recall): the candidate self-join used to
+        # re-execute 3x per config (count + verify + truth semi).
+        # Both truth and cand are duplicate-free pair sets, so the
+        # truth hit count equals the count of candidate pairs that
+        # ARE truth pairs — a left-join indicator — and the verify
+        # flag rides the same relation.
+        flagged = (
             cand.join(
                 sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
                 "id_a",
@@ -7259,18 +7277,19 @@ def minhash_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
                 "id_b",
             )
-            .filter(D.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+            .withColumn("_true", D.jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+            .join(truth.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+                F.sum(F.when(F.col("_true"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_true"),
+                F.count("_t").cast("bigint").alias("n_hit"),
+            )
         )
-        nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
-        nv = verified.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
         nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-        nh = truth.join(cand, ["id_a", "id_b"], "left_semi").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hit")
-        )
         row = (
-            nc.crossJoin(nv)
-            .crossJoin(nt)
-            .crossJoin(nh)
+            flagged.crossJoin(nt)
             .select(
                 F.lit(bands).cast("bigint").alias("bands"),
                 F.lit(rpb).cast("bigint").alias("rows_per_band"),
