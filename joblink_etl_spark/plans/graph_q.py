@@ -134,7 +134,13 @@ FROM labeled
 
 def ppr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = E.minhash_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # barrier the minhash front end HERE: pagerank_personalized pins
+    # its own edges arg, but the seed set below also derives from
+    # pairs — without this the whole shingle+signature+band chain
+    # re-executes for the seed relation (solo 7.4 -> 6.2 s)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
