@@ -4528,24 +4528,26 @@ def dedup_method_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def method_row(name: str, pairs: DataFrame, truth_m: DataFrame) -> DataFrame:
+        # ONE pass over the candidate chain (r9, the
+        # ann_method_recall/band_sweep restructure): n_found and
+        # n_hit come from the same left join — both pair sets are
+        # duplicate-free, so counting matched candidate rows equals
+        # the old truth-side semi-join count. Before this, each
+        # method's full dedup chain executed twice (count + semi).
         found = pairs.select("id_a", "id_b")
-        # three one-row aggregates crossed (the curation_funnel
-        # pattern): no driver action, no wide join
         t = truth_m.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-        f = found.agg(F.count(F.lit(1)).cast("bigint").alias("n_found"))
-        h = truth_m.join(found, ["id_a", "id_b"], "left_semi").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hit")
+        fh = found.join(
+            truth_m.withColumn("_t", F.lit(1)), ["id_a", "id_b"], "left"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_found"),
+            F.count("_t").cast("bigint").alias("n_hit"),
         )
-        return (
-            t.crossJoin(f)
-            .crossJoin(h)
-            .select(
-                F.lit(name).alias("method"),
-                "n_truth",
-                "n_found",
-                "n_hit",
-                (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
-            )
+        return t.crossJoin(fh).select(
+            F.lit(name).alias("method"),
+            "n_truth",
+            "n_found",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_truth")).alias("recall"),
         )
 
     rows = [
