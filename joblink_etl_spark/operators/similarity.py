@@ -593,9 +593,12 @@ def kmeans_codes_2level(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
             ).alias("_cv")
         )
-        # lazy persist keeps the Lloyd chain flat (same convention as
-        # kmeans_codes / _pq_train; ≤ K rows per pin)
-        cents_g = new_cents.join(grp, "_cid").persist()
+        # lazy localCheckpoint (r9, the _pq_train recipe): the pin
+        # must also TRUNCATE the logical plan so each Lloyd
+        # iteration's analysis stops re-walking all prior
+        # iterations' grouped-assign HOF trees; ≤ K rows per pin,
+        # bounded build-time jobs under AQE (documented tradeoff)
+        cents_g = new_cents.join(grp, "_cid").localCheckpoint(eager=False)
     final = _kmeans_assign_grouped(pts, cents_g, codes_col)
     # lazy persist: the two-level chain is many small stages (coarse
     # window, grouping assigns, broadcast group arrays) — consumers
