@@ -401,8 +401,12 @@ def ancestor_rollup(
     final ancestors against the root set — O(n) on the already-
     checkpointed result, and the action it triggers materializes the
     checkpoint the downstream query reuses — raising ValueError with
-    the unresolved count instead of returning wrong rows. Disable
-    only when the depth bound is proven elsewhere.
+    the unresolved count instead of returning wrong rows. NOTE: this
+    makes default construction run Spark jobs, an explicit exemption
+    from the repo's action-free-construction convention (recorded in
+    tests/test_plans.py::test_builders_run_no_action_at_construction);
+    library callers that build plans they may not execute should pass
+    check_convergence=False and prove the depth bound elsewhere.
     """
     a = nodes.select(
         F.col(id_col).alias("id"),

@@ -316,3 +316,17 @@ register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_S
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
+
+# --- round-10 additions (first driver rows planned for the r10
+# --- window): the remaining classic TPC-H shapes (r9 verdict item
+# --- 4) — Q9/Q11/Q13/Q16/Q20 adapted to this corpus (no partsupp:
+# --- supplier-part relations derive from lineitem) ------------------
+register("product_type_profit", R.product_type_profit, R.PRODUCT_TYPE_PROFIT_SQL)
+register("important_stock", R.important_stock, R.IMPORTANT_STOCK_SQL)
+register(
+    "customer_order_distribution",
+    R.customer_order_distribution,
+    R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+)
+register("supplier_part_variety", R.supplier_part_variety, R.SUPPLIER_PART_VARIETY_SQL)
+register("promo_stock_suppliers", R.promo_stock_suppliers, R.PROMO_STOCK_SUPPLIERS_SQL)

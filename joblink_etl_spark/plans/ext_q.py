@@ -4531,9 +4531,11 @@ def dedup_method_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE pass over the candidate chain (r9, the
         # ann_method_recall/band_sweep restructure): n_found and
         # n_hit come from the same left join — both pair sets are
-        # duplicate-free, so counting matched candidate rows equals
-        # the old truth-side semi-join count. Before this, each
-        # method's full dedup chain executed twice (count + semi).
+        # duplicate-free (enforced per generator by
+        # tests/test_pair_uniqueness.py), so counting matched
+        # candidate rows equals the old truth-side semi-join count.
+        # Before this, each method's full dedup chain executed twice
+        # (count + semi).
         found = pairs.select("id_a", "id_b")
         t = truth_m.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
         fh = found.join(
@@ -4673,9 +4675,10 @@ def ann_method_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     # One pass per method: n_found and n_hit come from the SAME left
-    # join against the pinned truth (truth pairs are unique, so the
-    # join preserves found's multiplicity and count(_t) == the old
-    # semi-join count); n_truth is computed once and cross-joined in
+    # join against the pinned truth (truth pairs are unique — every
+    # pair side is uniqueness-guarded by tests/test_pair_uniqueness.py
+    # — so the join preserves found's multiplicity and count(_t) ==
+    # the old semi-join count); n_truth is computed once and cross-joined in
     # (1-row funnel). Before this restructuring each leg re-executed
     # its ANN chain twice and truth four times — bench 7.5 s; the
     # barrier + single-reference shape is the kmeans-barrier recipe.
@@ -7266,7 +7269,8 @@ def minhash_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ONE pass per config (r9, same restructure as
         # ann_method_recall): the candidate self-join used to
         # re-execute 3x per config (count + verify + truth semi).
-        # Both truth and cand are duplicate-free pair sets, so the
+        # Both truth and cand are duplicate-free pair sets (guarded
+        # by tests/test_pair_uniqueness.py), so the
         # truth hit count equals the count of candidate pairs that
         # ARE truth pairs — a left-join indicator — and the verify
         # flag rides the same relation.

@@ -1309,3 +1309,347 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
 GROUP BY 1
 """
+
+
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit, completing the classic
+    family (r9 verdict item 4). This corpus has no partsupp, so the
+    line's cost basis is the part's list price (p_retailprice ×
+    quantity) instead of ps_supplycost — the join/agg shape is
+    unchanged: per (supplier nation, order year), exact centi-cent
+    profit on '%gear%' parts. Profit can be negative, so the output
+    stays a pure integer sum (no division — signed integer division
+    never crosses engines safely).
+
+    Scale: the '%gear%' filter prunes part BEFORE its broadcast;
+    lineitem⋈orders is the only big shuffle (orderkey); supplier⋈
+    nation broadcasts. Five-table join, two broadcast sides."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("_rev_cc"),
+        F.col("l_quantity").cast("bigint").alias("_qty"),
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select(
+            "p_partkey",
+            (F.round(F.col("p_retailprice") * 100).cast("bigint") * 100).alias(
+                "_unit_cost_cc"
+            ),
+        )
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+    )
+    supp_nat = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum(F.col("_rev_cc") - F.col("_unit_cost_cc") * F.col("_qty"))
+            .cast("bigint")
+            .alias("profit_cc")
+        )
+    )
+
+
+PRODUCT_TYPE_PROFIT_SQL = """
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       sum(round(l_extendedprice*100)::BIGINT * (100 - round(l_discount*100)::BIGINT)
+           - round(p_retailprice*100)::BIGINT * 100 * l_quantity::BIGINT)::BIGINT
+         AS profit_cc
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: per part, the exact
+    centi-cent value shipped by EUROPE-region suppliers; keep parts
+    whose value exceeds 1.5× the mean part value. Q11's fixed
+    fraction is SF-dependent by construction (TPC-H scales it as
+    0.0001/SF); a threshold relative to the MEAN is the SF-invariant
+    adaptation (verified non-empty at sf0.001/0.01/0.1), and the
+    comparison stays in exact integers (value·n·2 > 3·total).
+
+    Scale: the supplier-region filter broadcasts into the lineitem
+    scan as a semi-join; ONE corpus shuffle (partkey groupBy with
+    map-side combine); the threshold is a one-row aggregate
+    cross-joined in — the decorrelated spelling of Q11's scalar
+    subquery."""
+    euro = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation")
+                .join(
+                    F.broadcast(
+                        table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint"))
+            ).alias("_cc"),
+        )
+        .join(
+            F.broadcast(euro),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("_cc").cast("bigint").alias("value_cc"))
+    )
+    tot = val.agg(
+        F.sum("value_cc").cast("bigint").alias("_total_cc"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_parts"),
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cc") * F.col("_n_parts") * 2 > 3 * F.col("_total_cc"))
+        .select(
+            "p_partkey",
+            "value_cc",
+            F.expr(
+                "(2 * value_cc * 10000 + _total_cc) div (2 * _total_cc)"
+            ).alias("share_bp"),
+        )
+    )
+
+
+IMPORTANT_STOCK_SQL = """
+WITH euro AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+val AS (
+  SELECT l_partkey AS p_partkey,
+         sum(round(l_extendedprice*100)::BIGINT
+             * (100 - round(l_discount*100)::BIGINT))::BIGINT AS value_cc
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM euro)
+  GROUP BY 1
+),
+tot AS (SELECT sum(value_cc)::BIGINT AS total_cc, count(*)::BIGINT AS n_parts FROM val)
+SELECT p_partkey, value_cc,
+       (2 * value_cc * 10000 + total_cc) // (2 * total_cc) AS share_bp
+FROM val, tot
+WHERE value_cc * n_parts * 2 > 3 * total_cc
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer distribution: how many customers
+    placed exactly k qualifying orders (urgent-priority orders from
+    1999 on — this corpus's analogue of Q13's comment-pattern
+    exclusion), INCLUDING k = 0. The defining shape is the group-by
+    over a left-join-with-zero-count: every customer has orders here
+    (r8 lesson), so zeros only exist if the count is taken over the
+    left join's matched side, not the order table.
+
+    Scale: orders pre-aggregate to per-customer counts (map-side
+    combine) before the customer join on custkey; the final
+    histogram aggregate is tiny. No broadcast of the counts side —
+    it scales with |customers|, so the join shuffles on the key (AQE
+    broadcasts it at test SF)."""
+    qualifying = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1999-01-01")
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    )
+    per_cust = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(qualifying, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("_cnt"), F.lit(0)).cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderpriority = '1-URGENT'
+   AND o_orderdate >= '1999-01-01'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM per_cust
+GROUP BY c_count
+"""
+
+
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-part relationship: for selected
+    (brand, type, size) part classes, how many DISTINCT suppliers
+    actually shipped them — partsupp is derived from lineitem (the
+    shipped supplier↔part pairs), and Q16's complaint exclusion
+    becomes the low-acctbal supplier set (s_acctbal < 2500,
+    non-empty at every SF), spelled as the same NOT-IN anti-join.
+
+    Scale: part filter prunes before broadcast; the exclusion set is
+    a broadcast anti-join; count(DISTINCT supplier) per class is the
+    one shuffle (partial distinct on the map side)."""
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 2500
+    ).select("s_suppkey")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_PART_VARIETY_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2500)
+GROUP BY 1, 2, 3
+"""
+
+
+def promo_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style potential promotion: EUROPE suppliers who, for
+    some '%bolt%' part, concentrated more than half of their
+    all-time shipped quantity of that part into 1997 — the derived-
+    partsupp adaptation of Q20's availqty > ½·yearly-shipments
+    doubly-nested subquery. The ORACLE keeps Q20's nested spelling
+    (correlated EXISTS over a per-part HAVING between the two
+    aggregates); the Spark plan is the hand-DECORRELATED form — both
+    per-pair aggregates fold into ONE conditional groupBy — so a
+    green hash certifies the decorrelation itself (two different
+    algorithms hashing identically, the r8 hierarchy-rollup trick).
+
+    Scale: bolt-part semi-join broadcasts into the lineitem scan;
+    one shuffle on (suppkey, partkey) with map-side combine; the
+    supplier/nation/region dimensions broadcast onto the surviving
+    pair keys."""
+    bolt = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    in_97 = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    pairs = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(bolt), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("_qty_all"),
+            F.sum(
+                F.when(in_97, F.col("l_quantity").cast("bigint")).otherwise(F.lit(0))
+            ).alias("_qty_97"),
+        )
+        .filter(2 * F.col("_qty_97") > F.col("_qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    euro_supp = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "nation")
+                .join(
+                    F.broadcast(
+                        table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return euro_supp.join(
+        F.broadcast(pairs), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+PROMO_STOCK_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND EXISTS (
+  SELECT 1 FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%' AND l.l_suppkey = s_suppkey
+  GROUP BY l.l_partkey
+  HAVING 2 * sum(CASE WHEN l.l_shipdate >= '1997-01-01'
+                       AND l.l_shipdate < '1998-01-01'
+                      THEN l.l_quantity::BIGINT ELSE 0 END)
+         > sum(l.l_quantity::BIGINT)
+)
+"""

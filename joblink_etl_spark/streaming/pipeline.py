@@ -1364,6 +1364,7 @@ def streaming_t_closeness_gate(
     t_closeness_gate_batch row-for-row (pinned in tests).
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
+    from bisect import bisect_right
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     qi_cols = list(qi_cols)
@@ -1400,9 +1401,12 @@ def streaming_t_closeness_gate(
         for b in pdf[bucket_col]:
             pos = bucket_pos.get(int(b))
             if pos is None:
-                # out-of-reference bucket: count it at the nearest
-                # edge so mass is never dropped silently
-                pos = 0 if int(b) < buckets[0] else m - 1
+                # out-of-reference bucket: floor to the largest
+                # reference bucket <= b (below-range clamps up to
+                # the lowest) — the same TOTAL map the batch twin
+                # builds, so gapped references keep row-for-row
+                # twin equivalence and mass is never dropped
+                pos = max(bisect_right(buckets, int(b)) - 1, 0)
             counts[pos] += 1
             n_g = sum(counts)
             emd = 0
@@ -1446,8 +1450,10 @@ def t_closeness_gate_batch(
 
     Plan shape: rows × m after the broadcast reference join; both
     windows are keyed (class × bucket, then class × row) — never
-    global. Out-of-reference buckets clamp to the nearest edge, as
-    in the stream."""
+    global. Out-of-reference buckets (outside the edges OR in a gap
+    of a non-contiguous reference) floor to the largest reference
+    bucket <= b, below-range clamps up to the lowest — the identical
+    total map the stream applies, so no mass is ever dropped."""
     from pyspark.sql.window import Window
 
     qi_cols = list(qi_cols)
@@ -1464,12 +1470,16 @@ def t_closeness_gate_batch(
     spark = rows.sparkSession
     ref_df = spark.createDataFrame(cum, "_rb BIGINT, _cnb BIGINT")
 
-    lo_edge, hi_edge = ref[0][0], ref[-1][0]
-    clamped = (
-        F.when(F.col(bucket_col) < lo_edge, F.lit(lo_edge))
-        .when(F.col(bucket_col) > hi_edge, F.lit(hi_edge))
-        .otherwise(F.col(bucket_col))
-    )
+    # total map: floor to the largest reference bucket <= b (below-
+    # range clamps up to the lowest) — must stay identical to the
+    # stream gate's bisect spelling or gapped-reference mass would
+    # silently miss every `_cb == _rb` match below
+    clamped = F.when(F.col(bucket_col) < F.lit(ref[1][0]), F.lit(ref[0][0]))
+    for i in range(2, m):
+        clamped = clamped.when(
+            F.col(bucket_col) < F.lit(ref[i][0]), F.lit(ref[i - 1][0])
+        )
+    clamped = clamped.otherwise(F.lit(ref[-1][0]))
     base = rows.select(*qi_cols, id_col, bucket_col).withColumn("_cb", clamped)
     w_class = Window.partitionBy(*qi_cols).orderBy(id_col)
     base = base.withColumn("_class_n", F.row_number().over(w_class).cast("bigint"))

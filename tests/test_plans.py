@@ -249,6 +249,12 @@ def test_builders_run_no_action_at_construction(spark):
         # jobs), the same documented tradeoff as semdedup_prune_q's
         # r8 barrier (measured win: plan analysis no longer re-walks
         # the HOF assign tree per iteration).
+        # graph.ancestor_rollup (hierarchy_rollup_q) is EXEMPT too:
+        # its default-on convergence guard runs a bounded anti-join
+        # count() at call time — a deliberate correctness-over-
+        # laziness choice (silent wrong roots past 2^rounds depth);
+        # callers that build-but-may-skip pass check_convergence=
+        # False, as its docstring prescribes.
         E.kmeans_clusters_q(spark, sf)
         E.cms_user_counts_q(spark, sf)
         E.histogram_quantiles_q(spark, sf)

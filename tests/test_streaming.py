@@ -1030,3 +1030,56 @@ def test_streaming_t_closeness_gate_state_and_twin(spark, tmp_path):
         assert (s["class_n"], s["emd_scaled"], s["t_bp"], s["releasable"]) == (
             b["class_n"], b["emd_scaled"], b["t_bp"], b["releasable"]
         ), eid
+
+
+def test_streaming_t_closeness_gate_gapped_reference(spark, tmp_path):
+    """Gapped (non-contiguous) reference distribution: in-gap and
+    out-of-range buckets must FLOOR to the largest reference bucket
+    <= b in BOTH spellings (below-range clamps up to the lowest), so
+    the stream gate and the batch twin stay row-for-row equal and no
+    arrival's mass vanishes from the histogram."""
+    from joblink_etl_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_t_closeness_gate,
+        t_closeness_gate_batch,
+    )
+
+    REF = [(0, 50), (10, 50)]  # gap: buckets 1..9 are in-range but absent
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "event_id long, src string, b long"
+    # class A: a reference bucket, a low-gap value, a high-gap value,
+    # out-of-range both sides; class B: gap-only arrivals
+    spark.createDataFrame(
+        [(1, "A", 0), (2, "A", 4), (3, "A", 9), (4, "A", -5), (5, "A", 99),
+         (6, "B", 7), (7, "B", 10)],
+        schema,
+    ).write.mode("append").parquet(src)
+
+    stream = streaming_t_closeness_gate(
+        spark.readStream.schema(schema).parquet(src), ["src"], "b", REF,
+    )
+    run_available_now(stream, sink, ckpt)
+    stream_rows = {r["event_id"]: r for r in spark.read.parquet(sink).collect()}
+    batch_rows = {
+        r["event_id"]: r
+        for r in t_closeness_gate_batch(
+            spark.read.parquet(src), ["src"], "b", REF
+        ).collect()
+    }
+    assert set(stream_rows) == set(batch_rows) == {1, 2, 3, 4, 5, 6, 7}
+    for eid in batch_rows:
+        s, b = stream_rows[eid], batch_rows[eid]
+        assert (s["class_n"], s["emd_scaled"], s["t_bp"], s["releasable"]) == (
+            b["class_n"], b["emd_scaled"], b["t_bp"], b["releasable"]
+        ), eid
+    # pin the floor semantics: every in-gap/below-range arrival lands
+    # in bucket 0, so class A stays maximally far from uniform until
+    # event 5 (b=99 -> bucket 10); a nearest-edge or drop spelling
+    # would diverge here
+    assert stream_rows[3]["t_bp"] == 5000 and stream_rows[3]["class_n"] == 3
+    assert stream_rows[4]["t_bp"] == 5000 and stream_rows[4]["class_n"] == 4
+    # after event 5: histogram (4,1) vs uniform -> EMD 3/10 -> 3000bp
+    assert stream_rows[5]["t_bp"] == 3000
+    # class B: b=7 floors to 0 -> (1,0); then b=10 -> (1,1) uniform
+    assert stream_rows[6]["t_bp"] == 5000
+    assert stream_rows[7]["t_bp"] == 0 and stream_rows[7]["releasable"]

@@ -125,6 +125,12 @@ FAMILIES = {
     "tpchq8": "nation_market_share",
     "tpchq10": "returned_item_report",
     "tpchq4": "late_order_priority",
+    # round-10 families (the remaining classic TPC-H shapes)
+    "tpchq9": "product_type_profit",
+    "tpchq11": "important_stock",
+    "tpchq13": "customer_order_distribution",
+    "tpchq16": "supplier_part_variety",
+    "tpchq20": "promo_stock_suppliers",
 }
 
 # id column to offset per replica, per table (None = replicate as-is)

@@ -19,11 +19,21 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = 3
-    for a in sys.argv[1:]:
+    # both `--n=3` and `--n 3` are accepted; the value token after a
+    # space-separated `--n` must NOT fall through into the query list
+    args, n, skip = [], 3, False
+    for i, a in enumerate(sys.argv[1:], start=1):
+        if skip:
+            skip = False
+            continue
         if a.startswith("--n"):
-            n = int(a.split("=")[1]) if "=" in a else int(sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                n = int(a.split("=")[1])
+            else:
+                n = int(sys.argv[i + 1])
+                skip = True
+        elif not a.startswith("--"):
+            args.append(a)
     sf_dir, names = args[0], args[1:]
 
     from joblink_etl_spark.plans import registry
