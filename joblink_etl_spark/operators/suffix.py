@@ -339,6 +339,7 @@ def longest_repeated_substring(
     text_col: str = "text",
     id_col: str = "doc_id",
     grid: int = 15,
+    partitions: int | None = None,
 ) -> tuple[int, str, int]:
     """EXACT longest repeated substring of the corpus: the longest
     string occurring >= min_count times (occurrences are (doc, pos)
@@ -359,10 +360,14 @@ def longest_repeated_substring(
     # probe job (and the champion/recovery passes) re-reads this
     # frame, so pinning the ~scan-sized base avoids a scan + spread
     # shuffle per job. The search drives execution itself (collect),
-    # so the persist lifecycle is safely owned here.
+    # so the persist lifecycle is safely owned here. `partitions`
+    # overrides the spread width: a bounded enum-sized corpus
+    # (lrs_exact_fixed) wants 1 — otherwise every probe job pays
+    # 32-task scheduling overhead on ~61 rows (the
+    # train_bpe(vocab_partitions=1) lesson).
     base = (
         df.select(F.col(id_col), F.col(text_col))
-        .repartition(sc.defaultParallelism, F.col(id_col))
+        .repartition(partitions or sc.defaultParallelism, F.col(id_col))
         .persist()
     )
     try:

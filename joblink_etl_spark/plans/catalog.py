@@ -330,3 +330,7 @@ register(
 )
 register("supplier_part_variety", R.supplier_part_variety, R.SUPPLIER_PART_VARIETY_SQL)
 register("promo_stock_suppliers", R.promo_stock_suppliers, R.PROMO_STOCK_SUPPLIERS_SQL)
+# --- the frozen-enum hash twin of rows-only lrs_exact (r9 item 5);
+# --- oracle = DuckDB brute-force substring enumeration (different
+# --- algorithm, same answer) -----------------------------------------
+register("lrs_exact_fixed", E.lrs_exact_fixed_q, E.LRS_EXACT_FIXED_SQL)

@@ -3351,6 +3351,76 @@ REPEAT_PROFILE_SQL = (
 )
 
 
+def lrs_exact_fixed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-oracle twin of rows-only lrs_exact (r9 verdict item
+    5 — the bpe_merges_fixed recipe applied to the LRS algorithm):
+    the SAME O(log L) doubling + grid-search probe
+    (suffix.py::longest_repeated_substring) run over the corpus's
+    SF-INVARIANT enum vocabulary (nation/region names + the distinct
+    part-type and part-brand enums — 61 strings, md5-identical at
+    sf0.001/0.01/0.1), so the answer is a deterministic constant the
+    driver can hash. The oracle is NOT a pinned VALUES row: it
+    brute-force ENUMERATES every substring of the same tiny corpus
+    in DuckDB (bounded by the enum vocabulary — ~19k substrings by
+    construction, never corpus-scale) — two different algorithms
+    hashing identically, the strongest oracle form (the r8
+    hierarchy-rollup trick). Expected: ('NATION_1', len 8, occ 11 —
+    prefix of NATION_1, NATION_10..19), also pinned by
+    tests/test_suffix.py.
+
+    doc_id is an md5-derived int of the text (unique — the 61 enum
+    strings are distinct); the output never references it."""
+    from ..operators import suffix as SX
+
+    parts = [
+        table(spark, sf_dir, "nation").select(F.col("n_name").alias("text")),
+        table(spark, sf_dir, "region").select(F.col("r_name").alias("text")),
+        table(spark, sf_dir, "part").select(F.col("p_type").alias("text")).distinct(),
+        table(spark, sf_dir, "part").select(F.col("p_brand").alias("text")).distinct(),
+    ]
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+    corpus = corpus.select(
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint").alias("doc_id"),
+        "text",
+    )
+    import hashlib
+
+    L, text, occ = SX.longest_repeated_substring(
+        corpus, min_count=2, min_len=4, partitions=1
+    )
+    return spark.createDataFrame(
+        [(L, hashlib.md5(text.encode()).hexdigest(), occ)],
+        "lrs_len BIGINT, lrs_md5 STRING, occurrences BIGINT",
+    )
+
+
+LRS_EXACT_FIXED_SQL = """
+WITH corpus AS (
+  SELECT n_name AS text FROM nation
+  UNION ALL SELECT r_name FROM region
+  UNION ALL SELECT DISTINCT p_type FROM part
+  UNION ALL SELECT DISTINCT p_brand FROM part
+),
+subs AS (
+  SELECT substr(text, i, L) AS s, L
+  FROM corpus,
+       unnest(range(1, length(text) + 1)) AS ti(i),
+       unnest(range(4, length(text) + 1)) AS tl(L)
+  WHERE i + L - 1 <= length(text)
+),
+rep AS (
+  SELECT s, L, count(*)::BIGINT AS occ
+  FROM subs GROUP BY s, L HAVING count(*) >= 2
+),
+best AS (SELECT max(L) AS max_l FROM rep)
+SELECT L::BIGINT AS lrs_len, md5(s) AS lrs_md5, occ AS occurrences
+FROM rep, best WHERE L = max_l
+ORDER BY occ DESC, md5(s) LIMIT 1
+"""
+
+
 def lrs_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT corpus longest-repeated-substring via doubling + binary
     search (operators/suffix.py::longest_repeated_substring) — an

@@ -293,3 +293,19 @@ class TestWinnowingMaxDf:
         # pairs that ONLY shared the hot boilerplate disappear
         uncapped = SX.winnowing_pairs(docs, k=8, w=4, min_shared=1).collect()
         assert len({(r["id_a"], r["id_b"]) for r in uncapped}) > len(pairs)
+
+
+def test_lrs_exact_fixed_pinned_constant(spark):
+    """lrs_exact_fixed's answer over the SF-invariant enum corpus is
+    a known constant: 'NATION_1' (len 8), the shared prefix of
+    NATION_1 and NATION_10..NATION_19 (11 (doc,pos) occurrences).
+    Pins the frozen-corpus twin locally so a trainer/tie-break
+    regression is loud before the driver's oracle row sees it."""
+    import hashlib
+
+    from joblink_etl_spark.plans.ext_q import lrs_exact_fixed_q
+
+    row = lrs_exact_fixed_q(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["lrs_len"] == 8
+    assert row["lrs_md5"] == hashlib.md5(b"NATION_1").hexdigest()
+    assert row["occurrences"] == 11
