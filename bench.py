@@ -28,6 +28,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # JSON carries an "excluded" field), not silently.
 EXCLUDED_QUADRATIC_BASELINES = ["cosine_near_dups"]
 
+# Container-health canary (r9 verdict item 2): an untouched,
+# stable-plan query timed solo BEFORE and AFTER the main loop, so a
+# drifting container is visible inside the bench artifact itself
+# instead of costing a round of spurious regression flags (r9: 14
+# flags, all drift/contention). Compare canary_pre/post_sec against
+# the pin: ratio >> 1 on PRE means the whole run is suspect; POST >>
+# PRE means the container degraded mid-run (the r9 failure mode —
+# three same-day runs 447/534/512 s).
+CANARY_QUERY = "pagerank_docs"
+CANARY_PIN_SEC = 3.8  # quiet-container solo pin (r9 verdict / r10 re-check)
+
+
+def _canary(spark, qs, sf_dir: str, warm: bool) -> float:
+    fn = qs[CANARY_QUERY]
+    if warm:
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    return round(best, 3)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,6 +67,7 @@ def main() -> None:
     names = [n for n in qs if n not in EXCLUDED_QUADRATIC_BASELINES]
     # warm the JVM + parquet footers so timings measure steady state
     qs[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    canary_pre = _canary(spark, qs, sf_dir, warm=True)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -61,14 +88,19 @@ def main() -> None:
         # spikes late in long runs)
         spark.sparkContext._jvm.System.gc()
 
+    canary_post = _canary(spark, qs, sf_dir, warm=False)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    print(format_output(timings, sf, detail_path))
+    print(format_output(timings, sf, detail_path, canary=(canary_pre, canary_post)))
 
 
 def format_output(
-    timings: dict[str, float], sf: float | None, detail_path: str, line_budget: int = 1800
+    timings: dict[str, float],
+    sf: float | None,
+    detail_path: str,
+    line_budget: int = 1800,
+    canary: tuple[float, float] | None = None,
 ) -> str:
     """Build the ONE JSON line, keeping it parseable by the driver.
 
@@ -95,6 +127,11 @@ def format_output(
         "sf": sf,
         "detail_file": os.path.basename(detail_path),
     }
+    if canary is not None:
+        summary["canary_query"] = CANARY_QUERY
+        summary["canary_pin_sec"] = CANARY_PIN_SEC
+        summary["canary_pre_sec"] = canary[0]
+        summary["canary_post_sec"] = canary[1]
     with open(detail_path, "w") as f:
         json.dump({**summary, "queries": timings}, f, sort_keys=True)
         f.write("\n")

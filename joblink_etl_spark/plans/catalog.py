@@ -1,49 +1,44 @@
 """Registers every query plan with the registry.
 
 ORDERING MATTERS: the driver's correctness gate checks the first 50
-registered queries. Rotation policy (rounds 3→9): queries holding a
+registered queries. Rotation policy (rounds 3→10): queries holding a
 green driver streak cede their slots — the streak is the durable
-record — to queries that have never had a driver row; ceded queries
-remain fully checked by tools/oracle_check.py (Arrow-dtype-sensitive
-since round 6) + pytest every round. Rotate at ROUND START only.
+record — to queries that have never had a driver row, then to the
+OLDEST single-streak holders (re-streaks); ceded queries remain fully
+checked by tools/oracle_check.py (Arrow-dtype-sensitive since round
+6) + pytest every round. Rotate at ROUND START only.
 
-Round-9 window (50) — the verification-debt-clearing window (r8
-verdict item 1: for the first time ALL never-driver-checked queries
-+ every owed re-streak fit one window):
-  * the 4 round-7 batch-7 leftovers that never fit a window
-    (engagement_ratios, frequent_pairs, ingestion_islands,
-    type_bitmap_overlap) — first driver rows;
-  * the 20 round-8 additions registered past the r08 window
-    (scalar_functions_v2 → minhash_band_sweep in batch order) —
-    first driver rows;
-  * the 18 round-5 single greens whose re-streak was owed since r06
-    (span_unit_repeats → feature_bins) — re-streaks;
-  * the 8 round-9 additions (bpe_merges_fixed — the frozen
-    enum-vocabulary hash-oracle twin of rows-only bpe_merges, r8
-    item 5; llm_json_extract — the F16 LLM-JSON boundary as a
-    deterministic driver row, r8 item 7; t_closeness — completes
-    the privacy ladder; forecast_revenue / late_order_priority /
-    nation_market_share / returned_item_report /
-    shiplag_priority_counts — the remaining classic TPC-H shapes,
-    Q6/Q4/Q8/Q10/Q12 adapted to this corpus) — first driver rows,
-    exactly filling the window headroom (r8 item 3: every
-    registered query has a driver row or a planned slot).
-After this window lands green, never-driver-checked count = 0.
-Ceded this round: jl_project (banked its streak r07+r08) and the
-entire r08 window of 50 first-timer greens (CORRECTNESS_r08
-50/50); both remain covered by the full-registry oracle sweep +
-pytest every round.
+Round-10 window (50) — re-streak burn-down begins (r9 verdict item
+1), with the round's additions taking the headroom so never-checked
+stays 0:
+  * the 6 round-10 additions (product_type_profit / important_stock /
+    customer_order_distribution / supplier_part_variety /
+    promo_stock_suppliers — TPC-H Q9/Q11/Q13/Q16/Q20 adapted, r9
+    item 4; lrs_exact_fixed — the frozen-enum brute-force-oracle twin
+    of rows-only lrs_exact, r9 item 5) — first driver rows;
+  * 44 re-streaks for the oldest single-streak holders: the round-8
+    window greens in their r08 order (jl_project → shard_manifest).
+    The r9 verdict asked for all 49/50 r08 re-streaks this round; 6
+    additions + 44 re-streaks is what one 50-slot window holds with
+    never-checked kept at 0 — the remaining 6 r08 greens
+    (dedup_ttl_decay → bpe_encode_fixed) are the HEAD of the r11
+    queue, ahead of the r09-window greens.
+After this window lands green: never-driver-checked = 0, oldest-
+single-streak set shrinks by 44, r11 queue = 6 r08 leftovers + the
+50 r09-window greens.
 
-Round-8 window (50) — historical: jl_project + 49 round-7
-batch-2..7 first-timers + bpe_encode_fixed (slot 50); landed 50/50
-triple-green in CORRECTNESS_r08. Earlier window history (rounds
-3-7) lives in the git history of this docstring; the standing
-queue after r09: re-streaks for the 49 r08-window greens, then the
-r09-window greens.
+Round-9 window (50) — historical: the verification-debt-clearing
+window (4 batch-7 leftovers + 20 r8 additions + 18 owed r05
+re-streaks + the 8 r9 additions); landed 50/50 triple-green in
+CORRECTNESS_r09 — the first round where every registered query had a
+driver row. Earlier window history lives in the git history of this
+docstring.
 
-Registry total 246 (243 with SQL oracles; bpe_merges / bpe_encode /
-lrs_exact rows-only by design). Round-9 pre-rotation sweeps: full
-registry green at sf0.01 AND sf0.1 (banked in the rotation commit).
+Registry total 252 (249 with SQL oracles; bpe_merges / bpe_encode /
+lrs_exact rows-only by design, each fixture/twin-covered —
+lrs_exact's algorithm now has a hash-exact driver row via
+lrs_exact_fixed). Round-10 pre-rotation sweeps: full registry green
+at sf0.01 AND sf0.1 (banked in the rotation commit).
 """
 
 from __future__ import annotations
@@ -59,67 +54,20 @@ from . import graph_q as GQ  # noqa: E402
 from . import maint_q as MQ  # noqa: E402
 from . import select_q as SQ  # noqa: E402
 
-
-# === ROUND-9 WINDOW (50): verification-debt-clearing =================
-# --- round-7 batch-7 leftovers: first driver rows ---------------------
-register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
-register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)
-register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
-register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)
-# --- round-8 additions: first driver rows (batch order) ---------------
-register("scalar_functions_v2", S.scalar_functions_v2, S.SCALAR_FUNCTIONS_V2_SQL)
-register("volume_shipping", R.volume_shipping, R.VOLUME_SHIPPING_SQL)
-register("promo_revenue_share", R.promo_revenue_share, R.PROMO_REVENUE_SHARE_SQL)
-register("large_volume_customers", R.large_volume_customers, R.LARGE_VOLUME_CUSTOMERS_SQL)
-register("disjunctive_revenue", R.disjunctive_revenue, R.DISJUNCTIVE_REVENUE_SQL)
-register("acctbal_prospects", R.acctbal_prospects, R.ACCTBAL_PROSPECTS_SQL)
-register("zipf_fit", E.zipf_fit_q, E.ZIPF_FIT_SQL)
-register("ivf_nprobe_sweep", E.ivf_nprobe_sweep_q, E.IVF_NPROBE_SWEEP_SQL)
-register("ppl_bucket_mixture", E.ppl_bucket_mixture_q, E.PPL_BUCKET_MIXTURE_SQL)
-register("quality_classifier", E.quality_classifier_q, E.QUALITY_CLASSIFIER_SQL)
-register("scene_cuts", E.scene_cuts_q, E.SCENE_CUTS_SQL)
-register("sensitive_homogeneity", E.sensitive_homogeneity_q, E.SENSITIVE_HOMOGENEITY_SQL)
-register("cheapest_supplier", E.cheapest_supplier_q, E.CHEAPEST_SUPPLIER_SQL)
-register("winrate_matrix", E.winrate_matrix_q, E.WINRATE_MATRIX_SQL)
-register("hierarchy_rollup", GQ.hierarchy_rollup_q, GQ.HIERARCHY_ROLLUP_SQL)
-register("canary_scan", E.canary_scan_q, E.CANARY_SCAN_SQL)
-register("record_linkage", E.record_linkage_q, E.RECORD_LINKAGE_SQL)
-register("pca_power", E.pca_power_q, E.PCA_POWER_SQL)
-register("simhash_pairs", E.simhash_pairs_q, E.SIMHASH_PAIRS_SQL)
-register("minhash_band_sweep", E.minhash_band_sweep_q, E.MINHASH_BAND_SWEEP_SQL)
-# --- round-5 single greens: re-streaks owed since r06 -----------------
-register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
-register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
-register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
-register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
-register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
-register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
-register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
-register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
-register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
-register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
-register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
-register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
-register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
-register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
-register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
-register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
-register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
-register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
-# --- round-9 additions: first driver rows ------------------------------
-register("bpe_merges_fixed", E.bpe_merges_fixed_q, E.BPE_MERGES_FIXED_SQL)
-register("llm_json_extract", S.llm_json_extract, S.LLM_JSON_EXTRACT_SQL)
-register("t_closeness", E.t_closeness_q, E.T_CLOSENESS_SQL)
-register("forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL)
-register("late_order_priority", R.late_order_priority, R.LATE_ORDER_PRIORITY_SQL)
-register("nation_market_share", R.nation_market_share, R.NATION_MARKET_SHARE_SQL)
-register("returned_item_report", R.returned_item_report, R.RETURNED_ITEM_REPORT_SQL)
-register("shiplag_priority_counts", R.shiplag_priority_counts, R.SHIPLAG_PRIORITY_COUNTS_SQL)
-# === END ROUND-9 WINDOW (slot 50 = shiplag_priority_counts) ===========
-
-# --- ceded: jl_project (streak banked r07+r08) + the full r08 window
-# --- (50/50 green in CORRECTNESS_r08) + all earlier streak holders;
-# --- every query below stays in the per-round full oracle sweep -------
+# === ROUND-10 WINDOW (50): 6 additions + 44 oldest re-streaks ========
+# --- round-10 additions: first driver rows ----------------------------
+register("product_type_profit", R.product_type_profit, R.PRODUCT_TYPE_PROFIT_SQL)
+register("important_stock", R.important_stock, R.IMPORTANT_STOCK_SQL)
+register(
+    "customer_order_distribution",
+    R.customer_order_distribution,
+    R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+)
+register("supplier_part_variety", R.supplier_part_variety, R.SUPPLIER_PART_VARIETY_SQL)
+register("promo_stock_suppliers", R.promo_stock_suppliers, R.PROMO_STOCK_SUPPLIERS_SQL)
+register("lrs_exact_fixed", E.lrs_exact_fixed_q, E.LRS_EXACT_FIXED_SQL)
+# --- re-streaks: the 44 oldest single-streak holders (r08 window,
+# --- r08 order) --------------------------------------------------------
 register("jl_project", SQ.jl_project_q, SQ.JL_PROJECT_SQL)
 register("line_dedup", E.line_dedup, E.LINE_DEDUP_SQL)
 register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
@@ -164,12 +112,67 @@ register("triangle_docs", GQ.triangle_docs_q, GQ.TRIANGLE_DOCS_SQL)
 register("regex_token_report", E.regex_token_report_q, E.REGEX_TOKEN_REPORT_SQL)
 register("patch_grid", E.patch_grid_q, E.PATCH_GRID_SQL)
 register("shard_manifest", E.shard_manifest_q, E.SHARD_MANIFEST_SQL)
+# === END ROUND-10 WINDOW (slot 50 = shard_manifest) ===========
+# --- r11 queue head: the 6 remaining r08-window greens ----------------
 register("dedup_ttl_decay", E.dedup_ttl_decay_q, E.DEDUP_TTL_DECAY_SQL)
 register("rejection_reasons", E.rejection_reasons_q, E.REJECTION_REASONS_SQL)
 register("events_pit_join", EV.events_pit_join, EV.EVENTS_PIT_JOIN_SQL)
 register("merged_quantiles", EV.merged_quantiles, EV.MERGED_QUANTILES_SQL)
 register("ab_test_report", EV.ab_test_report, EV.AB_TEST_REPORT_SQL)
 register("bpe_encode_fixed", E.bpe_encode_fixed_q, E.BPE_ENCODE_FIXED_SQL)
+# --- ceded: the full r09 window (50/50 triple-green in
+# --- CORRECTNESS_r09) + all earlier streak holders; every query
+# --- below stays in the per-round full oracle sweep -------------------
+register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
+register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)
+register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
+register("type_bitmap_overlap", EV.type_bitmap_overlap, EV.TYPE_BITMAP_OVERLAP_SQL)
+register("scalar_functions_v2", S.scalar_functions_v2, S.SCALAR_FUNCTIONS_V2_SQL)
+register("volume_shipping", R.volume_shipping, R.VOLUME_SHIPPING_SQL)
+register("promo_revenue_share", R.promo_revenue_share, R.PROMO_REVENUE_SHARE_SQL)
+register("large_volume_customers", R.large_volume_customers, R.LARGE_VOLUME_CUSTOMERS_SQL)
+register("disjunctive_revenue", R.disjunctive_revenue, R.DISJUNCTIVE_REVENUE_SQL)
+register("acctbal_prospects", R.acctbal_prospects, R.ACCTBAL_PROSPECTS_SQL)
+register("zipf_fit", E.zipf_fit_q, E.ZIPF_FIT_SQL)
+register("ivf_nprobe_sweep", E.ivf_nprobe_sweep_q, E.IVF_NPROBE_SWEEP_SQL)
+register("ppl_bucket_mixture", E.ppl_bucket_mixture_q, E.PPL_BUCKET_MIXTURE_SQL)
+register("quality_classifier", E.quality_classifier_q, E.QUALITY_CLASSIFIER_SQL)
+register("scene_cuts", E.scene_cuts_q, E.SCENE_CUTS_SQL)
+register("sensitive_homogeneity", E.sensitive_homogeneity_q, E.SENSITIVE_HOMOGENEITY_SQL)
+register("cheapest_supplier", E.cheapest_supplier_q, E.CHEAPEST_SUPPLIER_SQL)
+register("winrate_matrix", E.winrate_matrix_q, E.WINRATE_MATRIX_SQL)
+register("hierarchy_rollup", GQ.hierarchy_rollup_q, GQ.HIERARCHY_ROLLUP_SQL)
+register("canary_scan", E.canary_scan_q, E.CANARY_SCAN_SQL)
+register("record_linkage", E.record_linkage_q, E.RECORD_LINKAGE_SQL)
+register("pca_power", E.pca_power_q, E.PCA_POWER_SQL)
+register("simhash_pairs", E.simhash_pairs_q, E.SIMHASH_PAIRS_SQL)
+register("minhash_band_sweep", E.minhash_band_sweep_q, E.MINHASH_BAND_SWEEP_SQL)
+register("span_unit_repeats", E.span_unit_repeats_q, E.SPAN_UNIT_REPEATS_SQL)
+register("knn_ivfpq_res", E.knn_ivfpq_res_q, E.KNN_IVFPQ_RES_SQL)
+register("header_self_heal", PQ.header_self_heal, PQ.HEADER_SELF_HEAL_SQL)
+register("queue_tracker_lookup", PQ.queue_tracker_lookup, PQ.QUEUE_TRACKER_LOOKUP_SQL)
+register("stratified_sample", E.stratified_sample_q, E.STRATIFIED_SAMPLE_SQL)
+register("ngram_decontam", E.ngram_decontam, E.NGRAM_DECONTAM_SQL)
+register("cms_user_counts", E.cms_user_counts_q, E.CMS_USER_COUNTS_SQL)
+register("histogram_quantiles", E.histogram_quantiles_q, E.HISTOGRAM_QUANTILES_SQL)
+register("band_registry", E.band_registry_q, E.BAND_REGISTRY_SQL)
+register("mv_incremental", E.mv_incremental_q, E.MV_INCREMENTAL_SQL)
+register("user_sequences", E.user_sequences_q, E.USER_SEQUENCES_SQL)
+register("temperature_sample", E.temperature_sample_q, E.TEMPERATURE_SAMPLE_SQL)
+register("hybrid_retrieval", E.hybrid_retrieval_q, E.HYBRID_RETRIEVAL_SQL)
+register("robust_outliers", EV.robust_outliers, EV.ROBUST_OUTLIERS_SQL)
+register("time_weighted_avg", EV.time_weighted_avg, EV.TIME_WEIGHTED_AVG_SQL)
+register("multimodal_examples", E.multimodal_examples_q, E.MULTIMODAL_EXAMPLES_SQL)
+register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
+register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
+register("bpe_merges_fixed", E.bpe_merges_fixed_q, E.BPE_MERGES_FIXED_SQL)
+register("llm_json_extract", S.llm_json_extract, S.LLM_JSON_EXTRACT_SQL)
+register("t_closeness", E.t_closeness_q, E.T_CLOSENESS_SQL)
+register("forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL)
+register("late_order_priority", R.late_order_priority, R.LATE_ORDER_PRIORITY_SQL)
+register("nation_market_share", R.nation_market_share, R.NATION_MARKET_SHARE_SQL)
+register("returned_item_report", R.returned_item_report, R.RETURNED_ITEM_REPORT_SQL)
+register("shiplag_priority_counts", R.shiplag_priority_counts, R.SHIPLAG_PRIORITY_COUNTS_SQL)
 register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
 register("epoch_shuffle", SQ.epoch_shuffle_q, SQ.EPOCH_SHUFFLE_SQL)
 register("length_bucket_batches", SQ.length_bucket_batches_q, SQ.LENGTH_BUCKET_BATCHES_SQL)
@@ -316,21 +319,3 @@ register("token_budget_sample", E.token_budget_sample_q, E.TOKEN_BUDGET_SAMPLE_S
 register("corpus_report", E.corpus_report, E.CORPUS_REPORT_SQL)
 register("curation_pipeline", E.curation_pipeline, E.CURATION_PIPELINE_SQL)
 register("chunk_documents", E.chunk_documents_q, E.CHUNK_DOCUMENTS_SQL)
-
-# --- round-10 additions (first driver rows planned for the r10
-# --- window): the remaining classic TPC-H shapes (r9 verdict item
-# --- 4) — Q9/Q11/Q13/Q16/Q20 adapted to this corpus (no partsupp:
-# --- supplier-part relations derive from lineitem) ------------------
-register("product_type_profit", R.product_type_profit, R.PRODUCT_TYPE_PROFIT_SQL)
-register("important_stock", R.important_stock, R.IMPORTANT_STOCK_SQL)
-register(
-    "customer_order_distribution",
-    R.customer_order_distribution,
-    R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-)
-register("supplier_part_variety", R.supplier_part_variety, R.SUPPLIER_PART_VARIETY_SQL)
-register("promo_stock_suppliers", R.promo_stock_suppliers, R.PROMO_STOCK_SUPPLIERS_SQL)
-# --- the frozen-enum hash twin of rows-only lrs_exact (r9 item 5);
-# --- oracle = DuckDB brute-force substring enumeration (different
-# --- algorithm, same answer) -----------------------------------------
-register("lrs_exact_fixed", E.lrs_exact_fixed_q, E.LRS_EXACT_FIXED_SQL)
