@@ -665,9 +665,19 @@ def winnowing_pairs(
     The 10× scale probe measured exactly that blow-up (36.8× wall
     at 10× data with clone-heavy fps); with the cap the join's
     per-key fan-out is bounded by construction."""
-    fps = minimizer_fingerprints(df, k, w, text_col, id_col).select(
-        F.col(id_col).alias("id"), "fp"
-    ).distinct()
+    # Lazy barrier on the selected-fingerprint set: it feeds the df
+    # prune aggregate AND both sides of the self-join, so without the
+    # pin the whole explode+md5+window-select chain (the expensive
+    # part — ~1000x row multiply) re-executes up to 3x per action.
+    # ReuseExchange only dedups the two identical join sides, never
+    # the differently-shaped groupBy(fp) branch (same class as the
+    # semdedup with_c barrier, similarity.py:1372).
+    fps = (
+        minimizer_fingerprints(df, k, w, text_col, id_col)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_df is not None:
         keep = (
             fps.groupBy("fp")
