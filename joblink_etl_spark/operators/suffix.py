@@ -665,13 +665,16 @@ def winnowing_pairs(
     The 10× scale probe measured exactly that blow-up (36.8× wall
     at 10× data with clone-heavy fps); with the cap the join's
     per-key fan-out is bounded by construction."""
-    # Lazy barrier on the selected-fingerprint set: it feeds the df
-    # prune aggregate AND both sides of the self-join, so without the
-    # pin the whole explode+md5+window-select chain (the expensive
-    # part — ~1000x row multiply) re-executes up to 3x per action.
-    # ReuseExchange only dedups the two identical join sides, never
-    # the differently-shaped groupBy(fp) branch (same class as the
-    # semdedup with_c barrier, similarity.py:1372).
+    # Barrier on the selected-fingerprint set: it feeds the df prune
+    # aggregate AND both sides of the self-join, so without the pin
+    # the whole explode+md5+window-select chain (the expensive part —
+    # ~1000x row multiply) re-executes for the differently-shaped
+    # groupBy(fp) branch (ReuseExchange dedups only the two identical
+    # join sides). Same class as the semdedup with_c barrier
+    # (similarity.py:1372); like it, eager=False still runs the
+    # checkpointed stage's jobs at BUILD time under AQE — a bounded,
+    # documented construction-time cost, so this builder must not
+    # join test_plans' action-free list.
     fps = (
         minimizer_fingerprints(df, k, w, text_col, id_col)
         .select(F.col(id_col).alias("id"), "fp")

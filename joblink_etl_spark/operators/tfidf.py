@@ -208,10 +208,20 @@ def bm25_rank(
     tiny, so the join streams corpus postings past broadcast query
     terms; df-ratio pruning bounds fan-out; one (query, doc) shuffle.
     avgdl/n arrive as broadcast one-row aggregates (action-free)."""
+    # Barrier on the term-frequency relation: tf feeds FOUR
+    # differently-shaped consumers (dl's groupBy(id), idf's
+    # groupBy(token), the contrib join, and stats via dl) — none
+    # share an exchange, so without the pin the corpus tokenize+
+    # explode+groupBy chain re-executes once per consumer. Same class
+    # as the winnowing fps / semdedup with_c barriers; eager=False
+    # still runs the stage's jobs at BUILD time under AQE (bounded,
+    # documented — keep bm25 callers out of test_plans' action-free
+    # list).
     tf = (
         docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
