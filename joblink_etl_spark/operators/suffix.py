@@ -464,6 +464,13 @@ def scrub_repeated_spans(
     # grouping is identical (md5 equality) but the keeper shuffle
     # carries 32 B keys instead of full span strings
     keeper = Window.partitionBy("span_md5")
+    # Barrier on the cut list: it feeds BOTH the gap window and the
+    # tail aggregate below, and everything above it (char_repeat_spans
+    # = two gram passes + the islands window) would otherwise
+    # re-execute per consumer. The pinned relation is small (one row
+    # per cut span). Same class as the winnowing fps / bm25 tf
+    # barriers; eager=False still runs bounded build-time jobs under
+    # AQE — keep callers out of test_plans' action-free list.
     cuts = (
         spans.select(
             id_col, "span_start", "span_len", F.md5("span_text").alias("span_md5")
@@ -471,6 +478,7 @@ def scrub_repeated_spans(
         .withColumn("keep_doc", F.min(id_col).over(keeper))
         .filter(F.col(id_col) != F.col("keep_doc"))
         .select(id_col, "span_start", "span_len")
+        .localCheckpoint(eager=False)
     )
     w = Window.partitionBy(id_col).orderBy("span_start")
     seg_start = F.coalesce(
