@@ -132,6 +132,13 @@ def format_output(
         summary["canary_pin_sec"] = CANARY_PIN_SEC
         summary["canary_pre_sec"] = canary[0]
         summary["canary_post_sec"] = canary[1]
+        # machine-readable run classification so nobody triages
+        # per-query "regressions" on a run the canary already
+        # condemned (r9: 14 flags, all drift; r10 session 2: four
+        # runs, every one suspect). >1.2x the pin on either probe =
+        # the container was not quiet at that end of the run.
+        ratio = max(canary) / CANARY_PIN_SEC
+        summary["canary_verdict"] = "quiet" if ratio <= 1.2 else "suspect"
     with open(detail_path, "w") as f:
         json.dump({**summary, "queries": timings}, f, sort_keys=True)
         f.write("\n")
