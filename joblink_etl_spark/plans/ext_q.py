@@ -7156,9 +7156,12 @@ def pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the all-ones vector. Instead of a float norm between
     iterations (which would be partition-order-sensitive), overflow
     is controlled by an ARITHMETIC RIGHT SHIFT (shiftright 16 ==
-    floor-division by 2^16 — matching DuckDB's floor `//` on the
-    signed domain), so every intermediate is an exact bigint and the
-    result hash-verifies.
+    floor-division by 2^16). NB: DuckDB 1.0's integer `//`
+    TRUNCATES toward zero on negatives, so the oracle spells the
+    signed floor explicitly via the non-negative magnitude (a
+    negative iterate component first appears at sf0.001 — the
+    larger SFs never exercised the signed branch). Every
+    intermediate is an exact bigint and the result hash-verifies.
 
     Scale: each iteration touches the corpus once — a scan-side dot
     product + one dim-keyed sum (8 groups); the iterate itself is a
@@ -7215,7 +7218,17 @@ v AS (
   FROM (SELECT codes, dd, unnest(codes) AS _c, generate_subscripts(codes, 1) AS i FROM d0)
   GROUP BY 1
 ), y1s AS (
-  SELECT dim, y1v // 65536 AS ys FROM y1
+  -- FLOOR division on the SIGNED domain: DuckDB 1.0's integer `//`
+  -- TRUNCATES toward zero for negative operands (-7 // 2 = -3),
+  -- while Spark's shiftright(y1v, 16) floors (-7 >> 1 = -4 class).
+  -- Identical only for y1v >= 0 — which held at sf0.01/sf0.1 and
+  -- masked this until the sf0.001 corpus produced a negative
+  -- component sum (dim 60). Spell floor explicitly via the
+  -- non-negative magnitude.
+  SELECT dim,
+         CASE WHEN y1v >= 0 THEN y1v // 65536
+              ELSE -((-y1v + 65535) // 65536) END AS ys
+  FROM y1
 ), d1 AS (
   SELECT vec_id, codes,
          (SELECT sum(codes[y.dim]::BIGINT * y.ys)::BIGINT FROM y1s y) AS dd1
