@@ -37,7 +37,26 @@ EXCLUDED_QUADRATIC_BASELINES = ["cosine_near_dups"]
 # PRE means the container degraded mid-run (the r9 failure mode —
 # three same-day runs 447/534/512 s).
 CANARY_QUERY = "pagerank_docs"
-CANARY_PIN_SEC = 3.8  # quiet-container solo pin (r9 verdict / r10 re-check)
+# Quiet-container solo pin (r9 verdict / r10 re-check). HOST-SPECIFIC:
+# 3.8 s is this container's (32-core local[32]) quiet level; on other
+# hardware every run would classify "suspect" (or falsely "quiet" on a
+# faster host), so the pin is overridable alongside SPARK_GRAFT_SF_DIR
+# (ADVICE r10). Re-pin with: python tools/solo_time.py <sf_dir> pagerank_docs
+CANARY_PIN_SEC = float(os.environ.get("SPARK_GRAFT_CANARY_PIN", "3.8"))
+
+# In-run burst guard (r10 verdict item 2): the canary bounds a run's
+# ENDS only, so a mid-run contention burst (observed: consensus_near_dups
+# 16.4 s inside a verified-quiet run vs 4.8-5.5 s solo) pollutes that
+# one query's figure without tripping the canary. At the end of the
+# main loop, any query whose in-run time exceeds REPROBE_RATIO x its
+# trailing-round time (the committed BENCH_DETAIL.json from the prior
+# round, read before we overwrite it) AND by more than REPROBE_MIN_GAP_SEC
+# is re-timed once; BOTH numbers land in the detail so regression triage
+# needs no manual solo probes. Capped so a globally-degraded container
+# can't double the run length.
+REPROBE_RATIO = 2.0
+REPROBE_MIN_GAP_SEC = 0.5
+REPROBE_MAX = 12
 
 
 def _canary(spark, qs, sf_dir: str, warm: bool) -> float:
@@ -65,6 +84,16 @@ def main() -> None:
 
     qs = registry.queries()
     names = [n for n in qs if n not in EXCLUDED_QUADRATIC_BASELINES]
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # trailing-round per-query times, read BEFORE this run overwrites
+    # the file (on a fresh checkout this is the last committed round's
+    # quiet detail — exactly the cross-round comparator the judge uses)
+    prior: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prior = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        pass
     # warm the JVM + parquet footers so timings measure steady state
     qs[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
     canary_pre = _canary(spark, qs, sf_dir, warm=True)
@@ -88,11 +117,32 @@ def main() -> None:
         # spikes late in long runs)
         spark.sparkContext._jvm.System.gc()
 
+    # in-run burst re-probe pass (before canary_post, so the canary
+    # still bounds the full run end); worst offenders first under the cap
+    flagged = [
+        n
+        for n in names
+        if n in prior
+        and timings[n] > REPROBE_RATIO * prior[n]
+        and timings[n] - prior[n] > REPROBE_MIN_GAP_SEC
+    ]
+    flagged.sort(key=lambda n: -(timings[n] / max(prior[n], 1e-9)))
+    reprobes: dict[str, dict[str, float]] = {}
+    for name in flagged[:REPROBE_MAX]:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        reprobes[name] = {
+            "in_run": timings[name],
+            "reprobe": round(time.perf_counter() - t0, 3),
+            "prior": prior[name],
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     canary_post = _canary(spark, qs, sf_dir, warm=False)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    print(format_output(timings, sf, detail_path, canary=(canary_pre, canary_post)))
+    print(format_output(timings, sf, detail_path, canary=(canary_pre, canary_post), reprobes=reprobes))
 
 
 def format_output(
@@ -101,6 +151,7 @@ def format_output(
     detail_path: str,
     line_budget: int = 1800,
     canary: tuple[float, float] | None = None,
+    reprobes: dict[str, dict[str, float]] | None = None,
 ) -> str:
     """Build the ONE JSON line, keeping it parseable by the driver.
 
@@ -139,8 +190,17 @@ def format_output(
         # the container was not quiet at that end of the run.
         ratio = max(canary) / CANARY_PIN_SEC
         summary["canary_verdict"] = "quiet" if ratio <= 1.2 else "suspect"
+    if reprobes is not None:
+        summary["n_reprobed"] = len(reprobes)
+        # the headline `value` stays the raw in-run total (cross-round
+        # comparable); this companion substitutes each flagged query's
+        # best-of(in_run, reprobe) so a burst-free total is also on record
+        adjusted = dict(timings)
+        for name, r in reprobes.items():
+            adjusted[name] = min(r["in_run"], r["reprobe"])
+        summary["reprobe_adjusted_total"] = round(sum(adjusted.values()), 3)
     with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": timings}, f, sort_keys=True)
+        json.dump({**summary, "queries": timings, "reprobes": reprobes or {}}, f, sort_keys=True)
         f.write("\n")
     inline: dict[str, float] = {}
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
