@@ -192,11 +192,25 @@ def bm25_rank(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df_ratio: tuple[int, int] = (1, 2),
+    pin_tf: bool = True,
 ) -> DataFrame:
     """BM25 ranked retrieval over the inverted index: for each query
     document, the top-k corpus documents by
     Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) over shared
     terms (binary query-term weights — the standard simplification).
+
+    ``pin_tf`` (default True) localCheckpoints the term-frequency
+    relation so its tokenize+explode+groupBy chain runs ONCE instead
+    of once per consumer (~30-46% at sf0.1 across the bm25 family).
+    TRADEOFF (ADVICE r10): tf is an O(doc, distinct-token) CORPUS-SCALE
+    relation — unlike the bounded cut-list/fingerprint pins elsewhere —
+    and a localCheckpoint materializes it to executor-local block
+    storage and severs lineage, so an executor loss after the pin
+    fails the job instead of recomputing (and the blocks must fit the
+    cluster's local storage). At the 100 TB design point, prefer
+    ``pin_tf=False`` (recompute-per-consumer, fully lineage-recoverable)
+    or persist tf to a reliable store between stages; the pin is the
+    right default for single-node / modest-corpus interactive use.
 
     Determinism: each per-(doc, term) contribution is quantized to a
     bigint (floor of the double formula — a fixed chain of IEEE ops
@@ -221,8 +235,9 @@ def bm25_rank(
         docs.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("token"))
         .groupBy("id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
     )
+    if pin_tf:
+        tf = tf.localCheckpoint(eager=False)
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl")

@@ -95,3 +95,48 @@ def test_arrow_and_spark_class_lattices_agree():
     assert _spark_class(T.DecimalType(38, 0)) == "decimal"
     # the regression class: decimal must NOT equal int
     assert _arrow_class(pa.decimal128(38, 0)) != _arrow_class(pa.int64())
+
+
+def test_pca_power_signed_floor_parity(spark):
+    """Pin the pca_power oracle's signed-floor spelling (ADVICE r10).
+
+    The r10 sf0.001 sweep caught DuckDB integer ``//`` TRUNCATING
+    toward zero (-110170 // 65536 = -1) where Spark's
+    ``shiftright(x, 16)`` FLOORS (= -2); the oracle now spells floor
+    via the non-negative magnitude (ext_q.py PCA_POWER_SQL, y1s CTE).
+    That bug was invisible at sf0.01/0.1 (all component sums
+    non-negative there), so this test pins the negative-operand branch
+    directly: the oracle's exact CASE expression on DuckDB must equal
+    Spark's shiftright for a signed battery spanning both signs,
+    exact multiples, and the original failing value.
+    """
+    import duckdb as _dd
+
+    from joblink_etl_spark.plans import ext_q
+
+    # the spelling must stay in the oracle — a future edit back to
+    # bare `//` on the signed domain would silently regress sf0.001
+    assert "ELSE -((-y1v + 65535) // 65536) END" in ext_q.PCA_POWER_SQL
+
+    battery = [-110170, -131072, -65537, -65536, -65535, -1, 0, 1,
+               65535, 65536, 65537, 110170, 2**40 + 123, -(2**40) - 123]
+    con = _dd.connect()
+    duck = [
+        con.execute(
+            "SELECT CASE WHEN y1v >= 0 THEN y1v // 65536 "
+            "ELSE -((-y1v + 65535) // 65536) END FROM (SELECT ?::BIGINT AS y1v)",
+            [v],
+        ).fetchone()[0]
+        for v in battery
+    ]
+    sdf = spark.createDataFrame([(v,) for v in battery], "y1v long")
+    got = [
+        r.ys
+        for r in sdf.selectExpr("y1v", "shiftright(y1v, 16) AS ys")
+        .orderBy("y1v")
+        .collect()
+    ]
+    want = [d for _, d in sorted(zip(battery, duck))]
+    assert got == want
+    # and both equal the arithmetic-shift ground truth
+    assert got == [v >> 16 for v in sorted(battery)]
