@@ -221,51 +221,91 @@ def test_curation_pipeline_scans_corpus_once(spark):
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
 
 
+# The EXACT set of registered queries allowed to run bounded Spark
+# jobs at plan CONSTRUCTION (r10 verdict item 4 — the exemption list
+# is enumerated so a future localCheckpoint pin / eager count cannot
+# silently join it, and a removed pin leaves a stale entry that fails
+# the equality check below). Every entry is one of four documented
+# shapes, all bounded (iteration counts / aggregate sizes fixed by
+# construction, never O(corpus) result pulls to the driver):
+CONSTRUCTION_JOB_EXEMPT = frozenset(
+    # (a) iterative fixed-point algorithms — each iteration pins its
+    # frontier (localCheckpoint, eager under AQE) and/or checks
+    # convergence with a bounded count(); a single lazy plan cannot
+    # express data-dependent iteration. hierarchy_rollup additionally
+    # runs ancestor_rollup's default-on convergence guard (anti-join
+    # count at call time — correctness-over-laziness, graph.py).
+    [
+        "pagerank_docs", "pagerank_weighted", "ppr_docs",
+        "label_propagation", "dedup_clusters", "dedup_clusters_star",
+        "leakage_split", "canonical_source_pick", "soft_dedup_weights",
+        "ingestion_islands", "hierarchy_rollup",
+    ]
+    # (b) trained-model builds — Lloyd/BPE/doubling iterations whose
+    # per-round state (centroids / merge table / probe lengths) is
+    # pinned between rounds: the r9 _pq_train tradeoff (plan analysis
+    # no longer re-walks the HOF assign tree per iteration).
+    + [
+        "knn_pq", "knn_ivfpq", "knn_ivfpq_res", "pq_codes",
+        "ann_index_add", "ann_method_recall", "semdedup_ivf",
+        "semdedup_prune", "cluster_sample",
+        "bpe_merges", "bpe_merges_fixed", "bpe_encode",
+        "lrs_exact", "lrs_exact_fixed",
+    ]
+    # (c) shared-subtree barrier pins with measured wins (PERF.md):
+    # bm25's tf relation (4 consumers, r10), winnowing fingerprints,
+    # scrub cut-lists, and the composite pipelines built on them.
+    + [
+        "bm25_rank", "retrieval_metrics", "hybrid_retrieval",
+        "winnowing_pairs", "scrub_spans", "scrubbed_corpus",
+        "web_curation_pipeline", "quality_gate", "ngram_coverage",
+        "cosine_near_dups", "snm_pairs",
+    ]
+    # (d) two-phase builds — a small aggregate (quantile grid, vocab,
+    # mixture weights, batch spec, row count) is computed up front
+    # because the second phase's SHAPE depends on its values.
+    + [
+        "zipf_fit", "ppl_bucket_mixture", "curriculum_order",
+        "length_bias", "vocab_growth", "quantile_norm",
+        "epoch_shuffle", "length_bucket_batches",
+        "fetch_cascade", "writeback_incremental",
+    ]
+)
+
+
 def test_builders_run_no_action_at_construction(spark):
     """Plan construction must be action-free — no eager count(), no
     localCheckpoint (eager under AQE even with eager=False): at scale
     a construction-time action is an unrequested full corpus pass per
-    query build. Covers every builder that pins a subtree."""
-    from joblink_etl_spark.plans import ext_q as E
+    query build. Builds EVERY registered plan in its own job group and
+    asserts the set that ran construction-time jobs equals the
+    enumerated CONSTRUCTION_JOB_EXEMPT list exactly — both directions:
+    a new pin must be reviewed onto the list, and a retired pin must
+    be removed from it."""
+    from joblink_etl_spark.plans import registry
 
     sc = spark.sparkContext
-    group = "plan-build-lazy-check"
-    sc.setJobGroup(group, "assert no Spark job during plan construction")
-    try:
-        sf = "/root/testdata/sf0.001"
-        E.tfidf_pairs(spark, sf)
-        E.tfidf_top_terms_q(spark, sf)
-        E.minhash_pairs(spark, sf)
-        E.repeated_spans_q(spark, sf)
-        E.ngram_decontam(spark, sf)
-        E.chunk_documents_q(spark, sf)
-        E.curation_pipeline(spark, sf)
-        E.upsample_epochs_q(spark, sf)
-        E.audio_decode_q(spark, sf)
-        E.bloom_decontam_q(spark, sf)
-        # pq_codes_q / knn_pq_q / knn_ivfpq_q are EXEMPT since round
-        # 9: _pq_train's Lloyd iterations pin cents with lazy
-        # localCheckpoints (eager under AQE — bounded build-time
-        # jobs), the same documented tradeoff as semdedup_prune_q's
-        # r8 barrier (measured win: plan analysis no longer re-walks
-        # the HOF assign tree per iteration).
-        # graph.ancestor_rollup (hierarchy_rollup_q) is EXEMPT too:
-        # its default-on convergence guard runs a bounded anti-join
-        # count() at call time — a deliberate correctness-over-
-        # laziness choice (silent wrong roots past 2^rounds depth);
-        # callers that build-but-may-skip pass check_convergence=
-        # False, as its docstring prescribes.
-        E.kmeans_clusters_q(spark, sf)
-        E.cms_user_counts_q(spark, sf)
-        E.histogram_quantiles_q(spark, sf)
-        E.band_registry_q(spark, sf)
-        E.mv_incremental_q(spark, sf)
-        E.user_sequences_q(spark, sf)
-        E.hard_negatives_q(spark, sf)
-    finally:
-        for prop in ("spark.jobGroup.id", "spark.job.description", "spark.job.interruptOnCancel"):
-            sc.setLocalProperty(prop, None)
-    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    sf = "/root/testdata/sf0.001"
+    triggered = set()
+    for name, fn in registry.queries().items():
+        group = f"plan-build-lazy-check-{name}"
+        sc.setJobGroup(group, f"assert no Spark job building {name}")
+        try:
+            fn(spark, sf)
+        finally:
+            for prop in (
+                "spark.jobGroup.id",
+                "spark.job.description",
+                "spark.job.interruptOnCancel",
+            ):
+                sc.setLocalProperty(prop, None)
+        if list(sc.statusTracker().getJobIdsForGroup(group)):
+            triggered.add(name)
+        spark.catalog.clearCache()
+    unexpected = triggered - CONSTRUCTION_JOB_EXEMPT
+    stale = CONSTRUCTION_JOB_EXEMPT - triggered
+    assert not unexpected, f"new construction-time jobs (review + document): {sorted(unexpected)}"
+    assert not stale, f"stale exemptions (pin retired — remove): {sorted(stale)}"
 
 
 def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
