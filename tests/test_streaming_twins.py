@@ -231,6 +231,103 @@ def run_streaming_t_closeness_gate(spark, tmp):
     )
 
 
+def run_streaming_band_registry_gapped(spark, tmp):
+    """Non-contiguous-registry case (r10 verdict item 6): a bucket is
+    claimed in batch 1, IDLE through batch 2 (no row touches it), and
+    re-hit in batch 3 — the registry entry must survive a micro-batch
+    in which its key receives no data. A second doc's buckets are
+    claimed once and never re-hit (registry entries that stay
+    singletons), so the state map is sparse/gapped rather than densely
+    re-touched every batch like the base twin's corpus."""
+    from joblink_etl_spark.streaming.pipeline import (
+        band_registry_batch,
+        streaming_band_registry,
+    )
+
+    schema = "doc_id long, text string"
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "totally different words live in this document body",
+        "yet another unrelated fresh document text corpus",
+    ]
+    batches = [
+        [(1, texts[0]), (2, texts[1])],
+        [(11, texts[2])],                 # nothing touches doc-1/doc-2 buckets
+        [(21, texts[0]), (22, texts[1])],  # clones across the idle gap
+    ]
+    hist = write_batches(spark, f"{tmp}/in", schema, batches)
+    sink = drain(spark, f"{tmp}/in", schema, streaming_band_registry,
+                 f"{tmp}/out", f"{tmp}/ck")
+    cols = ["band", "bucket", "doc_id", "canonical_id", "is_first"]
+    return rows_set(sink, cols), rows_set(band_registry_batch(hist), cols)
+
+
+def run_streaming_line_registry_gapped(spark, tmp):
+    """Non-contiguous-counter case (r10 verdict item 6): the shared
+    line's distinct-doc counter crosses max_docs on the FIRST row of a
+    batch restored from state (counts 2 | gap | 3,4 with max_docs=2 —
+    the is_boiler flip happens exactly at a batch boundary), after an
+    idle batch in which the line's key receives no data. A
+    one-doc-only line pins singleton registry entries."""
+    from joblink_etl_spark.streaming.pipeline import (
+        line_registry_batch,
+        streaming_line_registry,
+    )
+
+    schema = "doc_id long, text string"
+    shared = lambda i: (i, "SHARED FOOTER\nunique body %d" % i)
+    batches = [
+        [shared(0), shared(1)],          # counter reaches 2 == max_docs
+        [(50, "totally private text")],  # idle batch for the shared line
+        [shared(100), shared(101)],      # 3, 4: boiler from restored state
+    ]
+    hist = write_batches(spark, f"{tmp}/in", schema, batches)
+    sink = drain(
+        spark, f"{tmp}/in", schema,
+        lambda s: streaming_line_registry(s, max_docs=2),
+        f"{tmp}/out", f"{tmp}/ck",
+    )
+    cols = ["line_h", "doc_id", "n_docs", "is_boiler"]
+    return rows_set(sink, cols), rows_set(
+        line_registry_batch(hist, max_docs=2), cols
+    )
+
+
+def run_streaming_k_anon_gate_gapped(spark, tmp):
+    """Non-contiguous-class case (r10 verdict item 6): class A's
+    members arrive in batches 1 and 3 only (state survives an idle
+    micro-batch and the k threshold is crossed from RESTORED count,
+    not within one batch); class B never reaches k (held forever);
+    class C jumps 0 → 4 inside a single micro-batch (threshold crossed
+    mid-batch from empty state). Event ids are sparse on purpose
+    (gaps of ~100) — class_n must count arrivals, not id arithmetic."""
+    from joblink_etl_spark.streaming.pipeline import (
+        k_anon_gate_batch,
+        streaming_k_anon_gate,
+    )
+
+    schema = "event_id long, zip string, age_band string"
+    batches = [
+        [(5, "A", "30-40"), (7, "A", "30-40"), (9, "B", "30-40")],
+        [(103, "C", "50-60"), (105, "C", "50-60"),
+         (107, "C", "50-60"), (109, "C", "50-60")],  # C: 0 -> 4 in one batch
+        [(201, "A", "30-40"), (203, "A", "30-40"), (205, "B", "30-40")],
+    ]
+    hist = write_batches(spark, f"{tmp}/in", schema, batches)
+    sink = drain(
+        spark, f"{tmp}/in", schema,
+        lambda s: streaming_k_anon_gate(s, ["zip", "age_band"], k=3),
+        f"{tmp}/out", f"{tmp}/ck",
+    )
+    cols = ["event_id", "zip", "age_band", "class_n", "releasable"]
+    got, want = rows_set(sink, cols), rows_set(
+        k_anon_gate_batch(hist, ["zip", "age_band"], k=3), cols
+    )
+    # the gapped corpus must actually exercise both verdicts
+    assert any(r[4] for r in want) and any(not r[4] for r in want)
+    return got, want
+
+
 def run_streaming_source_gate(spark, tmp):
     from joblink_etl_spark.operators.curate import source_suppression
     from joblink_etl_spark.streaming.pipeline import streaming_source_gate
@@ -615,8 +712,11 @@ TWINS = {
     "throttled_links": run_throttled_links,
     "streaming_enqueue": run_streaming_enqueue,
     "streaming_band_registry": run_streaming_band_registry,
+    "streaming_band_registry_gapped": run_streaming_band_registry_gapped,
     "streaming_line_registry": run_streaming_line_registry,
+    "streaming_line_registry_gapped": run_streaming_line_registry_gapped,
     "streaming_k_anon_gate": run_streaming_k_anon_gate,
+    "streaming_k_anon_gate_gapped": run_streaming_k_anon_gate_gapped,
     "streaming_t_closeness_gate": run_streaming_t_closeness_gate,
     "streaming_source_gate": run_streaming_source_gate,
     "streaming_blocklist_gate": run_streaming_blocklist_gate,
