@@ -119,16 +119,8 @@ def main() -> None:
 
     # in-run burst re-probe pass (before canary_post, so the canary
     # still bounds the full run end); worst offenders first under the cap
-    flagged = [
-        n
-        for n in names
-        if n in prior
-        and timings[n] > REPROBE_RATIO * prior[n]
-        and timings[n] - prior[n] > REPROBE_MIN_GAP_SEC
-    ]
-    flagged.sort(key=lambda n: -(timings[n] / max(prior[n], 1e-9)))
     reprobes: dict[str, dict[str, float]] = {}
-    for name in flagged[:REPROBE_MAX]:
+    for name in select_reprobes(timings, prior):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         reprobes[name] = {
@@ -143,6 +135,22 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     print(format_output(timings, sf, detail_path, canary=(canary_pre, canary_post), reprobes=reprobes))
+
+
+def select_reprobes(timings: dict[str, float], prior: dict[str, float]) -> list[str]:
+    """Queries whose in-run time exceeds REPROBE_RATIO x the
+    trailing-round time AND by more than REPROBE_MIN_GAP_SEC (so
+    0.1 s -> 0.25 s noise never flags), worst relative offenders
+    first, capped at REPROBE_MAX."""
+    flagged = [
+        n
+        for n, sec in timings.items()
+        if n in prior
+        and sec > REPROBE_RATIO * prior[n]
+        and sec - prior[n] > REPROBE_MIN_GAP_SEC
+    ]
+    flagged.sort(key=lambda n: -(timings[n] / max(prior[n], 1e-9)))
+    return flagged[:REPROBE_MAX]
 
 
 def format_output(

@@ -526,3 +526,41 @@ def test_packing_contamination_invariants(spark):
     # the giant doc spans ≥ 3 windows → at least 2 split flags beyond
     # the small-doc straddles
     assert sum(r["n_splits"] for r in out) >= 2
+
+
+def test_bench_reprobe_selection_and_output(tmp_path):
+    """The in-run burst guard (r10 verdict item 2) must flag exactly
+    the >2x-and->0.5s-gap outliers vs the trailing round, worst first,
+    capped — and the detail file must carry both numbers plus a
+    burst-free adjusted total next to the raw one."""
+    import json
+
+    import bench
+
+    prior = {"a": 1.0, "b": 4.0, "c": 0.1, "d": 2.0, "e": 3.0}
+    timings = {
+        "a": 2.6,   # 2.6x and +1.6s -> flagged
+        "b": 9.0,   # 2.25x and +5s  -> flagged
+        "c": 0.25,  # 2.5x but gap 0.15s < 0.5 -> NOT flagged (noise)
+        "d": 3.9,   # 1.95x -> NOT flagged (under ratio)
+        "e": 3.1,   # ~1x -> NOT flagged
+        "new": 9.9,  # no trailing-round entry -> cannot flag
+    }
+    sel = bench.select_reprobes(timings, prior)
+    assert sel == ["a", "b"]  # 2.6x before 2.25x
+    # cap honored
+    many = {f"q{i}": 10.0 for i in range(bench.REPROBE_MAX + 5)}
+    assert len(bench.select_reprobes(many, {k: 1.0 for k in many})) == bench.REPROBE_MAX
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    reprobes = {"b": {"in_run": 9.0, "reprobe": 4.2, "prior": 4.0}}
+    line = bench.format_output(timings, 0.1, str(detail), reprobes=reprobes)
+    parsed = json.loads(line)
+    assert parsed["n_reprobed"] == 1
+    # adjusted total substitutes best-of(in_run, reprobe) for b only
+    assert parsed["reprobe_adjusted_total"] == round(
+        sum(timings.values()) - 9.0 + 4.2, 3
+    )
+    full = json.loads(detail.read_text())
+    assert full["reprobes"] == reprobes
+    assert full["queries"] == timings  # raw in-run map stays authoritative
