@@ -119,6 +119,10 @@ FAMILIES = {
     "simhashpairs": "simhash_pairs",
     # round-8 batch-10 family
     "bandsweep": "minhash_band_sweep",
+    # round-11 x100 additions: the other capped-index ANN spellings,
+    # so the x100 ANN table covers the whole linear-path family
+    "annres": "knn_ivfpq_res",
+    "annpq": "knn_pq",
     # round-9 families
     "tcloseness": "t_closeness",
     "llmboundary": "llm_json_extract",
