@@ -564,3 +564,27 @@ def test_bench_reprobe_selection_and_output(tmp_path):
     full = json.loads(detail.read_text())
     assert full["reprobes"] == reprobes
     assert full["queries"] == timings  # raw in-run map stays authoritative
+
+
+def test_bench_prior_reads_committed_detail():
+    """The re-probe guard's trailing-round reference must come from
+    the COMMITTED BENCH_DETAIL.json (git show HEAD:...), not the
+    working-tree file bench itself overwrites every run — otherwise
+    the second attempt of a multi-attempt session compares against
+    the first attempt instead of the last round's artifact."""
+    import json
+    import subprocess
+
+    import bench
+
+    prior = bench.load_prior("/root/repo/BENCH_DETAIL.json")
+    committed = json.loads(
+        subprocess.run(
+            ["git", "show", "HEAD:BENCH_DETAIL.json"],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+        ).stdout
+    )["queries"]
+    assert prior == committed
+    assert len(prior) > 200
