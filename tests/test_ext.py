@@ -725,6 +725,32 @@ def test_bm25_ranks_relevant_and_normalizes_length(spark):
     assert by_id[1]["shared_terms"] == 3
 
 
+def test_bm25_unpinned_path_matches_pinned(spark):
+    """pin_tf=False (the lineage-recoverable spelling recommended for
+    the 100 TB design point — tfidf.py docstring) must produce rows
+    IDENTICAL to the default pinned path: the pin is purely a
+    materialization barrier, never a semantics change. Small-SF parity
+    on the real documents table (ADVICE r11 — the opt-out path had no
+    test)."""
+    from joblink_etl_spark.operators.tfidf import bm25_rank
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    q = docs.filter(F.col("doc_id") % 97 == 0).limit(3)
+    cols = ["query_id", "doc_id", "rank", "score_q", "shared_terms"]
+    pinned = sorted(
+        tuple(r) for r in bm25_rank(docs, q, k=5).select(*cols).collect()
+    )
+    unpinned = sorted(
+        tuple(r) for r in bm25_rank(docs, q, k=5, pin_tf=False).select(*cols).collect()
+    )
+    assert pinned == unpinned
+    assert len(pinned) > 0
+
+
 def test_rrf_fusion_prefers_cross_system_agreement(spark):
     from joblink_etl_spark.operators.similarity import rrf_fuse
 

@@ -304,8 +304,22 @@ def test_builders_run_no_action_at_construction(spark):
         spark.catalog.clearCache()
     unexpected = triggered - CONSTRUCTION_JOB_EXEMPT
     stale = CONSTRUCTION_JOB_EXEMPT - triggered
-    assert not unexpected, f"new construction-time jobs (review + document): {sorted(unexpected)}"
-    assert not stale, f"stale exemptions (pin retired — remove): {sorted(stale)}"
+    assert not unexpected, (
+        "new construction-time jobs (review + document): "
+        f"{sorted(unexpected)}. NOTE: this check is environment-"
+        "sensitive — an incidental construction-time job on a "
+        "different host/Spark conf (schema inference, AQE/broadcast "
+        "prep) can flip a query into 'triggered' with no repo change; "
+        "confirm on the reference container before treating as a "
+        "regression."
+    )
+    assert not stale, (
+        f"stale exemptions: {sorted(stale)}. Either the pin was "
+        "retired (remove the entry) OR this host/Spark conf simply "
+        "didn't fire the job that the reference container does "
+        "(environment-sensitive — see docstring); verify which before "
+        "editing the list."
+    )
 
 
 def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):

@@ -554,37 +554,90 @@ def test_bench_reprobe_selection_and_output(tmp_path):
 
     detail = tmp_path / "BENCH_DETAIL.json"
     reprobes = {"b": {"in_run": 9.0, "reprobe": 4.2, "prior": 4.0}}
-    line = bench.format_output(timings, 0.1, str(detail), reprobes=reprobes)
+    line = bench.format_output(
+        timings, 0.1, str(detail), reprobes=reprobes, baseline_source="committed"
+    )
     parsed = json.loads(line)
     assert parsed["n_reprobed"] == 1
+    assert parsed["baseline_source"] == "committed"
     # adjusted total substitutes best-of(in_run, reprobe) for b only
     assert parsed["reprobe_adjusted_total"] == round(
         sum(timings.values()) - 9.0 + 4.2, 3
     )
     full = json.loads(detail.read_text())
     assert full["reprobes"] == reprobes
-    assert full["queries"] == timings  # raw in-run map stays authoritative
+    # the PERSISTED map (next round's guard baseline) carries the
+    # adjudicated min(in_run, reprobe) for re-probed queries — NOT the
+    # inflated burst, which would ratchet the baseline upward so a
+    # future real regression to the burst level never flags (VERDICT
+    # r11 "What's wrong" #1: scene_cuts committed at 2.096 s with a
+    # 0.727 s re-probe on record).
+    assert full["queries"]["b"] == 4.2
+    assert {k: v for k, v in full["queries"].items() if k != "b"} == {
+        k: v for k, v in timings.items() if k != "b"
+    }
+    # the headline value stays the raw in-run total (cross-round comparable)
+    assert parsed["value"] == round(sum(timings.values()), 3)
 
 
-def test_bench_prior_reads_committed_detail():
+def test_bench_prior_reads_committed_detail(tmp_path):
     """The re-probe guard's trailing-round reference must come from
-    the COMMITTED BENCH_DETAIL.json (git show HEAD:...), not the
+    the COMMITTED BENCH_DETAIL.json (git show HEAD:./...), not the
     working-tree file bench itself overwrites every run — otherwise
     the second attempt of a multi-attempt session compares against
-    the first attempt instead of the last round's artifact."""
+    the first attempt instead of the last round's artifact.
+
+    Hardened per ADVICE r11: repo path derived from bench.__file__
+    (not hardcoded), skip with a clear message when there is no
+    committed blob (sdist / CI without git history), and prove the
+    committed source is actually PREFERRED by dirtying the
+    working-tree file and checking load_prior ignores it.
+    """
     import json
+    import os
     import subprocess
 
     import bench
+    import pytest
 
-    prior = bench.load_prior("/root/repo/BENCH_DETAIL.json")
-    committed = json.loads(
-        subprocess.run(
-            ["git", "show", "HEAD:BENCH_DETAIL.json"],
-            cwd="/root/repo",
-            capture_output=True,
-            text=True,
-        ).stdout
-    )["queries"]
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    blob = subprocess.run(
+        ["git", "show", "HEAD:./BENCH_DETAIL.json"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+    )
+    if blob.returncode != 0:
+        pytest.skip("no committed BENCH_DETAIL.json (not a git checkout)")
+    committed = json.loads(blob.stdout)["queries"]
+
+    prior, source = bench.load_prior(detail_path)
+    assert source == "committed"
     assert prior == committed
     assert len(prior) > 200
+
+    # prove preference: a dirtied working-tree file must NOT leak into
+    # the prior (restore in finally so the repo state is untouched)
+    original = open(detail_path, "rb").read() if os.path.exists(detail_path) else None
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({"queries": {"sentinel_not_committed": 99.9}}, f)
+        dirtied, src2 = bench.load_prior(detail_path)
+        assert src2 == "committed"
+        assert "sentinel_not_committed" not in dirtied
+        assert dirtied == committed
+    finally:
+        if original is None:
+            os.unlink(detail_path)
+        else:
+            with open(detail_path, "wb") as f:
+                f.write(original)
+
+    # outside a checkout: fall back to working-tree with a LOUD source tag
+    other = tmp_path / "BENCH_DETAIL.json"
+    other.write_text(json.dumps({"queries": {"wt": 1.0}}))
+    wt, src3 = bench.load_prior(str(other))
+    assert (wt, src3) == ({"wt": 1.0}, "working-tree")
+    missing, src4 = bench.load_prior(str(tmp_path / "absent.json"))
+    assert (missing, src4) == ({}, "none")
