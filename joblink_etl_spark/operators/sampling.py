@@ -688,6 +688,7 @@ def cluster_balanced_sample(
     id_col: str = "vec_id",
     cell_col: str = "cluster_id",
     salt: str = "cbs",
+    pin_assign: bool = True,
 ) -> DataFrame:
     """Cluster-balanced (diversity-preserving) subsampling: draw a
     row budget spread max-min-fairly across embedding clusters — the
@@ -718,7 +719,17 @@ def cluster_balanced_sample(
     # projection first so the checkpoint stores two columns, not the
     # caller's whole relation; eager=False keeps construction
     # action-free.
-    assigned = assigned.select(id_col, cell_col).localCheckpoint(eager=False)
+    # TRADEOFF (pin census): the projection is still CORPUS-SCALE
+    # (one narrow row per input row) — localCheckpoint severs lineage
+    # (executor loss after the pin fails the job) and the blocks must
+    # fit executor-local storage. At the 100 TB design point pass
+    # pin_assign=False (recompute-per-branch, lineage-recoverable) or
+    # persist the assignment to a reliable store; the pin is the
+    # right default for single-node / modest-corpus use (same
+    # contract as bm25_rank's pin_tf).
+    assigned = assigned.select(id_col, cell_col)
+    if pin_assign:
+        assigned = assigned.localCheckpoint(eager=False)
 
     quotas = waterfill_allocation(
         assigned.select(F.col(cell_col).alias("grp")), "grp", budget

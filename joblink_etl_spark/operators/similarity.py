@@ -1300,6 +1300,7 @@ def semdedup(
     eps_den: int = 100,
     cell_target: int | None = None,
     coarse_stride: int | None = None,
+    pin_assign: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     clustering embeddings, then pruning within-cluster near-
@@ -1369,11 +1370,19 @@ def semdedup(
     # plus the final keep/prune join — without the barrier the whole
     # quantize+Lloyd+assign chain re-executes up to 3x per action
     # (measured ~2.5x wall-clock on the bench tail).
-    with_c = (
-        codes.join(clusters, id_col)
-        .withColumn("_n2", sq(F.col("q_codes")))
-        .localCheckpoint(eager=False)
-    )
+    # TRADEOFF (pin census): with_c is CORPUS-SCALE (one row per
+    # vector: id, codes, cluster, norm) — a localCheckpoint
+    # materializes it to executor-local blocks and severs lineage, so
+    # an executor loss after the pin fails the job instead of
+    # recomputing, and the blocks must fit local storage. At the
+    # 100 TB design point pass pin_assign=False (recompute-per-
+    # consumer, fully lineage-recoverable) or persist the assignment
+    # to a reliable store between stages; the pin is the right
+    # default for single-node / modest-corpus use (same contract as
+    # bm25_rank's pin_tf).
+    with_c = codes.join(clusters, id_col).withColumn("_n2", sq(F.col("q_codes")))
+    if pin_assign:
+        with_c = with_c.localCheckpoint(eager=False)
     a = with_c.select(
         "cluster_id",
         F.col(id_col).alias("_ida"),

@@ -3823,12 +3823,21 @@ FROM spans s JOIN newc n ON n.id = s.id
 # ---------------------------------------------------------------------------
 
 
-def scrubbed_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scrubbed_corpus_q(
+    spark: SparkSession, sf_dir: str, pin_clean: bool = True
+) -> DataFrame:
     """The scrub pass composed INTO corpus prep: language+quality
     gates → exact-dedup canonicalization → benchmark decontamination
     → cross-doc repeated-span scrub → post-scrub token accounting,
     one logical plan end-to-end. Output per surviving doc:
-    (doc_id, n_spans_cut, chars_cut, n_tokens_after)."""
+    (doc_id, n_spans_cut, chars_cut, n_tokens_after).
+
+    ``pin_clean`` (default True) localCheckpoints the decontaminated
+    (doc_id, text) relation — CORPUS-SCALE, so the pin severs lineage
+    and must fit executor-local storage; at the 100 TB design point
+    pass pin_clean=False (recompute-per-reference, lineage-
+    recoverable) or persist the clean corpus to a reliable store
+    between stages (same contract as bm25_rank's pin_tf)."""
     from pyspark.sql.window import Window
 
     from ..operators.decontam import ngram_overlap
@@ -3856,8 +3865,9 @@ def scrubbed_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_overlap(canon, bench, n=3, carry=("text",))
         .filter(~F.col("contaminated"))
         .select("doc_id", "text")
-        .localCheckpoint(eager=False)
     )
+    if pin_clean:
+        clean = clean.localCheckpoint(eager=False)
     scrubbed = scrub_repeated_spans(clean, k=20, min_docs=2)
     return scrubbed.select(
         "doc_id",
