@@ -1,39 +1,44 @@
 """Registers every query plan with the registry.
 
 ORDERING MATTERS: the driver's correctness gate checks the first 50
-registered queries. Rotation policy (rounds 3→10): queries holding a
-green driver streak cede their slots — the streak is the durable
-record — to queries that have never had a driver row, then to the
-OLDEST single-streak holders (re-streaks); ceded queries remain fully
-checked by tools/oracle_check.py (Arrow-dtype-sensitive since round
-6) + pytest every round. Rotate at ROUND START only.
+registered queries. STANDING ROTATION POLICY (steady state as of
+round 12 — the r03→r11 burn-down of never-checked and oldest
+single-streak queries is complete, every query has >=1 driver green):
+at ROUND START the window becomes the 50 queries whose LATEST driver
+green is OLDEST, ties broken by their order inside that prior window;
+everything else cedes its slot. With 252 registered queries and a
+50-slot window this guarantees a staleness bound of
+ceil(252/50) = 6 rounds — no query's latest driver-green row is ever
+older than 6 rounds, checkable from the CORRECTNESS_r*.json series.
+Ceded queries remain fully checked every round by
+tools/oracle_check.py (Arrow-dtype-sensitive since round 6) + pytest.
+Rotate at ROUND START only, and bank full-registry sweeps at sf0.01
+AND sf0.1 in the rotation commit so the rotation itself is proven
+harmless.
 
-Round-11 window (50) — re-streak burn-down completes (r10 verdict
-item 1), all 50 slots are re-streaks:
-  * the 6 remaining r08-window greens in r08 order
-    (dedup_ttl_decay → bpe_encode_fixed) — the r11 queue head the
-    r10 rotation pre-committed;
-  * the 44 oldest r09-window greens in their r09 window order
-    (engagement_ratios → llm_json_extract).
-After this window lands green: oldest-single-streak set shrinks by
-50 → steady state; r12 queue = the 6 remaining r09-window greens
-(t_closeness → shiplag_priority_counts) + the 6 round-10 additions
-(product_type_profit → lrs_exact_fixed) = 12 single-streak holders,
-well inside one window.
+Round-12 window (50) — first steady-state window, oldest-first:
+  * the 6 remaining r09-window greens (latest green r09, the oldest
+    cohort), in r09 order: t_closeness -> shiplag_priority_counts;
+  * the 6 round-10 additions (single r10 streak), in r10 order:
+    product_type_profit -> lrs_exact_fixed;
+  * the 38 oldest r10-window re-streaks (r08+r10 double streaks), in
+    r10 window order: jl_project -> top_revenue_supplier.
+r13 queue head = the 6 remaining r10-window re-streaks (chunk_salvage
+-> shard_manifest), then the r11 window's 50 (latest green r11) in
+r11 order — i.e. r13's window is those 6 + the first 44 of the r11
+window, mechanically derivable from this policy.
 
-Round-10 window (50) — historical: re-streak burn-down part 1
-(6 additions — the classic-TPC-H five + lrs_exact_fixed — + the 44
-oldest r08 re-streaks); landed 50/50 triple-green in
-CORRECTNESS_r10, bringing never-driver-checked to 0. Round-9 and
-earlier window history lives in the git history of this docstring.
+Round-11 window (50) — historical: re-streak burn-down completed
+(6 r08 leftovers + 44 oldest r09 re-streaks); landed 50/50
+triple-green in CORRECTNESS_r11. Round-10 and earlier window history
+lives in the git history of this docstring.
 
 Registry total 252 (249 with SQL oracles; bpe_merges / bpe_encode /
 lrs_exact rows-only by design, each fixture/twin-covered —
 lrs_exact's algorithm has a hash-exact driver row via
-lrs_exact_fixed). Round-11 pre-rotation sweeps: full registry green
+lrs_exact_fixed). Round-12 pre-rotation sweeps: full registry green
 at sf0.01 AND sf0.1 (banked in the rotation commit).
 """
-
 from __future__ import annotations
 
 from . import relational as R
@@ -47,15 +52,81 @@ from . import graph_q as GQ  # noqa: E402
 from . import maint_q as MQ  # noqa: E402
 from . import select_q as SQ  # noqa: E402
 
-# === ROUND-11 WINDOW (50): 6 r08 leftovers + 44 oldest r09 re-streaks ==
-# --- re-streaks: the 6 remaining r08-window greens (r08 order) --------
+# === ROUND-12 WINDOW (50): steady state — the 50 oldest-verified ======
+# --- the 6 remaining r09-window greens (r09 order) --------------------
+register("t_closeness", E.t_closeness_q, E.T_CLOSENESS_SQL)
+register("forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL)
+register("late_order_priority", R.late_order_priority, R.LATE_ORDER_PRIORITY_SQL)
+register("nation_market_share", R.nation_market_share, R.NATION_MARKET_SHARE_SQL)
+register("returned_item_report", R.returned_item_report, R.RETURNED_ITEM_REPORT_SQL)
+register("shiplag_priority_counts", R.shiplag_priority_counts, R.SHIPLAG_PRIORITY_COUNTS_SQL)
+# --- the 6 round-10 additions (r10 order, single r10 streak each) -----
+register("product_type_profit", R.product_type_profit, R.PRODUCT_TYPE_PROFIT_SQL)
+register("important_stock", R.important_stock, R.IMPORTANT_STOCK_SQL)
+register(
+    "customer_order_distribution",
+    R.customer_order_distribution,
+    R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+)
+register("supplier_part_variety", R.supplier_part_variety, R.SUPPLIER_PART_VARIETY_SQL)
+register("promo_stock_suppliers", R.promo_stock_suppliers, R.PROMO_STOCK_SUPPLIERS_SQL)
+register("lrs_exact_fixed", E.lrs_exact_fixed_q, E.LRS_EXACT_FIXED_SQL)
+# --- the 38 oldest r10-window re-streaks (r10 window order) -----------
+register("jl_project", SQ.jl_project_q, SQ.JL_PROJECT_SQL)
+register("line_dedup", E.line_dedup, E.LINE_DEDUP_SQL)
+register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
+register("semantic_decontam", E.semantic_decontam, E.SEMANTIC_DECONTAM_SQL)
+register("incremental_line_dedup", E.incremental_line_dedup_q, E.INCREMENTAL_LINE_DEDUP_SQL)
+register("line_registry", E.line_registry_q, E.LINE_REGISTRY_SQL)
+register("encoding_report", E.encoding_report, E.ENCODING_REPORT_SQL)
+register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)
+register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
+register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)
+register("curriculum_order", SQ.curriculum_order_q, SQ.CURRICULUM_ORDER_SQL)
+register("web_curation_pipeline", E.web_curation_pipeline, E.WEB_CURATION_PIPELINE_SQL)
+register("mixture_epochs", SQ.mixture_epochs_q, SQ.MIXTURE_EPOCHS_SQL)
+register("doremi_weights", SQ.doremi_weights_q, SQ.DOREMI_WEIGHTS_SQL)
+register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)
+register("corpus_drift", SQ.corpus_drift_q, SQ.CORPUS_DRIFT_SQL)
+register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
+register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)
+register("sft_render", SQ.sft_render_q, SQ.SFT_RENDER_SQL)
+register("packing_contamination", E.packing_contamination_q, E.PACKING_CONTAMINATION_SQL)
+register("normalized_dedup", E.normalized_dedup_q, E.NORMALIZED_DEDUP_SQL)
+register("math_code_routing", E.math_code_routing_q, E.MATH_CODE_ROUTING_SQL)
+register("k_anonymity", E.k_anonymity_q, E.K_ANONYMITY_SQL)
+register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)
+register("retrieval_metrics", E.retrieval_metrics_q, E.RETRIEVAL_METRICS_SQL)
+register("waterfill_alloc", E.waterfill_alloc_q, E.WATERFILL_ALLOC_SQL)
+register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)
+register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)
+register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)
+register("source_gate", E.source_gate_q, E.SOURCE_GATE_SQL)
+register("ngram_diversity", E.ngram_diversity_q, E.NGRAM_DIVERSITY_SQL)
+register("cluster_sample", SQ.cluster_sample_q, SQ.CLUSTER_SAMPLE_SQL)
+register("preference_cycles", SQ.preference_cycles_q, SQ.PREFERENCE_CYCLES_SQL)
+register("pii_source_report", E.pii_source_report_q, E.PII_SOURCE_REPORT_SQL)
+register("small_quantity_revenue", R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL)
+register("sole_returned_supplier", R.sole_returned_supplier, R.SOLE_RETURNED_SUPPLIER_SQL)
+register("embedding_drift", E.embedding_drift_q, E.EMBEDDING_DRIFT_SQL)
+register("top_revenue_supplier", R.top_revenue_supplier, R.TOP_REVENUE_SUPPLIER_SQL)
+# === END ROUND-12 WINDOW (slot 50 = top_revenue_supplier) =============
+# --- r13 queue head: the 6 remaining r10-window re-streaks ------------
+register("chunk_salvage", E.chunk_salvage_q, E.CHUNK_SALVAGE_SQL)
+register("grouped_priority_sample", SQ.grouped_priority_sample_q, SQ.GROUPED_PRIORITY_SAMPLE_SQL)
+register("triangle_docs", GQ.triangle_docs_q, GQ.TRIANGLE_DOCS_SQL)
+register("regex_token_report", E.regex_token_report_q, E.REGEX_TOKEN_REPORT_SQL)
+register("patch_grid", E.patch_grid_q, E.PATCH_GRID_SQL)
+register("shard_manifest", E.shard_manifest_q, E.SHARD_MANIFEST_SQL)
+# --- ceded: the round-11 window (50/50 triple-green in
+# --- CORRECTNESS_r11, latest green r11) — completes the r13 window
+# --- after the six above, then heads the r14 queue --------------------
 register("dedup_ttl_decay", E.dedup_ttl_decay_q, E.DEDUP_TTL_DECAY_SQL)
 register("rejection_reasons", E.rejection_reasons_q, E.REJECTION_REASONS_SQL)
 register("events_pit_join", EV.events_pit_join, EV.EVENTS_PIT_JOIN_SQL)
 register("merged_quantiles", EV.merged_quantiles, EV.MERGED_QUANTILES_SQL)
 register("ab_test_report", EV.ab_test_report, EV.AB_TEST_REPORT_SQL)
 register("bpe_encode_fixed", E.bpe_encode_fixed_q, E.BPE_ENCODE_FIXED_SQL)
-# --- re-streaks: the 44 oldest r09-window greens (r09 order) ----------
 register("engagement_ratios", EV.engagement_ratios, EV.ENGAGEMENT_RATIOS_SQL)
 register("frequent_pairs", EV.frequent_pairs, EV.FREQUENT_PAIRS_SQL)
 register("ingestion_islands", EV.ingestion_islands, EV.INGESTION_ISLANDS_SQL)
@@ -100,74 +171,6 @@ register("retention_cohorts", E.retention_cohorts_q, E.RETENTION_COHORTS_SQL)
 register("feature_bins", E.feature_bins_q, E.FEATURE_BINS_SQL)
 register("bpe_merges_fixed", E.bpe_merges_fixed_q, E.BPE_MERGES_FIXED_SQL)
 register("llm_json_extract", S.llm_json_extract, S.LLM_JSON_EXTRACT_SQL)
-# === END ROUND-11 WINDOW (slot 50 = llm_json_extract) =================
-# --- r12 queue head: the 6 remaining r09-window greens, then the 6
-# --- round-10 additions (each holds a single r10 streak) --------------
-register("t_closeness", E.t_closeness_q, E.T_CLOSENESS_SQL)
-register("forecast_revenue", R.forecast_revenue, R.FORECAST_REVENUE_SQL)
-register("late_order_priority", R.late_order_priority, R.LATE_ORDER_PRIORITY_SQL)
-register("nation_market_share", R.nation_market_share, R.NATION_MARKET_SHARE_SQL)
-register("returned_item_report", R.returned_item_report, R.RETURNED_ITEM_REPORT_SQL)
-register("shiplag_priority_counts", R.shiplag_priority_counts, R.SHIPLAG_PRIORITY_COUNTS_SQL)
-# --- ceded: the round-10 window (50/50 triple-green in
-# --- CORRECTNESS_r10). Its first 6 entries (product_type_profit →
-# --- lrs_exact_fixed, the r10 additions, single r10 streak each)
-# --- complete the r12 queue after the six r09 leftovers above; the
-# --- 44 r08 re-streaks that follow hold double streaks (r08 + r10) ----
-register("product_type_profit", R.product_type_profit, R.PRODUCT_TYPE_PROFIT_SQL)
-register("important_stock", R.important_stock, R.IMPORTANT_STOCK_SQL)
-register(
-    "customer_order_distribution",
-    R.customer_order_distribution,
-    R.CUSTOMER_ORDER_DISTRIBUTION_SQL,
-)
-register("supplier_part_variety", R.supplier_part_variety, R.SUPPLIER_PART_VARIETY_SQL)
-register("promo_stock_suppliers", R.promo_stock_suppliers, R.PROMO_STOCK_SUPPLIERS_SQL)
-register("lrs_exact_fixed", E.lrs_exact_fixed_q, E.LRS_EXACT_FIXED_SQL)
-register("jl_project", SQ.jl_project_q, SQ.JL_PROJECT_SQL)
-register("line_dedup", E.line_dedup, E.LINE_DEDUP_SQL)
-register("gopher_quality", E.gopher_quality, E.GOPHER_QUALITY_SQL)
-register("semantic_decontam", E.semantic_decontam, E.SEMANTIC_DECONTAM_SQL)
-register("incremental_line_dedup", E.incremental_line_dedup_q, E.INCREMENTAL_LINE_DEDUP_SQL)
-register("line_registry", E.line_registry_q, E.LINE_REGISTRY_SQL)
-register("encoding_report", E.encoding_report, E.ENCODING_REPORT_SQL)
-register("gopher_funnel", E.gopher_funnel, E.GOPHER_FUNNEL_SQL)
-register("fertility_by_lang", E.fertility_by_lang, E.FERTILITY_BY_LANG_SQL)
-register("preference_pairs", E.preference_pairs_q, E.PREFERENCE_PAIRS_SQL)
-register("curriculum_order", SQ.curriculum_order_q, SQ.CURRICULUM_ORDER_SQL)
-register("web_curation_pipeline", E.web_curation_pipeline, E.WEB_CURATION_PIPELINE_SQL)
-register("mixture_epochs", SQ.mixture_epochs_q, SQ.MIXTURE_EPOCHS_SQL)
-register("doremi_weights", SQ.doremi_weights_q, SQ.DOREMI_WEIGHTS_SQL)
-register("length_bias", SQ.length_bias_q, SQ.LENGTH_BIAS_SQL)
-register("corpus_drift", SQ.corpus_drift_q, SQ.CORPUS_DRIFT_SQL)
-register("vocab_growth", SQ.vocab_growth_q, SQ.VOCAB_GROWTH_SQL)
-register("template_dedup", E.template_dedup_q, E.TEMPLATE_DEDUP_SQL)
-register("sft_render", SQ.sft_render_q, SQ.SFT_RENDER_SQL)
-register("packing_contamination", E.packing_contamination_q, E.PACKING_CONTAMINATION_SQL)
-register("normalized_dedup", E.normalized_dedup_q, E.NORMALIZED_DEDUP_SQL)
-register("math_code_routing", E.math_code_routing_q, E.MATH_CODE_ROUTING_SQL)
-register("k_anonymity", E.k_anonymity_q, E.K_ANONYMITY_SQL)
-register("blocklist_filter", E.blocklist_filter_q, E.BLOCKLIST_FILTER_SQL)
-register("retrieval_metrics", E.retrieval_metrics_q, E.RETRIEVAL_METRICS_SQL)
-register("waterfill_alloc", E.waterfill_alloc_q, E.WATERFILL_ALLOC_SQL)
-register("quantile_norm", E.quantile_norm_q, E.QUANTILE_NORM_SQL)
-register("k_anon_gate", E.k_anon_gate_q, E.K_ANON_GATE_SQL)
-register("containment_pairs", E.containment_pairs_q, E.CONTAINMENT_PAIRS_SQL)
-register("source_gate", E.source_gate_q, E.SOURCE_GATE_SQL)
-register("ngram_diversity", E.ngram_diversity_q, E.NGRAM_DIVERSITY_SQL)
-register("cluster_sample", SQ.cluster_sample_q, SQ.CLUSTER_SAMPLE_SQL)
-register("preference_cycles", SQ.preference_cycles_q, SQ.PREFERENCE_CYCLES_SQL)
-register("pii_source_report", E.pii_source_report_q, E.PII_SOURCE_REPORT_SQL)
-register("small_quantity_revenue", R.small_quantity_revenue, R.SMALL_QUANTITY_REVENUE_SQL)
-register("sole_returned_supplier", R.sole_returned_supplier, R.SOLE_RETURNED_SUPPLIER_SQL)
-register("embedding_drift", E.embedding_drift_q, E.EMBEDDING_DRIFT_SQL)
-register("top_revenue_supplier", R.top_revenue_supplier, R.TOP_REVENUE_SUPPLIER_SQL)
-register("chunk_salvage", E.chunk_salvage_q, E.CHUNK_SALVAGE_SQL)
-register("grouped_priority_sample", SQ.grouped_priority_sample_q, SQ.GROUPED_PRIORITY_SAMPLE_SQL)
-register("triangle_docs", GQ.triangle_docs_q, GQ.TRIANGLE_DOCS_SQL)
-register("regex_token_report", E.regex_token_report_q, E.REGEX_TOKEN_REPORT_SQL)
-register("patch_grid", E.patch_grid_q, E.PATCH_GRID_SQL)
-register("shard_manifest", E.shard_manifest_q, E.SHARD_MANIFEST_SQL)
 # --- ceded: the full r09-and-earlier streak holders; every query
 # --- below stays in the per-round full oracle sweep -------------------
 register("session_windows", EV.session_windows, EV.SESSION_WINDOWS_SQL)
