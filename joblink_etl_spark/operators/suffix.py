@@ -169,7 +169,16 @@ def incremental_repeat_spans(
     """
     idx = _gram_hashes(index_docs, k, text_col, id_col).select("g").distinct()
     ng = _gram_hashes(new_docs, k, text_col, id_col)
-    hits = ng.join(idx, "g", "left_semi")
+    # The index gram set is CORPUS-SCALE by construction — explicitly
+    # forbid broadcasting it (merge hint → spill-safe sort-merge semi
+    # join on the gram hash). Without the hint Catalyst's size
+    # estimate through the explode+md5+distinct chain is a guess; at
+    # the x100 probe it picked BroadcastExchange on the index side
+    # and aborted collecting a >1 GiB hashed relation — exactly the
+    # misestimated-broadcast failure a 1000-executor run would hit.
+    # The new-batch side stays whatever the planner likes (it is
+    # O(new), small in the daily-crawl shape).
+    hits = ng.join(idx.hint("merge"), "g", "left_semi")
     return _runs_to_spans(hits, new_docs, k, text_col, id_col)
 
 

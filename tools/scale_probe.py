@@ -9,7 +9,20 @@ This synthetic corpus exists ONLY to measure the growth exponent of
 each family's plan (is it ~linear as designed, or super-linear?);
 all correctness checks stay on the driver-generated testdata.
 
-Usage: python tools/scale_probe.py [replication]
+Usage: python tools/scale_probe.py [replication] [families...]
+       python tools/scale_probe.py [replication] --perturb [families...]
+
+--perturb (r11 verdict item 4): id-offset replication makes every
+document an exact rep-way duplicate, so any PAIR-EMITTING spelling's
+OUTPUT grows as C(rep, 2) — a corpus artifact, not an algorithmic
+exponent (the r11 x100 exclusions). The perturbed build keeps
+replica 0 pristine and deterministically mutates replicas 1..rep-1
+(~1/7 of tokens get a replica-tag suffix at replica-dependent
+positions, digits rotate by a per-replica amount), so cross-replica
+near-dup pairs vanish while WITHIN-replica planted duplicates — the
+thing the operators detect — still scale linearly with rep. That
+makes scrub/span/minhash/containment probes at x100 measure the
+ALGORITHM, not the replication geometry.
 """
 
 from __future__ import annotations
@@ -129,6 +142,10 @@ FAMILIES = {
     "tpchq8": "nation_market_share",
     "tpchq10": "returned_item_report",
     "tpchq4": "late_order_priority",
+    # round-12 perturbed-replica x100 targets (pair-emitting dedup +
+    # the incremental substring path; probe these with --perturb)
+    "increpeats": "incremental_repeat_spans",
+    "minhashpairs": "minhash_pairs",
     # round-10 families (the remaining classic TPC-H shapes)
     "tpchq9": "product_type_profit",
     "tpchq11": "important_stock",
@@ -153,7 +170,34 @@ ID_OFFSETS = {
 }
 
 
-def build(spark, rep: int, out_dir: str) -> None:
+def _perturb_text(p, i: int):
+    """Deterministic per-replica text mutation (replica 0 pristine):
+    every 7th token (replica-dependent phase) gets an `_r{i}` suffix,
+    and digits rotate by i%9+1 — so two distinct replicas differ on
+    >= 1/7 of tokens and ALL digit-bearing grams, killing
+    cross-replica shingle/gram matches while leaving within-replica
+    duplicate structure (the planted near-dups) intact."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return p
+    digits = "0123456789"
+    rot = (i % 9) + 1  # never identity
+    toks = F.split(F.col("text"), " ")
+    tag = F.lit(f"_r{i}")
+    mutated = F.transform(
+        toks,
+        lambda t, idx: F.when(
+            idx % F.lit(7) == F.lit(i % 7), F.concat(t, tag)
+        ).otherwise(t),
+    )
+    return p.withColumn(
+        "text",
+        F.translate(F.array_join(mutated, " "), digits, digits[rot:] + digits[:rot]),
+    )
+
+
+def build(spark, rep: int, out_dir: str, perturb: bool = False) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -172,6 +216,8 @@ def build(spark, rep: int, out_dir: str) -> None:
             p = df
             for c, s in [(id_col, stride)]:
                 p = p.withColumn(c, F.col(c) + F.lit(i * s))
+            if perturb and name == "documents":
+                p = _perturb_text(p, i)
             # user-scoped tables also need their user keys offset so
             # group cardinality scales with the data
             if name == "events":
@@ -189,17 +235,20 @@ def build(spark, rep: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = sys.argv[1:]
+    perturb = "--perturb" in args
+    args = [a for a in args if a != "--perturb"]
+    rep = int(args[0]) if args else 10
     from joblink_etl_spark.plans import registry
     from joblink_etl_spark.session import get_spark
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(SCRATCH, f"sf1x{rep}")
-    build(spark, rep, out_dir)
+    out_dir = os.path.join(SCRATCH, f"sf1x{rep}" + ("p" if perturb else ""))
+    build(spark, rep, out_dir, perturb=perturb)
 
     qs = registry.queries()
-    only = set(sys.argv[2:])  # optional family-name filter
+    only = set(args[1:])  # optional family-name filter
     results = {}
     for fam, qname in FAMILIES.items():
         if only and fam not in only:
