@@ -59,6 +59,27 @@ REPROBE_MIN_GAP_SEC = 0.5
 REPROBE_MAX = 12
 
 
+def _py_worker_warmup(spark) -> None:
+    """Python-worker / Arrow cold-start fence (r11 verdict item 5,
+    mechanism identified r12): the run's FIRST mapInPandas /
+    pandas-UDF query pays the Python worker pool spin-up (32 workers
+    fork + pandas/pyarrow import + Arrow codepath init) — measured
+    scene_cuts 2.95 s as first-pandas-in-session vs 1.14 s right
+    after this fence, the exact 2-2.5x "positional artifact" the r11
+    window rotation created by making scene_cuts the first Arrow
+    query in bench order. One tiny 32-partition mapInPandas job
+    before the timed loop warms every worker; the pool is reused for
+    the rest of the run (spark.python.worker.reuse default)."""
+
+    def _ident(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 64, 1, 32).mapInPandas(_ident, "id long").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+
 def _canary(spark, qs, sf_dir: str, warm: bool) -> float:
     fn = qs[CANARY_QUERY]
     if warm:
@@ -88,6 +109,7 @@ def main() -> None:
     prior, prior_source = load_prior(detail_path)
     # warm the JVM + parquet footers so timings measure steady state
     qs[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    _py_worker_warmup(spark)
     canary_pre = _canary(spark, qs, sf_dir, warm=True)
 
     timings: dict[str, float] = {}

@@ -641,3 +641,34 @@ def test_bench_prior_reads_committed_detail(tmp_path):
     assert (wt, src3) == ({"wt": 1.0}, "working-tree")
     missing, src4 = bench.load_prior(str(tmp_path / "absent.json"))
     assert (missing, src4) == ({}, "none")
+
+
+def test_bench_py_worker_warmup_runs_real_python_workers(spark):
+    """The bench pre-loop fence must actually exercise the
+    mapInPandas path (spinning up the Python worker pool), so the
+    run's first Arrow query doesn't absorb the pool cold-start into
+    its timed window — the r11 scene_cuts positional artifact
+    (2.95 s first-pandas-in-session vs 1.14 s post-fence, measured
+    r12). A scheduler-visible job must run and the fence must be
+    wired before the timed loop in main()."""
+    import inspect
+
+    import bench
+
+    sc = spark.sparkContext
+    group = "py-worker-warmup-check"
+    sc.setJobGroup(group, "bench fence")
+    try:
+        bench._py_worker_warmup(spark)
+    finally:
+        for prop in (
+            "spark.jobGroup.id",
+            "spark.job.description",
+            "spark.job.interruptOnCancel",
+        ):
+            sc.setLocalProperty(prop, None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group))
+    src = inspect.getsource(bench.main)
+    assert src.index("_py_worker_warmup(spark)") < src.index("canary_pre"), (
+        "the fence must run before the canary/timed loop"
+    )

@@ -244,6 +244,12 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # same Python-worker/Arrow warm-up fence as bench.py: without it
+    # the first pandas-UDF family in the session carries the ~1.8 s
+    # 32-worker pool spin-up in its sf0.1 arm and flatters its factor
+    from bench import _py_worker_warmup
+
+    _py_worker_warmup(spark)
     out_dir = os.path.join(SCRATCH, f"sf1x{rep}" + ("p" if perturb else ""))
     build(spark, rep, out_dir, perturb=perturb)
 
