@@ -1,0 +1,214 @@
+"""Streaming throughput benchmark (r11 verdict item 6): the ST1-ST7
+claims get the same artifact treatment as batch.
+
+Drains five representative streaming pipelines with
+trigger(availableNow) over file sources built from the sf tables
+(10 source files, maxFilesPerTrigger=1 → ~10 micro-batches each, so
+the per-micro-batch latency distribution is real, not a single-batch
+artifact):
+
+  * enqueue          — the reference front end (ST1+ST4: URL filter +
+                       watermarked keyed dedup) over a link stream
+                       synthesized from the events table (100k rows
+                       at sf0.1).
+  * windowed_counts  — native watermarked tumbling-window aggregation
+                       over the events stream.
+  * band_registry    — custom stateful near-dup gate (MinHash band
+                       buckets as keyed state) over the documents
+                       stream.
+  * k_anon_gate      — custom stateful k-anonymity release gate over
+                       the events stream (QI = event_type x user
+                       cohort).
+  * t_closeness_gate — custom stateful t-closeness release gate, same
+                       QI classes, value-decile buckets vs a frozen
+                       reference distribution (derived offline from
+                       the batch corpus — the production pattern).
+
+Prints ONE JSON line: per-pipeline input rows, drain wall-clock,
+rows/sec, micro-batch count, and p50/p95 micro-batch execution time
+from the query's recentProgress. Source builds, schema setup, and the
+reference-distribution derivation are NOT timed (they are offline
+steps in production).
+
+Usage: python bench_streaming.py   (env: SPARK_GRAFT_SF_DIR)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_SOURCE_FILES = 10
+
+
+def _drain_timed(df, sink_dir: str, ckpt_dir: str) -> dict:
+    """availableNow drain returning wall-clock + per-batch stats."""
+    t0 = time.perf_counter()
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.perf_counter() - t0
+    batches = [
+        p
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0
+    ]
+    durs = sorted(
+        p["durationMs"]["triggerExecution"]
+        for p in batches
+        if "durationMs" in p and "triggerExecution" in p["durationMs"]
+    )
+    rows = sum(p["numInputRows"] for p in batches)
+    out = {
+        "rows": int(rows),
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+        "n_batches": len(batches),
+    }
+    if durs:
+        out["batch_p50_ms"] = int(statistics.median(durs))
+        out["batch_p95_ms"] = int(durs[min(len(durs) - 1, int(0.95 * len(durs)))])
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from pyspark.sql import functions as F
+
+    from joblink_etl_spark.session import get_spark
+    from joblink_etl_spark.sources import table
+    from joblink_etl_spark.streaming.pipeline import (
+        read_link_stream,
+        streaming_band_registry,
+        streaming_enqueue,
+        streaming_k_anon_gate,
+        streaming_t_closeness_gate,
+        windowed_event_counts,
+    )
+
+    spark = get_spark("bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = tempfile.mkdtemp(prefix="bench_streaming_")
+    results: dict[str, dict] = {}
+
+    try:
+        # ---- source builds (offline, untimed) --------------------------
+        ev = table(spark, sf_dir, "events")
+        links_src = os.path.join(scratch, "links")
+        ev.select(
+            F.col("event_type").alias("sheet_name"),
+            F.col("event_id").cast("long").alias("row_index"),
+            F.concat(
+                F.lit("https://jobs.lever.co/"),
+                F.col("user_id").cast("string"),
+                F.lit("/"),
+                F.col("event_id").cast("string"),
+            ).alias("url"),
+            F.col("ts").alias("edited_at"),
+        ).repartition(N_SOURCE_FILES).write.parquet(links_src)
+
+        ev_src = os.path.join(scratch, "events")
+        ev_cols = ev.select(
+            "event_id", "ts", "user_id", "event_type", F.col("value").cast("double")
+        )
+        ev_cols.repartition(N_SOURCE_FILES).write.parquet(ev_src)
+        ev_schema = spark.read.parquet(ev_src).schema
+
+        docs_src = os.path.join(scratch, "docs")
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        docs.repartition(N_SOURCE_FILES).write.parquet(docs_src)
+        docs_schema = spark.read.parquet(docs_src).schema
+
+        # privacy-gate projection: QI = (event_type, user cohort),
+        # bucket = integer value decile band
+        priv_src = os.path.join(scratch, "priv")
+        priv = ev.select(
+            F.col("event_id").cast("long"),
+            F.col("event_type").alias("qi_type"),
+            (F.col("user_id") % 50).cast("string").alias("qi_cohort"),
+            (
+                F.least(F.floor(F.col("value").cast("double") / 100.0), F.lit(9))
+            ).cast("long").alias("b"),
+        )
+        priv.repartition(N_SOURCE_FILES).write.parquet(priv_src)
+        priv_schema = spark.read.parquet(priv_src).schema
+        # frozen reference distribution: the corpus-global histogram
+        # (yesterday's offline aggregate gates today's stream)
+        ref_dist = [
+            (int(r["b"]), int(r["n"]))
+            for r in spark.read.parquet(priv_src)
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+
+        def src_stream(path, schema):
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+            )
+
+        pipelines = {
+            "enqueue": lambda: streaming_enqueue(
+                read_link_stream(spark, links_src, max_files_per_trigger=1)
+            ),
+            "windowed_counts": lambda: windowed_event_counts(
+                src_stream(ev_src, ev_schema)
+            ),
+            "band_registry": lambda: streaming_band_registry(
+                src_stream(docs_src, docs_schema)
+            ),
+            "k_anon_gate": lambda: streaming_k_anon_gate(
+                src_stream(priv_src, priv_schema),
+                ["qi_type", "qi_cohort"],
+                k=5,
+            ),
+            "t_closeness_gate": lambda: streaming_t_closeness_gate(
+                src_stream(priv_src, priv_schema),
+                ["qi_type", "qi_cohort"],
+                "b",
+                ref_dist,
+                t_bp_max=2000,
+            ),
+        }
+
+        for name, build in pipelines.items():
+            sink = os.path.join(scratch, f"sink_{name}")
+            ckpt = os.path.join(scratch, f"ckpt_{name}")
+            results[name] = _drain_timed(build(), sink, ckpt)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_drain_throughput",
+                "unit": "rows_per_sec",
+                "sf": float(m.group(1)) if m else None,
+                "n_source_files": N_SOURCE_FILES,
+                "queries": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
