@@ -82,6 +82,7 @@ def interval_join_binned(
     start_col: str,
     end_col: str,
     bin_size: int = 1024,
+    broadcast_intervals: bool = False,
 ):
     """Point-in-interval join for two LARGE sides without a
     nested-loop: intervals explode into the fixed-width bins they
@@ -101,6 +102,16 @@ def interval_join_binned(
     (width/bin_size rows per interval) against candidate precision
     (points share bins with more non-overlapping intervals as bins
     grow).
+
+    ``broadcast_intervals``: the default (False) pins the bin join to
+    a spill-safe sort-merge — the operator's contract is two LARGE
+    sides, and Catalyst's size estimate of the exploded interval side
+    is a post-Generate guess (the r12 x100 broadcast audit caught it
+    choosing BroadcastExchange on a corpus-derived interval table —
+    the same misestimated-broadcast class the incremental
+    substring-dedup probe aborted on). For genuinely bounded interval
+    tables (an IP→CIDR map, a calendar), pass True to broadcast
+    explicitly and skip the shuffle.
     """
     from pyspark.sql import functions as F
 
@@ -114,6 +125,7 @@ def interval_join_binned(
             )
         ),
     )
+    i = F.broadcast(i) if broadcast_intervals else i.hint("merge")
     return (
         p.join(i, "_bin")
         .filter(

@@ -35,14 +35,23 @@ from .dedup import _bound_ngrams, md5_int
 N_FEATURE_BUCKETS = 1 << 12
 
 
-def _feature_buckets(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, feature) pairs: distinct hashed-unigram buckets per doc."""
+def _feature_buckets(
+    df: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, feature) pairs: distinct hashed-unigram buckets per doc.
+    ``carry`` columns ride through the explode — carrying a label
+    here is strictly better than re-joining it onto the exploded
+    relation afterwards (the r12 x100 broadcast audit caught Catalyst
+    BuildLeft-broadcasting the corpus-token-scale exploded side of
+    that re-join: post-Generate size estimates are guesses)."""
     toks = df.select(
-        F.col(id_col), _bound_ngrams(F.col(text_col), 1).alias("grams")
+        F.col(id_col), *carry, _bound_ngrams(F.col(text_col), 1).alias("grams")
     )
     return toks.select(
-        id_col, F.explode("grams").alias("gram")
-    ).select(id_col, (md5_int(F.col("gram")) % N_FEATURE_BUCKETS).alias("feature"))
+        id_col, *carry, F.explode("grams").alias("gram")
+    ).select(
+        id_col, *carry, (md5_int(F.col("gram")) % N_FEATURE_BUCKETS).alias("feature")
+    )
 
 
 def _log2_floor(c):
@@ -145,8 +154,8 @@ def nb_train_classify(
     Scale: the model is ≤ |labels| × 2^12 count rows — broadcast back
     over the test scan; training is one map-side-combined shuffle.
     Returns (id, label, predicted, score, correct)."""
-    tr_f = _feature_buckets(train.select(id_col, text_col), id_col, text_col).join(
-        train.select(id_col, label_col), id_col
+    tr_f = _feature_buckets(
+        train.select(id_col, label_col, text_col), id_col, text_col, carry=(label_col,)
     )
     model = tr_f.groupBy(label_col, "feature").agg(F.count(F.lit(1)).alias("ct"))
     totals = model.groupBy(label_col).agg(F.sum("ct").alias("tot"))
