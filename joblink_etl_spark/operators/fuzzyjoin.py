@@ -46,6 +46,7 @@ def fuzzy_key_join(
     max_distance: int = 1,
     max_len: int = 64,
     dedup_keys: list[str] | None = None,
+    broadcast_left: bool = False,
 ) -> DataFrame:
     """All (left, right) row pairs whose keys are within Levenshtein
     distance `max_distance` (currently 1 — the guarantee the
@@ -61,13 +62,25 @@ def fuzzy_key_join(
     (e.g. two dirty records that happen to share a d_name), pass the
     true row identifiers instead: with the default, same-key rows
     would collapse to one arbitrarily-chosen carrier row and the
-    result would be nondeterministic across runs."""
+    result would be nondeterministic across runs.
+
+    ``broadcast_left``: both variant relations are explode products
+    (~key_length rows per input row), and Catalyst's post-Generate
+    size estimate is a guess — at the r12 x100 plan audit it chose
+    BroadcastExchange on a corpus-derived variant side (the
+    misestimated-broadcast class that aborts against
+    driver.maxResultSize at cluster scale). The default pins the
+    variant equi-join to a spill-safe sort-merge; pass True when the
+    LEFT side is a genuinely bounded dirty batch (the daily-feed
+    shape) to broadcast its variants explicitly and skip the
+    shuffle."""
     if max_distance != 1:
         raise ValueError("deletion-1 blocking guarantees distance <= 1 only")
     if dedup_keys is None:
         dedup_keys = [left_key, right_key]
     lv = left.withColumn("_lv", F.explode(deletion_variants(F.col(left_key), max_len)))
     rv = right.withColumn("_rv", F.explode(deletion_variants(F.col(right_key), max_len)))
+    lv = F.broadcast(lv) if broadcast_left else lv.hint("merge")
     cand = (
         lv.join(rv, lv["_lv"] == rv["_rv"])
         .drop("_lv", "_rv")
