@@ -265,6 +265,64 @@ def test_census_classes_valid_and_corpus_scale_pins_declared():
             )
 
 
+def _guarded_pin_lines(fn: ast.AST, opt: str) -> set[int]:
+    """Line numbers of localCheckpoint calls lexically guarded by
+    `if <opt>:`. Branch-sensitive (ADVICE r12): only the BODY of an
+    `if` whose test is the BARE Name `opt` counts as guarded — the
+    orelse keeps the inherited state (a pin in the else-branch fires
+    exactly when the opt-out is False, i.e. unguarded), and negated
+    or compound tests (`if not opt:`, `if opt and x:`) never guard."""
+    guarded: set[int] = set()
+
+    def _collect(node, under_guard):
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "localCheckpoint"
+            and under_guard
+        ):
+            guarded.add(node.lineno)
+        if isinstance(node, ast.If):
+            body_guard = under_guard or (
+                isinstance(node.test, ast.Name) and node.test.id == opt
+            )
+            _collect(node.test, under_guard)
+            for child in node.body:
+                _collect(child, body_guard)
+            for child in node.orelse:
+                _collect(child, under_guard)
+            return
+        for child in ast.iter_child_nodes(node):
+            _collect(child, under_guard)
+
+    _collect(fn, False)
+    return guarded
+
+
+def test_guard_walker_rejects_else_branch_and_negated_tests():
+    """Self-test of _guarded_pin_lines against the exact ADVICE-r12
+    false-negative shapes: a pin in the else-branch of `if opt:`, a
+    pin under `if not opt:`, and a pin under a compound test must all
+    read as UNGUARDED; only the plain `if opt:` body counts."""
+    src = (
+        "def f(df, opt=True):\n"
+        "    if opt:\n"
+        "        a = df.localCheckpoint()\n"          # line 3: guarded
+        "    else:\n"
+        "        b = df.localCheckpoint()\n"          # line 5: NOT
+        "    if not opt:\n"
+        "        c = df.localCheckpoint()\n"          # line 7: NOT
+        "    if opt and True:\n"
+        "        d = df.localCheckpoint()\n"          # line 9: NOT
+        "    if opt:\n"
+        "        if True:\n"
+        "            e = df.localCheckpoint()\n"      # line 12: guarded (nested)
+        "    return df\n"
+    )
+    fn = ast.parse(src).body[0]
+    assert _guarded_pin_lines(fn, "opt") == {3, 12}
+
+
 def test_corpus_scale_opt_outs_are_real_and_guard_the_pin():
     """For each corpus-scale entry with an opt_out: the kwarg exists
     in the function signature with default True, and EVERY
@@ -301,27 +359,7 @@ def test_corpus_scale_opt_outs_are_real_and_guard_the_pin():
 
         # every pin call inside the function must sit under `if <opt>:`
         call_lines = {c.lineno for c in pins[(rel, fname)]}
-        guarded: set[int] = set()
-
-        def _collect(node, under_guard):
-            for child in ast.iter_child_nodes(node):
-                g = under_guard
-                if isinstance(child, ast.If) and any(
-                    isinstance(n, ast.Name) and n.id == opt
-                    for n in ast.walk(child.test)
-                ):
-                    g = True
-                if (
-                    isinstance(child, ast.Call)
-                    and isinstance(child.func, ast.Attribute)
-                    and child.func.attr == "localCheckpoint"
-                    and g
-                ):
-                    guarded.add(child.lineno)
-                _collect(child, g)
-
-        _collect(fn, False)
-        unguarded = call_lines - guarded
+        unguarded = call_lines - _guarded_pin_lines(fn, opt)
         assert not unguarded, (
             f"{rel}:{fname}: localCheckpoint at line(s) {sorted(unguarded)} "
             f"not guarded by `if {opt}:` — the opt-out would be a dead "

@@ -672,3 +672,42 @@ def test_bench_py_worker_warmup_runs_real_python_workers(spark):
     assert src.index("_py_worker_warmup(spark)") < src.index("canary_pre"), (
         "the fence must run before the canary/timed loop"
     )
+
+
+def test_bench_suspect_canary_widens_reprobe_and_normalizes(tmp_path):
+    """Drift-aware bench (r12 verdict item 3): a canary-suspect run
+    must (a) drop the re-probe trigger to SUSPECT_REPROBE_RATIO with
+    the raised cap, catching globally-drifted queries the 2x bar
+    misses, and (b) emit `drift_normalized_total` (total x pin /
+    max(canary)) in the summary — quiet runs emit neither."""
+    import json
+
+    import bench
+
+    prior = {"a": 1.0, "b": 4.0, "c": 2.0}
+    timings = {
+        "a": 1.5,   # 1.5x, +0.5s gap fails (==, not >) -> not flagged
+        "b": 5.8,   # 1.45x and +1.8s -> flagged ONLY when suspect
+        "c": 2.2,   # 1.1x -> never flagged
+    }
+    assert bench.select_reprobes(timings, prior) == []
+    assert bench.select_reprobes(timings, prior, suspect=True) == ["b"]
+    # suspect cap honored
+    many = {f"q{i}": 2.0 for i in range(bench.SUSPECT_REPROBE_MAX + 5)}
+    sel = bench.select_reprobes(many, {k: 1.0 for k in many}, suspect=True)
+    assert len(sel) == bench.SUSPECT_REPROBE_MAX
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    pin = bench.CANARY_PIN_SEC
+    # suspect run: pre canary 1.5x the pin
+    line = json.loads(
+        bench.format_output(timings, 0.1, str(detail), canary=(1.5 * pin, pin))
+    )
+    assert line["canary_verdict"] == "suspect"
+    assert line["drift_normalized_total"] == round(sum(timings.values()) / 1.5, 3)
+    # quiet run: no normalized companion
+    line2 = json.loads(
+        bench.format_output(timings, 0.1, str(detail), canary=(pin, pin))
+    )
+    assert line2["canary_verdict"] == "quiet"
+    assert "drift_normalized_total" not in line2

@@ -24,8 +24,40 @@ Filter/scan-class broadcasts (no explode) are NOT flagged: their
 estimates track file sizes, so the planner flips them to sort-merge
 as data grows — that class is self-correcting.
 
-Usage: python tools/broadcast_audit.py [sf_dir] [query ...]
-Exit 1 on any non-whitelisted generate-class broadcast.
+KNOWN DETECTION LIMIT (ADVICE r12): the scan reads the 'simple'
+explain string, where a repeated exchange prints its full subtree at
+its FIRST occurrence and later duplicates collapse to ReusedExchange
+— so the defining subtree of every reused broadcast IS scanned once,
+but SUBQUERY plans (scalar/IN subqueries become separate plan trees)
+are not printed in simple mode at all: a generate-class broadcast
+living only inside a subquery is invisible here. The registered
+plans build subqueries via DataFrame joins (which print inline), not
+SQL subqueries, and tools/plan_audit.py separately walks the
+formatted plans; still, treat this scan as structural triage, with
+the x100 runtime probes (PERF.md) as the executable backstop.
+
+CONSTRUCTION_JOB_EXEMPT queries (iterative builders whose plan
+CONSTRUCTION runs Spark jobs) are not planned in the standing run —
+but since r13 every one of them carries an explicit per-query
+disposition, printed in the output:
+  * probe      — the query has an x100 RUNTIME probe row in PERF.md
+                 (tools/scale_probe.py family): it was executed at
+                 x100, where a misestimated broadcast aborts loudly
+                 (exactly how incremental_repeat_spans was caught).
+  * x100-audit — `--exempt-audit` built it (capped where noted)
+                 against the x100 replica this round: construction
+                 jobs executed at x100 + final-plan scan; banked as
+                 AUDIT_EXEMPT_r13.json.
+  * bound      — a documented reason the constructed state is
+                 size-bounded independent of corpus scale.
+tests/test_plans.py enforces that the disposition table covers the
+exempt set exactly, so a new exempt query fails until dispositioned.
+
+Usage:
+  python tools/broadcast_audit.py [sf_dir] [query ...]   # standing gate
+  python tools/broadcast_audit.py --exempt-audit [sf_dir] [query ...]
+Exit 1 on any non-whitelisted generate-class broadcast (or, in
+--exempt-audit mode, on any exempt query that errors or flags).
 """
 
 from __future__ import annotations
@@ -33,6 +65,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -60,6 +93,95 @@ WHITELIST = {
     "containment_pairs": "constant-capped corpus (doc_id < 60) by design",
 }
 
+# Exempt queries whose constructed/loop state is bounded independent
+# of corpus scale — the "bound" disposition kind. Everything exempt
+# that is neither here nor covered by a scale_probe x100 family is
+# expected to appear in the banked --exempt-audit artifact.
+EXEMPT_BOUNDS = {
+    "lrs_exact_fixed": "runs on the SF-INVARIANT enum vocabulary (61 "
+    "strings: nation/region names + part type/brand enums) — the corpus "
+    "never scales with SF (plans/ext_q.py docstring); also in the r13 "
+    "exempt-audit artifact",
+    "web_curation_pipeline": "synthetic crawl capped at max_docs=20 by "
+    "construction (pin census: bounded); also in the r13 exempt-audit "
+    "artifact",
+    "fetch_cascade": "operates on a fetch BATCH (batch_size=40 contract, "
+    "SURVEY §2.9 A2 head-N) — never corpus-scale; also in the r13 "
+    "exempt-audit artifact",
+}
+
+# Capped construction variants for --exempt-audit: same operators and
+# plan shapes, fewer iterations/probe rounds, so the x100 build cost
+# stays bounded while every per-round plan shape (the dangerous gram/
+# vocab joins) still executes once against the replica.
+def _capped_lrs(spark, sf_dir):
+    from joblink_etl_spark.operators import suffix as SX
+    from joblink_etl_spark.plans.ext_q import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # min_len=256: one-to-few doubling probes; each probe runs the full
+    # corpus-scale gram aggregation + join (the shape that aborted in
+    # r12's incremental_repeat_spans) at x100.
+    L, text, occ = SX.longest_repeated_substring(docs, min_count=2, min_len=256)
+    return spark.createDataFrame([(L, occ)], "lrs_len BIGINT, occurrences BIGINT")
+
+
+def _capped_bpe_merges(spark, sf_dir):
+    from joblink_etl_spark.operators import bpe as B
+    from joblink_etl_spark.plans.ext_q import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 2 merges instead of 8: the per-merge argmax job over the
+    # persisted corpus-scale vocab (the risky relation) runs twice.
+    merges = B.train_bpe(docs, n_merges=2)
+    return spark.createDataFrame(
+        merges, "rank BIGINT, left_sym STRING, right_sym STRING, pair_count BIGINT"
+    )
+
+
+def _capped_bpe_encode(spark, sf_dir):
+    from joblink_etl_spark.operators import bpe as B
+    from joblink_etl_spark.plans.ext_q import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = B.train_bpe(docs, n_merges=2)
+    return B.bpe_encode(docs, merges)
+
+
+CAPPED_RUNNERS = {
+    "lrs_exact": _capped_lrs,
+    "bpe_merges": _capped_bpe_merges,
+    "bpe_merges_fixed": None,  # enum-vocab trainer: cheap, run as-is
+    "bpe_encode": _capped_bpe_encode,
+}
+CAPPED_RUNNERS = {k: v for k, v in CAPPED_RUNNERS.items() if v is not None}
+
+
+def exempt_dispositions(exempt) -> dict[str, str]:
+    """name -> 'kind: detail' for every exempt query. probe-kind is
+    derived from tools/scale_probe.py's FAMILIES map (the queries with
+    x100 runtime rows in PERF.md), bound-kind from EXEMPT_BOUNDS, and
+    the remainder cites the banked --exempt-audit artifact."""
+    from scale_probe import FAMILIES
+
+    probed = {q: f for f, q in FAMILIES.items()}
+    out = {}
+    for name in sorted(exempt):
+        if name in probed:
+            out[name] = (
+                f"probe: x100 runtime probe row (PERF.md, scale_probe "
+                f"family '{probed[name]}')"
+            )
+        elif name in EXEMPT_BOUNDS:
+            out[name] = f"bound: {EXEMPT_BOUNDS[name]}"
+        else:
+            capped = " (capped construction)" if name in CAPPED_RUNNERS else ""
+            out[name] = (
+                f"x100-audit: built against the x100 replica{capped} — "
+                "AUDIT_EXEMPT_r13.json"
+            )
+    return out
+
 
 def generate_class_broadcasts(plan: str) -> int:
     lines = plan.split("\n")
@@ -80,6 +202,20 @@ def generate_class_broadcasts(plan: str) -> int:
     return bad
 
 
+def _exempt_set():
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+        ),
+    )
+    try:
+        from test_plans import CONSTRUCTION_JOB_EXEMPT as EXEMPT
+    except ImportError:
+        EXEMPT = frozenset()
+    return EXEMPT
+
+
 def main() -> None:
     default_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -87,37 +223,69 @@ def main() -> None:
         "sf1x100p",
     )
     args = sys.argv[1:]
+    exempt_mode = "--exempt-audit" in args
+    args = [a for a in args if a != "--exempt-audit"]
     sf_dir = args[0] if args else default_dir
     only = set(args[1:])
 
     from joblink_etl_spark.plans import registry
     from joblink_etl_spark.session import get_spark
 
-    try:
-        sys.path.insert(
-            0,
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
-            ),
-        )
-        from test_plans import CONSTRUCTION_JOB_EXEMPT as EXEMPT
-    except ImportError:
-        EXEMPT = frozenset()
+    EXEMPT = _exempt_set()
+    dispositions = exempt_dispositions(EXEMPT)
 
     spark = get_spark("broadcast-audit")
     spark.sparkContext.setLogLevel("ERROR")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
 
-    flagged, whitelisted, errors, skipped = {}, {}, {}, []
+    if exempt_mode:
+        # build every exempt query (capped where registered) against the
+        # replica: construction jobs EXECUTE at x100 (an abort here is a
+        # real catch), then the final plan gets the structural scan.
+        results = {}
+        for name in sorted(EXEMPT):
+            if only and name not in only:
+                continue
+            fn = CAPPED_RUNNERS.get(name) or registry.queries()[name]
+            t0 = time.perf_counter()
+            try:
+                plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+                results[name] = {
+                    "status": "ok",
+                    "generate_class": generate_class_broadcasts(plan),
+                    "capped": name in CAPPED_RUNNERS,
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
+            except Exception as e:  # noqa: BLE001
+                results[name] = {
+                    "status": "error",
+                    "err": str(e)[:200],
+                    "capped": name in CAPPED_RUNNERS,
+                    "sec": round(time.perf_counter() - t0, 2),
+                }
+            spark.catalog.clearCache()
+            print(
+                f"[exempt-audit] {name}: {results[name]['status']} "
+                f"gc={results[name].get('generate_class')} "
+                f"({results[name]['sec']}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+        bad = {
+            n: r
+            for n, r in results.items()
+            if r["status"] != "ok" or (r["generate_class"] and n not in WHITELIST)
+        }
+        print(json.dumps({"sf_dir": sf_dir, "exempt_results": results, "bad": bad}))
+        sys.exit(1 if bad else 0)
+
+    flagged, whitelisted, errors = {}, {}, {}
+    statuses = {}
     for name, fn in registry.queries().items():
         if only and name not in only:
             continue
         if not only and name in EXEMPT:
-            # iterative builders run bounded construction jobs that
-            # are expensive against the x100 corpus; their index
-            # state is bounded by construction and runtime-probed at
-            # x100 instead (PERF.md)
-            skipped.append(name)
+            statuses[name] = dispositions[name]
             continue
         try:
             plan = (
@@ -127,10 +295,17 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001 — audit must not die on one query
             errors[name] = str(e)[:150]
+            statuses[name] = "error"
             continue
         n = generate_class_broadcasts(plan)
         if n:
             (whitelisted if name in WHITELIST else flagged)[name] = n
+            statuses[name] = (
+                f"whitelisted ({n} generate-class)" if name in WHITELIST
+                else f"FLAGGED ({n} generate-class)"
+            )
+        else:
+            statuses[name] = "clean"
         spark.catalog.clearCache()
 
     print(
@@ -140,7 +315,11 @@ def main() -> None:
                 "flagged": flagged,
                 "whitelisted": {k: WHITELIST[k] for k in whitelisted},
                 "errors": errors,
-                "n_skipped_exempt": len(skipped),
+                "exempt_dispositions": {
+                    n: dispositions[n] for n in sorted(EXEMPT)
+                },
+                "queries": statuses,
+                "n_queries": len(statuses),
             }
         )
     )

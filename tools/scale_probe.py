@@ -238,7 +238,14 @@ def main() -> None:
     args = sys.argv[1:]
     perturb = "--perturb" in args
     args = [a for a in args if a != "--perturb"]
-    rep = int(args[0]) if args else 10
+    # replication count is optional even when family names follow:
+    # `scale_probe.py --perturb increpeats` keeps the default rep
+    # (ADVICE r12 — int('increpeats') used to crash here)
+    if args and args[0].isdigit():
+        rep = int(args[0])
+        args = args[1:]
+    else:
+        rep = 10
     from joblink_etl_spark.plans import registry
     from joblink_etl_spark.session import get_spark
 
@@ -254,7 +261,7 @@ def main() -> None:
     build(spark, rep, out_dir, perturb=perturb)
 
     qs = registry.queries()
-    only = set(args[1:])  # optional family-name filter
+    only = set(args)  # optional family-name filter (rep already consumed)
     results = {}
     for fam, qname in FAMILIES.items():
         if only and fam not in only:

@@ -9,9 +9,12 @@ CORRECTNESS_r*.json, records each query's latest appearance and
 verdict, and prints the staleness distribution plus any query whose
 latest appearance is non-green or missing.
 
-Usage: python tools/staleness_check.py [current_round]
+Usage: python tools/staleness_check.py [current_round] [--cohort N]
 (exit 1 if any registered query has never appeared or its latest
-driver row is not fully green).
+driver row is not fully green).  --cohort N additionally prints the
+next N-query window cohort in rotation order: queries sorted by
+latest driver-green round ascending, ties broken by key order within
+that round's artifact — the canonical input to the catalog reorder.
 """
 
 from __future__ import annotations
@@ -30,9 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROWS_ONLY = {"bpe_merges", "bpe_encode", "lrs_exact"}
 
 
-def latest_rows() -> dict[str, tuple[int, bool]]:
-    """query -> (latest round seen, was that row green)."""
-    out: dict[str, tuple[int, bool]] = {}
+def latest_rows() -> dict[str, tuple[int, bool, int]]:
+    """query -> (latest round seen, was that row green, key position in that round's file)."""
+    out: dict[str, tuple[int, bool, int]] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json", path)
         rnd = int(m.group(1))
@@ -40,7 +43,7 @@ def latest_rows() -> dict[str, tuple[int, bool]]:
             data = json.load(open(path))
         except ValueError:
             continue
-        for name, row in data.items():
+        for pos, (name, row) in enumerate(data.items()):
             if not isinstance(row, dict):
                 continue
             if name in ROWS_ONLY:
@@ -61,16 +64,34 @@ def latest_rows() -> dict[str, tuple[int, bool]]:
                 )
             prev = out.get(name)
             if prev is None or rnd >= prev[0]:
-                out[name] = (rnd, green)
+                out[name] = (rnd, green, pos)
     return out
 
 
 def main() -> None:
     from joblink_etl_spark.plans import registry
 
+    args = [a for a in sys.argv[1:]]
+    cohort_n = 0
+    if "--cohort" in args:
+        i = args.index("--cohort")
+        cohort_n = int(args[i + 1])
+        del args[i : i + 2]
+
     names = list(registry.queries())
     seen = latest_rows()
-    cur = int(sys.argv[1]) if len(sys.argv) > 1 else max(r for r, _ in seen.values())
+    if not seen:
+        print(
+            json.dumps(
+                {
+                    "current_round": None,
+                    "registered": len(names),
+                    "error": "no CORRECTNESS_r*.json artifacts found",
+                }
+            )
+        )
+        sys.exit(1)
+    cur = int(args[0]) if args else max(r for r, _, _ in seen.values())
 
     never = [n for n in names if n not in seen]
     red = [n for n in names if n in seen and not seen[n][1]]
@@ -79,18 +100,23 @@ def main() -> None:
     for age in staleness.values():
         by_age[age] = by_age.get(age, 0) + 1
 
-    print(
-        json.dumps(
-            {
-                "current_round": cur,
-                "registered": len(names),
-                "never_driver_checked": never,
-                "latest_row_not_green": red,
-                "staleness_histogram": {str(k): by_age[k] for k in sorted(by_age)},
-                "max_staleness_rounds": max(staleness.values()) if staleness else None,
-            }
+    out = {
+        "current_round": cur,
+        "registered": len(names),
+        "never_driver_checked": never,
+        "latest_row_not_green": red,
+        "staleness_histogram": {str(k): by_age[k] for k in sorted(by_age)},
+        "max_staleness_rounds": max(staleness.values()) if staleness else None,
+    }
+    if cohort_n:
+        # rotation order: oldest latest-green round first, ties by key
+        # position within that round's artifact file
+        ranked = sorted(
+            (n for n in names if n in seen),
+            key=lambda n: (seen[n][0], seen[n][2]),
         )
-    )
+        out["next_cohort"] = ranked[:cohort_n]
+    print(json.dumps(out))
     sys.exit(1 if (never or red) else 0)
 
 
