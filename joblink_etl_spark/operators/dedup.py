@@ -307,17 +307,35 @@ def minhash_base_and_bands(
     # minhash_signature() (the DuckDB oracle replicates them), but
     # ~10× faster than the nested higher-order-function form, which
     # falls out of whole-stage codegen.
-    hashed = shingled.select("id", F.explode("shingles").alias("s")).select(
+    #
+    # The shingle array rides THROUGH the aggregate as a grouping key
+    # (r13: the nb_classify carry-through-explode pattern): the old
+    # spelling re-joined sig back onto shingled by id, and at x100 the
+    # exempt-audit caught Catalyst broadcasting the CORPUS-SCALE sig
+    # relation on a post-aggregate size guess (aborted four downstream
+    # graph queries; ~TBs at 100 TB). Deleting the join beats hinting
+    # it: (id, shingles) is one group per doc, map-side combine
+    # collapses the ×shingles explosion before the shuffle (shingled
+    # is already partitioned by id, so each doc's group is
+    # single-partition), and no join means no join misplan.
+    hashed = shingled.select("id", "shingles", F.explode("shingles").alias("s")).select(
         "id",
+        "shingles",
         *[
             md5_int(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
             for i in range(NUM_HASHES)
         ],
     )
-    sig = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)]
-    ).select("id", F.array(*[f"h{i}" for i in range(NUM_HASHES)]).alias("sig"))
-    base = shingled.join(sig, "id").cache()
+    base = (
+        hashed.groupBy("id", "shingles")
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)])
+        .select(
+            "id",
+            "shingles",
+            F.array(*[f"h{i}" for i in range(NUM_HASHES)]).alias("sig"),
+        )
+        .cache()
+    )
     banded = base.select("id", F.explode(band_hashes(F.col("sig"))).alias("bh")).select(
         "id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")
     )
@@ -338,7 +356,16 @@ def minhash_candidate_pairs(
     sets; threshold filter. Output: id_a < id_b, jaccard.
     """
     base, banded = minhash_base_and_bands(df, text_col, id_col, ngram)
-    left, right = banded.alias("l"), banded.alias("r")
+    # merge hints (r13 x100 catch — same class as the sig join in
+    # minhash_base_and_bands): `banded` (16 rows per doc) and the
+    # (id, shingles) relation are CORPUS-SCALE, but both sit behind
+    # aggregates/caches whose size Catalyst only guesses, and the
+    # x100 exempt-audit observed BroadcastExchange on all three join
+    # sides (the shingle sides are the worst — the full shingle sets
+    # of the corpus in one hash table). The band self-join shuffles
+    # on (band, bucket) and the verify joins shuffle the candidate
+    # pairs on id — the documented scale design, now pinned.
+    left, right = banded.alias("l"), banded.hint("shuffle_hash").alias("r")
     cand = (
         left.join(
             right,
@@ -351,8 +378,16 @@ def minhash_candidate_pairs(
     )
     sh = base.select("id", "shingles")
     pairs = cand.join(
-        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a"
-    ).join(sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")).hint(
+            "shuffle_hash"
+        ),
+        "id_a",
+    ).join(
+        sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")).hint(
+            "shuffle_hash"
+        ),
+        "id_b",
+    )
     return (
         pairs.withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= min_jaccard)
@@ -577,10 +612,15 @@ def incremental_near_dups(
     O(new) + O(matching buckets), never O(corpus)."""
     new_base, new_banded = minhash_base_and_bands(new_docs, text_col, id_col, ngram)
     idx_base, idx_banded = minhash_base_and_bands(index_docs, text_col, id_col, ngram)
+    # merge hints (r13 x100 catch, same class as minhash_candidate_
+    # pairs): the INDEX side's bands and shingle sets are corpus-scale
+    # behind guess-sized aggregates — the bucket join shuffles on
+    # (band, bucket) and the verify joins shuffle the candidates on
+    # id instead of broadcasting the standing index.
     cand = (
         new_banded.alias("n")
         .join(
-            idx_banded.alias("i"),
+            idx_banded.hint("shuffle_hash").alias("i"),
             (F.col("n.band") == F.col("i.band"))
             & (F.col("n.bucket") == F.col("i.bucket")),
         )
@@ -588,10 +628,14 @@ def incremental_near_dups(
         .dropDuplicates(["new_id", "index_id"])
     )
     pairs = cand.join(
-        new_base.select(F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")),
+        new_base.select(
+            F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
+        ).hint("shuffle_hash"),
         "new_id",
     ).join(
-        idx_base.select(F.col("id").alias("index_id"), F.col("shingles").alias("sh_b")),
+        idx_base.select(
+            F.col("id").alias("index_id"), F.col("shingles").alias("sh_b")
+        ).hint("shuffle_hash"),
         "index_id",
     )
     return (
@@ -742,15 +786,31 @@ def sorted_neighborhood_pairs(
     left = ranked.select(F.col("id").alias("_ida"), "_r", offs).select(
         "_ida", (F.col("_r") + F.col("_o")).alias("_r2")
     )
+    # merge hints (r13 x100 catch): `ranked` and the shingle relation
+    # are corpus-scale behind guess-sized rank/projection stages —
+    # shuffle on the rank/id keys instead of broadcasting the corpus.
     cand = left.join(
-        ranked.select(F.col("id").alias("_idb"), F.col("_r").alias("_r2")), "_r2"
+        ranked.select(F.col("id").alias("_idb"), F.col("_r").alias("_r2")).hint(
+            "shuffle_hash"
+        ),
+        "_r2",
     ).select(
         F.least("_ida", "_idb").alias("id_a"), F.greatest("_ida", "_idb").alias("id_b")
     )
     sh = base.select("id", _bound_ngrams(F.col("_t"), 3).alias("_sh"))
     return (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("_sh").alias("_sha")).hint(
+                "merge"
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("_sh").alias("_shb")).hint(
+                "merge"
+            ),
+            "id_b",
+        )
         .withColumn("jaccard", F.round(jaccard(F.col("_sha"), F.col("_shb")), 4))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")

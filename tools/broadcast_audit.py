@@ -98,6 +98,10 @@ WHITELIST = {
 # that is neither here nor covered by a scale_probe x100 family is
 # expected to appear in the banked --exempt-audit artifact.
 EXEMPT_BOUNDS = {
+    "cosine_near_dups": "the O(N²) all-pairs baseline REFUSES corpus-scale "
+    "input by contract (cosine_near_dup_pairs max_rows guard — verified "
+    "live by the r13 x100 exempt-audit run, which recorded the designed "
+    "refusal); bench excludes it as the labeled quadratic baseline",
     "lrs_exact_fixed": "runs on the SF-INVARIANT enum vocabulary (61 "
     "strings: nation/region names + part type/brand enums) — the corpus "
     "never scales with SF (plans/ext_q.py docstring); also in the r13 "
