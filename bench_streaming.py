@@ -30,7 +30,22 @@ from the query's recentProgress. Source builds, schema setup, and the
 reference-distribution derivation are NOT timed (they are offline
 steps in production).
 
-Usage: python bench_streaming.py   (env: SPARK_GRAFT_SF_DIR)
+Since r13 each pipeline runs TWO ARMS — maxFilesPerTrigger=1 (~10
+micro-batches, the adversarial per-batch state-commit floor) and
+maxFilesPerTrigger=5 (~2 micro-batches, 5x rows per batch) — so the
+batch-size amortization of the state-commit floor is MEASURED, not
+asserted (r12 verdict item 4).
+
+`--x100-gates` mode (r12 verdict item 6) instead drives the two
+custom stateful gates (band_registry, k_anon_gate) through
+availableNow drains of the x10 and x100 scratch replicas
+(tools/scale_probe.py builds them) and records rows/sec plus the
+state-store footprint from the progress stateOperators (rows in
+state, memory bytes, bytes/state-row) — the executable check of the
+gates' documented bounded-keyed-state claims.
+
+Usage: python bench_streaming.py [--x100-gates]
+(env: SPARK_GRAFT_SF_DIR)
 """
 
 from __future__ import annotations
@@ -82,6 +97,26 @@ def _drain_timed(df, sink_dir: str, ckpt_dir: str) -> dict:
     if durs:
         out["batch_p50_ms"] = int(statistics.median(durs))
         out["batch_p95_ms"] = int(durs[min(len(durs) - 1, int(0.95 * len(durs)))])
+    # state-store footprint from the LAST progress with state info:
+    # rows held in the store + memory bytes (HDFSBackedStateStore
+    # reports loaded-map size) -> bytes per state row
+    state = None
+    for p in reversed(batches):
+        ops = p.get("stateOperators") or []
+        if ops:
+            state = {
+                "state_rows": int(sum(o.get("numRowsTotal", 0) for o in ops)),
+                "state_bytes": int(
+                    sum(o.get("memoryUsedBytes", 0) for o in ops)
+                ),
+            }
+            if state["state_rows"]:
+                state["bytes_per_state_row"] = round(
+                    state["state_bytes"] / state["state_rows"], 1
+                )
+            break
+    if state:
+        out.update(state)
     return out
 
 
@@ -156,43 +191,55 @@ def main() -> None:
             .collect()
         ]
 
-        def src_stream(path, schema):
-            return (
-                spark.readStream.schema(schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(path)
-            )
+        def pipelines(mft: int):
+            def src_stream(path, schema):
+                return (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", mft)
+                    .parquet(path)
+                )
 
-        pipelines = {
-            "enqueue": lambda: streaming_enqueue(
-                read_link_stream(spark, links_src, max_files_per_trigger=1)
-            ),
-            "windowed_counts": lambda: windowed_event_counts(
-                src_stream(ev_src, ev_schema)
-            ),
-            "band_registry": lambda: streaming_band_registry(
-                src_stream(docs_src, docs_schema)
-            ),
-            "k_anon_gate": lambda: streaming_k_anon_gate(
-                src_stream(priv_src, priv_schema),
-                ["qi_type", "qi_cohort"],
-                k=5,
-            ),
-            "t_closeness_gate": lambda: streaming_t_closeness_gate(
-                src_stream(priv_src, priv_schema),
-                ["qi_type", "qi_cohort"],
-                "b",
-                ref_dist,
-                t_bp_max=2000,
-            ),
-        }
+            return {
+                "enqueue": lambda: streaming_enqueue(
+                    read_link_stream(spark, links_src, max_files_per_trigger=mft)
+                ),
+                "windowed_counts": lambda: windowed_event_counts(
+                    src_stream(ev_src, ev_schema)
+                ),
+                "band_registry": lambda: streaming_band_registry(
+                    src_stream(docs_src, docs_schema)
+                ),
+                "k_anon_gate": lambda: streaming_k_anon_gate(
+                    src_stream(priv_src, priv_schema),
+                    ["qi_type", "qi_cohort"],
+                    k=5,
+                ),
+                "t_closeness_gate": lambda: streaming_t_closeness_gate(
+                    src_stream(priv_src, priv_schema),
+                    ["qi_type", "qi_cohort"],
+                    "b",
+                    ref_dist,
+                    t_bp_max=2000,
+                ),
+            }
 
-        for name, build in pipelines.items():
-            sink = os.path.join(scratch, f"sink_{name}")
-            ckpt = os.path.join(scratch, f"ckpt_{name}")
-            results[name] = _drain_timed(build(), sink, ckpt)
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+        # two arms: mft=1 (per-batch state-commit floor dominates) vs
+        # mft=5 (5x rows/batch) — the amortization curve, measured
+        for arm, mft in (("mft1", 1), ("mft5", 5)):
+            for name, build in pipelines(mft).items():
+                sink = os.path.join(scratch, f"sink_{name}_{arm}")
+                ckpt = os.path.join(scratch, f"ckpt_{name}_{arm}")
+                results.setdefault(name, {})[arm] = _drain_timed(
+                    build(), sink, ckpt
+                )
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+        for name, arms in results.items():
+            a, b = arms.get("mft1", {}), arms.get("mft5", {})
+            if a.get("rows_per_sec") and b.get("rows_per_sec"):
+                arms["amortization_x"] = round(
+                    b["rows_per_sec"] / a["rows_per_sec"], 2
+                )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -204,11 +251,101 @@ def main() -> None:
                 "unit": "rows_per_sec",
                 "sf": float(m.group(1)) if m else None,
                 "n_source_files": N_SOURCE_FILES,
+                "arms": {"mft1": 1, "mft5": 5},
                 "queries": results,
             }
         )
     )
 
 
+def x100_gates() -> None:
+    """r12 verdict item 6: drive the two custom stateful gates through
+    availableNow drains of the x10 and x100 scratch replicas and
+    record throughput + state-store footprint, confirming the
+    documented bounded-keyed-state claims with numbers. The gates'
+    docstring bounds (streaming/pipeline.py): band_registry state =
+    one row per (band, bucket) with a bounded member list; k_anon_gate
+    state = one counter row per QI class (pending rows spill to the
+    output side, not state)."""
+    from pyspark.sql import functions as F
+
+    from joblink_etl_spark.session import get_spark
+    from joblink_etl_spark.streaming.pipeline import (
+        streaming_band_registry,
+        streaming_k_anon_gate,
+    )
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    replicas = {
+        "x10": os.path.join(repo, ".scratch", "sf1x10"),
+        "x100": os.path.join(repo, ".scratch", "sf1x100p"),
+    }
+    spark = get_spark("bench-streaming-x100")
+    spark.sparkContext.setLogLevel("ERROR")
+    scratch = tempfile.mkdtemp(prefix="bench_streaming_x100_")
+    results: dict[str, dict] = {}
+    try:
+        for scale, rep_dir in replicas.items():
+            if not os.path.isdir(rep_dir):
+                results[scale] = {"error": f"missing replica {rep_dir}"}
+                continue
+            docs_src = os.path.join(scratch, f"docs_{scale}")
+            spark.read.parquet(os.path.join(rep_dir, "documents.parquet")).select(
+                "doc_id", "text"
+            ).repartition(N_SOURCE_FILES).write.parquet(docs_src)
+            docs_schema = spark.read.parquet(docs_src).schema
+
+            priv_src = os.path.join(scratch, f"priv_{scale}")
+            spark.read.parquet(os.path.join(rep_dir, "events.parquet")).select(
+                F.col("event_id").cast("long"),
+                F.col("event_type").alias("qi_type"),
+                (F.col("user_id") % 50).cast("string").alias("qi_cohort"),
+                (
+                    F.least(F.floor(F.col("value").cast("double") / 100.0), F.lit(9))
+                ).cast("long").alias("b"),
+            ).repartition(N_SOURCE_FILES).write.parquet(priv_src)
+            priv_schema = spark.read.parquet(priv_src).schema
+
+            def src_stream(path, schema):
+                return (
+                    spark.readStream.schema(schema)
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(path)
+                )
+
+            results[scale] = {}
+            for name, build in {
+                "band_registry": lambda: streaming_band_registry(
+                    src_stream(docs_src, docs_schema)
+                ),
+                "k_anon_gate": lambda: streaming_k_anon_gate(
+                    src_stream(priv_src, priv_schema),
+                    ["qi_type", "qi_cohort"],
+                    k=5,
+                ),
+            }.items():
+                sink = os.path.join(scratch, f"sink_{name}_{scale}")
+                ckpt = os.path.join(scratch, f"ckpt_{name}_{scale}")
+                results[scale][name] = _drain_timed(build(), sink, ckpt)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_gate_state_scaling",
+                "unit": "rows_per_sec+state_bytes",
+                "n_source_files": N_SOURCE_FILES,
+                "scales": results,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--x100-gates" in sys.argv[1:]:
+        x100_gates()
+    else:
+        main()
