@@ -709,7 +709,10 @@ def kmeans_codes(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_m"))), lambda s: s["_m"]
             ).alias("_cv")
-        ).persist()
+        ).coalesce(1).persist()
+        # coalesce(1): cents is ≤ k_cap rows — the next assign's
+        # collect-to-one-row aggregate otherwise pays 32 task launches
+        # per Lloyd round for a handful of rows (r9 train_bpe lesson)
     return _kmeans_assign(vectors, cents, id_col, codes_col).select(
         id_col,
         F.col("_cid").alias("cluster_id"),
@@ -1383,45 +1386,61 @@ def semdedup(
     with_c = codes.join(clusters, id_col).withColumn("_n2", sq(F.col("q_codes")))
     if pin_assign:
         with_c = with_c.localCheckpoint(eager=False)
-    a = with_c.select(
-        "cluster_id",
-        F.col(id_col).alias("_ida"),
-        F.col("q_codes").alias("_ca"),
-        F.col("_n2").alias("_na"),
-    )
-    b = with_c.select(
-        "cluster_id",
-        F.col(id_col).alias("_idb"),
-        F.col("q_codes").alias("_cb"),
-        F.col("_n2").alias("_nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("_ca"), F.col("_cb"), lambda x, y: x.cast("long") * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dup_pairs = (
-        a.join(b, "cluster_id")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .withColumn("_dot", dot)
-        .filter(
-            (F.col("_dot") > 0)
-            & (
-                F.col("_dot") * F.col("_dot") * F.lit(eps_den * eps_den)
-                >= F.lit(eps_num * eps_num) * F.col("_na") * F.col("_nb")
+    # Within-cluster prune as ONE collect + short-circuiting exists
+    # (r13 — replaces the cluster self-join + distinct + keep/prune
+    # left join, ~35% of the query's exec): each cluster's peers
+    # collapse into one bounded array (≤ ~cell_target rows by the
+    # k_cap geometry — the same bound that makes the old self-join
+    # Σ O(cell²)); a vector is pruned when a more-senior (smaller-id)
+    # ε-neighbor EXISTS in its cluster's array. F.exists short-
+    # circuits at the first senior match (the old spelling computed
+    # every pair's dot and shuffled all surviving pair rows through a
+    # distinct), the `_pid < id` conjunct fails fast for juniors
+    # without touching the dot fold, and the peers join is
+    # shuffle_hash-hinted so the corpus-scale cell relation is never
+    # broadcast on a post-aggregate size guess (the r13 minhash
+    # lesson). Same outputs row-for-row: (id, cluster_id, kept).
+    cells = with_c.groupBy("cluster_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("_pid"),
+                    F.col("q_codes").alias("_pc"),
+                    F.col("_n2").alias("_pn"),
+                )
             )
-        )
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
-        .withColumn("_pruned", F.lit(True))
+        ).alias("_peers")
+    )
+    # seniors filtered WITHOUT touching codes (cheap id compare), then
+    # each senior's dot fold evaluates exactly ONCE inside a transform
+    # (interpreted HOF lambdas re-evaluate per reference — the r5
+    # lesson — so the ε-test reads the materialized struct field, not
+    # the fold)
+    seniors = F.filter(F.col("_peers"), lambda p: p["_pid"] < F.col(id_col))
+    sdots = F.transform(
+        seniors,
+        lambda p: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    p["_pc"], F.col("q_codes"), lambda x, y: x.cast("long") * y
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_d"),
+            p["_pn"].alias("_n"),
+        ),
+    )
+    pruned = F.exists(
+        sdots,
+        lambda t: (t["_d"] > 0)
+        & (
+            t["_d"] * t["_d"] * F.lit(eps_den * eps_den)
+            >= F.lit(eps_num * eps_num) * t["_n"] * F.col("_n2")
+        ),
     )
     return (
-        with_c.join(dup_pairs, id_col, "left")
-        .select(
-            id_col,
-            "cluster_id",
-            F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
-        )
+        with_c.join(cells.hint("shuffle_hash"), "cluster_id")
+        .select(id_col, "cluster_id", (~pruned).alias("kept"))
     )
 
 
