@@ -38,11 +38,22 @@ EXCLUDED_QUADRATIC_BASELINES = ["cosine_near_dups"]
 # three same-day runs 447/534/512 s).
 CANARY_QUERY = "pagerank_docs"
 # Quiet-container solo pin (r9 verdict / r10 re-check). HOST-SPECIFIC:
-# 3.8 s is this container's (32-core local[32]) quiet level; on other
+# this is the container's (32-core local[32]) quiet level; on other
 # hardware every run would classify "suspect" (or falsely "quiet" on a
 # faster host), so the pin is overridable alongside SPARK_GRAFT_SF_DIR
 # (ADVICE r10). Re-pin with: python tools/solo_time.py <sf_dir> pagerank_docs
-CANARY_PIN_SEC = float(os.environ.get("SPARK_GRAFT_CANARY_PIN", "3.8"))
+#
+# RE-PINNED r13 (3.8 -> 6.3): the r13 minhash scale fix (corpus-scale
+# broadcasts -> shuffle_hash; see PERF.md) changed pagerank_docs' OWN
+# quiet level — the canary was measuring the code change, not the
+# container. Container quietness was verified independently before
+# re-pinning: three untouched queries soloed AT/BELOW their committed
+# r12 levels (pricing_summary 0.40 vs 0.60, volume_shipping 0.70 vs
+# 0.87, gap_fill_hourly 0.61 vs 0.63) while pagerank_docs soloed
+# 6.32-7.2 s on the new code. Protocol: whenever a change touches the
+# canary's own plan family, re-solo it on a verified-quiet container
+# and re-pin in the same commit.
+CANARY_PIN_SEC = float(os.environ.get("SPARK_GRAFT_CANARY_PIN", "6.3"))
 
 # In-run burst guard (r10 verdict item 2): the canary bounds a run's
 # ENDS only, so a mid-run contention burst (observed: consensus_near_dups
@@ -57,6 +68,20 @@ CANARY_PIN_SEC = float(os.environ.get("SPARK_GRAFT_CANARY_PIN", "3.8"))
 REPROBE_RATIO = 2.0
 REPROBE_MIN_GAP_SEC = 0.5
 REPROBE_MAX = 12
+
+# Drift-aware tightening (r12 verdict "What's wrong" #2): the 2x
+# per-query guard lets a globally-drifted container inflate the
+# headline total 10-30% with zero re-probes (r12's driver run:
+# canary_pre 5.123 vs pin 3.8, median per-query ratio 1.008 — fine
+# that time, but nothing ENFORCED it). When the PRE canary already
+# classifies the run suspect (> 1.2x the pin), the re-probe trigger
+# drops to SUSPECT_REPROBE_RATIO and the cap rises, so the elevated
+# tail gets adjudicated numbers instead of silently absorbed drift;
+# format_output additionally emits `drift_normalized_total`
+# (total x pin / max(canary)) — a uniform-drift estimate of the
+# quiet-container total for cross-round comparison.
+SUSPECT_REPROBE_RATIO = 1.3
+SUSPECT_REPROBE_MAX = 24
 
 
 def _py_worker_warmup(spark) -> None:
@@ -132,9 +157,11 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     # in-run burst re-probe pass (before canary_post, so the canary
-    # still bounds the full run end); worst offenders first under the cap
+    # still bounds the full run end); worst offenders first under the
+    # cap. A suspect PRE canary tightens the trigger (drift-aware).
+    suspect = canary_pre > 1.2 * CANARY_PIN_SEC
     reprobes: dict[str, dict[str, float]] = {}
-    for name in select_reprobes(timings, prior):
+    for name in select_reprobes(timings, prior, suspect=suspect):
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         reprobes[name] = {
@@ -196,20 +223,29 @@ def load_prior(detail_path: str) -> tuple[dict[str, float], str]:
         return {}, "none"
 
 
-def select_reprobes(timings: dict[str, float], prior: dict[str, float]) -> list[str]:
-    """Queries whose in-run time exceeds REPROBE_RATIO x the
+def select_reprobes(
+    timings: dict[str, float],
+    prior: dict[str, float],
+    suspect: bool = False,
+) -> list[str]:
+    """Queries whose in-run time exceeds the trigger ratio x the
     trailing-round time AND by more than REPROBE_MIN_GAP_SEC (so
     0.1 s -> 0.25 s noise never flags), worst relative offenders
-    first, capped at REPROBE_MAX."""
+    first, capped. On a canary-suspect run the trigger drops from
+    REPROBE_RATIO to SUSPECT_REPROBE_RATIO and the cap rises to
+    SUSPECT_REPROBE_MAX, so global drift gets adjudicated instead of
+    sailing under the 2x bar (r12 verdict item 3)."""
+    ratio = SUSPECT_REPROBE_RATIO if suspect else REPROBE_RATIO
+    cap = SUSPECT_REPROBE_MAX if suspect else REPROBE_MAX
     flagged = [
         n
         for n, sec in timings.items()
         if n in prior
-        and sec > REPROBE_RATIO * prior[n]
+        and sec > ratio * prior[n]
         and sec - prior[n] > REPROBE_MIN_GAP_SEC
     ]
     flagged.sort(key=lambda n: -(timings[n] / max(prior[n], 1e-9)))
-    return flagged[:REPROBE_MAX]
+    return flagged[:cap]
 
 
 def format_output(
@@ -258,6 +294,15 @@ def format_output(
         # the container was not quiet at that end of the run.
         ratio = max(canary) / CANARY_PIN_SEC
         summary["canary_verdict"] = "quiet" if ratio <= 1.2 else "suspect"
+        if summary["canary_verdict"] == "suspect":
+            # uniform-drift estimate of the quiet-container total:
+            # scale by pin / worst canary. An ESTIMATE for cross-round
+            # comparison (drift is rarely perfectly uniform — the
+            # per-query truth is in the widened reprobe map), never a
+            # substitute for the raw headline value.
+            summary["drift_normalized_total"] = round(
+                summary["value"] / ratio, 3
+            )
     # The PERSISTED `queries` map is the next round's guard baseline
     # (load_prior reads it from the committed detail). When the in-run
     # guard adjudicated a query — re-probed it and found the burst was
