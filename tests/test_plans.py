@@ -514,3 +514,38 @@ def test_exempt_disposition_table_covers_exempt_set():
         assert disp[name].split(":", 1)[0] in {"probe", "x100-audit"}, (
             name, disp[name]
         )
+
+
+def test_minhash_front_end_never_broadcasts_corpus(spark):
+    """r13 regression pin (the aggregate-bounded broadcast subclass —
+    see PERF.md r13): the minhash candidate front end must carry ZERO
+    BroadcastExchange — its signature aggregate, exploded band
+    relation, and shingle verify-join sides are all corpus-scale
+    behind guess-sized aggregates/caches, and the x100 exempt-audit
+    observed real aborts when any of them broadcast. The shuffle_hash
+    hints are SF-independent, so the structural check holds at
+    sf0.001. semdedup's peers join is pinned the same way."""
+    from joblink_etl_spark.plans import registry
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    qs = registry.queries()
+    plan = (
+        qs["minhash_pairs"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert plan.count("BroadcastExchange") == 0, plan
+    assert plan.count("ShuffledHashJoin") >= 3
+    spark.catalog.clearCache()
+
+    plan = (
+        qs["semdedup_prune"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    # the peers (cells) join must be shuffle-based, not broadcast
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan
+    spark.catalog.clearCache()
