@@ -365,7 +365,12 @@ def minhash_candidate_pairs(
     # of the corpus in one hash table). The band self-join shuffles
     # on (band, bucket) and the verify joins shuffle the candidate
     # pairs on id — the documented scale design, now pinned.
-    left, right = banded.alias("l"), banded.hint("shuffle_hash").alias("r")
+    # 'merge' (sort-merge), not 'shuffle_hash' (ADVICE r13): SMJ
+    # spills to disk, so a hot (band, bucket) — near-identical
+    # boilerplate docs all hash to one bucket — degrades instead of
+    # OOMing the per-partition build map SHJ would hold in memory;
+    # at sf0.1 the two hints measured within noise (PERF.md r13).
+    left, right = banded.alias("l"), banded.hint("merge").alias("r")
     cand = (
         left.join(
             right,
@@ -378,14 +383,10 @@ def minhash_candidate_pairs(
     )
     sh = base.select("id", "shingles")
     pairs = cand.join(
-        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")).hint(
-            "shuffle_hash"
-        ),
+        sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")).hint("merge"),
         "id_a",
     ).join(
-        sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")).hint(
-            "shuffle_hash"
-        ),
+        sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")).hint("merge"),
         "id_b",
     )
     return (
@@ -620,7 +621,7 @@ def incremental_near_dups(
     cand = (
         new_banded.alias("n")
         .join(
-            idx_banded.hint("shuffle_hash").alias("i"),
+            idx_banded.hint("merge").alias("i"),
             (F.col("n.band") == F.col("i.band"))
             & (F.col("n.bucket") == F.col("i.bucket")),
         )
@@ -630,12 +631,12 @@ def incremental_near_dups(
     pairs = cand.join(
         new_base.select(
             F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
-        ).hint("shuffle_hash"),
+        ).hint("merge"),
         "new_id",
     ).join(
         idx_base.select(
             F.col("id").alias("index_id"), F.col("shingles").alias("sh_b")
-        ).hint("shuffle_hash"),
+        ).hint("merge"),
         "index_id",
     )
     return (
@@ -790,9 +791,7 @@ def sorted_neighborhood_pairs(
     # are corpus-scale behind guess-sized rank/projection stages —
     # shuffle on the rank/id keys instead of broadcasting the corpus.
     cand = left.join(
-        ranked.select(F.col("id").alias("_idb"), F.col("_r").alias("_r2")).hint(
-            "shuffle_hash"
-        ),
+        ranked.select(F.col("id").alias("_idb"), F.col("_r").alias("_r2")).hint("merge"),
         "_r2",
     ).select(
         F.least("_ida", "_idb").alias("id_a"), F.greatest("_ida", "_idb").alias("id_b")

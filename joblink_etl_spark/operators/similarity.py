@@ -1369,10 +1369,11 @@ def semdedup(
     # into the pair join — recomputing them per candidate pair would
     # triple the interpreted-HOF element ops in the O(cell²) stage.
     # Lazy checkpoint (eager=False: construction stays action-free):
-    # this relation feeds BOTH sides of the within-cluster self-join
-    # plus the final keep/prune join — without the barrier the whole
-    # quantize+Lloyd+assign chain re-executes up to 3x per action
-    # (measured ~2.5x wall-clock on the bench tail).
+    # this relation has TWO consumers — the per-cell collect_list
+    # aggregate (cells) and the final peers/cluster_id join — so
+    # without the barrier the whole quantize+Lloyd+assign chain
+    # re-executes once per consumer (measured ~2.5x wall-clock on
+    # the bench tail before the r13 exists-prune rewrite).
     # TRADEOFF (pin census): with_c is CORPUS-SCALE (one row per
     # vector: id, codes, cluster, norm) — a localCheckpoint
     # materializes it to executor-local blocks and severs lineage, so
@@ -1397,9 +1398,12 @@ def semdedup(
     # every pair's dot and shuffled all surviving pair rows through a
     # distinct), the `_pid < id` conjunct fails fast for juniors
     # without touching the dot fold, and the peers join is
-    # shuffle_hash-hinted so the corpus-scale cell relation is never
+    # merge-hinted so the corpus-scale cell relation is never
     # broadcast on a post-aggregate size guess (the r13 minhash
-    # lesson). Same outputs row-for-row: (id, cluster_id, kept).
+    # lesson) AND the build stays spill-safe: sort-merge spills to
+    # disk under a hot cluster_id, where ShuffledHashJoin's
+    # per-partition map would OOM the task (ADVICE r13).
+    # Same outputs row-for-row: (id, cluster_id, kept).
     cells = with_c.groupBy("cluster_id").agg(
         F.sort_array(
             F.collect_list(
@@ -1439,7 +1443,7 @@ def semdedup(
         ),
     )
     return (
-        with_c.join(cells.hint("shuffle_hash"), "cluster_id")
+        with_c.join(cells.hint("merge"), "cluster_id")
         .select(id_col, "cluster_id", (~pruned).alias("kept"))
     )
 

@@ -522,9 +522,11 @@ def test_minhash_front_end_never_broadcasts_corpus(spark):
     BroadcastExchange — its signature aggregate, exploded band
     relation, and shingle verify-join sides are all corpus-scale
     behind guess-sized aggregates/caches, and the x100 exempt-audit
-    observed real aborts when any of them broadcast. The shuffle_hash
-    hints are SF-independent, so the structural check holds at
-    sf0.001. semdedup's peers join is pinned the same way."""
+    observed real aborts when any of them broadcast. The 'merge'
+    hints (sort-merge since r14, for spill-safety under a hot
+    (band, bucket) — ADVICE r13) are SF-independent, so the
+    structural check holds at sf0.001. semdedup's peers join is
+    pinned the same way."""
     from joblink_etl_spark.plans import registry
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -537,7 +539,7 @@ def test_minhash_front_end_never_broadcasts_corpus(spark):
         .explainString(mode)
     )
     assert plan.count("BroadcastExchange") == 0, plan
-    assert plan.count("ShuffledHashJoin") >= 3
+    assert plan.count("SortMergeJoin") >= 3
     spark.catalog.clearCache()
 
     plan = (
@@ -547,5 +549,5 @@ def test_minhash_front_end_never_broadcasts_corpus(spark):
     )
     # the peers (cells) join must be shuffle-based, not broadcast
     assert "BroadcastExchange" not in plan, plan
-    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" in plan
     spark.catalog.clearCache()
