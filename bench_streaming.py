@@ -36,13 +36,16 @@ maxFilesPerTrigger=5 (~2 micro-batches, 5x rows per batch) — so the
 batch-size amortization of the state-commit floor is MEASURED, not
 asserted (r12 verdict item 4).
 
-`--x100-gates` mode (r12 verdict item 6) instead drives the two
-custom stateful gates (band_registry, k_anon_gate) through
-availableNow drains of the x10 and x100 scratch replicas
+`--x100-gates` mode (r12 verdict item 6) instead drives the custom
+stateful gates (band_registry, band_registry_ttl60, k_anon_gate)
+through availableNow drains of the x10 and x100 scratch replicas
 (tools/scale_probe.py builds them) and records rows/sec plus the
 state-store footprint from the progress stateOperators (rows in
 state, memory bytes, bytes/state-row) — the executable check of the
-gates' documented bounded-keyed-state claims.
+gates' documented bounded-keyed-state claims. The ttl60 arm (r14)
+shows the TTL bound in action: with the TTL shorter than the drain,
+state stays ~one batch's buckets instead of the r13-measured 454 MB
+linear growth.
 
 Usage: python bench_streaming.py [--x100-gates]
 (env: SPARK_GRAFT_SF_DIR)
@@ -314,19 +317,50 @@ def x100_gates() -> None:
                 )
 
             results[scale] = {}
-            for name, build in {
-                "band_registry": lambda: streaming_band_registry(
-                    src_stream(docs_src, docs_schema)
+            # band_registry_ttl60 (r14, r13 What's-wrong #3): same gate
+            # under a 60 s TTL — shorter than the drain (x100 batches
+            # alone run ~90 s), so buckets from batch N are expired and
+            # silent by the time batch N+1 commits, and the state store
+            # holds ~one batch's distinct buckets instead of the whole
+            # corpus's. The drain disables noDataMicroBatches: under
+            # ProcessingTimeTimeout shouldRunAnotherBatch() is always
+            # true and an availableNow drain otherwise NEVER terminates
+            # (see streaming_band_registry's DRAIN CAVEAT).
+            for name, build, ttl in (
+                (
+                    "band_registry",
+                    lambda: streaming_band_registry(
+                        src_stream(docs_src, docs_schema)
+                    ),
+                    False,
                 ),
-                "k_anon_gate": lambda: streaming_k_anon_gate(
-                    src_stream(priv_src, priv_schema),
-                    ["qi_type", "qi_cohort"],
-                    k=5,
+                (
+                    "band_registry_ttl60",
+                    lambda: streaming_band_registry(
+                        src_stream(docs_src, docs_schema), ttl_seconds=60
+                    ),
+                    True,
                 ),
-            }.items():
+                (
+                    "k_anon_gate",
+                    lambda: streaming_k_anon_gate(
+                        src_stream(priv_src, priv_schema),
+                        ["qi_type", "qi_cohort"],
+                        k=5,
+                    ),
+                    False,
+                ),
+            ):
                 sink = os.path.join(scratch, f"sink_{name}_{scale}")
                 ckpt = os.path.join(scratch, f"ckpt_{name}_{scale}")
-                results[scale][name] = _drain_timed(build(), sink, ckpt)
+                conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+                prior_conf = spark.conf.get(conf_key, "true")
+                if ttl:
+                    spark.conf.set(conf_key, "false")
+                try:
+                    results[scale][name] = _drain_timed(build(), sink, ckpt)
+                finally:
+                    spark.conf.set(conf_key, prior_conf)
                 spark.catalog.clearCache()
                 spark.sparkContext._jvm.System.gc()
     finally:

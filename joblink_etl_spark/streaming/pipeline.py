@@ -352,7 +352,11 @@ def _doc_bands(
 
 
 def streaming_band_registry(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    ttl_seconds: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator: a STREAMING near-duplicate gate. Each
     incoming document explodes into its LSH band buckets; per-bucket
@@ -366,11 +370,40 @@ def streaming_band_registry(
 
     Scale/state design: keyed by (band, bucket) like any stateful op
     (one shuffle); state is 8 bytes per DISTINCT bucket — the same
-    cardinality the stored-index design pays on disk. Production
-    would bound it with a TTL (GroupStateTimeout.ProcessingTimeTimeout)
-    matching the dedup horizon; the default here keeps the registry
-    complete. Within a micro-batch, rows resolve in doc_id order, so
-    a full-history single batch replays exactly like the batch twin
+    cardinality the stored-index design pays on disk, which the r13
+    x100 drain measured at 454 MB growing LINEARLY with the corpus
+    (BENCH_STREAMING_X100_r13.json). `ttl_seconds` is the production
+    bound for that growth (r13 What's-wrong #3 → r14): when set, the
+    operator runs under GroupStateTimeout.ProcessingTimeTimeout and
+    every bucket's state row is EVICTED ttl_seconds after its last
+    update — the registry then holds only buckets touched inside the
+    dedup horizon, so state is O(distinct buckets per horizon), not
+    O(corpus). Semantics under TTL: a clone arriving after its
+    bucket expired re-registers as a fresh canonical (exactly the
+    stored-index design with a retention sweep). GroupState TTL is
+    LAZY — an expired bucket is evicted on the next micro-batch in
+    which it receives no data; a bucket that keeps receiving clones
+    keeps its canonical (sliding horizon). Default None keeps
+    NoTimeout and the complete registry — the batch-twin contract
+    (band_registry_batch equivalence, pinned in tests) holds for the
+    default; the TTL arm is pinned by its own eviction test.
+
+    DRAIN CAVEAT (found r14, the hard way): under
+    ProcessingTimeTimeout the stateful operator's
+    shouldRunAnotherBatch() is unconditionally true (processing time
+    always advances), so with the default
+    spark.sql.streaming.noDataMicroBatches.enabled=true a
+    Trigger.AvailableNow drain schedules empty timeout-sweep batches
+    FOREVER and never terminates (observed: 1300+ no-data batches
+    before the run was killed). Finite drains of the TTL arm must
+    set that conf to false — eviction then rides the next DATA
+    batch, which is the lazy-TTL contract anyway. Long-running
+    production triggers (processingTime interval) are unaffected:
+    the periodic no-data batches there are exactly what makes
+    eviction prompt.
+
+    Within a micro-batch, rows resolve in doc_id order, so a
+    full-history single batch replays exactly like the batch twin
     (band_registry_batch) — that equivalence is pinned in tests."""
     import pandas as pd  # noqa: PLC0415 — executor-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -387,6 +420,11 @@ def streaming_band_registry(
     state_schema = StructType([StructField("first_id", LongType())])
 
     def register(key, pdf_iter, state: GroupState):
+        if ttl_seconds is not None and state.hasTimedOut:
+            # TTL eviction: drop the bucket's canonical and emit
+            # nothing — the next claimant re-registers as first.
+            state.remove()
+            return
         first = state.get[0] if state.exists else None
         pdf = pd.concat(list(pdf_iter)).sort_values("doc_id").copy()
         canon, flags = [], []
@@ -400,13 +438,21 @@ def streaming_band_registry(
         pdf["canonical_id"] = canon
         pdf["is_first"] = flags
         state.update((first,))
+        if ttl_seconds is not None:
+            # sliding horizon: each touch re-arms the bucket's clock
+            state.setTimeoutDuration(ttl_seconds * 1000)
         yield pdf[["band", "bucket", "doc_id", "canonical_id", "is_first"]]
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         _doc_bands(docs, id_col, text_col, ngram)
         .groupBy("band", "bucket")
         .applyInPandasWithState(
-            register, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            register, out_schema, state_schema, "append", timeout
         )
     )
 

@@ -356,6 +356,83 @@ def test_streaming_band_registry_state_across_batches(spark, tmp_path):
     assert twin == got
 
 
+def test_streaming_band_registry_ttl_evicts_state(spark, tmp_path):
+    """r14 (r13 What's-wrong #3): the band registry's ttl_seconds arm
+    bounds the state store. Buckets untouched for a full TTL are
+    EVICTED on the next micro-batch (state rows drop), and a clone
+    arriving after its bucket expired re-registers as a fresh
+    canonical — the stored-index-with-retention-sweep semantics.
+    GroupState TTL is lazy: eviction fires on a batch where the
+    expired key receives no data, which is why the probe batch here
+    carries only an unrelated document. noDataMicroBatches is OFF
+    for the drains — under ProcessingTimeTimeout an availableNow
+    drain with no-data batches enabled never terminates (the
+    operator's shouldRunAnotherBatch is always true; see the DRAIN
+    CAVEAT in streaming_band_registry's docstring)."""
+    import time as _time
+
+    from joblink_etl_spark.streaming.pipeline import streaming_band_registry
+
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "doc_id long, text string"
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "totally different words live in this document body",
+        3: "a third unrelated probe document with fresh content here",
+    }
+
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prior_conf = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+
+    def drain():
+        stream = streaming_band_registry(
+            spark.readStream.schema(schema).parquet(src), ttl_seconds=1
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state_rows = None
+        for p in reversed(q.recentProgress or []):
+            ops = p.get("stateOperators") or []
+            if ops:
+                state_rows = int(sum(o.get("numRowsTotal", 0) for o in ops))
+                break
+        return spark.read.parquet(sink).collect(), state_rows
+
+    try:
+        spark.createDataFrame([(1, texts[1]), (2, texts[2])], schema).write.mode(
+            "append"
+        ).parquet(src)
+        rows1, state1 = drain()
+        assert all(r["is_first"] for r in rows1)
+        assert state1 and state1 > 0
+
+        # let every registered bucket's TTL lapse, then drive a batch
+        # whose only data is an UNRELATED doc: the silent expired keys
+        # are evicted during this batch
+        _time.sleep(2.5)
+        spark.createDataFrame([(3, texts[3])], schema).write.mode("append").parquet(src)
+        rows2, state2 = drain()
+        n3 = len({r["bucket"] for r in rows2 if r["doc_id"] == 3})
+        assert state2 is not None and state2 < state1, (state1, state2)
+        assert state2 == n3  # only the probe doc's buckets survive
+
+        # a clone of doc 1 arriving AFTER eviction re-registers as first
+        spark.createDataFrame([(11, texts[1])], schema).write.mode("append").parquet(src)
+        rows3, _ = drain()
+        clone = [r for r in rows3 if r["doc_id"] == 11]
+        assert clone and all(r["is_first"] and r["canonical_id"] == 11 for r in clone)
+    finally:
+        spark.conf.set(conf_key, prior_conf)
+
+
 def _write_events(spark, path, rows):
     df = spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
