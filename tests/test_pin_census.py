@@ -473,8 +473,10 @@ def test_broadcast_audit_fixed_queries_stay_clean(spark):
     sys.path.insert(0, os.path.join(repo, "tools"))
     from broadcast_audit import WHITELIST, generate_class_broadcasts
 
+    # formatted: the mode the tool itself scans since r14 (it also
+    # prints subquery plan trees — see tests/test_tools.py)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "simple"
+        "formatted"
     )
     qs = registry.queries()
     fixed = (
