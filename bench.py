@@ -28,31 +28,50 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # JSON carries an "excluded" field), not silently.
 EXCLUDED_QUADRATIC_BASELINES = ["cosine_near_dups"]
 
-# Container-health canary (r9 verdict item 2): an untouched,
-# stable-plan query timed solo BEFORE and AFTER the main loop, so a
-# drifting container is visible inside the bench artifact itself
-# instead of costing a round of spurious regression flags (r9: 14
-# flags, all drift/contention). Compare canary_pre/post_sec against
-# the pin: ratio >> 1 on PRE means the whole run is suspect; POST >>
-# PRE means the container degraded mid-run (the r9 failure mode —
-# three same-day runs 447/534/512 s).
-CANARY_QUERY = "pagerank_docs"
-# Quiet-container solo pin (r9 verdict / r10 re-check). HOST-SPECIFIC:
-# this is the container's (32-core local[32]) quiet level; on other
-# hardware every run would classify "suspect" (or falsely "quiet" on a
-# faster host), so the pin is overridable alongside SPARK_GRAFT_SF_DIR
-# (ADVICE r10). Re-pin with: python tools/solo_time.py <sf_dir> pagerank_docs
+# Container-health canary (r9 verdict item 2, basket since r14): solo
+# probes BEFORE and AFTER the main loop make a drifting container
+# visible inside the bench artifact itself instead of costing a round
+# of spurious regression flags (r9: 14 flags, all drift/contention).
 #
-# RE-PINNED r13 (3.8 -> 6.3): the r13 minhash scale fix (corpus-scale
-# broadcasts -> shuffle_hash; see PERF.md) changed pagerank_docs' OWN
-# quiet level — the canary was measuring the code change, not the
-# container. Container quietness was verified independently before
-# re-pinning: three untouched queries soloed AT/BELOW their committed
-# r12 levels (pricing_summary 0.40 vs 0.60, volume_shipping 0.70 vs
-# 0.87, gap_fill_hourly 0.61 vs 0.63) while pagerank_docs soloed
-# 6.32-7.2 s on the new code. Protocol: whenever a change touches the
-# canary's own plan family, re-solo it on a verified-quiet container
-# and re-pin in the same commit.
+# STABLE-TRIO BASKET (r13 verdict item 3): the quiet/suspect verdict
+# is the MEDIAN solo ratio of three untouched query families the
+# builder never optimizes together (TPC-H-shaped agg, join-agg,
+# events gap-fill). A single-query canary conflates "the container
+# drifted" with "the canary's own plan family changed" — exactly the
+# r13 false-suspect, where the minhash scale fix moved pagerank_docs'
+# quiet level and the canary condemned a healthy container. Three
+# unrelated families median-voted can only trip together for a
+# container-level cause. pagerank_docs stays a REPORTED datapoint
+# (canary_pagerank_* fields) because its graph-family sensitivity is
+# useful in triage — it just no longer gates the verdict.
+#
+# Pins are HOST-SPECIFIC quiet-container solo levels (32-core
+# local[32]); override alongside SPARK_GRAFT_SF_DIR via
+# SPARK_GRAFT_BASKET_PINS="name=sec,name=sec" (ADVICE r10 applies to
+# the basket too). Re-pin with:
+#   python tools/solo_time.py <sf_dir> pricing_summary volume_shipping gap_fill_hourly
+# PINNED r14 at the best quiet solo level each query has shown
+# across r12-r14 (pricing_summary 0.40/0.57, volume_shipping
+# 0.70/0.70, gap_fill_hourly 0.61/0.50 — r13 re-pin evidence + r14
+# solo run on a container reading quiet: pagerank_docs 6.83 vs its
+# 6.3 pin). Individual pins may read a little tight on a given day
+# (pricing_summary wanders 0.40-0.60 solo); the MEDIAN vote absorbs
+# that — only a container-level cause moves all three.
+CANARY_BASKET: dict[str, float] = {
+    "pricing_summary": 0.45,
+    "volume_shipping": 0.70,
+    "gap_fill_hourly": 0.50,
+}
+_pins_env = os.environ.get("SPARK_GRAFT_BASKET_PINS")
+if _pins_env:
+    CANARY_BASKET = {
+        kv.split("=")[0]: float(kv.split("=")[1])
+        for kv in _pins_env.split(",")
+        if "=" in kv
+    }
+
+# Reported-but-non-gating datapoint (see basket note above).
+CANARY_QUERY = "pagerank_docs"
 CANARY_PIN_SEC = float(os.environ.get("SPARK_GRAFT_CANARY_PIN", "6.3"))
 
 # In-run burst guard (r10 verdict item 2): the canary bounds a run's
@@ -73,13 +92,16 @@ REPROBE_MAX = 12
 # per-query guard lets a globally-drifted container inflate the
 # headline total 10-30% with zero re-probes (r12's driver run:
 # canary_pre 5.123 vs pin 3.8, median per-query ratio 1.008 — fine
-# that time, but nothing ENFORCED it). When the PRE canary already
-# classifies the run suspect (> 1.2x the pin), the re-probe trigger
-# drops to SUSPECT_REPROBE_RATIO and the cap rises, so the elevated
-# tail gets adjudicated numbers instead of silently absorbed drift;
-# format_output additionally emits `drift_normalized_total`
-# (total x pin / max(canary)) — a uniform-drift estimate of the
-# quiet-container total for cross-round comparison.
+# that time, but nothing ENFORCED it). When the PRE basket already
+# classifies the run suspect (median trio ratio > 1.2), the re-probe
+# trigger drops to SUSPECT_REPROBE_RATIO and the cap rises, so the
+# elevated tail gets adjudicated numbers instead of silently
+# absorbed drift. On suspect runs format_output emits
+# `drift_normalized_total` = total / median per-query ratio vs the
+# committed prior round — the PRIMARY cross-round number (r13
+# What's-wrong #1: measured on the workload itself, no uniformity
+# assumption) — with the basket-uniform estimate kept as the
+# secondary `drift_normalized_total_basket_uniform`.
 SUSPECT_REPROBE_RATIO = 1.3
 SUSPECT_REPROBE_MAX = 24
 
@@ -105,19 +127,32 @@ def _py_worker_warmup(spark) -> None:
     ).format("noop").save()
 
 
-def _canary(spark, qs, sf_dir: str, warm: bool) -> float:
-    fn = qs[CANARY_QUERY]
+def _solo(spark, fn, sf_dir: str, warm: bool, reps: int = 2) -> float:
     if warm:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()
     best = float("inf")
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
     return round(best, 3)
+
+
+def _basket_solos(spark, qs, sf_dir: str, warm: bool) -> dict[str, float]:
+    return {n: _solo(spark, qs[n], sf_dir, warm) for n in CANARY_BASKET}
+
+
+def basket_ratio(solos: dict[str, float]) -> float:
+    """Median solo/pin ratio over the stable trio — the run verdict's
+    input. Median, not max: one family's own plan change (or one
+    unlucky GC) must not condemn the run; a container-level cause
+    moves all three."""
+    return round(
+        statistics.median(solos[n] / CANARY_BASKET[n] for n in CANARY_BASKET), 3
+    )
 
 
 def main() -> None:
@@ -135,7 +170,8 @@ def main() -> None:
     # warm the JVM + parquet footers so timings measure steady state
     qs[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
     _py_worker_warmup(spark)
-    canary_pre = _canary(spark, qs, sf_dir, warm=True)
+    basket_pre = _basket_solos(spark, qs, sf_dir, warm=True)
+    canary_pre = _solo(spark, qs[CANARY_QUERY], sf_dir, warm=True)
 
     timings: dict[str, float] = {}
     for name in names:
@@ -156,10 +192,16 @@ def main() -> None:
         # spikes late in long runs)
         spark.sparkContext._jvm.System.gc()
 
-    # in-run burst re-probe pass (before canary_post, so the canary
-    # still bounds the full run end); worst offenders first under the
-    # cap. A suspect PRE canary tightens the trigger (drift-aware).
-    suspect = canary_pre > 1.2 * CANARY_PIN_SEC
+    # in-run burst re-probe pass (before the post basket, so the
+    # basket still bounds the full run end); worst offenders first
+    # under the cap. A suspect PRE basket tightens the trigger.
+    # KNOWN ASYMMETRY (ADVICE r13, recorded as `suspect_source` in
+    # the summary): the tightened trigger keys off the PRE probe
+    # only — a run that drifts mid-run (quiet pre, suspect post) is
+    # labeled suspect and drift-normalized but its re-probes ran
+    # under the loose 2x trigger, because the post probe by
+    # definition happens after the re-probe pass.
+    suspect = basket_ratio(basket_pre) > 1.2
     reprobes: dict[str, dict[str, float]] = {}
     for name in select_reprobes(timings, prior, suspect=suspect):
         t0 = time.perf_counter()
@@ -172,7 +214,8 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
-    canary_post = _canary(spark, qs, sf_dir, warm=False)
+    basket_post = _basket_solos(spark, qs, sf_dir, warm=False)
+    canary_post = _solo(spark, qs[CANARY_QUERY], sf_dir, warm=False)
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     print(
@@ -181,8 +224,10 @@ def main() -> None:
             sf,
             detail_path,
             canary=(canary_pre, canary_post),
+            basket=(basket_pre, basket_post),
             reprobes=reprobes,
             baseline_source=prior_source,
+            prior=prior,
         )
     )
 
@@ -254,8 +299,10 @@ def format_output(
     detail_path: str,
     line_budget: int = 1800,
     canary: tuple[float, float] | None = None,
+    basket: tuple[dict[str, float], dict[str, float]] | None = None,
     reprobes: dict[str, dict[str, float]] | None = None,
     baseline_source: str | None = None,
+    prior: dict[str, float] | None = None,
 ) -> str:
     """Build the ONE JSON line, keeping it parseable by the driver.
 
@@ -283,26 +330,63 @@ def format_output(
         "detail_file": os.path.basename(detail_path),
     }
     if canary is not None:
+        # reported-but-non-gating graph-family datapoint (r14: the
+        # verdict moved to the stable-trio basket below)
         summary["canary_query"] = CANARY_QUERY
         summary["canary_pin_sec"] = CANARY_PIN_SEC
         summary["canary_pre_sec"] = canary[0]
         summary["canary_post_sec"] = canary[1]
+    if basket is not None:
         # machine-readable run classification so nobody triages
-        # per-query "regressions" on a run the canary already
+        # per-query "regressions" on a run the basket already
         # condemned (r9: 14 flags, all drift; r10 session 2: four
-        # runs, every one suspect). >1.2x the pin on either probe =
-        # the container was not quiet at that end of the run.
-        ratio = max(canary) / CANARY_PIN_SEC
-        summary["canary_verdict"] = "quiet" if ratio <= 1.2 else "suspect"
+        # runs, every one suspect). Median-of-trio ratio > 1.2 on
+        # either end = the container was not quiet there.
+        pre_r, post_r = basket_ratio(basket[0]), basket_ratio(basket[1])
+        summary["canary_basket_pins"] = CANARY_BASKET
+        summary["canary_basket_pre_sec"] = basket[0]
+        summary["canary_basket_post_sec"] = basket[1]
+        summary["canary_basket_pre_ratio"] = pre_r
+        summary["canary_basket_post_ratio"] = post_r
+        worst = max(pre_r, post_r)
+        summary["canary_verdict"] = "quiet" if worst <= 1.2 else "suspect"
         if summary["canary_verdict"] == "suspect":
-            # uniform-drift estimate of the quiet-container total:
-            # scale by pin / worst canary. An ESTIMATE for cross-round
-            # comparison (drift is rarely perfectly uniform — the
-            # per-query truth is in the widened reprobe map), never a
-            # substitute for the raw headline value.
-            summary["drift_normalized_total"] = round(
-                summary["value"] / ratio, 3
+            # which end(s) tripped — the re-probe trigger keys off
+            # PRE only (it runs before the post probe can exist), so
+            # a post-only suspect means the widened trigger never
+            # applied to this run's re-probes (ADVICE r13)
+            summary["suspect_source"] = (
+                "both"
+                if pre_r > 1.2 and post_r > 1.2
+                else ("pre" if pre_r > 1.2 else "post")
             )
+            # PRIMARY cross-round number on a suspect run (r13
+            # What's-wrong #1): scale the total by the MEDIAN
+            # per-query ratio vs the committed prior round — drift
+            # measured on the workload itself, over every query, so
+            # it needs no uniformity assumption about the basket's
+            # 3 probes. Falls back to the basket-uniform model only
+            # when there is no prior to ratio against.
+            common = [
+                n for n in timings if n in (prior or {}) and prior[n] > 0
+            ]
+            if common:
+                med = statistics.median(timings[n] / prior[n] for n in common)
+                summary["drift_median_query_ratio"] = round(med, 3)
+                summary["drift_normalized_total"] = round(
+                    summary["value"] / med, 3
+                )
+            # SECONDARY estimate (the pre-r14 uniform-drift model,
+            # kept for continuity): total x 1 / worst basket ratio.
+            # When both are present the median-per-query number
+            # takes precedence for cross-round comparison.
+            summary["drift_normalized_total_basket_uniform"] = round(
+                summary["value"] / worst, 3
+            )
+            if "drift_normalized_total" not in summary:
+                summary["drift_normalized_total"] = summary[
+                    "drift_normalized_total_basket_uniform"
+                ]
     # The PERSISTED `queries` map is the next round's guard baseline
     # (load_prior reads it from the committed detail). When the in-run
     # guard adjudicated a query — re-probed it and found the burst was

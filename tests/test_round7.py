@@ -674,12 +674,19 @@ def test_bench_py_worker_warmup_runs_real_python_workers(spark):
     )
 
 
+def _basket_at(ratio: float) -> dict[str, float]:
+    import bench
+
+    return {n: round(pin * ratio, 4) for n, pin in bench.CANARY_BASKET.items()}
+
+
 def test_bench_suspect_canary_widens_reprobe_and_normalizes(tmp_path):
-    """Drift-aware bench (r12 verdict item 3): a canary-suspect run
-    must (a) drop the re-probe trigger to SUSPECT_REPROBE_RATIO with
-    the raised cap, catching globally-drifted queries the 2x bar
-    misses, and (b) emit `drift_normalized_total` (total x pin /
-    max(canary)) in the summary — quiet runs emit neither."""
+    """Drift-aware bench (r12 verdict item 3, basket verdict since
+    r14): a basket-suspect run must (a) drop the re-probe trigger to
+    SUSPECT_REPROBE_RATIO with the raised cap, catching
+    globally-drifted queries the 2x bar misses, and (b) emit the
+    drift-normalized totals in the summary — quiet runs emit
+    neither."""
     import json
 
     import bench
@@ -698,16 +705,85 @@ def test_bench_suspect_canary_widens_reprobe_and_normalizes(tmp_path):
     assert len(sel) == bench.SUSPECT_REPROBE_MAX
 
     detail = tmp_path / "BENCH_DETAIL.json"
-    pin = bench.CANARY_PIN_SEC
-    # suspect run: pre canary 1.5x the pin
+    # suspect run: every basket query solos at 1.5x its pin on PRE
     line = json.loads(
-        bench.format_output(timings, 0.1, str(detail), canary=(1.5 * pin, pin))
+        bench.format_output(
+            timings, 0.1, str(detail),
+            basket=(_basket_at(1.5), _basket_at(1.0)),
+            prior=prior,
+        )
     )
     assert line["canary_verdict"] == "suspect"
-    assert line["drift_normalized_total"] == round(sum(timings.values()) / 1.5, 3)
+    assert line["canary_basket_pre_ratio"] == 1.5
+    assert line["suspect_source"] == "pre"
     # quiet run: no normalized companion
     line2 = json.loads(
-        bench.format_output(timings, 0.1, str(detail), canary=(pin, pin))
+        bench.format_output(
+            timings, 0.1, str(detail),
+            basket=(_basket_at(1.0), _basket_at(1.0)),
+            prior=prior,
+        )
     )
     assert line2["canary_verdict"] == "quiet"
     assert "drift_normalized_total" not in line2
+    assert "suspect_source" not in line2
+
+
+def test_bench_basket_verdict_median_and_drift_estimators(tmp_path):
+    """r13 verdict items 3+4: (a) the verdict is the MEDIAN trio
+    ratio — one family soloing high (its own plan changed, or one
+    unlucky GC) does NOT condemn the run; (b) on suspect runs the
+    PRIMARY `drift_normalized_total` is total / median-per-query
+    ratio vs the committed prior, with the basket-uniform model
+    demoted to `drift_normalized_total_basket_uniform`; (c) a
+    post-only suspect records suspect_source='post' (the ADVICE r13
+    reprobe-trigger asymmetry, now visible in the artifact)."""
+    import json
+
+    import bench
+
+    # (a) median vote: one hot family out of three -> still quiet
+    names = list(bench.CANARY_BASKET)
+    solos = _basket_at(1.0)
+    solos[names[0]] = round(bench.CANARY_BASKET[names[0]] * 3.0, 4)
+    assert bench.basket_ratio(solos) == 1.0
+    detail = tmp_path / "BENCH_DETAIL.json"
+    timings = {"a": 2.0, "b": 6.0, "c": 3.0}
+    prior = {"a": 1.0, "b": 4.0, "c": 2.0}  # ratios 2.0, 1.5, 1.5
+    line = json.loads(
+        bench.format_output(
+            timings, 0.1, str(detail),
+            basket=(solos, _basket_at(1.0)), prior=prior,
+        )
+    )
+    assert line["canary_verdict"] == "quiet"
+
+    # (b) suspect run: primary = total / median per-query ratio
+    line = json.loads(
+        bench.format_output(
+            timings, 0.1, str(detail),
+            basket=(_basket_at(1.4), _basket_at(1.6)), prior=prior,
+        )
+    )
+    assert line["canary_verdict"] == "suspect"
+    assert line["suspect_source"] == "both"
+    assert line["drift_median_query_ratio"] == 1.5
+    total = sum(timings.values())
+    assert line["drift_normalized_total"] == round(total / 1.5, 3)
+    assert line["drift_normalized_total_basket_uniform"] == round(total / 1.6, 3)
+
+    # (c) post-only suspect -> 'post'; and with NO prior the primary
+    # falls back to the basket-uniform estimate
+    line = json.loads(
+        bench.format_output(
+            timings, 0.1, str(detail),
+            basket=(_basket_at(1.0), _basket_at(1.5)),
+        )
+    )
+    assert line["canary_verdict"] == "suspect"
+    assert line["suspect_source"] == "post"
+    assert (
+        line["drift_normalized_total"]
+        == line["drift_normalized_total_basket_uniform"]
+        == round(total / 1.5, 3)
+    )
