@@ -26,10 +26,12 @@ suffix array:
   occurrence count per length. The SQL-expressible face of the
   doubling search below.
 - ``longest_repeated_substring``: the EXACT corpus LRS via
-  geometric doubling + binary search on "does any length-L substring
-  occur >= min_count times" — O(log L) probes, each a scan-side gram
-  extraction plus one map-side-combined count shuffle keyed by the
-  gram's md5 (32 B/row regardless of L). This is the iterative,
+  geometric doubling + batched grid search on "does any length-L
+  substring occur >= min_count times" — 2-4 probe jobs, each a
+  scan-side binary-lifting fingerprint build (per-position cost
+  O(log L) TOTAL across all probe lengths, not O(L) per length —
+  the r14 rewrite; see _lift_levels) plus one map-side-combined
+  count shuffle of 8 B fingerprints. This is the iterative,
   non-SQL-expressible refinement; it is pinned by planted
   overlapping/nested boilerplate tests (tests/test_suffix.py) rather
   than a DuckDB oracle.
@@ -299,38 +301,106 @@ def repeat_profile(
     return profiles
 
 
+def _empty_longs() -> Column:
+    return F.expr("CAST(array() AS ARRAY<BIGINT>)")
+
+
+def _lift_levels(df: DataFrame, text_col: str, k_max: int) -> DataFrame:
+    """Binary-lifting hash frames (r14, the lrs_exact floor chase):
+    per doc, `lvl{k}` is the array of xxhash64 fingerprints of every
+    length-2^k substring, built in O(n) combines per level from the
+    previous level — lvl{k}[i] = H(lvl{k-1}[i], lvl{k-1}[i + 2^(k-1)])
+    — instead of re-hashing O(L) characters per position per probe
+    length. Equal substrings always collide (deterministic
+    composition), so a probe keyed on these can only OVERSTATE like
+    any 64-bit hash; the champion pass re-verifies against md5.
+    All arrays live only inside one projection pipeline (never
+    shuffled); transient row memory is ~8·(k_max+1)·len bytes."""
+    out = df.select(F.col(text_col).alias("_t")).withColumn(
+        "lvl0",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length("_t"), F.lit(1))),
+            lambda i: F.xxhash64(F.substring(F.col("_t"), i, 1)),
+        ),
+    )
+    # closure FACTORY, not a defaulted lambda: Spark infers the SQL
+    # lambda's arity from the Python signature, so `lambda i, p=prev`
+    # would become a two-variable lambda and break (the r7 lesson)
+    def _combine(prev: str, half: int):
+        return lambda i: F.xxhash64(
+            F.element_at(F.col(prev), i),
+            F.element_at(F.col(prev), i + F.lit(half)),
+        )
+
+    for k in range(1, k_max + 1):
+        span = 1 << k
+        out = out.withColumn(
+            f"lvl{k}",
+            F.when(
+                F.length("_t") >= span,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_t") - (span - 1)),
+                    _combine(f"lvl{k - 1}", 1 << (k - 1)),
+                ),
+            ).otherwise(_empty_longs()),
+        )
+    return out
+
+
+def _lifted_hashes(levels: DataFrame, L: int, k_max: int) -> Column:
+    """Array of composed fingerprints for every length-L substring,
+    assembled from the set bits of L: O(popcount(L)) combines per
+    position, arbitrary L (the grid-search lengths are not powers of
+    two). element_at is 1-based; position i covers [i, i+L)."""
+    bits = [b for b in range(k_max, -1, -1) if (L >> b) & 1]
+
+    def per_pos(i: Column) -> Column:
+        h = F.element_at(F.col(f"lvl{bits[0]}"), i)
+        off = 1 << bits[0]
+        for b in bits[1:]:
+            h = F.xxhash64(h, F.element_at(F.col(f"lvl{b}"), i + F.lit(off)))
+            off += 1 << b
+        return h
+
+    n = F.length("_t")
+    return F.when(
+        n >= L,
+        F.transform(F.sequence(F.lit(1), n - (L - 1)), per_pos),
+    ).otherwise(_empty_longs())
+
+
 def _best_repeat_len(
     df: DataFrame, lengths: list[int], min_count: int, text_col: str, id_col: str
 ) -> int | None:
     """Batched probe: the LARGEST L in `lengths` for which some
     length-L substring occurs >= min_count times ((doc,pos)
     occurrences, overlapping allowed) — or None. ONE job for the
-    whole batch: the per-length gram extractions union into a single
-    plan, one map-side-combined count shuffle keyed by (len, md5),
-    and a max(len) reduction. Batching turns the classic ~2·log2(L)
-    sequential probe jobs into 2-4 total (latency, not work, is the
-    local bottleneck; at cluster scale it is also 2-4 barriers
-    instead of ~20)."""
-    t = F.col(text_col)
-    parts = None
-    for L in lengths:
-        # probes key on xxhash64 (8 B longs — far cheaper to compute,
-        # shuffle, and hash-aggregate than md5 hex strings). A 64-bit
-        # collision can only OVERSTATE a probe; the champion pass
-        # re-verifies the final length against md5 and walks down on
-        # a miss, so the result stays exact.
-        g = (
-            df.filter(F.length(t) >= L)
-            .select(
-                t.alias("_t"),
-                F.explode(F.sequence(F.lit(1), F.length(t) - (L - 1))).alias("pos"),
-            )
-            .select(
-                F.lit(L).alias("len"),
-                F.xxhash64(F.substring(F.col("_t"), F.col("pos"), L)).alias("g"),
-            )
-        )
-        parts = g if parts is None else parts.unionByName(g)
+    whole batch: binary-lifted fingerprints (see _lift_levels — the
+    per-position cost is O(log L) total for the level build plus
+    O(popcount(L)) per probe length, vs O(L) character re-hashing
+    per position per length before r14), one map-side-combined count
+    shuffle keyed on (len, fingerprint), and a max(len) reduction.
+    Batching turns the classic ~2·log2(L) sequential probe jobs into
+    2-4 total (latency, not work, is the local bottleneck; at
+    cluster scale it is also 2-4 barriers instead of ~20). A 64-bit
+    fingerprint collision can only OVERSTATE a probe; the champion
+    pass re-verifies the final length against md5 and walks down on
+    a miss, so the result stays exact."""
+    k_max = max(lengths).bit_length() - 1
+    levels = _lift_levels(df, text_col, k_max)
+
+    # one projection for ALL probe lengths (a per-length union would
+    # recompute the whole level pipeline once per branch): tag each
+    # length's fingerprint array with its L, concat, explode once
+    def _tag(L: int):
+        return lambda g: F.struct(F.lit(L).alias("len"), g.alias("g"))
+
+    tagged = [
+        F.transform(_lifted_hashes(levels, L, k_max), _tag(L)) for L in lengths
+    ]
+    parts = levels.select(
+        F.explode(tagged[0] if len(tagged) == 1 else F.concat(*tagged)).alias("x")
+    ).select(F.col("x.len").alias("len"), F.col("x.g").alias("g"))
     row = (
         parts.groupBy("len", "g")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -358,8 +428,9 @@ def longest_repeated_substring(
     One batched geometric-doubling probe bounds L*; batched grid
     search (up to `grid` interior lengths per round) pins it exactly;
     a final pass recovers the champion string (min md5 tie-break)
-    and its occurrence count. 2-4 probe jobs total, each
-    corpus-linear with a ~40 B/row shuffle payload.
+    and its occurrence count. 2-4 probe jobs total, each corpus
+    O(n log L) scan-side (binary-lifting fingerprints, r14) with an
+    8 B/row fingerprint shuffle payload.
 
     Returns (L*, champion_substring, occurrences); (0, "", 0) when
     nothing of length >= min_len repeats.
