@@ -308,16 +308,25 @@ def minhash_base_and_bands(
     # ~10× faster than the nested higher-order-function form, which
     # falls out of whole-stage codegen.
     #
-    # The shingle array rides THROUGH the aggregate as a grouping key
-    # (r13: the nb_classify carry-through-explode pattern): the old
-    # spelling re-joined sig back onto shingled by id, and at x100 the
+    # The shingle array rides THROUGH the aggregate (r13: the
+    # nb_classify carry-through-explode pattern): the old spelling
+    # re-joined sig back onto shingled by id, and at x100 the
     # exempt-audit caught Catalyst broadcasting the CORPUS-SCALE sig
     # relation on a post-aggregate size guess (aborted four downstream
     # graph queries; ~TBs at 100 TB). Deleting the join beats hinting
-    # it: (id, shingles) is one group per doc, map-side combine
-    # collapses the ×shingles explosion before the shuffle (shingled
-    # is already partitioned by id, so each doc's group is
-    # single-partition), and no join means no join misplan.
+    # it: (id, shingles) is one group per doc, the aggregate collapses
+    # the ×shingles explosion in place (shingled is already
+    # partitioned by id, so each doc's group is single-partition —
+    # the final AQE plan carries NO exchange here), and no join means
+    # no join misplan.
+    #
+    # r14: the array is carried by FIRST(shingles), not as a second
+    # grouping key — grouping on (id, shingles) made the aggregate
+    # hash and compare the full shingle array against the hashmap key
+    # for EVERY exploded row (O(|shingles|) per row, O(|shingles|²)
+    # per doc); grouping on id alone hashes one bigint per row, and
+    # first() copies the array once per group. Identical rows out:
+    # every row of a group carries the same shingles value.
     hashed = shingled.select("id", "shingles", F.explode("shingles").alias("s")).select(
         "id",
         "shingles",
@@ -327,8 +336,11 @@ def minhash_base_and_bands(
         ],
     )
     base = (
-        hashed.groupBy("id", "shingles")
-        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)])
+        hashed.groupBy("id")
+        .agg(
+            F.first("shingles").alias("shingles"),
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)],
+        )
         .select(
             "id",
             "shingles",
@@ -379,6 +391,14 @@ def minhash_candidate_pairs(
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        # one exchange instead of two (r14): hash(id_a) satisfies the
+        # dedup's (id_a, id_b) clustering AND is exactly what the
+        # sh_a verify join needs — the old dropDuplicates shuffled on
+        # (id_a, id_b) and the verify join immediately re-shuffled on
+        # id_a (before-plan Exchanges 53+55). Partition count matches
+        # the front end's id-partitioned cache so the join stays
+        # aligned.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
     sh = base.select("id", "shingles")
@@ -525,7 +545,11 @@ def connected_components(
     (components are small and dense by construction). Each round is
     one shuffle on the edge key plus a broadcast-sized label join at
     candidate-pair scale; lineage is cut per round with
-    localCheckpoint so plans stay flat. For graphs with giant
+    localCheckpoint so plans stay flat. The convergence flag rides
+    the label update itself (r14): `_chg` is computed inside the
+    update projection and checked against the already-checkpointed
+    round result, so detection no longer pays the old separate
+    old-vs-new labels join + shuffle per round. For graphs with giant
     components, swap the propagation step for alternating
     large-star/small-star rounds — the fixpoint and output contract
     are identical.
@@ -559,20 +583,20 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_lbl"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                # inline convergence flag: strictly-smaller neighbor
+                # label means this node changed this round
+                (
+                    F.coalesce(F.col("nbr_lbl"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("_chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    return labels
+    return labels.select("node", "cluster_id")
 
 
 def resolve_duplicates(pairs: DataFrame) -> DataFrame:
@@ -626,6 +650,10 @@ def incremental_near_dups(
             & (F.col("n.bucket") == F.col("i.bucket")),
         )
         .select(F.col("n.id").alias("new_id"), F.col("i.id").alias("index_id"))
+        # one exchange instead of two (r14, same as
+        # minhash_candidate_pairs): hash(new_id) satisfies the dedup
+        # clustering and pre-aligns the first verify join
+        .repartition(new_docs.sparkSession.sparkContext.defaultParallelism, "new_id")
         .dropDuplicates(["new_id", "index_id"])
     )
     pairs = cand.join(
