@@ -269,9 +269,10 @@ def minhash_base_and_bands(
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared MinHash front end: returns (base, banded) where base is
-    (id, shingles, sig) and banded is (id, band, bucket).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared MinHash front end: returns (sh, sigs, banded) where sh
+    is (id, shingles), sigs is (id, sig) and banded is
+    (id, band, bucket).
 
     scan → shingles+signature (narrow) → explode bands (×BANDS).
     Band rows carry ONLY (id, band, bucket) — the shingle arrays
@@ -279,7 +280,20 @@ def minhash_base_and_bands(
     shuffled through the bucket join (dominates runtime/network at
     scale). Shingles rejoin by id on the tiny candidate-pair set.
 
-    At 100 TB the banded/base frames of a standing corpus are
+    The three frames are deliberately SEPARATE (r14): no consumer
+    ever needs (shingles, sig) in the same row — band construction
+    reads sigs, the verify joins read sh — so gluing them into one
+    relation costs either a corpus-scale join (the r13 x100
+    broadcast-abort class) or an array-valued aggregate
+    (first(shingles) has a variable-size buffer, which disqualifies
+    HashAggregate: the signature aggregate becomes a SortAggregate
+    whose per-partition sort carries the FULL shingle array on every
+    exploded row — O(|shingles|²) bytes per doc through the sort).
+    Split, the signature aggregate is a plain 16×min HashAggregate
+    over (id, 16 bigints) rows and sh is the already-cached shingled
+    relation itself.
+
+    At 100 TB the banded/sigs frames of a standing corpus are
     precomputed and STORED (bucketed by (band, bucket)); incremental
     batches (see incremental_near_dups) only compute their own.
     """
@@ -308,50 +322,39 @@ def minhash_base_and_bands(
     # ~10× faster than the nested higher-order-function form, which
     # falls out of whole-stage codegen.
     #
-    # The shingle array rides THROUGH the aggregate (r13: the
-    # nb_classify carry-through-explode pattern): the old spelling
-    # re-joined sig back onto shingled by id, and at x100 the
-    # exempt-audit caught Catalyst broadcasting the CORPUS-SCALE sig
-    # relation on a post-aggregate size guess (aborted four downstream
-    # graph queries; ~TBs at 100 TB). Deleting the join beats hinting
-    # it: (id, shingles) is one group per doc, the aggregate collapses
-    # the ×shingles explosion in place (shingled is already
-    # partitioned by id, so each doc's group is single-partition —
-    # the final AQE plan carries NO exchange here), and no join means
-    # no join misplan.
-    #
-    # r14: the array is carried by FIRST(shingles), not as a second
-    # grouping key — grouping on (id, shingles) made the aggregate
-    # hash and compare the full shingle array against the hashmap key
-    # for EVERY exploded row (O(|shingles|) per row, O(|shingles|²)
-    # per doc); grouping on id alone hashes one bigint per row, and
-    # first() copies the array once per group. Identical rows out:
-    # every row of a group carries the same shingles value.
-    hashed = shingled.select("id", "shingles", F.explode("shingles").alias("s")).select(
+    # No sig-onto-shingles join, no array through the aggregate
+    # (r13 + r14): the r12 spelling re-joined sig back onto shingled
+    # by id, and at x100 the exempt-audit caught Catalyst
+    # broadcasting the CORPUS-SCALE sig relation on a post-aggregate
+    # size guess (aborted four downstream graph queries; ~TBs at
+    # 100 TB). The r13/early-r14 fix carried the array through the
+    # aggregate instead — which silently turned the aggregate into a
+    # SortAggregate (array-typed first() buffer) sorting the full
+    # shingle array per exploded row. r14 final shape: the aggregate
+    # sees ONLY (id, h0..h15) — 16 fixed-size bigint buffers, a real
+    # HashAggregate with map-side combine — and consumers that need
+    # shingles read the `shingled` cache directly. shingled is
+    # already partitioned by id, so the aggregate needs no exchange.
+    hashed = shingled.select("id", F.explode("shingles").alias("s")).select(
         "id",
-        "shingles",
         *[
             md5_int(F.concat(F.lit(f"{i}:"), F.col("s"))).alias(f"h{i}")
             for i in range(NUM_HASHES)
         ],
     )
-    base = (
+    sigs = (
         hashed.groupBy("id")
-        .agg(
-            F.first("shingles").alias("shingles"),
-            *[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)],
-        )
+        .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(NUM_HASHES)])
         .select(
             "id",
-            "shingles",
             F.array(*[f"h{i}" for i in range(NUM_HASHES)]).alias("sig"),
         )
         .cache()
     )
-    banded = base.select("id", F.explode(band_hashes(F.col("sig"))).alias("bh")).select(
+    banded = sigs.select("id", F.explode(band_hashes(F.col("sig"))).alias("bh")).select(
         "id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")
     )
-    return base, banded
+    return shingled, sigs, banded
 
 
 def minhash_candidate_pairs(
@@ -367,7 +370,7 @@ def minhash_candidate_pairs(
     groupBy-bucket self-join; exact Jaccard on the pair's shingle
     sets; threshold filter. Output: id_a < id_b, jaccard.
     """
-    base, banded = minhash_base_and_bands(df, text_col, id_col, ngram)
+    sh, _sigs, banded = minhash_base_and_bands(df, text_col, id_col, ngram)
     # merge hints (r13 x100 catch — same class as the sig join in
     # minhash_base_and_bands): `banded` (16 rows per doc) and the
     # (id, shingles) relation are CORPUS-SCALE, but both sit behind
@@ -401,7 +404,6 @@ def minhash_candidate_pairs(
         .repartition(df.sparkSession.sparkContext.defaultParallelism, "id_a")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = base.select("id", "shingles")
     pairs = cand.join(
         sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")).hint("merge"),
         "id_a",
@@ -635,8 +637,8 @@ def incremental_near_dups(
     incremental run computes bands only for the new batch, then does
     an exchange-free join against the stored index. Cost per batch is
     O(new) + O(matching buckets), never O(corpus)."""
-    new_base, new_banded = minhash_base_and_bands(new_docs, text_col, id_col, ngram)
-    idx_base, idx_banded = minhash_base_and_bands(index_docs, text_col, id_col, ngram)
+    new_sh, _new_sigs, new_banded = minhash_base_and_bands(new_docs, text_col, id_col, ngram)
+    idx_sh, _idx_sigs, idx_banded = minhash_base_and_bands(index_docs, text_col, id_col, ngram)
     # merge hints (r13 x100 catch, same class as minhash_candidate_
     # pairs): the INDEX side's bands and shingle sets are corpus-scale
     # behind guess-sized aggregates — the bucket join shuffles on
@@ -657,12 +659,12 @@ def incremental_near_dups(
         .dropDuplicates(["new_id", "index_id"])
     )
     pairs = cand.join(
-        new_base.select(
+        new_sh.select(
             F.col("id").alias("new_id"), F.col("shingles").alias("sh_a")
         ).hint("merge"),
         "new_id",
     ).join(
-        idx_base.select(
+        idx_sh.select(
             F.col("id").alias("index_id"), F.col("shingles").alias("sh_b")
         ).hint("merge"),
         "index_id",

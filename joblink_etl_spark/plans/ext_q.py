@@ -7333,8 +7333,7 @@ _BAND_CONFIGS = [(8, 2), (4, 4), (2, 8)]
 
 def minhash_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_neardups(parallelize(table(spark, sf_dir, "documents")))
-    base, _ = D.minhash_base_and_bands(docs)
-    sh = base.select("id", "shingles")
+    sh, sigs, _ = D.minhash_base_and_bands(docs)
     truth = (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 4 == 0)
@@ -7345,7 +7344,7 @@ def minhash_band_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = None
     for bands, rpb in _BAND_CONFIGS:
-        banded = base.select(
+        banded = sigs.select(
             "id", F.explode(D.band_hashes(F.col("sig"), bands, rpb)).alias("bh")
         ).select("id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket"))
         left, right = banded.alias("l"), banded.alias("r")

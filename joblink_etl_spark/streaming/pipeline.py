@@ -475,7 +475,7 @@ def band_registry_batch(
 
     from ..operators.dedup import minhash_base_and_bands
 
-    _, banded = minhash_base_and_bands(docs, text_col=text_col, id_col=id_col, ngram=ngram)
+    _, _, banded = minhash_base_and_bands(docs, text_col=text_col, id_col=id_col, ngram=ngram)
     w = Window.partitionBy("band", "bucket")
     return (
         banded.select(F.col("id").alias("doc_id"), "band", "bucket")

@@ -67,9 +67,9 @@ def test_band_sweep_candidates_unique_ordered(spark):
     from joblink_etl_spark.operators import dedup as D
     from joblink_etl_spark.plans.ext_q import _BAND_CONFIGS
 
-    base, _ = D.minhash_base_and_bands(_planted_docs(spark))
+    _sh, sigs, _ = D.minhash_base_and_bands(_planted_docs(spark))
     for bands, rpb in _BAND_CONFIGS:
-        banded = base.select(
+        banded = sigs.select(
             "id", F.explode(D.band_hashes(F.col("sig"), bands, rpb)).alias("bh")
         ).select(
             "id", F.col("bh.band").alias("band"), F.col("bh.bucket").alias("bucket")

@@ -540,6 +540,13 @@ def test_minhash_front_end_never_broadcasts_corpus(spark):
     )
     assert plan.count("BroadcastExchange") == 0, plan
     assert plan.count("SortMergeJoin") >= 3
+    # r14: the signature aggregate must stay a HashAggregate — the
+    # (id, shingles, sig) carry-through spelling put an array-typed
+    # first() buffer in it, silently demoting it to a SortAggregate
+    # that sorted the full shingle array per exploded row
+    # (O(|shingles|²) bytes/doc). The split front end (sh/sigs/banded)
+    # keeps arrays out of every aggregate buffer on this path.
+    assert "SortAggregate" not in plan, plan
     spark.catalog.clearCache()
 
     plan = (
