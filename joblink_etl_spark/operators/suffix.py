@@ -225,13 +225,23 @@ def span_unit_repeats(
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
     # join BEFORE deduplicating: the broadcast-hash probe drops the
     # non-matching 99%+ of gram rows scan-side, so the dedup shuffle
-    # only ever sees matched (doc, candidate) pairs
+    # only ever sees matched (doc, candidate) pairs. The dedup itself
+    # runs on the NARROW keys only (r14): carrying span_text through
+    # dropDuplicates put a string in the aggregate buffer — a
+    # SortAggregate whose shuffle rows each hauled the full span text
+    # (the top_n LONGEST spans, by construction). Dedup (id, span_md5)
+    # as a plain HashAggregate, then re-attach span_len/span_text from
+    # the same ≤top_n broadcast relation — broadcast-safe by the same
+    # bound as the gram probe, and result-identical (span_md5
+    # functionally determines the candidate row; cands is distinct).
     matched = (
         doc_grams.join(
-            F.broadcast(cands), doc_grams["g"] == cands["first_g"]
+            F.broadcast(cands.select("first_g", "span_md5")),
+            doc_grams["g"] == F.col("first_g"),
         )
-        .select("id", "span_md5", "span_len", "span_text")
+        .select("id", "span_md5")
         .dropDuplicates(["id", "span_md5"])
+        .join(F.broadcast(cands.select("span_md5", "span_len", "span_text")), "span_md5")
         .join(texts, "id")
     )
     t, s = F.col("_t"), F.col("span_text")

@@ -558,3 +558,17 @@ def test_minhash_front_end_never_broadcasts_corpus(spark):
     assert "BroadcastExchange" not in plan, plan
     assert "SortMergeJoin" in plan
     spark.catalog.clearCache()
+
+    # r14: span_unit_repeats' (id, span_md5) dedup must stay a
+    # HashAggregate — the old spelling carried span_text (the top_n
+    # LONGEST spans) through dropDuplicates, which both shuffled the
+    # span bytes per matched pair and demoted the dedup to a
+    # SortAggregate (string-typed first() buffer). The candidate
+    # attributes re-attach from the ≤top_n broadcast instead.
+    plan = (
+        qs["span_unit_repeats"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "SortAggregate" not in plan, plan
+    spark.catalog.clearCache()
