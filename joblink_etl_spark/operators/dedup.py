@@ -296,6 +296,14 @@ def minhash_base_and_bands(
     At 100 TB the banded/sigs frames of a standing corpus are
     precomputed and STORED (bucketed by (band, bucket)); incremental
     batches (see incremental_near_dups) only compute their own.
+
+    PRECONDITION (ADVICE r14 low): `id_col` must be unique in `df`.
+    `sh` is the raw shingled relation — one row per INPUT row, not
+    one per id (the old groupBy('id') base collapsed duplicates; this
+    one, deliberately, does not pay that aggregate) — so a duplicated
+    doc_id would emit duplicate verify-join output pairs downstream.
+    Every current caller feeds unique-id document tables; pinned by
+    tests/test_operators.py::test_minhash_base_unique_id_precondition.
     """
     sc = df.sparkSession.sparkContext
     shingled = (

@@ -234,14 +234,25 @@ def span_unit_repeats(
     # the same ≤top_n broadcast relation — broadcast-safe by the same
     # bound as the gram probe, and result-identical (span_md5
     # functionally determines the candidate row; cands is distinct).
+    # ONE broadcast of the full ≤top_n cands serves BOTH the gram
+    # probe and the re-attach (ADVICE r14 low): two differently-
+    # projected broadcasts were two distinct exchanges, so the whole
+    # candidate-generation lineage (window span-merge + global top-n)
+    # executed once per broadcast. Identical broadcast subtrees
+    # canonicalize to one BroadcastExchange + a ReusedExchange — the
+    # probe carries span_len/span_text a few extra bytes × top_n rows
+    # (bounded), and the candidate chain runs once. The dedup still
+    # sees only the narrow (id, span_md5) keys (r14).
+    cands_b = F.broadcast(cands)
     matched = (
-        doc_grams.join(
-            F.broadcast(cands.select("first_g", "span_md5")),
-            doc_grams["g"] == F.col("first_g"),
-        )
-        .select("id", "span_md5")
-        .dropDuplicates(["id", "span_md5"])
-        .join(F.broadcast(cands.select("span_md5", "span_len", "span_text")), "span_md5")
+        doc_grams.join(cands_b, doc_grams["g"] == F.col("first_g"))
+        # fresh attribute for the pair key: the narrow row would
+        # otherwise carry cands' own span_md5 exprId into the
+        # re-attach join and self-join-disambiguate against cands_b
+        .select("id", F.col("span_md5").alias("_smd5"))
+        .dropDuplicates(["id", "_smd5"])
+        .join(cands_b, F.col("_smd5") == F.col("span_md5"))
+        .select("id", "span_md5", "span_len", "span_text")
         .join(texts, "id")
     )
     t, s = F.col("_t"), F.col("span_text")

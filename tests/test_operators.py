@@ -178,3 +178,45 @@ def test_kmv_overlap_exact_below_k(spark):
     assert r["est_union"] == 50.0
     assert r["est_intersection"] == 10.0
     assert r["jaccard_est"] == 0.2
+
+
+def test_minhash_base_unique_id_precondition(spark):
+    """ADVICE r14: minhash_base_and_bands returns the raw shingled
+    relation as `sh` — one row per INPUT row, not one per id (no
+    collapsing aggregate). A duplicate doc_id therefore surfaces as
+    duplicate sh rows (and would duplicate verify-join pairs
+    downstream): the documented precondition is that callers feed
+    unique-id tables. This pin makes the behavior visible instead of
+    silent."""
+    from joblink_etl_spark.operators.dedup import minhash_base_and_bands
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "x y z w")],
+        "doc_id BIGINT, text STRING",
+    )
+    sh, sigs, _ = minhash_base_and_bands(docs)
+    # sh: row-per-input-row (duplicate id kept); sigs: aggregate, so
+    # one row per id regardless
+    assert sh.groupBy("id").count().filter("count > 1").count() == 1
+    assert sigs.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_char_repeat_spans_md5_determines_row(spark):
+    """ADVICE r14: span_unit_repeats' re-attach joins the candidate
+    broadcast on span_md5 alone — result-identical only while the
+    candidate relation has ONE row per span_md5, i.e. span_len is a
+    function of span_text (span_len == length(span_text)). Pin that
+    invariant on the generator's output so a future change that
+    breaks it (e.g. truncated spans keeping the pre-truncation
+    length) fails here instead of silently duplicating rows."""
+    from joblink_etl_spark.operators.suffix import char_repeat_spans
+
+    boiler = "SUBSCRIBE NOW to our newsletter for weekly updates! "
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} intro. {boiler * 3} tail {i}") for i in range(4)],
+        "doc_id BIGINT, text STRING",
+    )
+    spans = char_repeat_spans(docs).select("span_text", "span_len").distinct()
+    rows = spans.collect()
+    assert rows, "fixture must produce candidate spans"
+    assert all(r["span_len"] == len(r["span_text"]) for r in rows)
