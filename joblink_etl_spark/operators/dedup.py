@@ -554,15 +554,19 @@ def connected_components(
     Near-duplicate candidate graphs converge in a handful of rounds
     (components are small and dense by construction). Each round is
     one shuffle on the edge key plus a broadcast-sized label join at
-    candidate-pair scale; lineage is cut per round with
-    localCheckpoint so plans stay flat. The convergence flag rides
-    the label update itself (r14): `_chg` is computed inside the
-    update projection and checked against the already-checkpointed
-    round result, so detection no longer pays the old separate
-    old-vs-new labels join + shuffle per round. For graphs with giant
-    components, swap the propagation step for alternating
-    large-star/small-star rounds — the fixpoint and output contract
-    are identical.
+    candidate-pair scale; lineage is cut per materialization with
+    localCheckpoint so plans stay flat. Driver-job shape (r15 —
+    per-round JOB latency was the measured residual after r14 proved
+    the shuffles AQE-deduped): TWO propagation rounds run per Spark
+    action (a min-label round is monotone, so "round 2k changed
+    nothing" is exactly the fixpoint test — an extra identity round
+    inside an already-running job is cheaper than a separate job),
+    the checkpoint is LAZY, and the convergence count IS the
+    materializing action — one count_if aggregate per job replaces
+    the old eager-checkpoint job + separate filter/limit/count job.
+    For graphs with giant components, swap the propagation step for
+    alternating large-star/small-star rounds — the fixpoint and
+    output contract are identical.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -577,32 +581,42 @@ def connected_components(
             F.col("a").alias("node"),
             F.least(F.col("a"), F.col("nbr_min")).alias("cluster_id"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+
+    def _round(lbl: DataFrame) -> DataFrame:
         nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            sym.join(lbl.withColumnRenamed("node", "b").drop("_chg"), "b")
             .groupBy("a")
             .agg(F.min("cluster_id").alias("nbr_lbl"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_lbl"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-                # inline convergence flag: strictly-smaller neighbor
-                # label means this node changed this round
-                (
-                    F.coalesce(F.col("nbr_lbl"), F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).alias("_chg"),
-            )
-            .localCheckpoint()
+        return lbl.drop("_chg").join(nbr, "node", "left").select(
+            "node",
+            F.least(
+                F.col("cluster_id"), F.coalesce(F.col("nbr_lbl"), F.col("cluster_id"))
+            ).alias("cluster_id"),
+            # inline convergence flag: strictly-smaller neighbor
+            # label means this node changed this round
+            (
+                F.coalesce(F.col("nbr_lbl"), F.col("cluster_id"))
+                < F.col("cluster_id")
+            ).alias("_chg"),
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+
+    for _ in range(max(1, (max_iter + 1) // 2)):
+        # the odd round is lazily pinned because the even round
+        # references it TWICE (neighbor build keyed on b, label join
+        # keyed on node — different exchanges, so Catalyst would
+        # execute the subtree once per reference); the pin makes both
+        # consumers share one computation inside the same job
+        mid = _round(labels).localCheckpoint(eager=False)
+        new_labels = _round(mid).localCheckpoint(eager=False)
+        # the count_if action materializes the lazy checkpoint AND
+        # reads the second round's convergence flag in the same job
+        changed = new_labels.agg(
+            F.count_if(F.col("_chg")).alias("_n")
+        ).first()["_n"]
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
@@ -745,18 +759,36 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+
+    # fixpoint when the (u, v) edge set is unchanged: cheap
+    # order-independent checksum first, exact anti-join only to
+    # confirm (both frames are candidate-pair sized). ONE action per
+    # round (r15 job-latency): the stats aggregate doubles as the
+    # materializing action for the round's lazy checkpoint, and the
+    # previous round's stats are CARRIED instead of recomputed (the
+    # old spelling paid 3 driver jobs per round — eager checkpoint,
+    # stats(e), stats(e2) — for the same numbers).
+    def _stats(d: DataFrame):
+        return (
+            d.select(F.xxhash64("u", "v").alias("_x"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("bit_xor(_x)"), F.lit(0)).alias("h"),
+            )
+            .collect()[0]
+        )
+
+    s_old = None
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        # fixpoint when the (u, v) edge set is unchanged: cheap
-        # order-independent checksum first, exact anti-join only to
-        # confirm (both frames are candidate-pair sized)
-        stats = lambda d: d.select(
-            F.xxhash64("u", "v").alias("_x")
-        ).agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(_x)"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        s_old, s_new = stats(e), stats(e2)
+        # the large-star output is referenced twice inside _small_star
+        # (the per-node min aggregate and the re-point join) — the lazy
+        # pin shares one computation between them within the round's job
+        e2 = _small_star(
+            _large_star(e).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False)
+        if s_old is None:
+            s_old = _stats(e)
+        s_new = _stats(e2)
         if (
             s_old["n"] == s_new["n"]
             and s_old["h"] == s_new["h"]
@@ -764,7 +796,7 @@ def connected_components_star(
         ):
             e = e2
             break
-        e = e2
+        e, s_old = e2, s_new
     # final graph is a star forest: children point at roots
     labels = (
         e.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))

@@ -158,6 +158,14 @@ def pagerank_personalized(
     ).select("node", "r")
     has_out = deg.select(F.col("src").alias("node"))
     for _ in range(iters):
+        # rank is referenced TWICE per round (contribution join +
+        # dangling-mass anti-join), and unlike uniform pagerank the
+        # loop never cut its lineage — each round's two references
+        # re-expanded the whole previous-round subtree. Lazy pin per
+        # round (r15): one computation per round, flat plans; node-
+        # scale rows (node, r), same class as label_propagation's
+        # per-round frontier pin.
+        rank = rank.localCheckpoint(eager=False)
         contrib = (
             esrc.join(rank, esrc["src"] == rank["node"])
             .select(F.col("dst").alias("node"), F.expr("r div outdeg").alias("c"))

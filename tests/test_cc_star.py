@@ -52,3 +52,53 @@ class TestStarContraction:
         assert rows[5]["cluster_id"] == 2 and not rows[5]["is_canonical"]
         assert rows[9]["cluster_id"] == 2 and not rows[9]["is_canonical"]
         assert rows[30]["is_canonical"] and not rows[31]["is_canonical"]
+
+
+class TestIterationJobShape:
+    """r15 job-latency pins: the fixpoint loops run ONE driver action
+    per materialized round (the convergence aggregate doubles as the
+    lazy checkpoint's materializing action), and min-label propagation
+    batches TWO rounds per action. Counted via job groups — Spark may
+    add internal jobs (AQE stage materialization, checkpoint
+    catch-up), so the pins are generous upper bounds that still fail
+    if a per-round eager-checkpoint + separate count-job pattern
+    (2-3 driver actions per round) is reintroduced."""
+
+    def _jobs_for(self, spark, fn, tag):
+        # AQE materializes every query stage as its own job, which
+        # swamps the driver-action count this pin is about (measured:
+        # 59 AQE jobs vs 5 actions for the same CC run) — count with
+        # AQE off so one job ~= one driver action (+ lazy-checkpoint
+        # catch-ups)
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        sc = spark.sparkContext
+        try:
+            sc.setJobGroup(tag, tag)
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            spark.conf.set("spark.sql.adaptive.enabled", old)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    def test_cc_propagation_jobs_bounded(self, spark):
+        # a path of 9 nodes needs 4+ min-label rounds = 2-3 batched
+        # round-pairs -> measured 5 jobs (loop actions + final
+        # collect); the OLD shape (eager checkpoint job + separate
+        # count job per round x 5+ rounds) measured 11+
+        e = _edges(spark, [(i, i + 1) for i in range(8)])
+        n_jobs = self._jobs_for(
+            spark, lambda: D.connected_components(e).collect(), "cc-jobs-pin"
+        )
+        assert n_jobs <= 8, f"CC propagation ran {n_jobs} jobs for a 4-round graph"
+
+    def test_cc_star_jobs_bounded(self, spark):
+        # star contraction on the same path: ONE stats action per
+        # round (+ round-1 base stats, the convergence-confirm
+        # anti-join, the final collect) -> measured 7; the OLD shape
+        # (eager checkpoint + 2 stats collects per round) measured 13+
+        e = _edges(spark, [(i, i + 1) for i in range(8)])
+        n_jobs = self._jobs_for(
+            spark, lambda: D.connected_components_star(e).collect(), "ccstar-jobs-pin"
+        )
+        assert n_jobs <= 10, f"CC star ran {n_jobs} jobs"

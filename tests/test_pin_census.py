@@ -59,12 +59,16 @@ PIN_CENSUS: dict[tuple[str, str], dict] = {
     },
     # --- iterative fixpoints over candidate-pair graphs ----------------
     ("operators/dedup.py", "connected_components"): {
-        # sym edges + per-round label frontier (nodes appearing in
-        # the candidate-pair edge list)
-        "class": "candidate-scale", "n": 3,
+        # sym edges + initial labels + the per-job odd/even round
+        # frontiers (r15: two propagation rounds per driver job, both
+        # lazily pinned — the odd round has two consumers inside the
+        # even round, the even round is the next job's input)
+        "class": "candidate-scale", "n": 4,
     },
     ("operators/dedup.py", "connected_components_star"): {
-        "class": "candidate-scale", "n": 2,
+        # base edge set + per-round large-star output (two consumers
+        # inside _small_star) + per-round contracted edge set (r15)
+        "class": "candidate-scale", "n": 3,
     },
     ("operators/graph.py", "pagerank"): {
         # edges / esrc / nodes of the input graph; repo callers feed
@@ -74,7 +78,9 @@ PIN_CENSUS: dict[tuple[str, str], dict] = {
         "class": "candidate-scale", "n": 3,
     },
     ("operators/graph.py", "pagerank_personalized"): {
-        "class": "candidate-scale", "n": 4,
+        # + per-round rank pin (r15: two consumers per round —
+        # contribution join and dangling anti-join)
+        "class": "candidate-scale", "n": 5,
     },
     ("operators/graph.py", "pagerank_weighted"): {
         "class": "candidate-scale", "n": 3,
