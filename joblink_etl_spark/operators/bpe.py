@@ -91,22 +91,33 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", top: int = 100) -> Da
     )
 
 
-def _merge_pair(syms: Column, left: str, right: str) -> Column:
+def _merge_pair(syms: Column, left: str | Column, right: str | Column) -> Column:
     """Greedy left-to-right merge of every (left, right) adjacency in
     one HOF fold: the accumulator carries (rebuilt array, pending
     symbol); a match consumes BOTH symbols (pending empties), so
     overlapping occurrences like a-a-a with merge (a,a) produce
-    [aa, a] — the reference BPE semantics."""
-    merged = left + right
+    [aa, a] — the reference BPE semantics.
+
+    `left`/`right` are normally Python strings (merges known on the
+    driver); passing Columns instead lets a merge chosen INSIDE the
+    plan (a 1-row argmax cross-joined onto the vocab) drive the same
+    fold — the r15 two-merges-per-job trainer batching."""
+    lc = F.lit(left) if isinstance(left, str) else left
+    rc = F.lit(right) if isinstance(right, str) else right
+    merged = (
+        F.lit(left + right)
+        if isinstance(left, str) and isinstance(right, str)
+        else F.concat(lc, rc)
+    )
     acc0 = F.struct(
         F.array().cast("array<string>").alias("out"), F.lit("").alias("prev")
     )
     step = lambda acc, s: (
         F.when(acc["prev"] == "", F.struct(acc["out"].alias("out"), s.alias("prev")))
         .when(
-            (acc["prev"] == F.lit(left)) & (s == F.lit(right)),
+            (acc["prev"] == lc) & (s == rc),
             F.struct(
-                F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                F.concat(acc["out"], F.array(merged)).alias("out"),
                 F.lit("").alias("prev"),
             ),
         )
@@ -140,7 +151,6 @@ def train_bpe(
     measured 29 s → 6 s on an 85-word vocab at 32 threads. Leave
     None for real corpora (the vocab inherits the word_freqs
     shuffle layout)."""
-    spark = df.sparkSession
     vocab = word_freqs(df, text_col).select(
         F.col("n"), _to_symbols(F.col("word")).alias("syms")
     )
@@ -149,24 +159,71 @@ def train_bpe(
     vocab = vocab.persist()
     pins = [vocab]
     merges: list[tuple[int, str, str, int]] = []
+
+    def _best(v: DataFrame) -> DataFrame:
+        return (
+            _pair_counts(v)
+            .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+            .limit(1)
+        )
+
     try:
-        for rank in range(n_merges):
-            best = (
-                _pair_counts(vocab)
-                .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
-                .limit(1)
-                .collect()
-            )
-            if not best:
+        # TWO merges per driver job on the SMALL-VOCAB path (r15 —
+        # the driver round-trip per merge is that path's latency
+        # floor, guide §1/§2): the batch's second argmax is selected
+        # INSIDE the same plan by re-segmenting the vocab against the
+        # broadcast 1-row first argmax (column-valued _merge_pair —
+        # exact same greedy fold, so the selected pair is identical
+        # to what a recount after applying merge 1 returns; the bpe
+        # fixture tests pin this). Batching costs one EXTRA in-plan
+        # fold pass over the vocab per pair of merges, so it keys off
+        # the same `vocab_partitions` knob that already marks the
+        # closed-vocabulary trainers: interleaved A/B at sf0.1 —
+        # bpe_merges_fixed (85-word vocab) 8.91 -> 6.71 s best-of,
+        # bpe_merges (corpus word vocab) 4.70 -> 5.42 s, i.e. a win
+        # exactly when the vocab is tiny and a loss when the extra
+        # O(vocab) fold dominates (and at 100 TB vocab scale the
+        # round-trip is noise, so 1 merge/job is the right default).
+        batch2 = vocab_partitions is not None
+        rank = 0
+        while rank < n_merges:
+            b1 = _best(vocab)
+            asked = 2 if batch2 and rank + 1 < n_merges else 1
+            if asked == 2:
+                v2 = vocab.crossJoin(F.broadcast(b1)).select(
+                    "n",
+                    _merge_pair(
+                        F.col("syms"), F.col("left_sym"), F.col("right_sym")
+                    ).alias("syms"),
+                )
+                rows = (
+                    b1.select(F.lit(0).alias("_k"), "*")
+                    .unionByName(_best(v2).select(F.lit(1).alias("_k"), "*"))
+                    .collect()
+                )
+                rows.sort(key=lambda r: r["_k"])
+            else:
+                rows = b1.collect()
+            if not rows:
                 break
-            b = best[0]
-            merges.append((rank, b["left_sym"], b["right_sym"], b["pair_count"]))
-            vocab = vocab.select(
-                "n", _merge_pair(F.col("syms"), b["left_sym"], b["right_sym"]).alias("syms")
-            ).persist()
+            for b in rows:
+                merges.append((rank, b["left_sym"], b["right_sym"], b["pair_count"]))
+                vocab = vocab.select(
+                    "n",
+                    _merge_pair(
+                        F.col("syms"), b["left_sym"], b["right_sym"]
+                    ).alias("syms"),
+                )
+                rank += 1
+            # re-persist once per batch keeps the fold shallow (≤2
+            # merges deep) instead of an n_merges-deep expression tree
+            vocab = vocab.persist()
             pins.append(vocab)
-            # re-persist keeps each iteration's fold shallow (one
-            # merge deep) instead of an n_merges-deep expression tree
+            if len(rows) < asked:
+                # fewer pairs than requested: the vocab ran out of
+                # adjacencies mid-batch, matching the old loop's
+                # empty-argmax exit on the next iteration
+                break
         return merges
     finally:
         for p in pins:
