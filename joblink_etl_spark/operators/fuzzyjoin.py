@@ -47,6 +47,7 @@ def fuzzy_key_join(
     max_len: int = 64,
     dedup_keys: list[str] | None = None,
     broadcast_left: bool = False,
+    keys_identify_rows: bool = False,
 ) -> DataFrame:
     """All (left, right) row pairs whose keys are within Levenshtein
     distance `max_distance` (currently 1 — the guarantee the
@@ -73,7 +74,19 @@ def fuzzy_key_join(
     variant equi-join to a spill-safe sort-merge; pass True when the
     LEFT side is a genuinely bounded dirty batch (the daily-feed
     shape) to broadcast its variants explicitly and skip the
-    shuffle."""
+    shuffle.
+
+    ``keys_identify_rows``: promise that `dedup_keys` functionally
+    determine EVERY carried column (true row identifiers on both
+    sides), so variant-collision duplicates are byte-identical rows
+    and a full-row distinct() is result-identical to the keyed
+    dropDuplicates. The distinct spelling plans as a HashAggregate
+    (all columns are grouping keys); the keyed dropDuplicates carries
+    the non-key strings in first() buffers, which disqualifies hash
+    aggregation — the whole candidate set rides a per-partition SORT
+    instead (r15; the span_unit_repeats SortAggregate class). Leave
+    False when same-key rows may genuinely differ — there the keyed
+    collapse (one arbitrary carrier row) is the documented contract."""
     if max_distance != 1:
         raise ValueError("deletion-1 blocking guarantees distance <= 1 only")
     if dedup_keys is None:
@@ -81,10 +94,11 @@ def fuzzy_key_join(
     lv = left.withColumn("_lv", F.explode(deletion_variants(F.col(left_key), max_len)))
     rv = right.withColumn("_rv", F.explode(deletion_variants(F.col(right_key), max_len)))
     lv = F.broadcast(lv) if broadcast_left else lv.hint("merge")
+    collided = lv.join(rv, lv["_lv"] == rv["_rv"]).drop("_lv", "_rv")
     cand = (
-        lv.join(rv, lv["_lv"] == rv["_rv"])
-        .drop("_lv", "_rv")
-        .dropDuplicates(dedup_keys)
+        collided.distinct()
+        if keys_identify_rows
+        else collided.dropDuplicates(dedup_keys)
     )
     dist = F.levenshtein(F.col(left_key), F.col(right_key))
     return cand.withColumn("edit_distance", dist.cast("bigint")).filter(

@@ -7088,7 +7088,13 @@ def record_linkage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carrier row — nondeterministic and diverging from the oracle's
     # DISTINCT, which keeps both d_keys.
     cand = fuzzy_key_join(
-        dirty, master, "d_name", "c_name", dedup_keys=["d_key", "c_custkey"]
+        dirty, master, "d_name", "c_name", dedup_keys=["d_key", "c_custkey"],
+        # (d_key, c_custkey) are true row identifiers and every other
+        # column is a deterministic function of them, so the full-row
+        # distinct is result-identical and swaps the candidate dedup's
+        # first()-buffered SortAggregate for a HashAggregate (r15 —
+        # the last fixable SortAggregate carrier after span_unit_repeats)
+        keys_identify_rows=True,
     )
     scored = fs_score(
         cand,
