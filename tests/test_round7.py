@@ -564,6 +564,13 @@ def test_bench_reprobe_selection_and_output(tmp_path):
     assert parsed["reprobe_adjusted_total"] == round(
         sum(timings.values()) - 9.0 + 4.2, 3
     )
+    # adjudicated per-query values ride the ONE-LINE JSON too (r14
+    # verdict item 4): the driver's PERF comparison reads only the
+    # line, so reprobed queries expose min(in_run, reprobe) inline
+    assert parsed["queries_adjudicated"] == {"b": 4.2}
+    # ...but the raw inline `queries` map stays raw (cross-round
+    # comparable with prior rounds' lines)
+    assert parsed["queries"]["b"] == 9.0
     full = json.loads(detail.read_text())
     assert full["reprobes"] == reprobes
     # the PERSISTED map (next round's guard baseline) carries the
