@@ -234,16 +234,21 @@ def span_unit_repeats(
     # the same ≤top_n broadcast relation — broadcast-safe by the same
     # bound as the gram probe, and result-identical (span_md5
     # functionally determines the candidate row; cands is distinct).
-    # ONE broadcast of the full ≤top_n cands serves BOTH the gram
-    # probe and the re-attach (ADVICE r14 low): two differently-
-    # projected broadcasts were two distinct exchanges, so the whole
-    # candidate-generation lineage (window span-merge + global top-n)
-    # executed once per broadcast. Identical broadcast subtrees
-    # canonicalize to one BroadcastExchange + a ReusedExchange — the
-    # probe carries span_len/span_text a few extra bytes × top_n rows
-    # (bounded), and the candidate chain runs once. The dedup still
-    # sees only the narrow (id, span_md5) keys (r14).
-    cands_b = F.broadcast(cands)
+    # ONE materialization of cands serves BOTH the gram probe and the
+    # re-attach (ADVICE r14 low): the two joins key on different
+    # columns (first_g vs span_md5), so their BroadcastExchanges carry
+    # different hashed-relation modes and can NEVER canonicalize to a
+    # ReusedExchange — without a pin the whole candidate-generation
+    # lineage (corpus gram explode + window span-merge + global top-n)
+    # executes once per broadcast (verified in the r15 plan dumps: the
+    # broadcast-once spelling alone left 2 full subtrees). The lazy
+    # checkpoint cuts that lineage once at ≤top_n rows; both
+    # broadcasts then rebuild from the checkpointed partitions.
+    # Construction runs the chain's jobs (AQE materializes lazy
+    # checkpoints at .rdd) — span_unit_repeats is on the
+    # CONSTRUCTION_JOB_EXEMPT list like every other barrier pin. The
+    # dedup still sees only the narrow (id, span_md5) keys (r14).
+    cands_b = F.broadcast(cands.localCheckpoint(eager=False))
     matched = (
         doc_grams.join(cands_b, doc_grams["g"] == F.col("first_g"))
         # fresh attribute for the pair key: the narrow row would

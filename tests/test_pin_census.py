@@ -156,6 +156,11 @@ PIN_CENSUS: dict[tuple[str, str], dict] = {
         # cut list: one row per cut span occurrence
         "class": "candidate-scale", "n": 1,
     },
+    ("operators/suffix.py", "span_unit_repeats"): {
+        # candidate span relation: <= top_n rows, two differently-keyed
+        # broadcast consumers that can't ReusedExchange (r15)
+        "class": "bounded", "n": 1,
+    },
     ("operators/suffix.py", "winnowing_pairs"): {
         # winnowing fingerprints: ~N_tokens/w sampled grams per doc
         "class": "candidate-scale", "n": 1,

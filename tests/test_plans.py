@@ -260,6 +260,11 @@ CONSTRUCTION_JOB_EXEMPT = frozenset(
         "winnowing_pairs", "scrub_spans", "scrubbed_corpus",
         "web_curation_pipeline", "quality_gate", "ngram_coverage",
         "cosine_near_dups", "snm_pairs",
+        # r15: span_unit_repeats' bounded candidate relation feeds two
+        # differently-keyed broadcasts (gram probe + re-attach) that
+        # cannot ReusedExchange; the lazy pin runs the candidate chain
+        # once instead of once per broadcast.
+        "span_unit_repeats",
     ]
     # (d) two-phase builds — a small aggregate (quantile grid, vocab,
     # mixture weights, batch spec, row count) is computed up front

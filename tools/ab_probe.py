@@ -71,6 +71,10 @@ PATCHES: dict[str, list[tuple[str, str, str]]] = {
         ("joblink_etl_spark.operators.fuzzyjoin", "fuzzy_key_join",
          "joblink_etl_spark/operators/fuzzyjoin.py"),
     ],
+    "span_unit_repeats": [
+        ("joblink_etl_spark.operators.suffix", "span_unit_repeats",
+         "joblink_etl_spark/operators/suffix.py"),
+    ],
     "semdedup_ivf": [
         ("joblink_etl_spark.operators.similarity", "semdedup",
          "joblink_etl_spark/operators/similarity.py"),
